@@ -1,0 +1,170 @@
+package graft
+
+/** DuckDB-runnable ANSI SQL oracles, one per SparkEntry.queries key.
+  *
+  * Contract (driver): each SQL runs in DuckDB over the same parquet
+  * tables, columns are sorted by name before value hashing — so every
+  * computed column is aliased identically here and in the Spark query.
+  * Doubles are rounded in BOTH engines at the same precision to absorb
+  * summation-order ulp drift.
+  */
+object OracleSql {
+
+  val core: Map[String, String] = Map(
+    "q01_pruned_agg" -> """
+      SELECT l_returnflag,
+             strftime(l_shipdate, '%Y') AS ship_year,
+             strftime(l_shipdate, '%m') AS ship_month,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_purchase_amount,
+             COUNT(l_quantity) AS count_of_purchase
+      FROM lineitem
+      WHERE strftime(l_shipdate, '%Y%m%d') BETWEEN '19950101' AND '19961231'
+      GROUP BY 1, 2, 3
+    """,
+    "q02_filtered_scan" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             l_extendedprice,
+             strftime(l_shipdate, '%Y%m%d') AS ship_ymd
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1995-12-31 00:00:00'
+    """,
+    "q03_denorm_join" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             l_extendedprice, l_discount, l_returnflag,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+             o_custkey, o_orderstatus, o_orderpriority,
+             c_name, c_mktsegment,
+             n_name AS nation, r_name AS region_name
+      FROM lineitem
+      LEFT JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    "q04_cte_sql" -> """
+      WITH cust_geo AS (
+        SELECT c_custkey, c_mktsegment, n_name, r_name
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+      )
+      SELECT r_name AS region_name,
+             n_name AS nation,
+             o_orderpriority,
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+             COUNT(l_quantity) AS count_of_purchase
+      FROM lineitem
+      LEFT JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN cust_geo ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    """,
+    "q05_agg_then_join" -> """
+      WITH per_order AS (
+        SELECT l_orderkey,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS order_amount,
+               COUNT(l_quantity) AS n_lines
+        FROM lineitem GROUP BY 1
+      )
+      SELECT l_orderkey, order_amount, n_lines,
+             o_custkey, c_name, c_mktsegment
+      FROM per_order
+      LEFT JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "q06_count_distinct" -> """
+      SELECT event_type,
+             COUNT(event_id) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      FROM events GROUP BY 1
+    """,
+    "q07_kpi_arithmetic" -> """
+      WITH agg AS (
+        SELECT o_orderstatus,
+               COUNT(o_orderkey) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS raw_amount
+        FROM orders GROUP BY 1
+      )
+      SELECT o_orderstatus, n_orders, n_customers,
+             ROUND(n_orders / n_customers, 4) AS orders_per_customer,
+             ROUND(raw_amount / n_orders / 1000, 4) AS avg_order_k,
+             ROUND(raw_amount / 1000000, 2) AS amount_mm
+      FROM agg
+    """,
+    "q08_weekday" -> """
+      SELECT isodow(o_orderdate) AS iso_dow,
+             dayname(o_orderdate) AS day_of_week,
+             COUNT(o_orderkey) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_amount
+      FROM orders GROUP BY 1, 2
+    """,
+    "q09_multi_sort" -> """
+      SELECT n_regionkey, n_name,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_amount,
+             COUNT(l_quantity) AS count_of_purchase
+      FROM lineitem
+      LEFT JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+      ORDER BY n_regionkey ASC, total_amount DESC,
+               count_of_purchase DESC, n_name ASC
+    """,
+    "q10_topk" -> """
+      SELECT o_custkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+      ORDER BY revenue DESC, o_custkey ASC
+      LIMIT 10
+    """,
+    "q11_window_rank" -> """
+      WITH per_part AS (
+        SELECT p_brand, p_partkey, p_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3
+      )
+      SELECT p_brand, rank_in_brand, p_partkey, p_name, revenue
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY p_brand
+                 ORDER BY revenue DESC, p_partkey ASC) AS rank_in_brand
+        FROM per_part
+      )
+      WHERE rank_in_brand <= 3
+    """,
+    "q12_json_extract" -> """
+      SELECT event_type,
+             COUNT(CAST(json_extract_string(props, 'k') AS BIGINT))
+               AS n_events,
+             CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
+             ROUND(AVG(CAST(json_extract_string(props, 'k') AS BIGINT)), 4)
+               AS avg_k
+      FROM events GROUP BY 1
+    """,
+    "q13_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderstatus = 'F')
+    """,
+    "q14_semi_join" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    """,
+    "q19_hourly_events" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             COUNT(event_id) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    """
+  ).map { case (k, v) => k -> v.trim }
+}

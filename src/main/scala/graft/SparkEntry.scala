@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` key has a DuckDB-runnable oracle in [[OracleSql]]
+  * (omitted only for ops whose semantics aren't SQL-expressible; the
+  * driver then records a rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The T1 denormalization join chain — the engine's spine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q03DenormJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pruned_agg" -> (CoreQueries.q01PrunedAgg _),
+    "q02_filtered_scan" -> (CoreQueries.q02FilteredScan _),
+    "q03_denorm_join" -> (CoreQueries.q03DenormJoin _),
+    "q04_cte_sql" -> (CoreQueries.q04CteSql _),
+    "q05_agg_then_join" -> (CoreQueries.q05AggThenJoin _),
+    "q06_count_distinct" -> (CoreQueries.q06CountDistinct _),
+    "q07_kpi_arithmetic" -> (CoreQueries.q07KpiArithmetic _),
+    "q08_weekday" -> (CoreQueries.q08Weekday _),
+    "q09_multi_sort" -> (CoreQueries.q09MultiSort _),
+    "q10_topk" -> (CoreQueries.q10TopK _),
+    "q11_window_rank" -> (CoreQueries.q11WindowRank _),
+    "q12_json_extract" -> (CoreQueries.q12JsonExtract _),
+    "q13_anti_join" -> (CoreQueries.q13AntiJoin _),
+    "q14_semi_join" -> (CoreQueries.q14SemiJoin _),
+    "q19_hourly_events" -> (CoreQueries.q19HourlyEvents _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.core
 }
