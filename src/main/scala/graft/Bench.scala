@@ -1,23 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.etl.Pipeline
+
+/** Benchmark main — one JSON line on stdout for the driver.
+  *
+  * Each query runs once for warmup (file listing, plan, codegen, JIT)
+  * and once measured; `etl_pipeline` is the full T0→T1→T2 medallion DAG
+  * into a temp warehouse, the direct analogue of the reference's
+  * end-to-end Step Functions run (BASELINE.md: ≈20 min initial load at
+  * 28.6M rows on 2–4 G.1X workers).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        try {
+          fn(spark, sfDir).count() // warmup: listing + plan + codegen
+          name -> timed { fn(spark, sfDir).count(); () }
+        } catch { case _: Throwable => name -> -1.0 }
+    }
+
+    val etlTime =
+      try {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft_bench_wh_").toString
+        val t = timed {
+          Pipeline.run(spark,
+            Pipeline.Config(sfDir, wh, "19920101", "20021231"))
+        }
+        // best-effort cleanup of the temp warehouse
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(wh)).deleteRecursively()
+        t
+      } catch { case _: Throwable => -1.0 }
+
+    val all = queryTimes :+ ("etl_pipeline" -> etlTime)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

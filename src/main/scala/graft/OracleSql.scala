@@ -18,7 +18,8 @@ object OracleSql {
              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_purchase_amount,
              COUNT(l_quantity) AS count_of_purchase
       FROM lineitem
-      WHERE strftime(l_shipdate, '%Y%m%d') BETWEEN '19950101' AND '19961231'
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1, 2, 3
     """,
     "q02_filtered_scan" -> """
@@ -167,4 +168,128 @@ object OracleSql {
       FROM events GROUP BY 1, 2
     """
   ).map { case (k, v) => k -> v.trim }
+
+  /** Oracles for the text / dedup / similarity / multimodal surface.
+    * Marker lists and formulas must stay in sync with
+    * graft.functions.TextFunctions. */
+  val text: Map[String, String] = Map(
+    "q15_tokens_quality" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_unique_tokens,
+             length(text) AS n_chars_actual,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','is','in','that','it','on'], x)))
+               AS n_stopwords,
+             ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+               AS ttr,
+             ROUND(least(len(toks) / 50.0, 1.0) *
+                   (0.5 + 0.5 * (len(list_distinct(toks)) /
+                                 CAST(len(toks) AS DOUBLE))), 4) AS quality
+      FROM d
+    """,
+    "q16_langid" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> list_contains(
+            ['the','and','of','to','a'], x))) AS sc_en,
+          len(list_filter(toks, x -> list_contains(
+            ['el','la','de','que','los'], x))) AS sc_es,
+          len(list_filter(toks, x -> list_contains(
+            ['der','die','und','das','ist'], x))) AS sc_de,
+          len(list_filter(toks, x -> list_contains(
+            ['le','les','et','des','une'], x))) AS sc_fr
+        FROM d
+      )
+      SELECT lang,
+             CASE
+               WHEN sc_en >= greatest(sc_en, sc_es, sc_de, sc_fr)
+                    AND sc_en > 0 THEN 'en'
+               WHEN sc_es >= greatest(sc_en, sc_es, sc_de, sc_fr)
+                    AND sc_es > 0 THEN 'es'
+               WHEN sc_de >= greatest(sc_en, sc_es, sc_de, sc_fr)
+                    AND sc_de > 0 THEN 'de'
+               WHEN sc_fr >= greatest(sc_en, sc_es, sc_de, sc_fr)
+                    AND sc_fr > 0 THEN 'fr'
+               ELSE 'und'
+             END AS lang_pred,
+             COUNT(doc_id) AS n_docs
+      FROM s GROUP BY 1, 2
+    """,
+    "q17_fingerprint" -> """
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents
+    """,
+    "q18_exact_dedup" -> """
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fingerprint,
+             MIN(doc_id) AS keep_doc_id,
+             COUNT(doc_id) AS n_copies
+      FROM documents GROUP BY 1
+    """,
+    "q22_ngram_jaccard" -> """
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                      range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))
+               END AS s
+        FROM t
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(len(list_intersect(a.s, b.s)) /
+                   CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    """,
+    "q23_knn_bruteforce" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cosine
+        FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      )
+      SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM s
+      )
+      WHERE rank <= 5
+    """,
+    "q25_binary_meta" -> """
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha256_hex,
+             CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END AS has_content,
+             CAST(octet_length(encode(text)) % 1920 + 1 AS BIGINT)
+               AS fake_width,
+             CAST(octet_length(encode(text)) % 1080 + 1 AS BIGINT)
+               AS fake_height
+      FROM documents
+    """
+  ).map { case (k, v) => k -> v.trim }
+
+  val all: Map[String, String] = core ++ text
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, Dedup, Similarity, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,10 +32,25 @@ object SparkEntry {
     "q12_json_extract" -> (CoreQueries.q12JsonExtract _),
     "q13_anti_join" -> (CoreQueries.q13AntiJoin _),
     "q14_semi_join" -> (CoreQueries.q14SemiJoin _),
-    "q19_hourly_events" -> (CoreQueries.q19HourlyEvents _)
+    "q19_hourly_events" -> (CoreQueries.q19HourlyEvents _),
+    // LLM-data-pipeline surface: text analysis, dedup, similarity,
+    // multimodal plumbing.
+    "q15_tokens_quality" -> (TextQueries.q15TokensQuality _),
+    "q16_langid" -> (TextQueries.q16LangId _),
+    "q17_fingerprint" -> (TextQueries.q17Fingerprint _),
+    "q18_exact_dedup" -> (TextQueries.q18ExactDedup _),
+    "q20_minhash_signature" -> (Dedup.q20MinhashSignature _),
+    "q21_lsh_pairs" -> (Dedup.q21LshPairs _),
+    "q22_ngram_jaccard" -> (TextQueries.q22NgramJaccard _),
+    "q23_knn_bruteforce" -> (Similarity.q23KnnBruteForce _),
+    "q24_ann_lsh" -> (Similarity.q24AnnLsh _),
+    "q25_binary_meta" -> (graft.multimodal.Multimodal.q25BinaryMeta _),
+    "q26_simhash" -> (Dedup.q26Simhash _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleSql.core
+    * the same parquet tables. Omitted (→ rows-only check) for the ops
+    * whose hash seeds aren't SQL-expressible: q20/q21 (xxhash64 MinHash),
+    * q24 (LSH bucketing), q26 (FNV-1a SimHash). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

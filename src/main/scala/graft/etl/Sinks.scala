@@ -1,0 +1,46 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partitioned parquet sinks with the reference's write semantics
+  * (SURVEY §2.1-S6/S7/S8).
+  *
+  * Dynamic partition overwrite is load-bearing
+  * (jb_de_enhancement_t0_fact_d2s.py:23): an incremental run replaces
+  * only the partitions present in the incoming DataFrame, which is what
+  * makes the monthly date-window reruns idempotent without rewriting
+  * 100 TB of history.
+  */
+object Sinks {
+
+  /** Hive-partitioned parquet write, replacing only touched partitions.
+    * `numFiles` caps files per partition dir (the reference's
+    * `coalesce(1)` small-files control, glue_t1.md:82) — at cluster
+    * scale prefer repartition on the partition columns so each writer
+    * task owns whole partitions instead of a single-task bottleneck. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Suppress _SUCCESS markers (the reference's committer tuning, S8).
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    val out =
+      if (numFiles > 0) df.coalesce(numFiles)
+      else df.repartition(partitionCols.map(df.col): _*)
+    out.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Unpartitioned overwrite (dimension tables, S6). */
+  def writeTable(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Crawler replacement (S9): (re)register an output directory as a
+    * session-catalog table; partition columns are rediscovered from the
+    * Hive-style directory layout by the parquet source. */
+  def register(spark: SparkSession, name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data-pipeline surface
+  * (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` —
+  * including the higher-order array functions (`filter`, `transform`,
+  * `aggregate`) — so the whole pipeline stays inside Catalyst/codegen
+  * with no UDF serialization boundary. At 100 TB these run as per-row
+  * expressions inside whole-stage codegen: no shuffle, no state.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the reference has no text ops; this is the
+    * LLM-pipeline extension surface). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def nUniqueTokens(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** English-ish stopword list shared with the DuckDB oracle — keep in
+    * sync with OracleSql. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "on")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => array_contains(array(words.map(lit): _*), x)))
+
+  def stopwordHits(text: Column): Column = hitCount(tokens(text), stopwords)
+
+  /** Type-token ratio: vocabulary richness in [0,1]. */
+  def typeTokenRatio(text: Column): Column =
+    round(nUniqueTokens(text) / nTokens(text).cast("double"), 4)
+
+  /** Heuristic quality score in [0,1]: length saturation × vocabulary
+    * richness. Deliberately simple arithmetic so the DuckDB oracle can
+    * state the identical formula. */
+  def qualityScore(text: Column): Column =
+    round(
+      least(nTokens(text) / lit(50.0), lit(1.0)) *
+        (lit(0.5) + lit(0.5) * (nUniqueTokens(text) / nTokens(text).cast("double"))),
+      4)
+
+  /** Marker-word lists per language for the n-gram-free language-ID
+    * heuristic. Kept tiny and SQL-expressible. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Predicted language: argmax of marker hits with a fixed priority
+    * order (en > es > de > fr) and 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, ws) => lang -> hitCount(toks, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+      when(score === best && score > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable across engines (md5 is bit-exact everywhere), so exact and
+    * near-exact duplicate grouping can be oracle-checked. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (default 3) for MinHash/Jaccard; short docs
+    * fall back to the whole text as a single shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -50,8 +50,14 @@ object CoreQueries {
     * `count(col)` (null-skipping), not count(*), exactly as A1 notes. */
   def q01PrunedAgg(s: SparkSession, dir: String): DataFrame =
     factWithDateParts(s, dir)
-      // Lexicographic BETWEEN over yyyymmdd strings == date BETWEEN (P4).
-      .where(col("ship_ymd").between("19950101", "19961231"))
+      // Range predicate on the raw timestamp column (equivalent to the
+      // reference's lexicographic yyyymmdd BETWEEN, P4) — phrased on the
+      // source column so it pushes into the parquet scan for row-group
+      // skipping; a predicate on the derived date_format string would
+      // read every row at 100 TB. The string-BETWEEN trap itself is
+      // exercised in the ETL pipeline where dates ARE strings.
+      .where(col("l_shipdate") >= "1995-01-01" &&
+        col("l_shipdate") < "1997-01-01")
       .groupBy(col("l_returnflag"), col("ship_year"), col("ship_month"))
       .agg(
         moneySum(col("l_extendedprice")).as("total_purchase_amount"),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.SimHash
+
+/** Near-duplicate detection at training-data scale.
+  *
+  * Three families, all shuffle-frugal:
+  *  - MinHash + LSH banding: shingle → 64 minhashes → 16 bands of 4 →
+  *    bucket-join. The only shuffle is the band-bucket exchange; the
+  *    candidate set (not the corpus²) is what gets verified. This is the
+  *    plan that survives 100 TB: cost is O(corpus) + O(candidates).
+  *  - SimHash: one 64-bit signature per doc (custom Catalyst expression,
+  *    [[graft.functions.SimHash]]); near-dups differ in few bits, so
+  *    hamming-ball probing over signature prefixes is a cheap first pass.
+  *  - Embedding cosine near-dup lives in Similarity (same LSH shape).
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // NumHashes / Bands
+
+  /** 64-lane MinHash signature over word-bigram shingles, entirely in
+    * codegen'd builtins: xxhash64 per (seed, shingle), array_min per
+    * lane. */
+  def minhashSignature(text: Column): Column = {
+    val sh = array_distinct(shingles(text, 2))
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      s => array_min(transform(sh, x => xxhash64(s, x))))
+  }
+
+  /** Per-band bucket keys: hash of each 4-lane signature slice. */
+  def bandHashes(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(b, slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))))
+
+  /** q20 — per-document MinHash signature digest (stable row count;
+    * the pair-generation path is exercised by candidatePairs below and
+    * its spec). */
+  def q20MinhashSignature(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(
+        col("doc_id"),
+        xxhash64(col("sig")).as("sig_hash"),
+        element_at(col("sig"), 1).as("minhash_0"))
+
+  /** Buckets bigger than this are non-discriminative (a band value
+    * shared by hundreds of docs carries no similarity signal) and would
+    * blow the candidate set up quadratically — the standard LSH guard at
+    * scale is to drop them. */
+  val MaxBucketSize = 50
+
+  /** LSH candidate pairs: explode band keys, self-join on
+    * (band, band_hash), then verify true Jaccard on the shingle sets.
+    * `threshold` filters verified pairs. The signature projection is
+    * persisted: it feeds both the bucket explode and the verification
+    * join, and CollapseProject would otherwise inline the 64-lane
+    * minhash expression into every consumer. */
+  def candidatePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = docs.select(
+      col("doc_id"),
+      array_distinct(shingles(col("text"), 2)).as("sh"),
+      minhashSignature(col("text")).as("sig"))
+      .persist()
+
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(bandHashes(col("sig"))))
+      .toDF("doc_id", "band", "band_hash")
+
+    val smallBuckets = buckets
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .where(col("bucket_size") <= MaxBucketSize)
+      .drop("bucket_size")
+
+    val cand = smallBuckets.as("a")
+      .join(smallBuckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+          4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** q21 — LSH near-dup pair counts per jaccard decile over the corpus
+    * (aggregated so the result is small and stable even when the corpus
+    * has no true dups). */
+  def q21LshPairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(Tables.load(s, dir, "documents"), 0.0)
+      .groupBy(floor(col("jaccard") * 10).as("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** q26 — SimHash signatures + hamming distance between adjacent docs
+    * (custom Catalyst Expression; fingerprint-level near-dup signal). */
+  def q26Simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), SimHash.simhash64(tokens(col("text"))).as("simhash"))
+    val b = d.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    d.join(b, d("doc_id") + 1 === b("doc_b"), "inner")
+      .select(
+        col("doc_id"), col("simhash"),
+        bit_count(col("simhash").bitwiseXOR(col("sim_b"))).as("hamming_next"))
+  }
+}

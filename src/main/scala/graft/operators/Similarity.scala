@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a distributed scan of the corpus; O(|corpus|·|queries|)
+  * with no corpus shuffle, which is the right plan whenever the query set
+  * fits in a broadcast (the common batch-scoring shape).
+  *
+  * Scale path: random-hyperplane LSH bucketing — each vector gets a
+  * signature from the signs of `NumPlanes` fixed hyperplane projections;
+  * candidates are same-bucket pairs only. Corpus-side cost becomes one
+  * shuffle on the bucket key; within-bucket brute force is
+  * O(|corpus|²/2^planes) in expectation. All vector math is
+  * `zip_with`/`aggregate` over array<double> — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns via higher-order builtins. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      // float32 → float64 once at scan; all arithmetic stays in double
+      // (bit-identical to the DuckDB oracle's CAST(... AS DOUBLE[])).
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("v_norm", norm(col("v")))
+
+  /** q23 — brute-force cosine top-k: for each query vector (vec_id<10),
+    * the 5 nearest corpus vectors. Query side broadcast; corpus scanned
+    * once; per-query top-k via window over the joined result. */
+  def q23KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val queries = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("v"), col("qv")) / (col("v_norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val NumPlanes = 4
+
+  /** Deterministic pseudo-random hyperplanes (seeded, engine-side). */
+  private def planes(dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Bucket id from the sign pattern of hyperplane projections. */
+  def lshBucket(v: Column, dim: Int): Column =
+    planes(dim).zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(v, pl) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** q24 — LSH-bucketed ANN with multi-probe: same top-k task as q23 but
+    * candidates are restricted to the query's bucket plus its
+    * hamming-distance-1 neighbor buckets (multi-probe recovers most of
+    * the recall a single probe loses, at 1+planes probes per query).
+    * The corpus-side cost stays one shuffle on the bucket key — the
+    * shape that scales to 100 TB. */
+  def q24AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val all = vecs(s, dir).withColumn("bucket", lshBucket(col("v"), dim))
+    val probeOffsets = lit(0) +: (0 until NumPlanes).map(i => lit(1 << i))
+    val queries = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"), col("bucket").as("q_bucket"))
+      // multi-probe: query row per probed bucket (XOR flips one plane bit)
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("q_bucket", col("q_bucket").bitwiseXOR(col("probe")))
+      .drop("probe")
+    val scored = all.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("v"), col("qv")) / (col("v_norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table — the LLM
+  * training-data-pipeline surface (token counting, quality scoring,
+  * language ID, fingerprinting, exact dedup). All per-row expression
+  * work: scales linearly, no shuffle except the final dedup groupBy.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** q15 — token/quality metrics per document. */
+  def q15TokensQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      nTokens(col("text")).as("n_tokens"),
+      nUniqueTokens(col("text")).as("n_unique_tokens"),
+      length(col("text")).as("n_chars_actual"),
+      stopwordHits(col("text")).as("n_stopwords"),
+      typeTokenRatio(col("text")).as("ttr"),
+      qualityScore(col("text")).as("quality"))
+
+  /** q16 — language-ID heuristic vs the labeled `lang` column,
+    * aggregated into a confusion-matrix view. */
+  def q16LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("lang_pred", langId(col("text")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(col("doc_id")).as("n_docs"))
+
+  /** q17 — md5 fingerprint of normalized text per document (the
+    * engine-portable document identity used by exact dedup). */
+  def q17Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fingerprint"))
+
+  /** q18 — exact deduplication: hash-groupBy on the normalized
+    * fingerprint, keep the minimum doc_id per group. At 100 TB this is
+    * one shuffle on a 32-byte key with map-side partial aggregation —
+    * the canonical scalable exact-dedup plan. */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(col("doc_id")).as("n_copies"))
+
+  /** q22 — n-gram Jaccard similarity between adjacent doc pairs
+    * (deterministic pair choice keeps the oracle simple; the general
+    * LSH-candidate pair generation lives in Dedup). */
+  def q22NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.select(col("doc_id").as("doc_a"),
+      array_distinct(shingles(col("text"), 2)).as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"),
+      array_distinct(shingles(col("text"), 2)).as("sh_b"))
+    a.join(b, col("doc_a") + 1 === col("doc_b"), "inner")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+          4).as("jaccard"))
+  }
+}

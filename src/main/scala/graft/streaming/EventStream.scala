@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (an extension — the reference is pure
+  * scheduled batch, SURVEY §2.10; its capability equivalent is the
+  * incremental date-window + dynamic-overwrite pipeline in graft.etl).
+  *
+  * The same `events` table drives both modes: `readStream` over the
+  * parquet path with an explicit schema, watermarked event-time window
+  * aggregation, and a `flatMapGroupsWithState` per-user session counter
+  * as the custom-state example. `Trigger.AvailableNow` + memory sink
+  * lets a batch of parquet drive the streaming query synchronously in
+  * tests.
+  */
+object EventStream {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) in the file → read
+    * as long, rebuilt to a timestamp column, mirroring Tables.load). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsFileSchema)
+      // file-stream source wants a directory; select just the events
+      // table out of the shared sf dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked hourly windowed aggregation — the streaming twin of
+    * CoreQueries.q19HourlyEvents. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(col("event_id")).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run a streaming query to completion against the (static) backlog
+    * and return the materialized result from the memory sink. */
+  def runToCompletion(agg: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---- custom state: per-user activity sessions ----------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** flatMapGroupsWithState: running per-user totals, emitted on every
+    * trigger. State is one small struct per key — bounded by the user
+    * cardinality, the scalable shape for streaming state. */
+  def userStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateUser)
+  }
+
+  private def updateUser(userId: Long, events: Iterator[Event],
+      state: GroupState[UserStats]): Iterator[UserStats] = {
+    val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+    var n = prev.n_events
+    var total = prev.total_value
+    events.foreach { e => n += 1; total += e.value }
+    val next = UserStats(userId, n, total)
+    state.update(next)
+    Iterator(next)
+  }
+}

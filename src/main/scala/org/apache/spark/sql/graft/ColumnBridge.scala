@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression conversion
+  * (Spark 4 wraps Columns around ColumnNodes, so user code can no longer
+  * call `new Column(expr)` / `col.expr` directly). Lives under
+  * `org.apache.spark.sql` purely for access; the standard shim pattern
+  * for libraries that ship custom Catalyst expressions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

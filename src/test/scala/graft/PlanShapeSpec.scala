@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.operators.CoreQueries
+
+/** Guards SURVEY §4's "Catalyst does it" claims: the physical plans
+  * must actually show pushdown, pruning, and broadcast — on 100 TB these
+  * plan shapes are the difference between minutes and days. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 filter is pushed to the parquet scan") {
+    val p = plan(CoreQueries.q02FilteredScan(spark, sfDir))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown in:\n$p")
+  }
+
+  test("q02 scan reads only the projected columns") {
+    val p = plan(CoreQueries.q02FilteredScan(spark, sfDir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      "scan should prune unprojected columns")
+  }
+
+  test("q03 denormalization uses broadcast joins only (fact never shuffles)") {
+    val p = plan(CoreQueries.q03DenormJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"dim joins must broadcast, not sort-merge:\n$p")
+  }
+
+  test("q01 aggregate is two-phase (partial then final)") {
+    val p = plan(CoreQueries.q01PrunedAgg(spark, sfDir))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"expected partial aggregation in:\n$p")
+  }
+
+  test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(CoreQueries.q10TopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE hides the final plan until execution; run the query first.
+    val df = CoreQueries.q01PrunedAgg(spark, sfDir)
+    df.collect()
+    // codegen'd stages print as "*(<id>)" in the tree form
+    assert(plan(df).contains("*(1)"), s"no codegen stage in:\n${plan(df)}")
+  }
+
+  test("q01 date filter pushes into the parquet scan") {
+    val p = plan(CoreQueries.q01PrunedAgg(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range must reach PushedFilters:\n$p")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.SimHash
+import graft.operators.{Dedup, TextQueries}
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("token metrics on a known sentence") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = df.select(
+      nTokens($"text").as("n"),
+      nUniqueTokens($"text").as("u"),
+      stopwordHits($"text").as("s")).head()
+    assert(r.getInt(0) === 6)
+    assert(r.getInt(1) === 5) // "the" repeats
+    assert(r.getInt(2) === 3) // the, on, the
+  }
+
+  test("langId picks marker language; und when nothing matches") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el perro de la casa"),
+      (3L, "der hund und die katze"),
+      (4L, "le chat et les chiens"),
+      (5L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr",
+      5L -> "und"))
+  }
+
+  test("exact dedup groups whitespace/case variants") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val groups = df.groupBy(fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("keep"), count($"doc_id").as("n"))
+      .collect()
+    assert(groups.length === 2)
+    val dupGroup = groups.find(_.getAs[Long]("n") == 2L).get
+    assert(dupGroup.getAs[Long]("keep") === 1L)
+  }
+
+  test("LSH candidate pairs find a planted near-duplicate") {
+    val base = "spark engine shuffles partitions across the cluster " +
+      "while catalyst optimizes the logical plan into physical operators"
+    val nearDup = base.replace("cluster", "fleet")
+    val filler: Seq[(Long, String)] = (2L to 40L).map(i =>
+      i -> (s"totally unrelated document number $i " +
+        s"with content about topic${i} and subject${i * 7} plus filler${i}"))
+    val docs = (Seq((0L, base), (1L, nearDup)) ++ filler)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: near-dup texts within small hamming distance, unrelated far") {
+    val df = Seq(
+      (1L, "spark engine shuffles partitions across the cluster nodes fast"),
+      (2L, "spark engine shuffles partitions across the cluster nodes quickly"),
+      (3L, "completely different content about cooking pasta with tomatoes"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", SimHash.simhash64(tokens($"text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+    assert(hamming(m(1L), m(2L)) <= 16)
+  }
+
+  test("q16 langid confusion matrix covers every labeled language") {
+    val langs = TextQueries.q16LangId(spark, sfDir)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs === Set("en", "de", "es", "fr", "zh"))
+  }
+}
