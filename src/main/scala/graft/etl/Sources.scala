@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers (SURVEY §2.1 S1–S5) with explicit schemas.
+  *
+  * Schema is always declared, never inferred: inference needs an extra
+  * pass over the data (prohibitive at 100 TB) and silently mistypes
+  * zero-padded string ids (FIXTURES.md: customer_id `00001` must stay a
+  * string).
+  */
+object Sources {
+
+  /** S5 — CSV with declared schema; header skipped. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+
+  /** S1/S2 — JDBC scan; `queryOrTable` is either a table name or a
+    * pushdown `(SELECT …) t` subquery, exactly the reference's two T0
+    * modes. Partitioned-read options parallelize what the reference left
+    * single-threaded (glue_t0.md:144 notes the single-connection
+    * bottleneck; partitionColumn/num splits it N ways). */
+  def jdbc(spark: SparkSession, url: String, queryOrTable: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", queryOrTable)
+    props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** S3/S4 — parquet table scan; filters/pruning ride on Catalyst. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

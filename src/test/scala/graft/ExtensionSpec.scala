@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Udfs
+import graft.etl.Sources
+import graft.operators.Skew
+
+class ExtensionSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("U1 UDF: weekday name with the reference's fallback literal") {
+    Udfs.register(spark)
+    val df = Seq(("2014", "11", "12"), ("2014", "13", "45"))
+      .toDF("y", "m", "d")
+    val viaUdf = df.selectExpr("change_day_of_week(y, m, d) AS dow")
+      .collect().map(_.getString(0))
+    assert(viaUdf(0) === "Wednesday") // the reference's own sanity check
+    assert(viaUdf(1) === "Invalid date format. Please")
+    // builtin form agrees with the UDF on both paths
+    val viaExpr = df.select(Udfs.dayOfWeekExpr($"y", $"m", $"d"))
+      .collect().map(_.getString(0))
+    assert(viaUdf.sameElements(viaExpr))
+  }
+
+  test("S5 CSV source with explicit schema keeps zero-padded ids as strings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    Seq(("00001", "A", 1.5), ("00002", "B", 2.5))
+      .toDF("id", "grp", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("grp", StringType),
+      StructField("v", DoubleType)))
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.schema("id").dataType === StringType)
+    assert(back.orderBy("id").collect().map(_.getString(0))
+      .sameElements(Array("00001", "00002")))
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val fact = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = (1L to 10000L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"), "left")
+      .agg(count("name"), sum("v")).head()
+    val salted = Skew.saltedJoin(fact, dim, "k", buckets = 8)
+      .agg(count("name"), sum("v")).head()
+    assert(plain === salted)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val df = (1 to 5000)
+      .map(i => (if (i % 2 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "amount")
+    val direct = df.groupBy("k")
+      .agg(round(sum($"amount".cast("decimal(18,4)")).cast("double"), 2)
+        .as("total_amount"), count("amount").as("count_of_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedSumCount(df, Seq("k"), "amount", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(direct === salted)
+  }
+
+  test("A5 scale variant: approx_count_distinct within 5% of exact") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val r = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.02).as("approx")).head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
