@@ -154,8 +154,11 @@ object Pipeline {
       val marts = t2Marts(spark, cfg, silver)
       val written = Future.sequence(marts.toSeq.map { case (name, df) =>
         Future {
+          // repartition on the partition columns (not coalesce(1)): same
+          // one-file-per-dir layout, but the ~250 dirs are written by
+          // parallel tasks instead of one sequential task.
           Sinks.writePartitioned(df, s"${cfg.warehouseDir}/gold/$name",
-            Seq("l_returnflag", "ship_year", "ship_month"), numFiles = 1)
+            Seq("l_returnflag", "ship_year", "ship_month"))
           name -> spark.read.parquet(s"${cfg.warehouseDir}/gold/$name").count()
         }
       })

@@ -24,13 +24,23 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // NumHashes / Bands
 
-  /** 64-lane MinHash signature over word-bigram shingles, entirely in
-    * codegen'd builtins: xxhash64 per (seed, shingle), array_min per
-    * lane. */
+  /** 64-lane MinHash signature over word-bigram shingles.
+    *
+    * The shingle set is hashed to long ONCE and let-bound via a
+    * single-element `transform` before the 64 lanes are derived from the
+    * bound variable. Without the binding, CollapseProject inlines the
+    * tokenize→shingle→hash expression into every lane — a 64×
+    * recomputation of interpreted string work per row that turned a
+    * seconds-long scan into tens of minutes at sf0.1. Lane permutations
+    * are xxhash64(shingleHash, lane) — arithmetic on longs only. */
   def minhashSignature(text: Column): Column = {
-    val sh = array_distinct(shingles(text, 2))
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      s => array_min(transform(sh, x => xxhash64(s, x))))
+    val shHashes = transform(array_distinct(shingles(text, 2)),
+      x => xxhash64(x))
+    element_at(
+      transform(array(shHashes), hs =>
+        transform(sequence(lit(0), lit(NumHashes - 1)),
+          s => array_min(transform(hs, h => xxhash64(h, s))))),
+      1)
   }
 
   /** Per-band bucket keys: hash of each 4-lane signature slice. */
@@ -43,6 +53,9 @@ object Dedup {
     * its spec). */
   def q20MinhashSignature(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      // the table arrives as one file → one partition; spread the
+      // CPU-bound signature computation across the cluster
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
       .select(
         col("doc_id"),
@@ -61,7 +74,9 @@ object Dedup {
     * persisted: it feeds both the bucket explode and the verification
     * join, and CollapseProject would otherwise inline the 64-lane
     * minhash expression into every consumer. */
-  def candidatePairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def candidatePairs(docsRaw: DataFrame, threshold: Double): DataFrame = {
+    val docs = docsRaw
+      .repartition(docsRaw.sparkSession.sparkContext.defaultParallelism)
     val sigs = docs.select(
       col("doc_id"),
       array_distinct(shingles(col("text"), 2)).as("sh"),
