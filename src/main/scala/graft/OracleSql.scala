@@ -291,5 +291,44 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
-  val all: Map[String, String] = core ++ text
+  /** Oracles for the Athena-KPI-shaped queries (SURVEY §2.13). */
+  val kpi: Map[String, String] = Map(
+    "q27_weekday_hour" -> """
+      SELECT isodow(ts) AS iso_dow,
+             dayname(ts) AS day_of_week,
+             hour(ts) AS hour_of_day,
+             COUNT(event_id) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1, 2, 3
+    """,
+    "q28_customer_monthly" -> """
+      WITH agg AS (
+        SELECT o_custkey,
+               strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(o_orderkey) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+      )
+      SELECT o_custkey, order_month, n_orders, revenue,
+             ROUND(revenue / n_orders, 4) AS avg_basket
+      FROM agg
+    """,
+    "q29_category_share" -> """
+      WITH per_type AS (
+        SELECT p_type,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+      )
+      SELECT p_type, revenue,
+             ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+                                  OVER () AS DOUBLE), 6) AS revenue_share
+      FROM per_type
+    """
+  ).map { case (k, v) => k -> v.trim }
+
+  val all: Map[String, String] = core ++ text ++ kpi
 }

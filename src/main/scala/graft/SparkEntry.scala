@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, Dedup, Similarity, TextQueries}
+import graft.operators.{CoreQueries, Dedup, KpiQueries, Similarity, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,11 @@ object SparkEntry {
     "q23_knn_bruteforce" -> (Similarity.q23KnnBruteForce _),
     "q24_ann_lsh" -> (Similarity.q24AnnLsh _),
     "q25_binary_meta" -> (graft.multimodal.Multimodal.q25BinaryMeta _),
-    "q26_simhash" -> (Dedup.q26Simhash _)
+    "q26_simhash" -> (Dedup.q26Simhash _),
+    // Athena-KPI-shaped queries (SURVEY §2.13)
+    "q27_weekday_hour" -> (KpiQueries.q27WeekdayHour _),
+    "q28_customer_monthly" -> (KpiQueries.q28CustomerMonthly _),
+    "q29_category_share" -> (KpiQueries.q29CategoryShare _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
