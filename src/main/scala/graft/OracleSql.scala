@@ -315,6 +315,12 @@ object OracleSql {
              ROUND(revenue / n_orders, 4) AS avg_basket
       FROM agg
     """,
+    "q30_deterministic_sample" -> """
+      SELECT md5(text) AS sample_hash, doc_id
+      FROM documents
+      ORDER BY 1, 2
+      LIMIT 32
+    """,
     "q29_category_share" -> """
       WITH per_type AS (
         SELECT p_type,

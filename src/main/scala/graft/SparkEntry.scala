@@ -49,7 +49,8 @@ object SparkEntry {
     // Athena-KPI-shaped queries (SURVEY §2.13)
     "q27_weekday_hour" -> (KpiQueries.q27WeekdayHour _),
     "q28_customer_monthly" -> (KpiQueries.q28CustomerMonthly _),
-    "q29_category_share" -> (KpiQueries.q29CategoryShare _)
+    "q29_category_share" -> (KpiQueries.q29CategoryShare _),
+    "q30_deterministic_sample" -> (TextQueries.q30DeterministicSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

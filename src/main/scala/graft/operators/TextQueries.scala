@@ -52,6 +52,21 @@ object TextQueries {
         min(col("doc_id")).as("keep_doc_id"),
         count(col("doc_id")).as("n_copies"))
 
+  /** q30 — deterministic distributed sample: the 32 documents with the
+    * smallest md5 — computed by the BottomKSample Aggregator (one-pass
+    * partial+final, no global sort) and auditable in any engine as
+    * ORDER BY md5 LIMIT k. */
+  def q30DeterministicSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.BottomKSample(32)
+    docs(s, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .as[(String, Long)]
+      .select(agg.toColumn)
+      .flatMap(identity)
+      .toDF("sample_hash", "doc_id")
+  }
+
   /** q22 — n-gram Jaccard similarity between adjacent doc pairs
     * (deterministic pair choice keeps the oracle simple; the general
     * LSH-candidate pair generation lives in Dedup). */
