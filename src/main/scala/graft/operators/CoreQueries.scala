@@ -122,7 +122,7 @@ object CoreQueries {
         LEFT JOIN nation ON c_nationkey = n_nationkey
         LEFT JOIN region ON n_regionkey = r_regionkey
       )
-      SELECT
+      SELECT /*+ BROADCAST(orders), BROADCAST(cust_geo) */
         r_name AS region_name,
         n_name AS nation,
         o_orderpriority,
