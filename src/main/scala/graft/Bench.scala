@@ -21,6 +21,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Local-FS write tuning: skip .crc checksum sidecars (halves FS
+      // ops on many-small-file partitioned writes) and commit task
+      // output in parallel from tasks (v2) instead of a serial driver
+      // rename pass. On a real cluster the equivalents are the
+      // cloud-store committers (magic/S3A), not these two knobs.
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -33,7 +42,11 @@ object Bench {
         try {
           fn(spark, sfDir).count() // warmup: listing + plan + codegen
           name -> timed { fn(spark, sfDir).count(); () }
-        } catch { case _: Throwable => name -> -1.0 }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e")
+            name -> -1.0
+        }
     }
 
     val etlTime =

@@ -44,13 +44,22 @@ object Pipeline {
       factPartitions)
   }
 
-  /** T0 dimension ingest (S1→S6): full-table loads, unpartitioned. */
-  def t0Dimensions(spark: SparkSession, cfg: Config): Unit =
-    Seq("orders", "customer", "nation", "region", "part", "supplier")
-      .foreach { d =>
+  /** T0 dimension ingest (S1→S6): full-table loads, unpartitioned.
+    * The six writes are independent outputs, so they run as parallel
+    * jobs — serializing them would pay six write-commit fixed costs
+    * back-to-back (the reference runs dimension ingest as one Glue job
+    * too, but its tables loop is driver-serial). */
+  def t0Dimensions(spark: SparkSession, cfg: Config): Unit = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = Seq("orders", "customer", "nation", "region", "part",
+      "supplier").map { d =>
+      Future {
         Sinks.writeTable(Tables.load(spark, cfg.sourceDir, d),
           s"${cfg.warehouseDir}/dimension/$d")
       }
+    }
+    Await.result(Future.sequence(writes), Duration.Inf)
+  }
 
   // ---- T1: silver ----------------------------------------------------
 

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.mutable.ArrayBuffer
 
 /** Deterministic uniform sampling as a typed `Aggregator` (the U2
   * extension point, SURVEY §2.9): keep the k records with the smallest
@@ -16,36 +16,36 @@ import scala.collection.mutable.ArrayBuffer
   * in any engine with the same hash). Bonus: the k-th smallest
   * normalized hash estimates distinct cardinality (bottom-k / KMV
   * sketch).
+  *
+  * The buffer is encoded with a Tungsten `ExpressionEncoder` (not
+  * `Encoders.kryo`): Kryo's `FieldSerializer` needs `--add-opens`
+  * reflective access to JDK internals on Java 17+, which plain-JVM
+  * launches (no spark-submit wrapper) don't have — and the native
+  * encoder is faster anyway.
   */
 class BottomKSample(k: Int)
-    extends Aggregator[(String, Long), ArrayBuffer[(String, Long)],
+    extends Aggregator[(String, Long), Seq[(String, Long)],
       Seq[(String, Long)]] {
 
-  override def zero: ArrayBuffer[(String, Long)] = ArrayBuffer.empty
+  override def zero: Seq[(String, Long)] = Vector.empty
 
-  private def trim(b: ArrayBuffer[(String, Long)])
-      : ArrayBuffer[(String, Long)] = {
-    if (b.length > k) {
-      val sorted = b.sortBy(identity)
-      b.clear()
-      b ++= sorted.take(k)
-    }
-    b
-  }
+  // Amortize: let the buffer grow to 4k before re-sorting down to k.
+  private def trim(b: Seq[(String, Long)]): Seq[(String, Long)] =
+    if (b.length > 4 * k) b.sorted.take(k) else b
 
-  override def reduce(b: ArrayBuffer[(String, Long)],
-      in: (String, Long)): ArrayBuffer[(String, Long)] =
-    trim(b += in)
+  override def reduce(b: Seq[(String, Long)],
+      in: (String, Long)): Seq[(String, Long)] =
+    trim(b :+ in)
 
-  override def merge(a: ArrayBuffer[(String, Long)],
-      b: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] =
-    trim(a ++= b)
+  override def merge(a: Seq[(String, Long)],
+      b: Seq[(String, Long)]): Seq[(String, Long)] =
+    trim(a ++ b)
 
-  override def finish(b: ArrayBuffer[(String, Long)])
-      : Seq[(String, Long)] = b.sortBy(identity).take(k).toSeq
+  override def finish(b: Seq[(String, Long)]): Seq[(String, Long)] =
+    b.sorted.take(k)
 
-  override def bufferEncoder: Encoder[ArrayBuffer[(String, Long)]] =
-    Encoders.kryo[ArrayBuffer[(String, Long)]]
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+    ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    ExpressionEncoder()
 }
