@@ -278,6 +278,18 @@ object OracleSql {
       )
       WHERE rank <= 5
     """,
+    "q31_cosine_neardup" -> """
+      WITH n AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      )
+      SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30
+    """,
     "q25_binary_meta" -> """
       SELECT doc_id AS media_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -45,6 +45,7 @@ object SparkEntry {
     "q23_knn_bruteforce" -> (Similarity.q23KnnBruteForce _),
     "q24_ann_lsh" -> (Similarity.q24AnnLsh _),
     "q25_binary_meta" -> (graft.multimodal.Multimodal.q25BinaryMeta _),
+    "q31_cosine_neardup" -> (Similarity.q31CosineNearDup _),
     "q26_simhash" -> (Dedup.q26Simhash _),
     // Athena-KPI-shaped queries (SURVEY §2.13)
     "q27_weekday_hour" -> (KpiQueries.q27WeekdayHour _),

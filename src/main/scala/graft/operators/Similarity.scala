@@ -56,6 +56,26 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** q31 — embedding-cosine near-duplicate pairs, blocked: candidate
+    * pairs are generated only within a block (here the `label` column;
+    * at 100 TB the block key is an LSH bucket or IVF centroid id — same
+    * plan shape, one shuffle on the block key, never corpus²), then
+    * verified with exact cosine. Exact blocking keeps the result
+    * deterministic and DuckDB-checkable, unlike probe-based candidate
+    * generation. */
+  def q31CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val a = v.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("v_norm").as("na"))
+    val b = v.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("v_norm").as("nb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= 0.30)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   val NumPlanes = 4
 
   /** Deterministic pseudo-random hyperplanes (seeded, engine-side). */
