@@ -290,6 +290,48 @@ object OracleSql {
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30
     """,
+    "q32_bpe_tokens" -> """
+      WITH p AS (
+        SELECT doc_id,
+               regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')
+                 AS pieces,
+               length(regexp_split_to_array(trim(text), '\s+')) AS n_ws
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(length(pieces) AS INTEGER) AS n_pieces,
+             CAST(list_sum(list_transform(pieces,
+               x -> greatest(1, CAST(ceil(length(trim(x)) / 6.0) AS BIGINT))))
+               AS BIGINT) AS n_bpe_tokens,
+             CAST(n_ws AS BIGINT) AS n_ws_tokens
+      FROM p
+    """,
+    "q33_media_preprocess" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n
+        FROM documents
+      ), d AS (
+        SELECT media_id,
+               CASE WHEN n % 3 = 0 THEN 'png'
+                    WHEN n % 3 = 1 THEN 'jpeg'
+                    ELSE 'webm' END AS format,
+               CAST(n % 1920 + 1 AS INTEGER) AS width,
+               CAST(n % 1080 + 1 AS INTEGER) AS height,
+               CAST(n % 30 + 1 AS INTEGER) AS n_frames
+        FROM m
+      )
+      SELECT media_id, format, width, height,
+             CAST(floor(width * least(greatest(width, height), 512)
+               / CAST(greatest(width, height) AS DOUBLE)) AS INTEGER)
+               AS resize_w,
+             CAST(floor(height * least(greatest(width, height), 512)
+               / CAST(greatest(width, height) AS DOUBLE)) AS INTEGER)
+               AS resize_h,
+             n_frames,
+             CAST((n_frames - 1) // 5 + 1 AS INTEGER) AS n_sampled_frames
+      FROM d
+    """,
     "q25_binary_meta" -> """
       SELECT doc_id AS media_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

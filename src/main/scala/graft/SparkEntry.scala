@@ -46,6 +46,8 @@ object SparkEntry {
     "q24_ann_lsh" -> (Similarity.q24AnnLsh _),
     "q25_binary_meta" -> (graft.multimodal.Multimodal.q25BinaryMeta _),
     "q31_cosine_neardup" -> (Similarity.q31CosineNearDup _),
+    "q32_bpe_tokens" -> (TextQueries.q32BpeTokens _),
+    "q33_media_preprocess" -> (graft.multimodal.Multimodal.q33MediaPreprocess _),
     "q26_simhash" -> (Dedup.q26Simhash _),
     // Athena-KPI-shaped queries (SURVEY §2.13)
     "q27_weekday_hour" -> (KpiQueries.q27WeekdayHour _),

@@ -45,6 +45,24 @@ object TextFunctions {
         (lit(0.5) + lit(0.5) * (nUniqueTokens(text) / nTokens(text).cast("double"))),
       4)
 
+  /** GPT-2-style pre-tokenization regex (simplified, RE2-compatible so
+    * the DuckDB oracle can run the identical pattern): runs of letters,
+    * runs of digits, runs of other non-space symbols — each optionally
+    * preceded by one space. */
+  val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** BPE-ish token count: each pre-token contributes
+    * max(1, ceil(len/6)) subword units (≈ the empirical 4–5 chars per
+    * merged BPE token, biased high for long words). Pure per-row
+    * arithmetic — codegen'd, identical formula in the oracle. */
+  def nBpeTokens(text: Column): Column =
+    aggregate(bpePieces(text), lit(0L),
+      (acc, p) => acc +
+        greatest(lit(1L), ceil(length(trim(p)) / lit(6.0)).cast("long")))
+
   /** Marker-word lists per language for the n-gram-free language-ID
     * heuristic. Kept tiny and SQL-expressible. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -77,6 +77,43 @@ object Multimodal {
       .select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("content"))
 
+  /** Resize target preserving aspect ratio: longest side scaled to
+    * `maxDim`, never upscaled. Integer arithmetic only, so the DuckDB
+    * oracle states the identical formula; a real resize kernel would
+    * consume these dims inside the mapPartitions decode stage. */
+  def resizedDims(width: Column, height: Column, maxDim: Int)
+      : (Column, Column) = {
+    val longest = greatest(width, height)
+    val scaleNum = least(longest, lit(maxDim)) // scaled longest side
+    // explicit floor: Spark's cast(double→int) truncates but DuckDB's
+    // rounds, so the shared formula must pin the rounding itself
+    val w = floor(width * scaleNum / longest).cast("int")
+    val h = floor(height * scaleNum / longest).cast("int")
+    (w, h)
+  }
+
+  /** Frame-sample indices: every `step`-th frame id in [0, nFrames).
+    * `sequence` is a codegen'd builtin — the expensive part (decoding
+    * the sampled frames) stays in the batch decode stage; this just
+    * plans WHICH frames to touch, which is what keeps video columns
+    * tractable at 100 TB (decode cost ∝ sampled frames, not duration). */
+  def frameSampleIdx(nFrames: Column, step: Int): Column =
+    when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nFrames - 1, lit(step)).cast("array<int>"))
+
+  /** q33 — the media preprocessing plan over stub-decoded metadata:
+    * resize target dims and sampled-frame counts per media row. All
+    * arithmetic on the deterministic stub meta → full DuckDB oracle. */
+  def q33MediaPreprocess(s: SparkSession, dir: String): DataFrame = {
+    val meta = withDecodedMeta(documentsAsMedia(s, dir), "media_id", "content")
+    val (rw, rh) = resizedDims(col("width"), col("height"), 512)
+    meta.select(
+      col("media_id"), col("format"), col("width"), col("height"),
+      rw.as("resize_w"), rh.as("resize_h"),
+      col("n_frames"),
+      size(frameSampleIdx(col("n_frames"), 5)).as("n_sampled_frames"))
+  }
+
   /** q25 — binary-column metadata extraction with an oracle: byte
     * length, sha256 content digest, and the stub-decoded dimensions
     * (pure arithmetic on byte length, so DuckDB can state the same

@@ -26,6 +26,18 @@ object TextQueries {
       typeTokenRatio(col("text")).as("ttr"),
       qualityScore(col("text")).as("quality"))
 
+  /** q32 — BPE-ish subword token counting: GPT-2-style regex
+    * pre-tokenization (letters / digits / symbol runs), each piece
+    * contributing ~len/6 subword units. Complements q15's whitespace
+    * count — the pair brackets real tokenizer counts from below and
+    * above. */
+  def q32BpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(bpePieces(col("text"))).as("n_pieces"),
+      nBpeTokens(col("text")).as("n_bpe_tokens"),
+      nTokens(col("text")).cast("long").as("n_ws_tokens"))
+
   /** q16 — language-ID heuristic vs the labeled `lang` column,
     * aggregated into a confusion-matrix view. */
   def q16LangId(s: SparkSession, dir: String): DataFrame =
