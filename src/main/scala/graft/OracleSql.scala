@@ -332,6 +332,41 @@ object OracleSql {
              CAST((n_frames - 1) // 5 + 1 AS INTEGER) AS n_sampled_frames
       FROM d
     """,
+    "q34_ann_ivf" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, v AS cv, nrm AS cnorm
+        FROM n WHERE vec_id < 16
+      ), cells AS (
+        SELECT vec_id, v, nrm, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, cv) / (nrm * cnorm) DESC,
+                          cent_id ASC) AS rk
+        FROM n CROSS JOIN cents
+      ), corpus AS (
+        SELECT vec_id, v, nrm, cent_id FROM cells WHERE rk = 1
+      ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS q_norm, cent_id
+        FROM cells WHERE vec_id < 10 AND rk <= 4
+      ), scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(c.v, p.qv) / (c.nrm * p.q_norm) AS cosine
+        FROM corpus c JOIN probes p
+          ON c.cent_id = p.cent_id AND c.vec_id <> p.query_id
+      )
+      SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+      )
+      WHERE rank <= 5
+    """,
     "q25_binary_meta" -> """
       SELECT doc_id AS media_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -76,6 +76,54 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  val IvfCentroids = 16
+  val IvfProbes = 4
+
+  /** q34 — IVF-style ANN: the second scale path next to LSH (q24).
+    * "Train" picks [[IvfCentroids]] deterministic centroids (the lowest
+    * vec_ids — a real build would k-means them; the plan shape is
+    * identical). Every corpus vector is assigned to its best-cosine
+    * centroid cell; each query probes its [[IvfProbes]] nearest cells
+    * and brute-forces only those. Assignment here is a broadcast
+    * join + window argmax (deterministic tie-break, oracle-matchable);
+    * at 100 TB you'd collect the K tiny centroids and fold the argmax
+    * into one codegen expression so the corpus never shuffles — same
+    * result, zero exchanges on the big side. */
+  def q34AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = v.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").cast("int").as("cent_id"), col("v").as("cv"),
+        col("v_norm").as("cnorm"))
+
+    def nearestCells(side: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      side.join(broadcast(cents))
+        .withColumn("cos_c",
+          dot(col("v"), col("cv")) / (col("v_norm") * col("cnorm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= n)
+        .drop("cv", "cnorm", "cos_c", "rk")
+    }
+
+    val corpus = nearestCells(v, 1)
+    val queries = nearestCells(v.where(col("vec_id") < 10), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"), col("cent_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries),
+        corpus("cent_id") === queries("cent_id") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("v"), col("qv")) / (col("v_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   val NumPlanes = 4
 
   /** Deterministic pseudo-random hyperplanes (seeded, engine-side). */
