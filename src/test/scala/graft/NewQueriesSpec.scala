@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextQueries}
+import graft.multimodal.Multimodal
+
+/** Invariant specs for the q31–q34 additions (each also has a DuckDB
+  * oracle; these pin the semantic properties the oracle can't express).
+  */
+class NewQueriesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("q31 near-dup pairs are within-block, ordered, above threshold") {
+    val rows = Similarity.q31CosineNearDup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cosine") >= 0.30)
+    }
+  }
+
+  test("q32 BPE-ish count is bounded below by piece count") {
+    val rows = TextQueries.q32BpeTokens(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Int]("n_pieces").toLong)
+    }
+  }
+
+  test("q33 resize targets are aspect-bounded and never upscaled") {
+    val rows = Multimodal.q33MediaPreprocess(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("resize_w"), r.getAs[Int]("resize_h"))
+      assert(math.max(rw, rh) <= 512)
+      assert(rw <= w && rh <= h, "never upscale")
+      // the longest side is exactly min(longest, 512)
+      assert(math.max(rw, rh) === math.min(math.max(w, h), 512))
+      val sampled = r.getAs[Int]("n_sampled_frames")
+      assert(sampled === (r.getAs[Int]("n_frames") - 1) / 5 + 1)
+    }
+  }
+
+  test("q34 IVF probing returns ranked neighbors whose cosine never " +
+      "beats brute force") {
+    val ivf = Similarity.q34AnnIvf(spark, sfDir)
+      .select($"query_id", $"rank", $"cosine".as("ivf_cos"))
+    val bf = Similarity.q23KnnBruteForce(spark, sfDir)
+      .select($"query_id", $"rank", $"cosine".as("bf_cos"))
+    val joined = ivf.join(bf, Seq("query_id", "rank")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // IVF searches a subset of the corpus: at equal rank its cosine
+      // can't exceed brute force (ulp-equal at worst)
+      assert(r.getAs[Double]("ivf_cos") <= r.getAs[Double]("bf_cos") + 1e-9)
+    }
+  }
+
+  test("bottom-k sample is invariant to input partitioning") {
+    val data = (1 to 500).map(i => (f"h$i%04d-${i * 7 % 13}", i.toLong))
+    def sample(parts: Int): Seq[(String, Long)] = {
+      val agg = new graft.functions.BottomKSample(32)
+      spark.createDataset(data).repartition(parts)
+        .select(agg.toColumn).head()
+    }
+    val one = sample(1)
+    assert(one.length === 32)
+    assert(sample(7) === one)
+    assert(sample(13) === one)
+    // and it equals the global-sort answer
+    assert(one === data.sorted.take(32))
+  }
+}
