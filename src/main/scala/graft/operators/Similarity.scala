@@ -65,11 +65,18 @@ object Similarity {
     * generation. */
   def q31CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
+      // single-file table → one input partition; spread the O(pairs)
+      // cosine work across the cluster before the broadcast join
+      .repartition(s.sparkContext.defaultParallelism)
     val a = v.select(col("label"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("v_norm").as("na"))
     val b = v.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("v_norm").as("nb"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+    // broadcast the build side: a 10-value block key would otherwise cap
+    // the shuffle at 10 partitions (and skew them); broadcast keeps the
+    // probe side's full partitioning and removes the exchange entirely
+    a.join(broadcast(b),
+        col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= 0.30)
       .select(col("label"), col("vec_a"), col("vec_b"),

@@ -63,6 +63,30 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: first event wins per `event_id`, with state
+    * bounded by the watermark (late duplicates beyond 2 hours are
+    * dropped by the engine instead of accumulating state forever — the
+    * property that makes streaming dedup viable on an unbounded 100 TB
+    * feed; unbounded `dropDuplicates` state would OOM). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session-window aggregation: activity sessions per user closed by a
+    * 30-minute gap — the event-time-native grouping for "visits" that a
+    * fixed window can't express. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(col("event_id")).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   // ---- custom state: per-user activity sessions ----------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

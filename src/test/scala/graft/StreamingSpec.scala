@@ -23,6 +23,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming dedup matches batch dropDuplicates on event_id") {
+    val stream = EventStream.readEventStream(spark, sfDir)
+    // the table has unique event_ids — self-union forces a duplicate of
+    // every row so first-wins dedup actually has work to do
+    val doubled = stream.union(stream)
+    val got = EventStream
+      .runToCompletion(EventStream.dedupedEvents(doubled), "dedup_test",
+        OutputMode.Append())
+      .count()
+    val want = Tables.load(spark, sfDir, "events")
+      .dropDuplicates("event_id").count()
+    assert(got === want)
+  }
+
+  test("session windows close on a 30-minute gap and match a batch " +
+      "session reconstruction") {
+    val stream = EventStream.readEventStream(spark, sfDir)
+    val got = EventStream
+      .runToCompletion(EventStream.userSessions(stream), "sessions_test")
+      .select("session_start", "user_id", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // batch oracle: sessionize with a window-function gap scan
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val want = Tables.load(spark, sfDir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >= 1800)
+          .cast("int"))
+      .withColumn("session_no", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count("event_id").as("n_events"))
+      .select("session_start", "user_id", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+  }
+
   test("stateful per-user stats match a batch groupBy") {
     val stream = EventStream.readEventStream(spark, sfDir)
     val got = EventStream
