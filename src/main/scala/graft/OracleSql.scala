@@ -367,6 +367,39 @@ object OracleSql {
       )
       WHERE rank <= 5
     """,
+    "q35_trigram_langid" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               '_' || regexp_replace(lower(trim(text)), '\s+', '_', 'g')
+                   || '_' AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN length(t) < 3 THEN []
+                 ELSE [substring(t, i, 3)
+                       for i in generate_series(1, length(t) - 2)]
+                 END) AS tg
+        FROM d
+      ), s AS (
+        SELECT doc_id, lang,
+          length(list_intersect(tg, ['the','he_','_th','ing','and','_of'])) AS s_en,
+          length(list_intersect(tg, ['_de','que','_la','os_','ent','cio'])) AS s_es,
+          length(list_intersect(tg, ['der','ein','ich','sch','und','_di'])) AS s_de,
+          length(list_intersect(tg, ['les','_le','ent','une','our','ait'])) AS s_fr
+        FROM g
+      ), p AS (
+        SELECT doc_id, lang,
+          CASE
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
+            WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
+            WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+        FROM s
+      )
+      SELECT lang, lang_pred, count(*) AS n_docs
+      FROM p GROUP BY lang, lang_pred
+    """,
     "q25_binary_meta" -> """
       SELECT doc_id AS media_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

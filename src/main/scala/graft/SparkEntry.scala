@@ -48,6 +48,7 @@ object SparkEntry {
     "q31_cosine_neardup" -> (Similarity.q31CosineNearDup _),
     "q32_bpe_tokens" -> (TextQueries.q32BpeTokens _),
     "q34_ann_ivf" -> (Similarity.q34AnnIvf _),
+    "q35_trigram_langid" -> (TextQueries.q35TrigramLangId _),
     "q33_media_preprocess" -> (graft.multimodal.Multimodal.q33MediaPreprocess _),
     "q26_simhash" -> (Dedup.q26Simhash _),
     // Athena-KPI-shaped queries (SURVEY §2.13)

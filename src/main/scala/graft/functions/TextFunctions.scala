@@ -82,6 +82,40 @@ object TextFunctions {
     }
   }
 
+  /** Character trigrams over `_`-normalized lowercase text (leading and
+    * trailing `_` mark word boundaries, the classic n-gram-profile
+    * setup). Guarded for short inputs: Spark's `sequence(1, n)` counts
+    * DOWN when n < 1 (DuckDB's generate_series is empty), so the guard
+    * is load-bearing for cross-engine parity. */
+  def charTrigrams(text: Column): Column = {
+    val norm = concat(lit("_"),
+      regexp_replace(lower(trim(text)), "\\s+", "_"), lit("_"))
+    when(length(norm) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - 2),
+        i => norm.substr(i, lit(3))))
+  }
+
+  /** Per-language character-trigram profiles (ASCII-only so the same
+    * literals paste into the oracle SQL). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he_", "_th", "ing", "and", "_of"),
+    "es" -> Seq("_de", "que", "_la", "os_", "ent", "cio"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", "_di"),
+    "fr" -> Seq("les", "_le", "ent", "une", "our", "ait"))
+
+  /** n-gram-profile language ID: argmax of profile-trigram hits with
+    * the same fixed priority order and 'und' fallback as [[langId]]. */
+  def trigramLangId(text: Column): Column = {
+    val tg = array_distinct(charTrigrams(text))
+    val scores = trigramProfiles.map { case (lang, ps) =>
+      lang -> size(array_intersect(tg, array(ps.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+      when(score === best && score > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 is bit-exact everywhere), so exact and
     * near-exact duplicate grouping can be oracle-checked. */

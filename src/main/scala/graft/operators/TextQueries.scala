@@ -38,6 +38,15 @@ object TextQueries {
       nBpeTokens(col("text")).as("n_bpe_tokens"),
       nTokens(col("text")).cast("long").as("n_ws_tokens"))
 
+  /** q35 — character-trigram-profile language ID (the n-gram
+    * counterpart to q16's marker words), as a confusion matrix against
+    * the labeled `lang` column. */
+  def q35TrigramLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("lang_pred", trigramLangId(col("text")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(col("doc_id")).as("n_docs"))
+
   /** q16 — language-ID heuristic vs the labeled `lang` column,
     * aggregated into a confusion-matrix view. */
   def q16LangId(s: SparkSession, dir: String): DataFrame =
