@@ -367,6 +367,21 @@ object OracleSql {
       )
       WHERE rank <= 5
     """,
+    "q36_rollup" -> """
+      WITH d AS (
+        SELECT l_returnflag, strftime(l_shipdate, '%Y') AS ship_year,
+               l_extendedprice, l_quantity
+        FROM lineitem
+      )
+      SELECT l_returnflag, ship_year,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_purchase_amount,
+             COUNT(l_quantity) AS count_of_purchase,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(GROUPING(ship_year) AS INTEGER) AS g_year
+      FROM d
+      GROUP BY ROLLUP (l_returnflag, ship_year)
+    """,
     "q35_trigram_langid" -> """
       WITH d AS (
         SELECT doc_id, lang,

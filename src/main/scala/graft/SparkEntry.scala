@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_anti_join" -> (CoreQueries.q13AntiJoin _),
     "q14_semi_join" -> (CoreQueries.q14SemiJoin _),
     "q19_hourly_events" -> (CoreQueries.q19HourlyEvents _),
+    "q36_rollup" -> (CoreQueries.q36Rollup _),
     // LLM-data-pipeline surface: text analysis, dedup, similarity,
     // multimodal plumbing.
     "q15_tokens_quality" -> (TextQueries.q15TokensQuality _),

@@ -221,6 +221,20 @@ object CoreQueries {
         col("count_of_purchase").desc, col("n_name").asc)
   }
 
+  /** q36 — A7 (absent in the reference, builtin in Spark): ROLLUP over
+    * (returnflag, year) producing subtotal and grand-total rows in the
+    * same single two-phase aggregate — the plan stays one shuffle; the
+    * grouping-set expansion happens map-side. `grouping()` flags
+    * disambiguate real NULL keys from subtotal rows. */
+  def q36Rollup(s: SparkSession, dir: String): DataFrame =
+    factWithDateParts(s, dir)
+      .rollup(col("l_returnflag"), col("ship_year"))
+      .agg(
+        moneySum(col("l_extendedprice")).as("total_purchase_amount"),
+        count(col("l_quantity")).as("count_of_purchase"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("ship_year")).cast("int").as("g_year"))
+
   /** q10 — O3/O5: ORDER BY + LIMIT k → Catalyst's TakeOrderedAndProject
     * (no global sort materialized; per-partition top-k then merge). */
   def q10TopK(s: SparkSession, dir: String): DataFrame = {
