@@ -49,21 +49,34 @@ object Bench {
         }
     }
 
-    val etlTime =
+    // Full pipeline twice, mirroring BASELINE.md's pair of published
+    // numbers: initial load (full history) then an incremental re-run of
+    // one year, where dynamic partition overwrite rewrites only the
+    // touched partitions.
+    val (etlTime, etlIncTime) =
       try {
         val wh = java.nio.file.Files
           .createTempDirectory("graft_bench_wh_").toString
-        val t = timed {
+        val initial = timed {
           Pipeline.run(spark,
             Pipeline.Config(sfDir, wh, "19920101", "20021231"))
+        }
+        val incremental = timed {
+          Pipeline.run(spark,
+            Pipeline.Config(sfDir, wh, "19950101", "19951231"))
         }
         // best-effort cleanup of the temp warehouse
         import scala.reflect.io.Directory
         new Directory(new java.io.File(wh)).deleteRecursively()
-        t
-      } catch { case _: Throwable => -1.0 }
+        (initial, incremental)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL etl_pipeline: $e")
+          (-1.0, -1.0)
+      }
 
-    val all = queryTimes :+ ("etl_pipeline" -> etlTime)
+    val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
+      ("etl_incremental" -> etlIncTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

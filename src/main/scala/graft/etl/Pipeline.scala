@@ -157,8 +157,15 @@ object Pipeline {
 
     t1Silver(spark, cfg)
 
+    // Window-prune the silver scan (partition filter) so an incremental
+    // run recomputes and overwrites only the window's mart partitions —
+    // every mart groups by ship_year/ship_month, so mart content is
+    // partition-local and the pruned recompute is exact.
     val silver = spark.read
-      .parquet(s"${cfg.warehouseDir}/silver/fact_all_info").cache()
+      .parquet(s"${cfg.warehouseDir}/silver/fact_all_info")
+      .where(col("ship_year").between(
+        cfg.fromDate.substring(0, 4), cfg.toDate.substring(0, 4)))
+      .cache()
     try {
       val marts = t2Marts(spark, cfg, silver)
       val written = Future.sequence(marts.toSeq.map { case (name, df) =>
