@@ -90,9 +90,19 @@ object TextFunctions {
   def charTrigrams(text: Column): Column = {
     val norm = concat(lit("_"),
       regexp_replace(lower(trim(text)), "\\s+", "_"), lit("_"))
-    when(length(norm) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(norm) - 2),
-        i => norm.substr(i, lit(3))))
+    // Split to a char array ONCE and index with O(1) element_at:
+    // `substr(norm, i, 3)` re-seeks the UTF8String from byte 0 every
+    // call, turning a 2 KB doc into O(len²) work (measured 16 s for the
+    // corpus vs sub-second this way). The single-element `transform`
+    // let-binds the array so CollapseProject can't inline the split
+    // into all three element_at references.
+    element_at(
+      transform(array(split(norm, "")), cs =>
+        when(size(cs) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(cs) - 2),
+            i => concat(element_at(cs, i), element_at(cs, i + 1),
+              element_at(cs, i + 2))))),
+      1)
   }
 
   /** Per-language character-trigram profiles (ASCII-only so the same
