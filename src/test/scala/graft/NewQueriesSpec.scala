@@ -59,6 +59,41 @@ class NewQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("charTrigrams edge cases: short, unicode, and multi-space input") {
+    import graft.functions.TextFunctions.charTrigrams
+    val df = Seq("", "a", "ab", "héllo wörld", "a  b\t c").toDF("t")
+      .select(col("t"), charTrigrams(col("t")).as("tg"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1)).toMap
+    // "" normalizes to "__" (len 2) → guarded empty, not a descending
+    // sequence blowup
+    assert(got("").isEmpty)
+    assert(got("a") === Seq("_a_"))
+    assert(got("ab") === Seq("_ab", "ab_"))
+    // unicode chars survive the char-array split as single elements
+    assert(got("héllo wörld").contains("_hé"))
+    assert(got("héllo wörld").contains("o_w"))
+    // runs of mixed whitespace collapse to one boundary
+    assert(got("a  b\t c") === Seq("_a_", "a_b", "_b_", "b_c", "_c_"))
+  }
+
+  test("nBpeTokens: long words split, punctuation separates, " +
+      "count bounded by piece count") {
+    import graft.functions.TextFunctions.{bpePieces, nBpeTokens}
+    val df = Seq("hello world", "internationalization", "a,b!c", "42 cats")
+      .toDF("t")
+      .select(col("t"), bpePieces(col("t")).as("p"),
+        nBpeTokens(col("t")).as("n"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    assert(got("hello world")._1 === Seq("hello", " world"))
+    assert(got("hello world")._2 === 2L)
+    // 20-char word → ceil(20/6) = 4 subword units
+    assert(got("internationalization")._2 === 4L)
+    assert(got("a,b!c")._1 === Seq("a", ",", "b", "!", "c"))
+    assert(got("42 cats")._1 === Seq("42", " cats"))
+  }
+
   test("bottom-k sample is invariant to input partitioning") {
     val data = (1 to 500).map(i => (f"h$i%04d-${i * 7 % 13}", i.toLong))
     def sample(parts: Int): Seq[(String, Long)] = {
