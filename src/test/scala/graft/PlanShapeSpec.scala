@@ -60,4 +60,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
       s"shipdate range must reach PushedFilters:\n$p")
   }
+
+  test("q31 near-dup join broadcasts its build side (no block-key " +
+      "exchange on the probe side)") {
+    val df = graft.operators.Similarity.q31CosineNearDup(spark, sfDir)
+    df.collect() // AQE finalizes the plan on execution
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"build side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 10-value block key must never sort-merge:\n$p")
+  }
+
+  test("q34 IVF probe join broadcasts the tiny query/centroid sides") {
+    val df = graft.operators.Similarity.q34AnnIvf(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+  }
+
+  test("q36 rollup plans a single shuffle (one Expand + one exchange " +
+      "pair of aggregates)") {
+    val df = CoreQueries.q36Rollup(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Expand"), s"rollup must expand grouping sets:\n$p")
+    // AQE's toString prints the Initial Plan below the Final Plan —
+    // count exchanges in the final section only
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(exchanges <= 1, s"rollup should shuffle once, saw $exchanges:\n$p")
+  }
 }
