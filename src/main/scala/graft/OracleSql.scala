@@ -473,5 +473,207 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
-  val all: Map[String, String] = core ++ text ++ kpi
+  /** Round-2 analytic surface: as-of join, range join, dedup clustering,
+    * window analytics, sessionization, set ops, CUBE, pivot, arg-max,
+    * quantiles, TF-IDF. (q47 approx-distinct has no oracle — HLL
+    * registers are implementation-specific.) */
+  val round2: Map[String, String] = Map(
+    "q37_asof_join" -> """
+      WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      ), p AS (
+        SELECT user_id, ts AS pts, event_id AS purchase_event_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT c.event_id, c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             p.purchase_event_id, p.purchase_value,
+             date_diff('second', p.pts, c.ts) AS secs_since_purchase
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.pts
+    """,
+    "q38_range_join" -> """
+      WITH bands(band, lo, hi) AS (VALUES
+        ('p00_micro', 0.0, 25000.0),
+        ('p01_small', 25000.0, 75000.0),
+        ('p02_medium', 75000.0, 150000.0),
+        ('p03_large', 150000.0, 300000.0),
+        ('p04_jumbo', 300000.0, 500000.0))
+      SELECT band, lo,
+             COUNT(o_orderkey) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                   AS DOUBLE), 2) AS total_amount
+      FROM orders JOIN bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY 1, 2
+    """,
+    "q39_dedup_clusters" -> """
+      WITH RECURSIVE n AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30
+      ), e AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION SELECT vb, va FROM pairs
+      ), reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+      ), lab AS (
+        SELECT v.id, LEAST(v.id, MIN(r.dst)) AS cluster_id
+        FROM (SELECT DISTINCT a AS id FROM e) v
+        LEFT JOIN reach r ON r.src = v.id
+        GROUP BY v.id
+      )
+      SELECT id AS vec_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM lab
+    """,
+    "q40_moving_window" -> """
+      WITH daily AS (
+        SELECT n_regionkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS day_revenue,
+               COUNT(o_orderkey) AS n_orders
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      )
+      SELECT n_regionkey, day, day_revenue, n_orders,
+             ROUND(day_revenue - LAG(day_revenue) OVER w, 2) AS delta,
+             ROUND(CAST(SUM(CAST(day_revenue AS DECIMAL(18,4))) OVER w7
+                   AS DOUBLE) / COUNT(day_revenue) OVER w7, 4)
+               AS mov_avg_7d
+      FROM daily
+      WINDOW w AS (PARTITION BY n_regionkey ORDER BY day),
+             w7 AS (PARTITION BY n_regionkey ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "q41_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+      ), s AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts) > 1800
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq
+        FROM g
+      )
+      SELECT user_id, session_seq,
+             COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS session_value
+      FROM s GROUP BY 1, 2
+    """,
+    "q42_setops" -> """
+      WITH b95 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1995),
+           b96 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1996)
+      SELECT 'both' AS tag, o_custkey
+      FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)
+      UNION ALL
+      SELECT 'only_1995' AS tag, o_custkey
+      FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96)
+      UNION ALL
+      SELECT 'only_1996' AS tag, o_custkey
+      FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b95)
+    """,
+    "q43_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                   AS DOUBLE), 2) AS total_amount,
+             COUNT(l_quantity) AS count_of_purchase,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q44_pivot" -> """
+      SELECT o_orderstatus,
+             COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+               AS "1-URGENT",
+             COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+               AS "2-HIGH",
+             COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+               AS "3-MEDIUM",
+             COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+               AS "4-NOT SPECIFIED",
+             COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+               AS "5-LOW"
+      FROM orders GROUP BY 1
+    """,
+    "q45_argmax" -> """
+      WITH per_part AS (
+        SELECT p_brand, p_partkey,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY p_brand
+            ORDER BY revenue DESC, p_partkey DESC) AS rmax,
+          ROW_NUMBER() OVER (PARTITION BY p_brand
+            ORDER BY revenue ASC, p_partkey ASC) AS rmin
+        FROM per_part
+      )
+      SELECT p_brand,
+             MAX(CASE WHEN rmax = 1 THEN p_partkey END) AS top_partkey,
+             MAX(CASE WHEN rmax = 1 THEN revenue END) AS top_revenue,
+             MAX(CASE WHEN rmin = 1 THEN p_partkey END) AS bottom_partkey,
+             MAX(CASE WHEN rmin = 1 THEN revenue END) AS bottom_revenue
+      FROM ranked GROUP BY 1
+    """,
+    "q46_quantiles" -> """
+      SELECT o_orderstatus,
+             COUNT(o_orderkey) AS n_orders,
+             ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+             ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+      FROM orders GROUP BY 1
+    """,
+    "q48_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      ), total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf * (CAST(n_docs + 1 AS DOUBLE) /
+                           CAST(df + 1 AS DOUBLE)), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN total
+        WHERE tf.doc_id < 50
+      )
+      SELECT doc_id, rank, term, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored)
+      WHERE rank <= 3
+    """
+  ).map { case (k, v) => k -> v.trim }
+
+  val all: Map[String, String] = core ++ text ++ kpi ++ round2
 }

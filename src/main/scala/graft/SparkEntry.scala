@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, Dedup, KpiQueries, Similarity, TextQueries}
+import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, Dedup,
+  KpiQueries, RangeJoin, Similarity, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,7 +57,22 @@ object SparkEntry {
     "q27_weekday_hour" -> (KpiQueries.q27WeekdayHour _),
     "q28_customer_monthly" -> (KpiQueries.q28CustomerMonthly _),
     "q29_category_share" -> (KpiQueries.q29CategoryShare _),
-    "q30_deterministic_sample" -> (TextQueries.q30DeterministicSample _)
+    "q30_deterministic_sample" -> (TextQueries.q30DeterministicSample _),
+    // Round-2 analytic surface: custom operators Spark lacks (as-of
+    // join, binned range join, dedup clustering) + windowed analytics,
+    // sessionization, set ops, CUBE, pivot, arg-max, quantiles, TF-IDF.
+    "q37_asof_join" -> (AsofJoin.q37AsofJoin _),
+    "q38_range_join" -> (RangeJoin.q38RangeJoin _),
+    "q39_dedup_clusters" -> (Cluster.q39DedupClusters _),
+    "q40_moving_window" -> (Analytics.q40MovingWindow _),
+    "q41_sessionize" -> (Analytics.q41Sessionize _),
+    "q42_setops" -> (Analytics.q42SetOps _),
+    "q43_cube" -> (Analytics.q43Cube _),
+    "q44_pivot" -> (Analytics.q44Pivot _),
+    "q45_argmax" -> (Analytics.q45ArgMax _),
+    "q46_quantiles" -> (Analytics.q46Quantiles _),
+    "q47_approx_distinct" -> (Analytics.q47ApproxDistinct _),
+    "q48_tfidf" -> (TextQueries.q48TfIdf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

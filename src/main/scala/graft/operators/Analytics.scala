@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Analytic-SQL surface beyond the reference's operator set: windowed
+  * time series, sessionization, set operations, CUBE, pivot, arg-max,
+  * exact quantiles, and the sketch-based distinct-count scale variant.
+  * All declarative — every operator here is one or two shuffles, and the
+  * window passes are per-key sorts that AQE right-sizes.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+
+  /** q40 — windowed time-series analytics: daily revenue per region with
+    * day-over-day delta (lag) and 7-row moving average. The moving sum
+    * runs over exact DECIMAL so frame evaluation order can't flip a
+    * rounding boundary between engines. One shuffle for the daily
+    * aggregate, one per-region sort for both window frames. */
+  def q40MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val daily = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left")
+      .join(broadcast(nat), col("c_nationkey") === nat("n_nationkey"), "left")
+      .groupBy(col("n_regionkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(
+        moneySum(col("o_totalprice")).as("day_revenue"),
+        count(col("o_orderkey")).as("n_orders"))
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("delta",
+        round(col("day_revenue") - lag(col("day_revenue"), 1).over(w), 2))
+      .withColumn("mov_avg_7d",
+        round(sum(col("day_revenue").cast("decimal(18,4)")).over(w7)
+          .cast("double") / count(col("day_revenue")).over(w7), 4))
+  }
+
+  val SessionGapSec = 1800
+
+  /** q41 — sessionization (gaps-and-islands): per-user event sessions
+    * split at >30-minute silences, built from two window passes (lag →
+    * running sum of session starts) and a final per-session aggregate.
+    * This is the batch mirror of streaming session windows
+    * (graft.streaming.EventStream) — same semantics, replayable over
+    * history. Gap comparison uses truncated-second differences, the one
+    * time arithmetic both engines define identically. */
+  def q41Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+            > SessionGapSec, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        moneySum(col("value")).as("session_value"))
+  }
+
+  /** q42 — set operations (absent in the reference, SURVEY §2.7):
+    * INTERSECT / EXCEPT over two yearly buyer sets, tagged and unioned
+    * into one result. Spark plans these as aggregate+join — no custom
+    * code, and the distinct sets are tiny after aggregation. */
+  def q42SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def buyers(y: Int): DataFrame = ord
+      .where(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val b95 = buyers(1995)
+    val b96 = buyers(1996)
+    b95.intersect(b96).withColumn("tag", lit("both"))
+      .unionByName(b95.except(b96).withColumn("tag", lit("only_1995")))
+      .unionByName(b96.except(b95).withColumn("tag", lit("only_1996")))
+      .select(col("tag"), col("o_custkey"))
+  }
+
+  /** q43 — CUBE over (returnflag, linestatus): all four grouping sets in
+    * ONE two-phase aggregate (the grouping-set expansion happens map-side
+    * before the single shuffle), with grouping() flags to separate
+    * subtotal rows from real NULL keys. */
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_extendedprice")).as("total_amount"),
+        count(col("l_quantity")).as("count_of_purchase"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** q44 — pivot: order-priority columns per status. The pivot value
+    * list is EXPLICIT — with it, Spark skips the extra distinct-values
+    * job and the plan is a single aggregate; without it, an unbounded
+    * distinct on a 100 TB fact would both cost a pass and make the
+    * output schema data-dependent. */
+  def q44Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(col("o_orderkey")))
+
+  /** q45 — per-group arg-max/arg-min via max_by/min_by over an ordering
+    * STRUCT (value, tiebreak-key): one aggregate, no self-join, no
+    * window re-sort — the scalable "top item per group" when only the
+    * winner is needed. Struct ordering makes ties deterministic. */
+  def q45ArgMax(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val perPart = li
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"))
+    perPart.groupBy(col("p_brand"))
+      .agg(
+        max_by(col("p_partkey"), struct(col("revenue"), col("p_partkey")))
+          .as("top_partkey"),
+        max(col("revenue")).as("top_revenue"),
+        min_by(col("p_partkey"), struct(col("revenue"), col("p_partkey")))
+          .as("bottom_partkey"),
+        min(col("revenue")).as("bottom_revenue"))
+  }
+
+  /** q46 — exact interpolated quantiles per group (percentile). Exact
+    * quantiles sort-and-interpolate within the aggregate; the scale
+    * variant is approx_percentile (t-digest) — same call shape, tunable
+    * error, mergeable sketches (see q47 for the distinct-count
+    * analogue). */
+  def q46Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))").as("qs"),
+        count(col("o_orderkey")).as("n_orders"))
+      .select(
+        col("o_orderstatus"), col("n_orders"),
+        round(col("qs").getItem(0), 2).as("p25"),
+        round(col("qs").getItem(1), 2).as("p50"),
+        round(col("qs").getItem(2), 2).as("p90"))
+
+  /** q47 — sketch-based distinct counting: HyperLogLog++
+    * (approx_count_distinct) next to the exact two-phase countDistinct.
+    * At 100 TB the exact form shuffles every distinct value; the sketch
+    * is a few KB per group and merges associatively — this query is the
+    * accuracy report that justifies the swap. No DuckDB oracle (HLL
+    * registers are implementation-specific): driver records a rows-only
+    * check; the spec asserts rel_err < 5%. */
+  def q47ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        col("event_type"), col("exact_users"), col("approx_users"),
+        round(abs(col("approx_users") - col("exact_users")) /
+          col("exact_users"), 4).as("rel_err"))
+}

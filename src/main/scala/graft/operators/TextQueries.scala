@@ -88,6 +88,43 @@ object TextQueries {
       .toDF("sample_hash", "doc_id")
   }
 
+  /** q48 — TF-IDF top terms per document: tokenize (codegen'd
+    * regexp_extract_all), explode (the generator/UDTF surface, SURVEY
+    * §2.9-U3), term-frequency and document-frequency aggregates, then a
+    * per-doc top-3 window. IDF is the RATIO (N+1)/(df+1) rather than its
+    * log: one IEEE division + one multiply, bit-identical across
+    * engines, where ln() is only correctly-rounded-ish in both and can
+    * flip a ROUND boundary. Plan: tf is one shuffle on (doc, term), df
+    * one on term, rejoined on term — at 100 TB the df table is vocab-
+    * sized and stays a shuffle join; the scalar doc count broadcasts. */
+  def q48TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      // single-file table -> one input partition; spread the tokenize+
+      // explode work before the wide aggregates
+      .repartition(s.sparkContext.defaultParallelism)
+    val toks = d.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .where(col("doc_id") < 50)
+      .withColumn("tfidf",
+        round(col("tf") * ((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** q22 — n-gram Jaccard similarity between adjacent doc pairs
     * (deterministic pair choice keeps the oracle simple; the general
     * LSH-candidate pair generation lives in Dedup). */
