@@ -26,36 +26,110 @@ import org.apache.spark.storage.StorageLevel
   */
 object Cluster {
 
+  /** Edge count below which the component computation runs as a single
+    * driver-side union-find instead of the iterative distributed loop.
+    * Same logic as a broadcast join's size cutoff: the near-dup pair
+    * list is orders of magnitude smaller than the corpus, and when it
+    * fits on the driver, one O(E·α(E)) union-find pass replaces 10+
+    * scheduled shuffle rounds. The 100 TB path (LSH over billions of
+    * docs can emit >10^9 pairs) takes the distributed branch. */
+  val DriverUnionFindMaxEdges = 1000000L
+
+  /** Rows per partition for the distributed loop — the loop must not
+    * inherit corpus-sized shuffle parallelism or per-round task
+    * overhead dwarfs the work. */
+  val EdgesPerPartition = 500000L
+
   /** Connected components of the undirected graph given by `edges`
     * (two long columns: a, b). Returns (id, label) with label = min
     * vertex id of the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val bidir = edges.toDF("a", "b")
-      .union(edges.toDF("b2", "a2").select(col("a2").as("a"), col("b2").as("b")))
+  def connectedComponents(edges: DataFrame,
+                          maxIter: Int = 50,
+                          driverMaxEdges: Long = DriverUnionFindMaxEdges)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.toDF("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val out =
+      if (nPairs <= driverMaxEdges) driverUnionFind(spark, pairs)
+      else distributedCC(pairs, maxIter)
+    pairs.unpersist()
+    out
+  }
+
+  /** Path-compressed union-find on the driver, roots = min member. */
+  private def driverUnionFind(spark: SparkSession, pairs: DataFrame)
+      : DataFrame = {
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "label")
+  }
+
+  /** Iterative distributed CC: per round, min-label propagation over
+    * the edges then one pointer-doubling hop against the freshly
+    * stepped labels (adopt your new label's new label), which collapses
+    * chain diameters geometrically — O(log diameter) rounds instead of
+    * O(diameter). Lineage is truncated with an eager localCheckpoint
+    * per materialized map. */
+  private def distributedCC(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val bidir = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = bidir.count()
+    val parts = math.max(1L, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism.toLong,
+      nEdges / EdgesPerPartition + 1L)).toInt
+    val e = bidir.repartition(parts, col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    bidir.unpersist()
 
-    var labels = bidir.select(col("a").as("id")).distinct()
+    var labels = e.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = bidir.join(labels, bidir("b") === labels("id"))
-        .groupBy(bidir("a").as("nid"))
+      val nbrMin = e.join(labels, e("b") === labels("id"))
+        .groupBy(e("a").as("id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("label0"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("pid"), col("label").as("plabel")),
+          col("x.label") === col("pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("plabel"), col("x.label")))
             .as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label"))
-            .as("changed"))
+          col("x.label0"))
+        .withColumn("changed", col("label") < col("label0"))
         .localCheckpoint(true)
       changed = next.where(col("changed")).count()
-      labels = next.drop("changed")
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    bidir.unpersist()
+    if (changed > 0)
+      System.err.println(
+        s"WARN connectedComponents hit maxIter=$maxIter before convergence")
+    e.unpersist()
     labels
   }
 

@@ -86,16 +86,28 @@ class Round2Spec extends AnyFunSuite {
 
   // ---- Cluster.connectedComponents --------------------------------------
 
-  test("connected components: chain, clique, and isolated pair") {
+  test("connected components: chain, clique, and isolated pair (both paths)") {
     // chain 1-2-3-4, pair 10-11, and 20-21-22 clique
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
-    val labels = Cluster.connectedComponents(edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (default threshold)
+    val duf = Cluster.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(labels(1L) === 1L && labels(2L) === 1L &&
-      labels(3L) === 1L && labels(4L) === 1L)
-    assert(labels(10L) === 10L && labels(11L) === 10L)
-    assert(labels(20L) === 20L && labels(21L) === 20L && labels(22L) === 20L)
+    assert(duf === expected)
+    // distributed pointer-doubling path (threshold forced to 0)
+    val dist = Cluster.connectedComponents(edges, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === expected)
+  }
+
+  test("distributed CC converges on a long chain (pointer doubling)") {
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Cluster.connectedComponents(chain, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 201)
+    assert(labels.forall(_._2 === 0L), "all chain members label to min id 0")
   }
 
   test("q39 cluster sizes are consistent with membership") {
