@@ -43,4 +43,11 @@ object Sinks {
     * Hive-style directory layout by the parquet source. */
   def register(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
+
+  /** JSON-lines sink (gzip by default — JSONL is ~5-10× parquet's size
+    * uncompressed, and most downstream tokenizer/export consumers read
+    * compressed shards natively). */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
 }

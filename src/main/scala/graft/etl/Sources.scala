@@ -36,4 +36,19 @@ object Sources {
   /** S3/S4 — parquet table scan; filters/pruning ride on Catalyst. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines source (one JSON object per line — the interchange
+    * format most raw training-data drops arrive in). Schema declared,
+    * never inferred (inference = a full extra pass at 100 TB);
+    * malformed lines land in a `_corrupt_record` column under PERMISSIVE
+    * mode instead of failing the 10-hour job. (Spark refuses a query
+    * whose only referenced column is `_corrupt_record` — project a data
+    * column alongside it, or cache the parsed result first.) */
+  def jsonl(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

@@ -87,6 +87,31 @@ object EventStream {
           .as("session_start"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the hour AFTER the click. Both sides carry
+    * watermarks and the join condition bounds purchase time to
+    * [click, click+1h] — the two ingredients Structured Streaming needs
+    * to know when buffered state for either side is complete and can be
+    * evicted (an unbounded stream-stream join would otherwise keep every
+    * row forever). Inner join: emitted as soon as both sides arrive. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("secs_to_purchase"), col("purchase_value"))
+  }
+
   // ---- custom state: per-user activity sessions ----------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -66,6 +66,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventStream.readEventStream(spark, sfDir)
+    val got = EventStream
+      .runToCompletion(EventStream.clickToPurchase(stream), "ssjoin_test",
+        OutputMode.Append())
+      .select("click_id", "purchase_id", "secs_to_purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // batch oracle: the same equi+range join over the static table
+    val ev = Tables.load(spark, sfDir, "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val want = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("secs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty, "interval join should produce matches on testdata")
+  }
+
   test("stateful per-user stats match a batch groupBy") {
     val stream = EventStream.readEventStream(spark, sfDir)
     val got = EventStream
