@@ -650,6 +650,30 @@ object OracleSql {
              ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
       FROM orders GROUP BY 1
     """,
+    "q49_stratified_sample" -> """
+      SELECT c_custkey, c_mktsegment, c_nationkey
+      FROM customer
+      WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '33'
+    """,
+    "q50_group_arrays" -> """
+      WITH per_part AS (
+        SELECT p_brand, p_partkey,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                    ORDER BY revenue DESC, p_partkey ASC) AS rk
+        FROM per_part
+      )
+      SELECT p_brand,
+             string_agg(CAST(p_partkey AS VARCHAR), ',' ORDER BY rk)
+               AS top_parts,
+             ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS top3_revenue
+      FROM ranked WHERE rk <= 3 GROUP BY 1
+    """,
     "q48_tfidf" -> """
       WITH toks AS (
         SELECT doc_id,

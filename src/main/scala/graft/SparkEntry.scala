@@ -72,7 +72,9 @@ object SparkEntry {
     "q45_argmax" -> (Analytics.q45ArgMax _),
     "q46_quantiles" -> (Analytics.q46Quantiles _),
     "q47_approx_distinct" -> (Analytics.q47ApproxDistinct _),
-    "q48_tfidf" -> (TextQueries.q48TfIdf _)
+    "q48_tfidf" -> (TextQueries.q48TfIdf _),
+    "q49_stratified_sample" -> (Analytics.q49StratifiedSample _),
+    "q50_group_arrays" -> (Analytics.q50GroupArrays _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

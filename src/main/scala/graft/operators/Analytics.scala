@@ -160,6 +160,49 @@ object Analytics {
         round(col("qs").getItem(1), 2).as("p50"),
         round(col("qs").getItem(2), 2).as("p90"))
 
+  /** q49 — deterministic stratified sampling: ~20% of customers per
+    * market segment, selected by an md5 hash bucket of the key rather
+    * than rand(). Hash-bucket sampling is THE reproducible sample at
+    * scale: no seed-per-partition coupling, stable under repartitioning
+    * and reruns, auditable in any engine (the DuckDB oracle applies the
+    * identical predicate), and it composes — the same bucket range
+    * selects the same entities across every table that shares the key.
+    * Per-row filter, no shuffle until the tiny per-segment count agg. */
+  def q49StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      // first two hex chars < '33' = 51/256 ≈ 19.9% of the key space
+      .where(substring(md5(col("c_custkey").cast("string")), 1, 2) < "33")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+
+  /** q50 — grouped array aggregation (collect_list + sort_array):
+    * per-brand ranked part list, serialized with concat_ws so the
+    * result column is an engine-portable string. The deterministic form
+    * matters: collect_list order is partition-arrival order (never
+    * stable under shuffle), so the struct list is sorted BEFORE
+    * projection — the only aggregation-order-independent way to emit
+    * list-valued results at scale. */
+  def q50GroupArrays(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val perPart = li
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    perPart
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .groupBy(col("p_brand"))
+      .agg(
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("rk"), col("p_partkey")))),
+            x => x.getField("p_partkey").cast("string")))
+          .as("top_parts"),
+        moneySum(col("revenue")).as("top3_revenue"))
+  }
+
   /** q47 — sketch-based distinct counting: HyperLogLog++
     * (approx_count_distinct) next to the exact two-phase countDistinct.
     * At 100 TB the exact form shuffles every distinct value; the sketch

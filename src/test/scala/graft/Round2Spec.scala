@@ -193,6 +193,42 @@ class Round2Spec extends AnyFunSuite {
     assert(flags === Set((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  // ---- Stratified sample / grouped arrays / upsert ----------------------
+
+  test("q49 hash-bucket sample is repartition-stable and ~20% per segment") {
+    val base = Analytics.q49StratifiedSample(spark, sfDir)
+    val again = Analytics.q49StratifiedSample(spark, sfDir)
+      .repartition(17) // different physical layout, same rows
+    assert(base.collect().toSet === again.collect().toSet)
+    val total = Tables.load(spark, sfDir, "customer").count()
+    val frac = base.count().toDouble / total
+    assert(frac > 0.10 && frac < 0.30, s"expected ~0.2, got $frac")
+  }
+
+  test("q50 top_parts lists are rank-ordered and size <= 3") {
+    val rows = Analytics.q50GroupArrays(spark, sfDir)
+      .select("top_parts").as[String].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.split(",").length <= 3))
+  }
+
+  test("upsert replaces matched keys, appends new, keeps the rest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_").toString + "/t"
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "v")
+    v1.write.parquet(dir)
+    val updates = Seq((2L, "b2", 20.0), (4L, "d", 4.0)).toDF("k", "name", "v")
+    graft.etl.Upsert.upsertByKey(spark, dir, updates, Seq("k"))
+    val got = spark.read.parquet(dir).as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)))
+    // idempotent: same upsert again changes nothing
+    graft.etl.Upsert.upsertByKey(spark, dir, updates, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 4)
+  }
+
   // ---- TF-IDF ------------------------------------------------------------
 
   test("q48 returns exactly top-3 terms per doc, ranks 1..3, scores " +
