@@ -650,6 +650,13 @@ object OracleSql {
              ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
       FROM orders GROUP BY 1
     """,
+    "q51_salted_agg" -> """
+      SELECT event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_amount,
+             COUNT(value) AS count_of_rows
+      FROM events GROUP BY 1
+    """,
     "q49_stratified_sample" -> """
       SELECT c_custkey, c_mktsegment, c_nationkey
       FROM customer

@@ -74,7 +74,8 @@ object SparkEntry {
     "q47_approx_distinct" -> (Analytics.q47ApproxDistinct _),
     "q48_tfidf" -> (TextQueries.q48TfIdf _),
     "q49_stratified_sample" -> (Analytics.q49StratifiedSample _),
-    "q50_group_arrays" -> (Analytics.q50GroupArrays _)
+    "q50_group_arrays" -> (Analytics.q50GroupArrays _),
+    "q51_salted_agg" -> (Analytics.q51SaltedAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

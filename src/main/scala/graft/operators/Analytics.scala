@@ -203,6 +203,16 @@ object Analytics {
         moneySum(col("revenue")).as("top3_revenue"))
   }
 
+  /** q51 — skew-safe two-phase aggregation (operators.Skew): the hot
+    * keys are salted across `buckets` partial aggregates before the
+    * final combine, so one pathological key can't serialize the shuffle
+    * into a single task. Partials sum in exact DECIMAL, so the split is
+    * invisible in the result — the DuckDB oracle is the PLAIN group-by,
+    * proving salting is a pure execution-plan change. */
+  def q51SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(t(s, dir, "events"), Seq("event_type"), "value",
+      buckets = 8)
+
   /** q47 — sketch-based distinct counting: HyperLogLog++
     * (approx_count_distinct) next to the exact two-phase countDistinct.
     * At 100 TB the exact form shuffles every distinct value; the sketch

@@ -24,16 +24,24 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // NumHashes / Bands
 
-  /** 64-lane MinHash signature over word-bigram shingles.
-    *
-    * The shingle set is hashed to long ONCE and let-bound via a
-    * single-element `transform` before the 64 lanes are derived from the
-    * bound variable. Without the binding, CollapseProject inlines the
-    * tokenize→shingle→hash expression into every lane — a 64×
-    * recomputation of interpreted string work per row that turned a
-    * seconds-long scan into tens of minutes at sf0.1. Lane permutations
-    * are xxhash64(shingleHash, lane) — arithmetic on longs only. */
-  def minhashSignature(text: Column): Column = {
+  /** 64-lane MinHash signature over word-bigram shingles: shingles are
+    * hashed to longs once (builtin, one pass over the strings), then
+    * the fused [[graft.functions.MinHash]] expression computes all 64
+    * lane minima in one codegen'd loop — no per-lane intermediate
+    * arrays, no 64× recomputation (the builtin formulation of the lane
+    * step is kept below as [[minhashSignatureBuiltin]] and asserted
+    * bit-identical by its spec). */
+  def minhashSignature(text: Column): Column =
+    graft.functions.MinHash.minhashLanes(
+      transform(array_distinct(shingles(text, 2)), x => xxhash64(x)),
+      NumHashes)
+
+  /** The pure-builtin lane formulation (reference semantics for the
+    * fused expression; also the shape a user without the extension
+    * library would write). The single-element `transform(array(...))`
+    * let-binds the shingle hashes so CollapseProject can't inline the
+    * tokenize→shingle→hash work into all 64 lanes. */
+  def minhashSignatureBuiltin(text: Column): Column = {
     val shHashes = transform(array_distinct(shingles(text, 2)),
       x => xxhash64(x))
     element_at(
