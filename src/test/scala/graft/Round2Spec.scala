@@ -193,6 +193,35 @@ class Round2Spec extends AnyFunSuite {
     assert(flags === Set((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  // ---- Whole-operator invariants ----------------------------------------
+
+  test("q37 asof preserves left cardinality exactly (one row per click)") {
+    val clicks = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "click").count()
+    assert(AsofJoin.q37AsofJoin(spark, sfDir).count() === clicks)
+  }
+
+  test("q38 bands partition the order space: per-band counts sum to all " +
+      "orders") {
+    val total = Tables.load(spark, sfDir, "orders").count()
+    val banded = RangeJoin.q38RangeJoin(spark, sfDir)
+      .agg(sum("n_orders")).as[Long].head()
+    assert(banded === total,
+      "price bands cover [0, 500k) so every order lands in exactly one")
+  }
+
+  test("compaction preserves rows and hits the target file count") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_").toString + "/t"
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.repartition(37).write.parquet(dir) // fragment into 37 files
+    val rows = docs.count()
+    val (before, after) = graft.etl.Compact.compact(spark, dir)
+    assert(before === 37)
+    assert(after < before)
+    assert(spark.read.parquet(dir).count() === rows)
+  }
+
   // ---- Stratified sample / grouped arrays / upsert ----------------------
 
   test("q49 hash-bucket sample is repartition-stable and ~20% per segment") {
