@@ -193,6 +193,35 @@ class Round2Spec extends AnyFunSuite {
     assert(flags === Set((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  // ---- Plan shapes (the 100 TB claims) -----------------------------------
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q41 sessionization: both window passes and the final aggregate " +
+      "ride ONE user_id shuffle") {
+    val p = finalPlan(Analytics.q41Sessionize(spark, sfDir))
+    assert(exchanges(p) === 1, s"expected 1 exchange:\n$p")
+  }
+
+  test("q43 cube: all four grouping sets in one Expand + one shuffle") {
+    val p = finalPlan(Analytics.q43Cube(spark, sfDir))
+    assert(p.contains("Expand"), s"cube must expand grouping sets:\n$p")
+    assert(exchanges(p) <= 1, s"cube should shuffle once:\n$p")
+  }
+
+  test("q50 grouped arrays: window and final group-by share the brand " +
+      "partitioning (no third shuffle)") {
+    val p = finalPlan(Analytics.q50GroupArrays(spark, sfDir))
+    assert(exchanges(p) <= 2,
+      s"per-part agg + brand window only; final group-by must reuse:\n$p")
+  }
+
   // ---- Whole-operator invariants ----------------------------------------
 
   test("q37 asof preserves left cardinality exactly (one row per click)") {
