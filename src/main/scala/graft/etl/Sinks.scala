@@ -44,6 +44,18 @@ object Sinks {
   def register(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
 
+  /** ORC sink — interop with ORC-standardized warehouses. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** CSV export (header + gzip) — the lowest-common-denominator handoff;
+    * never an analytics-side format (row-oriented, schemaless on read). */
+  def writeCsv(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("compression", compression)
+      .csv(path)
+
   /** JSON-lines sink (gzip by default — JSONL is ~5-10× parquet's size
     * uncompressed, and most downstream tokenizer/export consumers read
     * compressed shards natively). */

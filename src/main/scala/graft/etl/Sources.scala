@@ -37,6 +37,11 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — same Catalyst pushdown/pruning story as parquet; the
+    * engine is format-agnostic where the format has a columnar reader. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines source (one JSON object per line — the interchange
     * format most raw training-data drops arrive in). Schema declared,
     * never inferred (inference = a full extra pass at 100 TB);

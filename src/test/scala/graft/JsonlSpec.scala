@@ -30,6 +30,35 @@ class JsonlSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("ORC round-trip preserves rows and schema") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_orc_").toString + "/t"
+    Sinks.writeOrc(li, out)
+    val back = Sources.orc(spark, out)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+  }
+
+  test("CSV export round-trips through the schema-declared reader") {
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_csv_").toString + "/t"
+    Sinks.writeCsv(cust, out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c_mktsegment",
+        org.apache.spark.sql.types.StringType)))
+    val back = Sources.csv(spark, out, schema)
+    val a = cust.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+
   test("malformed lines land in _corrupt_record, not as a job failure") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_jsonl_bad_").toString
