@@ -650,6 +650,30 @@ object OracleSql {
              ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
       FROM orders GROUP BY 1
     """,
+    "q52_media_knn" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        FROM documents
+      ), f AS (
+        SELECT media_id,
+               [((media_id * 31 + i * 7 + n) % 1000) / 1000.0 - 0.5
+                for i in generate_series(0, 15)] AS v
+        FROM m
+      ), nf AS (
+        SELECT media_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM f
+      ), scored AS (
+        SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+               list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cosine
+        FROM nf c JOIN nf q
+          ON q.media_id < 10 AND c.media_id <> q.media_id
+      )
+      SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    """,
     "q51_salted_agg" -> """
       SELECT event_type,
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)

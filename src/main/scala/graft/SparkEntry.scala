@@ -75,7 +75,8 @@ object SparkEntry {
     "q48_tfidf" -> (TextQueries.q48TfIdf _),
     "q49_stratified_sample" -> (Analytics.q49StratifiedSample _),
     "q50_group_arrays" -> (Analytics.q50GroupArrays _),
-    "q51_salted_agg" -> (Analytics.q51SaltedAgg _)
+    "q51_salted_agg" -> (Analytics.q51SaltedAgg _),
+    "q52_media_knn" -> (graft.multimodal.Multimodal.q52MediaKnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -114,6 +114,67 @@ object Multimodal {
       size(frameSampleIdx(col("n_frames"), 5)).as("n_sampled_frames"))
   }
 
+  val FeatureDim = 16
+
+  /** STUB feature extractor — stands in for the CLIP/audio-embedding
+    * model a real pipeline runs here. The batch shape is the production
+    * one (mapPartitions: model loads once per partition, streams the
+    * batch, constant memory); the stub's arithmetic is deliberately
+    * SQL-expressible so the DOWNSTREAM similarity search stays
+    * end-to-end oracle-checkable. Real extractor: replace the formula
+    * with a forward pass, nothing else moves. */
+  def featureStub(mediaId: Long, nBytes: Long): Array[Double] =
+    Array.tabulate(FeatureDim)(i =>
+      ((mediaId * 31 + i * 7 + nBytes) % 1000) / 1000.0 - 0.5)
+
+  /** Media → feature vectors, partition-at-a-time. Drops the blob in
+    * the same pass (blobs must never transit an exchange). */
+  def withFeatures(df: DataFrame, idCol: String, contentCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      // per-partition model init would go here (STUB: none)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n =
+          if (r.isNullAt(cIdx)) 0L
+          else r.getAs[Array[Byte]](cIdx).length.toLong
+        (id, featureStub(id, n))
+      }
+    }.toDF(idCol, "features")
+  }
+
+  /** q52 — multimodal similarity search end-to-end: binary media →
+    * stub feature extraction (mapPartitions) → brute-force cosine top-5
+    * for the first 10 media ids, reusing the fused DotProduct
+    * expression. The complete media-dedup/search plumbing with a full
+    * DuckDB oracle. */
+  def q52MediaKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity.{dot, norm}
+    val feats = withFeatures(
+      documentsAsMedia(s, dir)
+        .repartition(s.sparkContext.defaultParallelism),
+      "media_id", "content")
+      .withColumn("f_norm", norm(col("features")))
+    val queries = feats.where(col("media_id") < 10)
+      .select(col("media_id").as("query_id"), col("features").as("qf"),
+        col("f_norm").as("q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("media_id").asc)
+    feats.join(broadcast(queries), col("media_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("features"), col("qf")) / (col("f_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"),
+        col("media_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** q25 — binary-column metadata extraction with an oracle: byte
     * length, sha256 content digest, and the stub-decoded dimensions
     * (pure arithmetic on byte length, so DuckDB can state the same
