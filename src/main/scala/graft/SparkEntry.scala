@@ -76,7 +76,8 @@ object SparkEntry {
     "q49_stratified_sample" -> (Analytics.q49StratifiedSample _),
     "q50_group_arrays" -> (Analytics.q50GroupArrays _),
     "q51_salted_agg" -> (Analytics.q51SaltedAgg _),
-    "q52_media_knn" -> (graft.multimodal.Multimodal.q52MediaKnn _)
+    "q52_media_knn" -> (graft.multimodal.Multimodal.q52MediaKnn _),
+    "q53_ann_ivf_trained" -> (Similarity.q53AnnIvfTrained _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

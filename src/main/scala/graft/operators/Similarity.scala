@@ -134,6 +134,53 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** q53 — IVF ANN with TRAINED centroids: KMeans.fit replaces q34's
+    * lowest-id centroid stub, then the identical probe plan runs
+    * (corpus assigned to cells once, queries probe their nearest
+    * cells). No DuckDB oracle — Lloyd's isn't SQL-expressible — so the
+    * driver records rows-only; the spec asserts trained recall vs the
+    * brute-force ground truth meets or beats the stub's. */
+  def q53AnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val model = KMeans.fit(
+      v.select(col("vec_id").as("id"), col("v")), IvfCentroids, iters = 3)
+    val cents = model.centroids.map { case (cid, cv) =>
+      (cid, cv.toSeq)
+    }.toSeq
+    import s.implicits._
+    val centDf = cents.toDF("cent_id", "cv")
+      .select(col("cent_id"), col("cv"),
+        Similarity.norm(col("cv")).as("cnorm"))
+
+    def nearestCells(side: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      side.join(broadcast(centDf))
+        .withColumn("cos_c",
+          dot(col("v"), col("cv")) / (col("v_norm") * col("cnorm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= n)
+        .drop("cv", "cnorm", "cos_c", "rk")
+    }
+
+    val corpus = nearestCells(v, 1)
+    val queries = nearestCells(v.where(col("vec_id") < 10), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"), col("cent_id").as("q_cent"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries),
+        col("cent_id") === col("q_cent") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("v"), col("qv")) / (col("v_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   val NumPlanes = 4
 
   /** Deterministic pseudo-random hyperplanes (seeded, engine-side). */

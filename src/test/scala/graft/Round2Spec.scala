@@ -287,6 +287,19 @@ class Round2Spec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 4)
   }
 
+  test("q53 trained-IVF keeps >=80% recall vs brute-force ground truth") {
+    // At sf0.001 k (16) is a third of the corpus (50), so stub-vs-
+    // trained differences are pure noise — assert absolute recall
+    // against the exact top-k instead.
+    def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = topk(Similarity.q23KnnBruteForce(spark, sfDir))
+    val trained = topk(Similarity.q53AnnIvfTrained(spark, sfDir))
+    val recall = (trained & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"trained-IVF recall $recall below 0.8")
+  }
+
   // ---- TF-IDF ------------------------------------------------------------
 
   test("q48 returns exactly top-3 terms per doc, ranks 1..3, scores " +
