@@ -650,6 +650,75 @@ object OracleSql {
              ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
       FROM orders GROUP BY 1
     """,
+    "q54_minhash_md5" -> """
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                      range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))
+               END AS s
+        FROM t
+      ), lanes AS (
+        SELECT doc_id,
+               [list_min(list_transform(s,
+                  x -> md5(i::VARCHAR || '|' || x)))
+                for i in generate_series(0, 15)] AS lanes
+        FROM sh
+      )
+      SELECT doc_id, md5(array_to_string(lanes, '')) AS sig_digest
+      FROM lanes
+    """,
+    "q55_lsh_pairs_md5" -> """
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                      range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))
+               END AS s
+        FROM t
+      ), lanes AS (
+        SELECT doc_id,
+               [list_min(list_transform(s,
+                  x -> md5(i::VARCHAR || '|' || x)))
+                for i in generate_series(0, 15)] AS lanes
+        FROM sh
+      ), bands AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string(lanes[b * 4 + 1 : b * 4 + 4], ''))
+                 AS band_key
+        FROM lanes, generate_series(0, 3) AS g(b)
+      ), sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, band_key)
+                 AS bucket_size
+        FROM bands
+      ), small AS (
+        SELECT doc_id, band, band_key FROM sized WHERE bucket_size <= 50
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+      ), j AS (
+        SELECT CAST(floor(
+                 len(list_intersect(sa.s, sb.s)) /
+                 CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) * 10)
+               AS BIGINT) AS jaccard_decile
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+      )
+      SELECT jaccard_decile, COUNT(*) AS n_pairs FROM j GROUP BY 1
+    """,
     "q52_media_knn" -> """
       WITH m AS (
         SELECT doc_id AS media_id, octet_length(encode(text)) AS n

@@ -77,7 +77,9 @@ object SparkEntry {
     "q50_group_arrays" -> (Analytics.q50GroupArrays _),
     "q51_salted_agg" -> (Analytics.q51SaltedAgg _),
     "q52_media_knn" -> (graft.multimodal.Multimodal.q52MediaKnn _),
-    "q53_ann_ivf_trained" -> (Similarity.q53AnnIvfTrained _)
+    "q53_ann_ivf_trained" -> (Similarity.q53AnnIvfTrained _),
+    "q54_minhash_md5" -> (Dedup.q54MinhashMd5 _),
+    "q55_lsh_pairs_md5" -> (Dedup.q55LshPairsMd5 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -130,6 +130,83 @@ object Dedup {
       .groupBy(floor(col("jaccard") * 10).as("jaccard_decile"))
       .agg(count(lit(1)).as("n_pairs"))
 
+  val OracleLanes = 16
+  val OracleBands = 4 // of 4 lanes each
+
+  /** md5-lane MinHash: same algorithm as [[minhashSignature]] but the
+    * lane hash is `md5(lane || '|' || shingle)` compared as hex text —
+    * md5 exists in BOTH engines, so unlike the xxhash64 path this
+    * signature (and the whole LSH pipeline on top of it, q55) is fully
+    * DuckDB-hash-checkable. The xxhash64 path stays the production
+    * default (integer compare beats 32-char string compare); this is
+    * the cross-engine-auditable variant. The single-element
+    * `transform(array(...))` binding stops CollapseProject from
+    * inlining the shingle computation into all 16 lanes. */
+  def md5Lanes(text: Column): Column =
+    element_at(
+      transform(array(array_distinct(shingles(text, 2))), sh =>
+        transform(sequence(lit(0), lit(OracleLanes - 1)), i =>
+          array_min(transform(sh, x =>
+            md5(concat(i.cast("string"), lit("|"), x)))))),
+      1)
+
+  /** q54 — oracle-checkable MinHash signature digest per document. */
+  def q54MinhashMd5(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        md5(concat_ws("", md5Lanes(col("text")))).as("sig_digest"))
+
+  /** q55 — the full LSH dedup pipeline on md5 lanes, hash-checked
+    * end-to-end against DuckDB: band keys (4 bands × 4 lanes) →
+    * bucket self-join (bucket-size cap as in q21) → exact Jaccard
+    * verification → per-decile pair counts. Proves the ENTIRE LSH
+    * candidate-generation semantics cross-engine, not just row counts. */
+  def q55LshPairsMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val sigs = docs.select(
+      col("doc_id"),
+      array_distinct(shingles(col("text"), 2)).as("sh"),
+      md5Lanes(col("text")).as("lanes"))
+      .persist()
+
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(OracleBands - 1)), b =>
+          md5(concat_ws("",
+            slice(col("lanes"),
+              b * lit(OracleLanes / OracleBands) + lit(1),
+              lit(OracleLanes / OracleBands)))))))
+      .toDF("doc_id", "band", "band_key")
+
+    val smallBuckets = buckets
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .where(col("bucket_size") <= MaxBucketSize)
+      .drop("bucket_size")
+
+    val cand = smallBuckets.as("a")
+      .join(smallBuckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(
+        floor(
+          (size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            * 10).as("jaccard_decile"))
+      .groupBy(col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** q26 — SimHash signatures + hamming distance between adjacent docs
     * (custom Catalyst Expression; fingerprint-level near-dup signal). */
   def q26Simhash(s: SparkSession, dir: String): DataFrame = {
