@@ -12,9 +12,8 @@ import graft.etl.Pipeline
   * 28.6M rows on 2–4 G.1X workers).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,11 +29,18 @@ object Bench {
         "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         "2")
-      // 36 queries × several codegen stages blow through the 100-entry
+      // 55 queries × several codegen stages blow through the 100-entry
       // default and cause steady Janino recompilation in later passes
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = newSession(cpus)
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -72,6 +78,20 @@ object Bench {
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
+    // The query passes age the SparkContext (scheduler/listener-bus/AQE
+    // state): by the time 3×55 query executions have run, a long
+    // multi-job pipeline in the SAME context hits sys-CPU/futex storms
+    // and reads 4–5× its clean time (round 2: 227 s vs ~50 s fresh).
+    // So the etl pair runs in a FRESH SparkContext — new scheduler
+    // threads, empty listener bus — while keeping the JVM's JIT warmth
+    // from the passes above. On a real cluster this is simply "each
+    // pipeline run is its own application", which is how the reference
+    // runs its Glue jobs too.
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark2 = newSession(cpus)
+
     // Full pipeline twice, mirroring BASELINE.md's pair of published
     // numbers: initial load (full history) then an incremental re-run of
     // one year, where dynamic partition overwrite rewrites only the
@@ -81,11 +101,11 @@ object Bench {
         val wh = java.nio.file.Files
           .createTempDirectory("graft_bench_wh_").toString
         val initial = timed {
-          Pipeline.run(spark,
+          Pipeline.run(spark2,
             Pipeline.Config(sfDir, wh, "19920101", "20021231"))
         }
         val incremental = timed {
-          Pipeline.run(spark,
+          Pipeline.run(spark2,
             Pipeline.Config(sfDir, wh, "19950101", "19951231"))
         }
         // best-effort cleanup of the temp warehouse
@@ -104,6 +124,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    spark2.stop()
   }
 }

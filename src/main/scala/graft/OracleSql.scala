@@ -799,5 +799,171 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
-  val all: Map[String, String] = core ++ text ++ kpi ++ round2
+  /** Round-3 corpus-preparation surface (graft.operators.CorpusOps).
+    * Word-3-gram construction mirrors TextFunctions.shingles exactly:
+    * whitespace split of trimmed text, whole-text fallback under 3
+    * tokens, i..i+2 windows otherwise. */
+  val corpus: Map[String, String] = Map(
+    "q56_boilerplate_spans" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END) AS span
+        FROM d
+      )
+      SELECT span,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_occurrences
+      FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    "q57_pii_mask" -> """
+      SELECT c_custkey,
+             regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked_name,
+             length(c_name) -
+               length(regexp_replace(c_name, '[0-9]', '', 'g'))
+               AS n_digits_redacted
+      FROM customer
+    """,
+    "q58_contamination" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END)) AS gram
+        FROM d
+      ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0
+      ), tr AS (
+        SELECT doc_id, gram FROM g WHERE doc_id % 100 <> 0
+      )
+      SELECT tr.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated,
+             ROUND(CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS contamination_share
+      FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+      GROUP BY 1
+    """,
+    "q59_seq_packing" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_toks
+        FROM documents
+      ), c AS (
+        SELECT doc_id, n_toks,
+               COALESCE(CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS cum_before
+        FROM t
+      )
+      SELECT CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1
+    """,
+    "q60_vocab_topk" -> """
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+      ), n AS (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+      )
+      SELECT * FROM (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+        FROM n)
+      WHERE rank <= 50
+    """,
+    "q61_weighted_sample" -> """
+      WITH p AS (
+        SELECT doc_id, n_chars,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+      )
+      SELECT doc_id, n_chars, ROUND(priority, 4) AS priority
+      FROM p ORDER BY priority ASC, doc_id ASC LIMIT 64
+    """,
+    "q62_repetition_stats" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+      ), pc AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+      )
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_unique,
+             ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio,
+             ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_share
+      FROM pc GROUP BY 1
+    """,
+    "q63_curriculum_buckets" -> """
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_toks
+        FROM documents
+      ), b AS (
+        SELECT doc_id, n_chars, n_toks,
+               CAST(NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC)
+                    AS BIGINT) AS bucket
+        FROM t
+      )
+      SELECT bucket, COUNT(*) AS n_docs,
+             MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             ROUND(AVG(n_toks), 2) AS avg_tokens
+      FROM b GROUP BY 1
+    """,
+    "q64_scd2_history" -> """
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events
+      ), ch AS (
+        SELECT user_id, event_type, ts, event_id FROM o
+        WHERE prev_type IS NULL OR prev_type <> event_type
+      )
+      SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(LEAD(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to
+      FROM ch
+    """,
+    "q65_source_rollup" -> """
+      WITH fp AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM documents
+      ), c AS (
+        SELECT f, COUNT(*) AS copies FROM fp GROUP BY 1
+      )
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             ROUND(AVG(n_chars), 2) AS avg_chars
+      FROM fp JOIN c USING (f)
+      GROUP BY 1
+    """
+  ).map { case (k, v) => k -> v.trim }
+
+  val all: Map[String, String] = core ++ text ++ kpi ++ round2 ++ corpus
 }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, Dedup,
-  KpiQueries, RangeJoin, Similarity, TextQueries}
+import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
+  Dedup, KpiQueries, RangeJoin, Similarity, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,7 +79,21 @@ object SparkEntry {
     "q52_media_knn" -> (graft.multimodal.Multimodal.q52MediaKnn _),
     "q53_ann_ivf_trained" -> (Similarity.q53AnnIvfTrained _),
     "q54_minhash_md5" -> (Dedup.q54MinhashMd5 _),
-    "q55_lsh_pairs_md5" -> (Dedup.q55LshPairsMd5 _)
+    "q55_lsh_pairs_md5" -> (Dedup.q55LshPairsMd5 _),
+    // Round-3 corpus-preparation surface: boilerplate spans,
+    // PII scrubbing, contamination checks, sequence packing, vocab
+    // stats, weighted sampling, repetition filters, curriculum
+    // buckets, SCD2 history, per-source rollups.
+    "q56_boilerplate_spans" -> (CorpusOps.q56BoilerplateSpans _),
+    "q57_pii_mask" -> (CorpusOps.q57PiiMask _),
+    "q58_contamination" -> (CorpusOps.q58Contamination _),
+    "q59_seq_packing" -> (CorpusOps.q59SeqPacking _),
+    "q60_vocab_topk" -> (CorpusOps.q60VocabTopK _),
+    "q61_weighted_sample" -> (CorpusOps.q61WeightedSample _),
+    "q62_repetition_stats" -> (CorpusOps.q62RepetitionStats _),
+    "q63_curriculum_buckets" -> (CorpusOps.q63CurriculumBuckets _),
+    "q64_scd2_history" -> (CorpusOps.q64Scd2History _),
+    "q65_source_rollup" -> (CorpusOps.q65SourceRollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

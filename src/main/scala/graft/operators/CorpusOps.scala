@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond per-document scoring: boilerplate detection,
+  * benchmark-contamination checks, sequence packing, vocabulary stats,
+  * weighted sampling, repetition filters, curriculum bucketing, PII
+  * scrubbing, and per-source corpus health rollups. Every query here is
+  * DuckDB-oracle-checked (hash match), so the cross-engine determinism
+  * rules apply: md5 for hashes, exactly-rounded single IEEE ops for
+  * priorities, ROUND at fixed precision for doubles.
+  *
+  * Scale notes are per-operator; the common pattern is one shuffle on a
+  * corpus-sized key (gram / token / fingerprint) with map-side partial
+  * aggregation, which is the shape that survives 100 TB.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** q56 — boilerplate span detection: word 3-gram spans shared by ≥2
+    * distinct documents, with corpus-wide occurrence counts. The
+    * training-data use is stripping repeated headers/footers/navigation
+    * chrome. Plan: explode grams (codegen'd), ONE shuffle on the gram
+    * string with partial aggregation; the ≥2-docs filter runs post-agg
+    * (HAVING). At 100 TB the gram key-space is bounded by corpus vocab,
+    * and frequent-gram skew is absorbed by the partial aggregate. */
+  def q56BoilerplateSpans(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("span"))
+      .groupBy(col("span"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= 2)
+
+  /** q57 — PII/identifier scrubbing: mask digit runs in the customer
+    * name (account-number-shaped tokens) and count redacted characters
+    * (the audit trail a compliance pipeline needs). Pure per-row regex
+    * work — no shuffle, stays inside whole-stage codegen; at 100 TB
+    * this is a map-only pass. */
+  def q57PiiMask(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]+", "#").as("masked_name"),
+      (length(col("c_name")) -
+        length(regexp_replace(col("c_name"), "[0-9]", "")))
+        .as("n_digits_redacted"))
+
+  /** q58 — benchmark-contamination check: the held-out set is every
+    * doc_id ≡ 0 (mod 100); for each training document, the share of its
+    * distinct word 3-grams that also occur in the held-out set. Plan:
+    * the eval-gram table is distinct-aggregated then BROADCAST (eval
+    * sets are small by construction); training grams never shuffle —
+    * explode → broadcast-hash left join → per-doc partial agg. */
+  def q58Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val evalGrams = d.where(col("doc_id") % 100 === 0)
+      .select(explode(array_distinct(shingles(col("text"), 3))).as("gram"))
+      .distinct()
+      .withColumn("in_eval", lit(1))
+    val trainGrams = d.where(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("gram"))
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_eval"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination_share",
+        round(col("n_contaminated") / col("n_grams").cast("double"), 4))
+  }
+
+  /** q59 — sequence packing: stream documents in doc_id order into
+    * fixed 512-token context windows (documents may straddle a
+    * boundary — "packed pretraining batch" semantics), then report each
+    * pack's fill. The global running sum is a single-partition window
+    * here; at 100 TB the same op is a two-pass prefix sum
+    * (per-partition subtotal broadcast + local cumsum), which this
+    * formulation maps to directly. */
+  def q59SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val ctx = 512
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), nTokens(col("text")).cast("long").as("n_toks"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / ctx).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** q60 — corpus vocabulary top-k: the 50 most frequent whitespace
+    * tokens with deterministic tie-break (count desc, token asc). One
+    * shuffle on the token with partial agg, then a top-k that Catalyst
+    * plans as TakeOrderedAndProject — no global sort materialization. */
+  def q60VocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 50)
+  }
+
+  /** q61 — deterministic weighted sampling (Efraimidis–Spirakis shape):
+    * priority = hash(doc_id) / weight, keep the 64 smallest. The hash is
+    * the first 8 md5 hex digits as an integer (engine-portable), the
+    * weight is n_chars, and the priority is ONE exactly-rounded IEEE
+    * division — so the ranking is bit-identical in any engine.
+    * Longer docs ⇒ smaller priority ⇒ proportionally likelier selection.
+    * Distributed shape: per-partition bottom-k then merge (same
+    * Aggregator as q30); here expressed as the equivalent top-k plan. */
+  def q61WeightedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") / col("n_chars").cast("double")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(64)
+      .select(col("doc_id"), col("n_chars"), round(col("priority"), 4).as("priority"))
+
+  /** q62 — repetition statistics (Gopher-style quality signals): per
+    * document, the duplicate-token ratio and the most-frequent-token
+    * share. Token counts explode through ONE (doc_id, token) shuffle
+    * with partial agg, then collapse per doc — both keys are
+    * high-cardinality, so the plan has no skew hotspot. */
+  def q62RepetitionStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        round(lit(1) - count(lit(1)) / sum(col("c")).cast("double"), 4)
+          .as("dup_ratio"),
+        round(max(col("c")) / sum(col("c")).cast("double"), 4)
+          .as("top_token_share"))
+
+  /** q63 — curriculum bucketing: NTILE(10) over (n_chars, doc_id) —
+    * the deterministic total order makes bucket boundaries
+    * engine-portable — with per-bucket size/length stats. NTILE is a
+    * single-partition window at this shape; the scale path is
+    * approx-quantile boundaries broadcast as a bucketizer (q46's
+    * machinery). */
+  def q63CurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        nTokens(col("text")).cast("long").as("n_toks"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_toks")), 2).as("avg_tokens"))
+  }
+
+  /** q64 — SCD2 history build (the "hist" in the reference's name):
+    * collapse each user's event stream into type-2 validity intervals —
+    * a row per event_type CHANGE, valid until the next change (NULL =
+    * current). Two window passes over the same (user_id, ts, event_id)
+    * order → Catalyst reuses ONE sort+shuffle for both. */
+  def q64Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = Tables.load(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(ord))
+      .select(
+        col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+  }
+
+  /** q65 — per-source corpus health rollup: doc counts, exact-duplicate
+    * counts (corpus-wide fingerprint collisions attributed back to each
+    * source), language diversity, and size stats. The fingerprint
+    * count is a corpus-wide shuffle on md5 (uniform key), rejoined to
+    * the docs — at 100 TB the fingerprint-count table is dedup-output-
+    * sized, so the join shuffles both sides on the fingerprint. */
+  def q65SourceRollup(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      fingerprint(col("text")).as("f"))
+    val counts = fp.groupBy(col("f")).agg(count(lit(1)).as("copies"))
+    fp.join(counts, Seq("f"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("copies") > 1, 1).otherwise(0)).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+  }
+}
