@@ -947,6 +947,80 @@ object OracleSql {
                ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to
       FROM ch
     """,
+    "q66_ann_rademacher" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          CASE WHEN CAST(concat('0x', substring(md5(
+                 concat(CAST(p AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1))
+               AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS pv
+        FROM range(0, 6) t(p)
+      ), b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, pv) > 0
+                             THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n CROSS JOIN planes GROUP BY vec_id
+      ), nb AS (
+        SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN b USING (vec_id)
+      ), probes AS (
+        SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS probe
+      ), q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+               xor(bucket, probe) AS qb
+        FROM nb CROSS JOIN probes WHERE vec_id < 10
+      ), s AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(c.v, q.qv) / (c.nrm * q.qn) AS cosine
+        FROM nb c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.query_id
+      )
+      SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM s
+      )
+      WHERE rank <= 5
+    """,
+    "q67_quantized_knn" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), m AS (
+        SELECT vec_id, v, nrm,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM n
+      ), qz AS (
+        SELECT vec_id, v, nrm,
+               list_transform(v, x -> FLOOR(x * 127.0 / mx + 0.5)) AS qv
+        FROM m
+      ), nn AS (
+        SELECT vec_id, v, nrm, qv,
+               sqrt(list_dot_product(qv, qv)) AS qn
+        FROM qz
+      ), s AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(c.qv, a.qv) / (c.qn * a.qn) AS qcosine,
+               list_dot_product(c.v, a.v) / (c.nrm * a.nrm) AS cosine_exact
+        FROM nn c JOIN nn a ON a.vec_id < 10 AND c.vec_id <> a.vec_id
+      )
+      SELECT query_id, rank, neighbor_id,
+             ROUND(qcosine, 6) AS qcosine,
+             ROUND(cosine_exact, 6) AS cosine_exact
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+        FROM s
+      )
+      WHERE rank <= 5
+    """,
     "q65_source_rollup" -> """
       WITH fp AS (
         SELECT doc_id, source, lang, n_chars,

@@ -93,7 +93,11 @@ object SparkEntry {
     "q62_repetition_stats" -> (CorpusOps.q62RepetitionStats _),
     "q63_curriculum_buckets" -> (CorpusOps.q63CurriculumBuckets _),
     "q64_scd2_history" -> (CorpusOps.q64Scd2History _),
-    "q65_source_rollup" -> (CorpusOps.q65SourceRollup _)
+    "q65_source_rollup" -> (CorpusOps.q65SourceRollup _),
+    // Oracle-checked ANN variants: md5-Rademacher LSH (the
+    // hash-checkable twin of q24) and int8 scalar-quantized KNN.
+    "q66_ann_rademacher" -> (Similarity.q66AnnRademacher _),
+    "q67_quantized_knn" -> (Similarity.q67QuantizedKnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -225,4 +225,90 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---- Oracle-checkable ANN variants (round 3) -----------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  val RademacherPlanes = 6
+  val EmbeddingDim = 64
+
+  /** ±1 hyperplanes derived from md5 parity — the same bits any engine
+    * can derive from `md5(p || '_' || i)`, which is what makes q66
+    * hash-checkable where q24's JVM-Random planes are not. */
+  private lazy val rademacherPlanes: Seq[Seq[Double]] =
+    (0 until RademacherPlanes).map { p =>
+      (0 until EmbeddingDim).map { i =>
+        val nibble = Integer.parseInt(md5Hex(s"${p}_$i").substring(0, 1), 16)
+        if (nibble % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** q66 — Rademacher-LSH ANN, fully oracle-checked: same multi-probe
+    * bucketed search as q24, but the hyperplanes are ±1 vectors derived
+    * from md5 parity, so DuckDB reproduces the exact buckets. The ±1
+    * components make each projection a signed in-order sum of the
+    * vector's own components — sequential in both engines' dot
+    * products, hence bit-identical signs. Corpus cost: one bucket
+    * computation per row (map-only) + broadcast of the probed query
+    * buckets; the corpus never shuffles. */
+  def q66AnnRademacher(s: SparkSession, dir: String): DataFrame = {
+    val bucket = rademacherPlanes.zipWithIndex.map { case (pv, p) =>
+      when(dot(col("v"), typedLit(pv)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val all = vecs(s, dir).withColumn("bucket", bucket)
+    val probeOffsets = lit(0) +:
+      (0 until RademacherPlanes).map(i => lit(1 << i))
+    val queries = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"), col("bucket").as("q_bucket"))
+      .withColumn("probe", explode(array(probeOffsets: _*)))
+      .withColumn("q_bucket", col("q_bucket").bitwiseXOR(col("probe")))
+      .drop("probe")
+    val scored = all.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("v"), col("qv")) / (col("v_norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** q67 — int8-quantized KNN: scalar-quantize each vector to
+    * [-127,127] (the memory-bandwidth play that makes 100 TB ANN
+    * affordable: 8× smaller vectors, integer dot products), rank by the
+    * quantized cosine, and report the exact cosine alongside so the
+    * quantization error is visible. All quantized arithmetic is
+    * exact-integer-valued doubles (|sum| ≪ 2^53), so scores are
+    * bit-identical across engines regardless of summation order.
+    * floor(x+0.5) pins round-half behavior engine-portably. */
+  def q67QuantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("double")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val queries = v.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"), col("v").as("q_v"), col("v_norm").as("q_vn"))
+    val scored = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("qcosine",
+        dot(col("qv"), col("q_qv")) / (col("qn") * col("q_qn")))
+      .withColumn("cosine_exact",
+        dot(col("v"), col("q_v")) / (col("v_norm") * col("q_vn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("qcosine"), 6).as("qcosine"),
+        round(col("cosine_exact"), 6).as("cosine_exact"))
+  }
 }
