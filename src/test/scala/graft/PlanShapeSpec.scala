@@ -92,4 +92,59 @@ class PlanShapeSpec extends AnyFunSuite {
       "Exchange hashpartitioning".r.findAllIn(finalSection).length
     assert(exchanges <= 1, s"rollup should shuffle once, saw $exchanges:\n$p")
   }
+
+  // ---- Round-3 corpus/ANN operators ---------------------------------
+
+  test("q58 contamination joins the eval-gram set by broadcast " +
+      "(training grams never shuffle for the lookup)") {
+    val df = graft.operators.CorpusOps.q58Contamination(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram lookup must not sort-merge:\n$p")
+  }
+
+  test("q56 span counting aggregates in two phases (map-side partial)") {
+    val df = graft.operators.CorpusOps.q56BoilerplateSpans(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"expected partial aggregation before the span shuffle:\n$p")
+  }
+
+  test("q61 weighted sample plans as TakeOrderedAndProject (bottom-k, " +
+      "no global sort materialization)") {
+    val p = plan(graft.operators.CorpusOps.q61WeightedSample(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
+  }
+
+  test("q66 LSH candidate join broadcasts the probed queries; " +
+      "the corpus side computes buckets map-only (no corpus exchange)") {
+    val df = graft.operators.Similarity.q66AnnRademacher(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"queries must broadcast:\n$p")
+    val finalSection = p.split("== Initial Plan ==").head
+    // the only exchange allowed is the per-query window's repartition
+    // AFTER candidate scoring — never one feeding the join
+    val joinIdx = finalSection.indexOf("BroadcastHashJoin")
+    val corpusSide = finalSection.substring(joinIdx)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle before the bucket join:\n$p")
+  }
+
+  test("q64 SCD2 reuses one sort for both window passes") {
+    val df = graft.operators.CorpusOps.q64Scd2History(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val sorts = "Sort \\[".r.findAllIn(finalSection).length
+    assert(sorts <= 1,
+      s"lag+lead over the same order must share one sort, saw $sorts:\n$p")
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(exchanges <= 1,
+      s"both windows must share one user_id shuffle, saw $exchanges:\n$p")
+  }
 }
