@@ -10,9 +10,26 @@ import graft.Tables
   * re-expressed over the TPC-H-ish testdata with plain-Scala
   * orchestration replacing Step Functions (SURVEY §2.12): T0 runs its
   * two ingests in parallel `Future`s, T1 depends on both, the four T2
-  * marts fan out in parallel, all inside ONE SparkSession (the
-  * reference paid a cluster per job; in-process the silver table is
-  * cached across the marts — SURVEY §4's noted improvement).
+  * marts fan out in parallel.
+  *
+  * Two execution modes with byte-identical warehouse output:
+  *
+  *  - **pipelined** (default): each stage's dataset is cached once and
+  *    its durable write runs CONCURRENTLY with downstream compute —
+  *    the bronze write overlaps the silver join, the silver write
+  *    overlaps the four mart aggregations. Every stage is still
+  *    written (same files, same dirs, same dynamic-overwrite
+  *    semantics); what leaves the critical path is the write-then-
+  *    reread round trip the reference pays because each Glue job is a
+  *    separate cluster. A restart simply falls back to reading the
+  *    warehouse, so failure semantics match the staged mode at the
+  *    granularity of whole runs.
+  *  - **staged**: the reference's exact S2S flow — every stage reads
+  *    its input back from the warehouse. At cluster scale prefer this
+  *    when the fact window doesn't fit the executor-memory budget for
+  *    caching (the reference's 28.6M-row month window would fit; a
+  *    100 TB backfill window would use staged, or pipelined per
+  *    month-partition).
   *
   * Role mapping: `lineitem`+`orders` = fact (purchase), `customer`/
   * `nation`/`region` = customer+zipcode geography, `part` =
@@ -25,24 +42,28 @@ object Pipeline {
     sourceDir: String,
     warehouseDir: String,
     fromDate: String, // yyyymmdd inclusive
-    toDate: String)   // yyyymmdd inclusive
+    toDate: String,   // yyyymmdd inclusive
+    pipelined: Boolean = true)
 
   val factPartitions: Seq[String] = Seq("l_returnflag", "ship_year", "ship_month")
+
+  /** The windowed fact with derived partition columns (S2→P1→X1) —
+    * the dataset T0 writes to bronze. */
+  private def windowedFact(spark: SparkSession, cfg: Config): DataFrame =
+    Tables.load(spark, cfg.sourceDir, "lineitem")
+      .withColumn("ship_ymd", date_format(col("l_shipdate"), "yyyyMMdd"))
+      .where(col("ship_ymd").between(cfg.fromDate, cfg.toDate))
+      .withColumn("ship_year", substring(col("ship_ymd"), 1, 4))
+      .withColumn("ship_month", substring(col("ship_ymd"), 5, 2))
 
   // ---- T0: bronze ---------------------------------------------------
 
   /** T0 fact ingest (S2→P1→X1→S7): filtered source scan with the
     * string-date window pushed to the scan, derived year/month partition
     * columns, partitioned dynamic-overwrite write. */
-  def t0Fact(spark: SparkSession, cfg: Config): Unit = {
-    val fact = Tables.load(spark, cfg.sourceDir, "lineitem")
-      .withColumn("ship_ymd", date_format(col("l_shipdate"), "yyyyMMdd"))
-      .where(col("ship_ymd").between(cfg.fromDate, cfg.toDate))
-      .withColumn("ship_year", substring(col("ship_ymd"), 1, 4))
-      .withColumn("ship_month", substring(col("ship_ymd"), 5, 2))
-    Sinks.writePartitioned(fact, s"${cfg.warehouseDir}/bronze/fact",
-      factPartitions)
-  }
+  def t0Fact(spark: SparkSession, cfg: Config): Unit =
+    Sinks.writePartitioned(windowedFact(spark, cfg),
+      s"${cfg.warehouseDir}/bronze/fact", factPartitions)
 
   /** T0 dimension ingest (S1→S6): full-table loads, unpartitioned.
     * The six writes are independent outputs, so they run as parallel
@@ -63,19 +84,14 @@ object Pipeline {
 
   // ---- T1: silver ----------------------------------------------------
 
-  /** T1 denormalization (S4→J1,J2,J3→P3→S7): partition-pruned bronze
-    * scan, left-join all dimensions (fact never shuffles — dims are
-    * broadcast), write silver. */
-  def t1Silver(spark: SparkSession, cfg: Config): Unit = {
+  /** The T1 join chain (J1,J2,J3→P3): left-join all dimensions onto the
+    * fact — fact never shuffles, dims are broadcast. Shared by both
+    * modes; `fact` is either the pruned bronze read (staged) or the
+    * cached in-memory window (pipelined). */
+  private def silverJoin(spark: SparkSession, cfg: Config,
+      fact: DataFrame): DataFrame = {
     def dim(n: String): DataFrame =
       spark.read.parquet(s"${cfg.warehouseDir}/dimension/$n")
-
-    val fromYear = cfg.fromDate.substring(0, 4)
-    val toYear = cfg.toDate.substring(0, 4)
-    // Partition-key predicate → file-listing-time pruning (S4); the
-    // reference's push_down_predicate equivalent.
-    val fact = spark.read.parquet(s"${cfg.warehouseDir}/bronze/fact")
-      .where(col("ship_year").between(fromYear, toYear))
 
     val ord = dim("orders")
     val cust = dim("customer")
@@ -89,16 +105,26 @@ object Pipeline {
       .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"), "left")
       .drop(reg("r_regionkey"))
 
-    val silver = fact
+    fact
       .join(broadcast(ord), fact("l_orderkey") === ord("o_orderkey"), "left")
       .drop(ord("o_orderkey"))
       .join(broadcast(part), fact("l_partkey") === part("p_partkey"), "left")
       .drop(part("p_partkey"))
       .join(broadcast(custGeo), col("o_custkey") === custGeo("c_custkey"), "left")
       .drop(custGeo("c_custkey"))
+  }
 
-    Sinks.writePartitioned(silver, s"${cfg.warehouseDir}/silver/fact_all_info",
-      factPartitions)
+  /** T1 denormalization (S4→J1,J2,J3→P3→S7): partition-pruned bronze
+    * scan, left-join all dimensions, write silver. */
+  def t1Silver(spark: SparkSession, cfg: Config): Unit = {
+    val fromYear = cfg.fromDate.substring(0, 4)
+    val toYear = cfg.toDate.substring(0, 4)
+    // Partition-key predicate → file-listing-time pruning (S4); the
+    // reference's push_down_predicate equivalent.
+    val fact = spark.read.parquet(s"${cfg.warehouseDir}/bronze/fact")
+      .where(col("ship_year").between(fromYear, toYear))
+    Sinks.writePartitioned(silverJoin(spark, cfg, fact),
+      s"${cfg.warehouseDir}/silver/fact_all_info", factPartitions)
   }
 
   // ---- T2: gold marts ------------------------------------------------
@@ -147,7 +173,12 @@ object Pipeline {
 
   /** Full DAG: T0(fact ∥ dims) → T1 → T2(∥×4). Returns mart row counts
     * as a tiny run report. */
-  def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
+  def run(spark: SparkSession, cfg: Config): Map[String, Long] =
+    if (cfg.pipelined) runPipelined(spark, cfg) else runStaged(spark, cfg)
+
+  /** Staged (S2S) mode: every stage reads its input back from the
+    * warehouse — the reference's exact flow. */
+  def runStaged(spark: SparkSession, cfg: Config): Map[String, Long] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
 
     val t0 = Future.sequence(Seq(
@@ -167,23 +198,65 @@ object Pipeline {
         cfg.fromDate.substring(0, 4), cfg.toDate.substring(0, 4)))
       .cache()
     try {
-      val marts = t2Marts(spark, cfg, silver)
-      val written = Future.sequence(marts.toSeq.map { case (name, df) =>
-        Future {
-          // repartition on the partition columns (not coalesce(1)): same
-          // one-file-per-dir layout, but the ~250 dirs are written by
-          // parallel tasks instead of one sequential task.
-          Sinks.writePartitioned(df, s"${cfg.warehouseDir}/gold/$name",
-            Seq("l_returnflag", "ship_year", "ship_month"))
-          name -> spark.read.parquet(s"${cfg.warehouseDir}/gold/$name").count()
-        }
-      })
-      val res = Await.result(written, Duration.Inf).toMap
-      Sinks.register(spark, "fact_all_info",
-        s"${cfg.warehouseDir}/silver/fact_all_info")
-      marts.keys.foreach(n =>
-        Sinks.register(spark, n, s"${cfg.warehouseDir}/gold/$n"))
-      res
+      silver.count() // materialize before the parallel mart consumers
+      writeMarts(spark, cfg, silver)
     } finally silver.unpersist()
+  }
+
+  /** Pipelined mode: stage writes overlap downstream compute. The
+    * partition columns are cast to the types a warehouse read-back
+    * infers (int year/month), so dirs and schemas stay byte-compatible
+    * with staged mode and with incremental runs in either mode. */
+  def runPipelined(spark: SparkSession, cfg: Config): Map[String, Long] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
+    val fact = windowedFact(spark, cfg).cache()
+    try {
+      val dims = Future(t0Dimensions(spark, cfg))
+      fact.count() // materialize once before concurrent consumers
+      val bronzeWrite = Future(Sinks.writePartitioned(fact,
+        s"${cfg.warehouseDir}/bronze/fact", factPartitions))
+      Await.result(dims, Duration.Inf) // T1 broadcasts the written dims
+
+      // Same rows t1Silver computes for this window; partition-column
+      // types normalized to the read-back inference (int), which is
+      // what the staged silver/gold writes produce.
+      val silver = silverJoin(spark, cfg, fact)
+        .withColumn("ship_year", col("ship_year").cast("int"))
+        .withColumn("ship_month", col("ship_month").cast("int"))
+        .cache()
+      try {
+        silver.count()
+        val silverWrite = Future(Sinks.writePartitioned(silver,
+          s"${cfg.warehouseDir}/silver/fact_all_info", factPartitions))
+        val res = writeMarts(spark, cfg, silver)
+        Await.result(silverWrite, Duration.Inf)
+        Await.result(bronzeWrite, Duration.Inf)
+        res
+      } finally silver.unpersist()
+    } finally fact.unpersist()
+  }
+
+  /** T2 fan-out (D1 ∥×4) + catalog registration (S9/D3). */
+  private def writeMarts(spark: SparkSession, cfg: Config,
+      silver: DataFrame): Map[String, Long] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val marts = t2Marts(spark, cfg, silver)
+    val written = Future.sequence(marts.toSeq.map { case (name, df) =>
+      Future {
+        // repartition on the partition columns (not coalesce(1)): same
+        // one-file-per-dir layout, but the ~250 dirs are written by
+        // parallel tasks instead of one sequential task.
+        Sinks.writePartitioned(df, s"${cfg.warehouseDir}/gold/$name",
+          Seq("l_returnflag", "ship_year", "ship_month"))
+        name -> spark.read.parquet(s"${cfg.warehouseDir}/gold/$name").count()
+      }
+    })
+    val res = Await.result(written, Duration.Inf).toMap
+    Sinks.register(spark, "fact_all_info",
+      s"${cfg.warehouseDir}/silver/fact_all_info")
+    marts.keys.foreach(n =>
+      Sinks.register(spark, n, s"${cfg.warehouseDir}/gold/$n"))
+    res
   }
 }

@@ -17,7 +17,15 @@ object Sinks {
     * `numFiles` caps files per partition dir (the reference's
     * `coalesce(1)` small-files control, glue_t1.md:82) — at cluster
     * scale prefer repartition on the partition columns so each writer
-    * task owns whole partitions instead of a single-task bottleneck. */
+    * task owns whole partitions instead of a single-task bottleneck.
+    *
+    * The repartition pins an EXPLICIT task count: a bare
+    * `repartition(cols)` is a flexible REPARTITION_BY_COL that AQE
+    * freely coalesces — for a small mart it collapses to ~1 task that
+    * then creates all ~250 partition dirs SEQUENTIALLY, turning a
+    * parallel write into a file-creation crawl. Pinning keeps dir
+    * creation spread across the cluster while each dir still gets
+    * exactly one file (dirs are hash-owned by one task either way). */
   def writePartitioned(
       df: DataFrame, path: String, partitionCols: Seq[String],
       numFiles: Int = 0): Unit = {
@@ -28,7 +36,8 @@ object Sinks {
       .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     val out =
       if (numFiles > 0) df.coalesce(numFiles)
-      else df.repartition(partitionCols.map(df.col): _*)
+      else df.repartition(spark.sparkContext.defaultParallelism,
+        partitionCols.map(df.col): _*)
     out.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
