@@ -38,6 +38,15 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("v_norm", norm(col("v")))
+      // Materialization barrier, deliberately: (a) the single-file table
+      // is ONE input partition, so per-row vector work would otherwise
+      // run on one task; (b) `transform` is an interpreted higher-order
+      // function that CollapseProject happily inlines into every
+      // downstream reference — behind a join each corpus row would
+      // re-evaluate the cast-transform once PER MATCHED PAIR. The
+      // shuffle writes v/v_norm as data, so joins and windows consume
+      // attributes, not re-executed expressions.
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** q23 — brute-force cosine top-k: for each query vector (vec_id<10),
     * the 5 nearest corpus vectors. Query side broadcast; corpus scanned
@@ -67,10 +76,7 @@ object Similarity {
     * deterministic and DuckDB-checkable, unlike probe-based candidate
     * generation. */
   def q31CosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-      // single-file table → one input partition; spread the O(pairs)
-      // cosine work across the cluster before the broadcast join
-      .repartition(s.sparkContext.defaultParallelism)
+    val v = vecs(s, dir) // already repartitioned + materialized
     val a = v.select(col("label"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("v_norm").as("na"))
     val b = v.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
@@ -294,6 +300,12 @@ object Similarity {
       .withColumn("qv", transform(col("v"),
         x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("double")))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      // Second barrier: qv is ANOTHER interpreted transform layered on
+      // vecs' materialized v — without it, the 10-way query join
+      // re-quantizes every corpus vector once per matched pair (the
+      // round-3 bench caught exactly this: one task, 800+ s of
+      // interpreted ArrayTransform eval).
+      .repartition(s.sparkContext.defaultParallelism)
     val queries = v.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("qn").as("q_qn"), col("v").as("q_v"), col("v_norm").as("q_vn"))
