@@ -24,6 +24,13 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The single-file documents table reads as ONE input partition, and
+    * `shingles`/`tokens` are interpreted higher-order expressions —
+    * explode-heavy queries must spread that per-row work across the
+    * cluster first or one task grinds through the whole corpus. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** q56 — boilerplate span detection: word 3-gram spans shared by ≥2
     * distinct documents, with corpus-wide occurrence counts. The
     * training-data use is stripping repeated headers/footers/navigation
@@ -32,12 +39,18 @@ object CorpusOps {
     * (HAVING). At 100 TB the gram key-space is bounded by corpus vocab,
     * and frequent-gram skew is absorbed by the partial aggregate. */
   def q56BoilerplateSpans(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("span"))
+      // two-stage instead of count(distinct): the (span, doc_id)
+      // pre-aggregate collapses within-doc repeats map-side, then the
+      // span rollup is a plain count+sum — no Expand, and a hot span's
+      // rows were already thinned by the first stage (skew-safe)
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("span"))
       .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+        count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"))
       .where(col("n_docs") >= 2)
 
   /** q57 — PII/identifier scrubbing: mask digit runs in the customer
@@ -60,7 +73,7 @@ object CorpusOps {
     * sets are small by construction); training grams never shuffle —
     * explode → broadcast-hash left join → per-doc partial agg. */
   def q58Contamination(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsSpread(s, dir)
     val evalGrams = d.where(col("doc_id") % 100 === 0)
       .select(explode(array_distinct(shingles(col("text"), 3))).as("gram"))
       .distinct()
@@ -106,7 +119,7 @@ object CorpusOps {
     * shuffle on the token with partial agg, then a top-k that Catalyst
     * plans as TakeOrderedAndProject — no global sort materialization. */
   def q60VocabTopK(s: SparkSession, dir: String): DataFrame = {
-    val counts = docs(s, dir)
+    val counts = docsSpread(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
@@ -139,7 +152,7 @@ object CorpusOps {
     * with partial agg, then collapse per doc — both keys are
     * high-cardinality, so the plan has no skew hotspot. */
   def q62RepetitionStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("c"))
