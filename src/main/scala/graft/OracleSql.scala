@@ -1039,5 +1039,150 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
-  val all: Map[String, String] = core ++ text ++ kpi ++ round2 ++ corpus
+  /** Round-3 profiling / OLAP-extras / collocation surface. */
+  val round3b: Map[String, String] = Map(
+    "q68_column_profile" -> """
+      SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             CAST(MIN(o_totalprice) AS VARCHAR),
+             CAST(MAX(o_totalprice) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR),
+             CAST(MAX(o_orderdate) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+    """,
+    "q69_edit_distance" -> """
+      WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             a.p_name AS a_name, b.p_name AS b_name,
+             levenshtein(a.p_name, b.p_name) AS edit_dist
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    "q70_embedding_centroids" -> """
+      SELECT label, i - 1 AS dim, COUNT(*) AS n_vecs,
+             ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                 AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS centroid
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY 1, 2
+    """,
+    "q71_unpivot" -> """
+      WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY 1)
+      SELECT * FROM wide
+      UNPIVOT (value FOR measure IN (sum_qty, sum_price, n_rows))
+    """,
+    "q72_collocations" -> """
+      WITH d AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), uni AS (
+        SELECT unnest(toks) AS w FROM d
+      ), c1 AS (
+        SELECT w, COUNT(*) AS c FROM uni GROUP BY 1
+      ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_tokens FROM uni
+      ), bi AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+        FROM d WHERE len(toks) >= 2
+      ), c12 AS (
+        SELECT bigram, COUNT(*) AS c12 FROM bi
+        GROUP BY 1 HAVING COUNT(*) >= 5
+      ), scored AS (
+        SELECT bigram, c12, a.c AS c1, b.c AS c2,
+               ROUND(CAST(c12 AS DOUBLE) * n_tokens
+                     / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 6)
+                 AS lift
+        FROM c12, n
+        JOIN c1 a ON split_part(bigram, ' ', 1) = a.w
+        JOIN c1 b ON split_part(bigram, ' ', 2) = b.w
+      )
+      SELECT bigram, c12, c1, c2, lift, rank FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY lift DESC, bigram ASC) AS rank
+        FROM scored)
+      WHERE rank <= 50
+    """,
+    "q73_grouping_sets" -> """
+      SELECT r_name, o_orderpriority,
+             CAST(GROUPING(r_name) AS INT) AS g_region,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                   AS DOUBLE), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name),
+                              (o_orderpriority), ())
+    """,
+    "q74_histogram" -> """
+      WITH g AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS grand_total
+        FROM orders
+      ), b AS (
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_rev
+        FROM orders GROUP BY 1
+      )
+      SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
+             n_orders,
+             ROUND(CAST(dec_rev AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(dec_rev AS DOUBLE) / grand_total, 6)
+               AS revenue_share
+      FROM b, g
+    """,
+    "q75_segment_percentiles" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ROUND(percent_rank() OVER w, 6) AS pct_rank,
+             ROUND(cume_dist() OVER w, 6) AS cume,
+             CAST(ntile(10) OVER w AS INT) AS decile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)
+    """
+  ).map { case (k, v) => k -> v.trim }
+
+  val all: Map[String, String] =
+    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b
 }

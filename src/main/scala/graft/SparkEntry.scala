@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, KpiQueries, RangeJoin, Similarity, TextQueries}
+  Dedup, KpiQueries, Profiling, RangeJoin, Similarity, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,7 +97,19 @@ object SparkEntry {
     // Oracle-checked ANN variants: md5-Rademacher LSH (the
     // hash-checkable twin of q24) and int8 scalar-quantized KNN.
     "q66_ann_rademacher" -> (Similarity.q66AnnRademacher _),
-    "q67_quantized_knn" -> (Similarity.q67QuantizedKnn _)
+    "q67_quantized_knn" -> (Similarity.q67QuantizedKnn _),
+    // Round-3 profiling / OLAP-extras / collocation surface: column
+    // profiles, histograms, percentile placement, UNPIVOT, GROUPING
+    // SETS, edit-distance blocking dedup, embedding centroids, bigram
+    // collocation mining.
+    "q68_column_profile" -> (Profiling.q68ColumnProfile _),
+    "q69_edit_distance" -> (Dedup.q69EditDistancePairs _),
+    "q70_embedding_centroids" -> (Similarity.q70EmbeddingCentroids _),
+    "q71_unpivot" -> (Analytics.q71Unpivot _),
+    "q72_collocations" -> (TextQueries.q72Collocations _),
+    "q73_grouping_sets" -> (Analytics.q73GroupingSets _),
+    "q74_histogram" -> (Profiling.q74Histogram _),
+    "q75_segment_percentiles" -> (Profiling.q75SegmentPercentiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

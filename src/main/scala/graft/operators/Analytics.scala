@@ -230,4 +230,47 @@ object Analytics {
         col("event_type"), col("exact_users"), col("approx_users"),
         round(abs(col("approx_users") - col("exact_users")) /
           col("exact_users"), 4).as("rel_err"))
+
+  /** q71 — UNPIVOT (melt): the per-returnflag measure matrix turned
+    * into (flag, measure, value) long form via the native
+    * Dataset.unpivot (Expand under the hood — ×3 on the already
+    * aggregated 3-row input, not on the fact table). Long form is the
+    * shape metric stores and plotting layers ingest. */
+  def q71Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+      "measure", "value")
+  }
+
+  /** q73 — GROUPING SETS with GROUPING() markers: one shuffle computes
+    * the region×priority matrix plus both one-dimensional margins and
+    * the grand total (Expand ×4 feeding a single two-phase aggregate —
+    * four separate group-bys would scan the join output four times).
+    * Distinct from q36 ROLLUP / q43 CUBE: the set list here is
+    * hand-picked, the general form the other two desugar into. */
+  def q73GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+        r_name, o_orderpriority,
+        CAST(GROUPING(r_name) AS INT) AS g_region,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+          AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name),
+                              (o_orderpriority), ())
+    """)
+  }
 }

@@ -218,4 +218,29 @@ object Dedup {
         col("doc_id"), col("simhash"),
         bit_count(col("simhash").bitwiseXOR(col("sim_b"))).as("hamming_next"))
   }
+
+  val EditDistMax = 4
+
+  /** q69 — edit-distance near-dup pairs with attribute blocking: part
+    * names compared only within a (brand, size) block, so the
+    * quadratic Levenshtein stage runs on block-local candidates — the
+    * equi-join on the block key is the ONLY shuffle, and block sizes
+    * (not the corpus) bound the pair count. levenshtein() is a codegen
+    * builtin with identical unit-cost semantics in DuckDB, so unlike
+    * the hash-seeded families this near-dup detector is fully
+    * oracle-checked. */
+  def q69EditDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      col("p_brand").as("block_brand"), col("p_size").as("block_size"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+      col("p_brand").as("block_brand"), col("p_size").as("block_size"))
+    a.join(b, Seq("block_brand", "block_size"))
+      .where(col("a_key") < col("b_key"))
+      .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
+      .where(col("edit_dist") <= EditDistMax)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        col("edit_dist"))
+  }
 }

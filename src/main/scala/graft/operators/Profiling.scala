@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-profiling / distribution-analysis surface — the "look before
+  * you train" operators a 100 TB pipeline runs on every new corpus
+  * drop: per-column statistics, value histograms, and rank/percentile
+  * placement. All single-pass over the table being profiled.
+  */
+object Profiling {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** q68 — per-column profile of `orders` (row count, null count,
+    * distinct count, min/max rendered as strings so one schema covers
+    * every column type). One pass: Spark plans the multi-column
+    * distinct aggregate as a single Expand (×6) + two-phase
+    * HashAggregate — the expanded rows collapse map-side, so the
+    * shuffle carries only per-column partial states, not data. At
+    * 100 TB swap `countDistinct` for `approx_count_distinct`: the
+    * Expand stays, the per-column exact-distinct state (the only
+    * unbounded piece) becomes a fixed-size HLL sketch. */
+  def q68ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = ord.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    one
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"dist_$c").as("n_distinct"),
+        col(s"min_$c").as("min_value"),
+        col(s"max_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  val HistBucketWidth = 25000.0
+
+  /** q74 — fixed-width histogram of order totals: bucket index, bounds,
+    * count, and exact-decimal revenue share per bucket. Bucketing is a
+    * map-only floor-division (codegen'd, no UDF) followed by one small
+    * aggregate — the shape that profiles a 100 TB column in a single
+    * scan. floor() is explicit because Spark's double→int cast
+    * truncates while other engines round. */
+  def q74Histogram(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val total = ord.agg(
+      sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+        .as("grand_total"))
+    ord
+      .withColumn("bucket",
+        floor(col("o_totalprice") / HistBucketWidth).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("dec_rev"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("bucket"),
+        (col("bucket") * HistBucketWidth).as("lo"),
+        ((col("bucket") + 1) * HistBucketWidth).as("hi"),
+        col("n_orders"),
+        round(col("dec_rev").cast("double"), 2).as("revenue"),
+        round(col("dec_rev").cast("double") / col("grand_total"), 6)
+          .as("revenue_share"))
+  }
+
+  /** q75 — rank/percentile placement of every customer within its
+    * market segment: percent_rank, cume_dist, and a decile via NTILE.
+    * The analytic-window trio is one per-segment sort; ordering
+    * includes the key (c_custkey) so NTILE's tie-splitting is a
+    * deterministic total order — without it two engines (or two runs)
+    * may assign tied balances to different deciles. */
+  def q75SegmentPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(10).over(w).as("decile"))
+  }
+}

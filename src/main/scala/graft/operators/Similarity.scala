@@ -323,4 +323,26 @@ object Similarity {
         round(col("qcosine"), 6).as("qcosine"),
         round(col("cosine_exact"), 6).as("cosine_exact"))
   }
+
+  /** q70 — per-label embedding centroids (the IVF-training /
+    * class-prototype primitive): posexplode to (label, dim, component),
+    * one hash aggregate. Partial aggregation collapses each task's
+    * exploded rows to label×dim states, so the shuffle is
+    * O(labels·dims) regardless of corpus size — the same reason a
+    * 100 TB mean fits in one pass. Components sum in exact DECIMAL
+    * (float→double is exact, then one rounded cast) so summation order
+    * can't move the mean; the division happens once, in doubles, in
+    * both engines. */
+  def q70EmbeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "component")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("component").cast("double").cast("decimal(18,12)"))
+          .as("dec_sum"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("dec_sum").cast("double") / col("n_vecs"), 6)
+          .as("centroid"))
 }

@@ -142,4 +142,43 @@ object TextQueries {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
           4).as("jaccard"))
   }
+
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  /** q72 — collocation mining: word bigrams ranked by lift
+    * (P(w1w2) / P(w1)P(w2) = c12·N / c1·c2), the tokenizer-merge /
+    * stock-phrase signal. Three aggregates over one exploded token
+    * stream (unigrams, bigrams, corpus total), then the bigram table
+    * joins its two word counts — vocabulary-sized sides, so at scale
+    * both joins broadcast and the token stream shuffles only for the
+    * counts. Lift is three IEEE ops on exact integer counts (doubles
+    * first, so 100 TB token totals can't overflow), identical in any
+    * engine; ranking ties break on the bigram text. */
+  def q72Collocations(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val uni = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_tokens"))
+    val bi = d
+      .where(size(tokens(col("text"))) >= 2)
+      .select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= CollocMinCount)
+    val scored = bi
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        round(col("c12").cast("double") * col("n_tokens").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")), 6)
+          .as("lift"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("bigram").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= CollocTopK)
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, Profiling, Similarity, TextQueries}
+
+/** Invariant specs for the q68–q75 profiling / OLAP-extras surface
+  * (each also has a DuckDB oracle; these pin the properties the hash
+  * compare can't express as clearly).
+  */
+class ProfilingExtrasSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  private lazy val nOrders =
+    Tables.load(spark, sfDir, "orders").count()
+
+  test("q68 profiles all six columns against the table's row count") {
+    val rows = Profiling.q68ColumnProfile(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === nOrders)
+      assert(r.getAs[Long]("n_nulls") === 0L)
+      assert(r.getAs[Long]("n_distinct") > 0L)
+      assert(r.getAs[String]("min_value") <= r.getAs[String]("max_value")
+        || r.getAs[String]("column_name") == "o_totalprice") // numeric-as-string
+    }
+    val byCol = rows.map(r => r.getAs[String]("column_name") ->
+      r.getAs[Long]("n_distinct")).toMap
+    assert(byCol("o_orderkey") === nOrders, "PK distinct = row count")
+    assert(byCol("o_orderstatus") <= 3L)
+  }
+
+  test("q69 pairs stay within their (brand,size) block and threshold") {
+    // sf0.001's part table is too small for (brand,size) collisions —
+    // use the oracle scale, where blocking yields a real pair set
+    val pairs =
+      Dedup.q69EditDistancePairs(spark, "/root/testdata/sf0.01").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a_key") < r.getAs[Long]("b_key"))
+      assert(r.getAs[Int]("edit_dist") <= Dedup.EditDistMax)
+    }
+    // exact-name duplicates (edit_dist 0) are legitimate finds
+    assert(pairs.exists(_.getAs[Int]("edit_dist") > 0),
+      "blocking should also surface non-identical near-dups")
+  }
+
+  test("q70 centroids cover label x dim with consistent counts") {
+    val rows = Similarity.q70EmbeddingCentroids(spark, sfDir).collect()
+    val dims = rows.map(_.getAs[Int]("dim")).distinct
+    val labels = rows.map(_.getAs[Int]("label")).distinct
+    assert(rows.length === dims.length * labels.length)
+    // every (label, dim) cell counts the same vectors as its label
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_vecs")).distinct.length === 1)
+    }
+    assert(rows.forall(r => math.abs(r.getAs[Double]("centroid")) <= 1.0))
+  }
+
+  test("q71 unpivot emits one row per (flag, measure) cell") {
+    val rows = Analytics.q71Unpivot(spark, sfDir).collect()
+    val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
+    assert(rows.length === flags.length * 3)
+    val measures = rows.map(_.getAs[String]("measure")).distinct.sorted
+    assert(measures === Array("n_rows", "sum_price", "sum_qty"))
+  }
+
+  test("q72 collocations are ranked 1..50 with positive lift") {
+    val rows = TextQueries.q72Collocations(spark, sfDir).collect()
+    assert(rows.length === TextQueries.CollocTopK)
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 50))
+    val sorted = rows.sortBy(_.getAs[Int]("rank"))
+    val lifts = sorted.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    assert(lifts.forall(_ > 0))
+    rows.foreach(r => assert(r.getAs[Long]("c12") >= TextQueries.CollocMinCount))
+  }
+
+  test("q73 grouping sets contain matrix, both margins, and grand total") {
+    val rows = Analytics.q73GroupingSets(spark, sfDir).collect()
+    val byGrouping = rows.groupBy(r =>
+      (r.getAs[Int]("g_region"), r.getAs[Int]("g_priority")))
+    assert(byGrouping.keySet === Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(byGrouping((1, 1)).length === 1)
+    // each grouping level accounts for every order exactly once
+    byGrouping.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_orders")).sum === nOrders)
+    }
+  }
+
+  test("q74 histogram partitions all orders with shares summing to 1") {
+    val rows = Profiling.q74Histogram(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders)
+    val shareSum = rows.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lo") < r.getAs[Double]("hi"))
+      assert(r.getAs[Long]("bucket") >= 0L)
+    }
+  }
+
+  test("q75 percentiles are well-formed per segment") {
+    val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getAs[Double]("cume")).max - 1.0) < 1e-9)
+      assert(g.map(_.getAs[Double]("pct_rank")).min === 0.0)
+      val deciles = g.map(_.getAs[Int]("decile"))
+      assert(deciles.min === 1 && deciles.max === 10)
+    }
+  }
+}
