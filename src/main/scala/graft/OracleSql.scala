@@ -1172,6 +1172,44 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q76_bpe_merge_step" -> """
+      WITH v AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents
+      ), vocab AS (
+        SELECT word, COUNT(*) AS freq FROM v
+        WHERE length(word) >= 2 GROUP BY 1
+      ), pairs AS (
+        SELECT substring(word, i, 2) AS pair,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM vocab, unnest(range(1, length(word))) AS t(i)
+        GROUP BY 1
+      )
+      SELECT pair, pair_count, rank FROM (
+        SELECT *, ROW_NUMBER() OVER
+                 (ORDER BY pair_count DESC, pair ASC) AS rank
+        FROM pairs)
+      WHERE rank <= 20
+    """,
+    "q77_heavy_hitters" -> """
+      WITH c AS (
+        SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1
+      ), t AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM c
+      ), r AS (
+        SELECT user_id, n_rows,
+               CAST(ROW_NUMBER() OVER
+                 (ORDER BY n_rows DESC, user_id ASC) AS INT) AS rank
+        FROM c
+      )
+      SELECT rank, user_id, n_rows,
+             ROUND(CAST(n_rows AS DOUBLE) / n_total, 6) AS share,
+             ROUND(CAST(SUM(n_rows) OVER
+                     (ORDER BY n_rows DESC, user_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total, 6)
+               AS cum_share
+      FROM r, t WHERE rank <= 20
+    """,
     "q75_segment_percentiles" -> """
       SELECT c_custkey, c_mktsegment, c_acctbal,
              ROUND(percent_rank() OVER w, 6) AS pct_rank,

@@ -109,7 +109,9 @@ object SparkEntry {
     "q72_collocations" -> (TextQueries.q72Collocations _),
     "q73_grouping_sets" -> (Analytics.q73GroupingSets _),
     "q74_histogram" -> (Profiling.q74Histogram _),
-    "q75_segment_percentiles" -> (Profiling.q75SegmentPercentiles _)
+    "q75_segment_percentiles" -> (Profiling.q75SegmentPercentiles _),
+    "q76_bpe_merge_step" -> (TextQueries.q76BpeMergeStep _),
+    "q77_heavy_hitters" -> (Profiling.q77HeavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

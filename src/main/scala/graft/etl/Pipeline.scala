@@ -187,6 +187,8 @@ object Pipeline {
     Await.result(t0, Duration.Inf)
 
     t1Silver(spark, cfg)
+    Sinks.register(spark, "fact_all_info",
+      s"${cfg.warehouseDir}/silver/fact_all_info")
 
     // Window-prune the silver scan (partition filter) so an incremental
     // run recomputes and overwrites only the window's mart partitions —
@@ -230,7 +232,13 @@ object Pipeline {
         val silverWrite = Future(Sinks.writePartitioned(silver,
           s"${cfg.warehouseDir}/silver/fact_all_info", factPartitions))
         val res = writeMarts(spark, cfg, silver)
+        // register silver only after its overlapped write is durable —
+        // registration reads the warehouse path, so doing it inside
+        // writeMarts races the write future (the marts win at scale:
+        // they're small aggregates, silver is the big partitioned write)
         Await.result(silverWrite, Duration.Inf)
+        Sinks.register(spark, "fact_all_info",
+          s"${cfg.warehouseDir}/silver/fact_all_info")
         Await.result(bronzeWrite, Duration.Inf)
         res
       } finally silver.unpersist()
@@ -253,8 +261,6 @@ object Pipeline {
       }
     })
     val res = Await.result(written, Duration.Inf).toMap
-    Sinks.register(spark, "fact_all_info",
-      s"${cfg.warehouseDir}/silver/fact_all_info")
     marts.keys.foreach(n =>
       Sinks.register(spark, n, s"${cfg.warehouseDir}/gold/$n"))
     res

@@ -94,4 +94,33 @@ object Profiling {
         round(cume_dist().over(w), 6).as("cume"),
         ntile(10).over(w).as("decile"))
   }
+
+  val HeavyHitterTopK = 20
+
+  /** q77 — heavy-hitter skew report for a join/aggregation key: the
+    * top keys by row count with individual and cumulative share of the
+    * table. This is the diagnostic run before choosing a skew
+    * mitigation (AQE skew join vs operators.Skew salting) — a key
+    * holding >1/shuffle-partitions of the rows will serialize that
+    * partition. One aggregate + a top-k window over the (small) key
+    * count table; shares are single IEEE divisions of exact counts. */
+  def q77HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val counts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    val w = Window.orderBy(col("n_rows").desc, col("user_id").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= HeavyHitterTopK)
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_rows").cast("double") / col("n_total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n_rows"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("n_total"), 6))
+      .select(col("rank"), col("user_id"), col("n_rows"),
+        col("share"), col("cum_share"))
+  }
 }

@@ -181,4 +181,34 @@ object TextQueries {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= CollocTopK)
   }
+
+  val BpeTopMerges = 20
+
+  /** q76 — one BPE-training merge step: count adjacent character
+    * pairs across the corpus, weighted by word frequency, and rank the
+    * top merge candidates. The corpus collapses to its vocabulary
+    * FIRST (the token-count aggregate), so the quadratic-ish pair
+    * explosion runs over distinct words — at 100 TB that's the
+    * difference between exploding 10^13 tokens and 10^7 vocab entries.
+    * The pair explode is an interpreted higher-order transform, which
+    * is fine off the hot path (vocab-sized input); counts are exact
+    * integers, so ranking is engine-portable. */
+  def q76BpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .where(length(col("word")) >= 2)
+    val pairs = vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_count").desc, col("pair").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= BpeTopMerges)
+  }
 }

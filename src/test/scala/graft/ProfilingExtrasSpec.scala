@@ -99,6 +99,30 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 BPE merge candidates are 2-char pairs ranked by weight") {
+    val rows = TextQueries.q76BpeMergeStep(spark, sfDir).collect()
+    assert(rows.length === TextQueries.BpeTopMerges)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length === 2)
+      assert(r.getAs[Long]("pair_count") > 0L)
+    }
+    val sorted = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("pair_count"))
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q77 heavy hitters: shares are consistent and cumulative") {
+    val rows = Profiling.q77HeavyHitters(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    // sf0.001 has fewer distinct users than the top-k budget
+    assert(rows.nonEmpty && rows.length <= Profiling.HeavyHitterTopK)
+    val shares = rows.map(_.getAs[Double]("share"))
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.last <= 1.0 + 1e-9)
+    // cum_share tracks the running share sum (rounding drift only)
+    assert(math.abs(shares.sum - cums.last) < 1e-3)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
