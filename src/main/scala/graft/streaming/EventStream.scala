@@ -87,6 +87,23 @@ object EventStream {
           .as("session_start"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrich join: the event stream left-joined to a
+    * static dimension snapshot (per-user lifetime order stats). The
+    * static side is planned once and broadcast into every micro-batch —
+    * no stream-side shuffle, no state store — which is how a 100 TB/day
+    * feed takes a dimension without buffering anything. The static
+    * snapshot is re-read per RESTART (not per batch); a slowly-changing
+    * dim at scale would swap in the SCD2 current-rows view
+    * (CorpusOps.q64 semantics) under the same plan. */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      broadcast(userDim.select(col("user_key"), col("n_orders"),
+        col("lifetime_value"))),
+      events("user_id") === col("user_key"), "left")
+      .drop("user_key")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("n_orders"), col("lifetime_value"))
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within the hour AFTER the click. Both sides carry
     * watermarks and the join condition bounds purchase time to

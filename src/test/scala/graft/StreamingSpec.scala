@@ -23,6 +23,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream-static enrich join equals the batch join, no state store") {
+    val userDim = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("user_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("lifetime_value"))
+      .cache()
+    val stream = EventStream.readEventStream(spark, sfDir)
+    val got = EventStream
+      .runToCompletion(EventStream.enrichedEvents(stream, userDim),
+        "enrich_test", OutputMode.Append())
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Any]("n_orders")))
+      .toSet
+    val ev = Tables.load(spark, sfDir, "events")
+    val want = ev.join(broadcast(userDim),
+        ev("user_id") === userDim("user_key"), "left")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Any]("n_orders")))
+      .toSet
+    assert(got === want)
+    // enrichment must preserve stream cardinality (left join, unique dim)
+    assert(got.size === ev.count())
+    userDim.unpersist()
+  }
+
   test("streaming dedup matches batch dropDuplicates on event_id") {
     val stream = EventStream.readEventStream(spark, sfDir)
     // the table has unique event_ids — self-union forces a duplicate of

@@ -1,0 +1,53 @@
+import graft.operators._
+import graft.SparkEntry
+val dir = "/root/testdata/sf0.01"
+val out = new java.io.PrintWriter("/root/repo/PLANS.md")
+def section(title: String, note: String, df: org.apache.spark.sql.DataFrame,
+    grep: Seq[String]): Unit = {
+  df.collect() // force AQE final plan
+  val plan = df.queryExecution.executedPlan.toString
+  val lines = plan.linesIterator.toSeq
+  val hits = lines.filter(l => grep.exists(l.contains)).map(_.trim).distinct.take(12)
+  out.println(s"## $title\n")
+  out.println(note + "\n")
+  out.println("```")
+  hits.foreach(l => out.println(l.take(160)))
+  out.println("```\n")
+}
+out.println("# PLANS -- physical-plan evidence for the scale claims")
+out.println()
+out.println("Generated from `.queryExecution.executedPlan` AFTER execution (AQE final")
+out.println("plans) at sf0.01. Greps pick the load-bearing lines; PlanShapeSpec asserts")
+out.println("the same properties in CI. Regenerate with tools/dump_plans (spark-shell).")
+out.println()
+section("q01 pruned aggregate -- filter pushed to parquet, two-phase agg",
+  "The date window reaches the scan (`PushedFilters`) and only the referenced columns are read (`ReadSchema`); aggregation is partial (map-side) then final.",
+  CoreQueries.q01PrunedAgg(spark, dir),
+  Seq("PushedFilters", "ReadSchema", "HashAggregate", "partial_"))
+section("q03 denormalization join -- fact never shuffles",
+  "All three dimension joins are BroadcastHashJoin: the only exchanges are broadcasts; the lineitem scan feeds the joins directly with no fact-side repartition.",
+  CoreQueries.q03DenormJoin(spark, dir),
+  Seq("BroadcastHashJoin", "BroadcastExchange", "Exchange "))
+section("q10 top-k -- TakeOrderedAndProject, no global sort",
+  "ORDER BY + LIMIT collapses to TakeOrderedAndProject: per-partition heaps, no full sort materialization.",
+  CoreQueries.q10TopK(spark, dir),
+  Seq("TakeOrderedAndProject"))
+section("q21 MinHash LSH banding -- one bucket exchange, no corpus^2",
+  "The only data shuffle is the band-bucket hash exchange; candidate verification joins bucket-local pairs.",
+  Dedup.q21LshPairs(spark, dir),
+  Seq("Exchange hashpartitioning", "SortMergeJoin", "BroadcastHashJoin"))
+section("q38 range join -- binned equi-rewrite keeps the fact unshuffled",
+  "The interval side is replicated per bin and broadcast; the event side computes its bin in codegen and joins without an exchange.",
+  RangeJoin.q38RangeJoin(spark, dir),
+  Seq("BroadcastHashJoin", "BroadcastExchange", "Exchange "))
+section("q56 boilerplate spans -- skew-safe two-stage aggregate",
+  "No Expand for count-distinct: the (span, doc) pre-aggregate collapses repeats map-side (partial_count), then the span rollup is a plain sum.",
+  CorpusOps.q56BoilerplateSpans(spark, dir),
+  Seq("HashAggregate", "partial_", "Exchange hashpartitioning"))
+section("q70 embedding centroids -- shuffle is O(labels x dims)",
+  "posexplode feeds a partial aggregate: each task emits at most labels x dims states, so exchange size is independent of corpus row count.",
+  Similarity.q70EmbeddingCentroids(spark, dir),
+  Seq("HashAggregate", "partial_", "Generate", "Exchange hashpartitioning"))
+out.close()
+println("PLANS_DONE")
+sys.exit(0)
