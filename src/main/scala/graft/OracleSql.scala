@@ -1172,6 +1172,35 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q78_date_spine" -> """
+      WITH monthly AS (
+        SELECT n_regionkey, strftime(o_orderdate, '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      ), bounds AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+               date_trunc('month', MAX(o_orderdate)) AS hi
+        FROM orders
+      ), spine AS (
+        SELECT strftime(m, '%Y-%m') AS month, r_regionkey
+        FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH))
+               AS t(m), region
+      )
+      SELECT spine.r_regionkey, spine.month AS month,
+             COALESCE(n_orders, 0) AS n_orders,
+             COALESCE(revenue, 0.0) AS revenue,
+             COALESCE(last_value(revenue IGNORE NULLS) OVER
+               (PARTITION BY spine.r_regionkey ORDER BY spine.month
+                ROWS UNBOUNDED PRECEDING), 0.0) AS carry_revenue
+      FROM spine
+      LEFT JOIN monthly ON spine.month = monthly.month
+                       AND spine.r_regionkey = monthly.n_regionkey
+    """,
     "q76_bpe_merge_step" -> """
       WITH v AS (
         SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -111,7 +111,8 @@ object SparkEntry {
     "q74_histogram" -> (Profiling.q74Histogram _),
     "q75_segment_percentiles" -> (Profiling.q75SegmentPercentiles _),
     "q76_bpe_merge_step" -> (TextQueries.q76BpeMergeStep _),
-    "q77_heavy_hitters" -> (Profiling.q77HeavyHitters _)
+    "q77_heavy_hitters" -> (Profiling.q77HeavyHitters _),
+    "q78_date_spine" -> (Analytics.q78DateSpine _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -249,6 +249,47 @@ object Analytics {
       "measure", "value")
   }
 
+  /** q78 — calendar-spine gap fill: a generated month spine per region
+    * left-joins the observed monthly revenue, so silent months appear
+    * as explicit zero rows, and `carry_revenue` forward-fills the last
+    * observed value (last+ignoreNulls over an ordered window — the
+    * same pass the as-of join uses). The spine is sequence()+explode
+    * off a 1-row min/max aggregate — generated, not scanned, so its
+    * cost is calendar-sized regardless of fact volume; the fill is one
+    * per-region window sort of spine-sized data. */
+  def q78DateSpine(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val monthly = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left")
+      .join(broadcast(nat), col("c_nationkey") === nat("n_nationkey"), "left")
+      .groupBy(col("n_regionkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+    val bounds = ord.agg(
+      trunc(min(col("o_orderdate")), "MM").as("lo"),
+      trunc(max(col("o_orderdate")), "MM").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+      .crossJoin(t(s, dir, "region").select(col("r_regionkey")))
+    val w = Window.partitionBy(col("r_regionkey")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(monthly,
+        spine("month") === monthly("month") &&
+          spine("r_regionkey") === monthly("n_regionkey"), "left")
+      .select(spine("r_regionkey"), spine("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        col("revenue").as("observed"))
+      .withColumn("carry_revenue",
+        coalesce(last(col("observed"), ignoreNulls = true).over(w), lit(0.0)))
+      .drop("observed")
+  }
+
   /** q73 — GROUPING SETS with GROUPING() markers: one shuffle computes
     * the region×priority matrix plus both one-dimensional margins and
     * the grand total (Expand ×4 feeding a single two-phase aggregate —

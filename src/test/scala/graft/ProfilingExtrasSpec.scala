@@ -123,6 +123,34 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q78 date spine covers every region-month; gaps are zero-filled " +
+      "and carry forward-fills") {
+    val rows = Analytics.q78DateSpine(spark, sfDir).collect()
+    val months = rows.map(_.getAs[String]("month")).distinct.sorted
+    val regions = rows.map(_.getAs[Int]("r_regionkey")).distinct
+    assert(rows.length === months.length * regions.length,
+      "spine must be the full cross product")
+    // contiguous month range (no calendar holes in the spine itself)
+    val expected = Iterator.iterate(months.head) { m =>
+      val Array(y, mo) = m.split("-").map(_.toInt)
+      if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
+    }.take(months.length).toSeq
+    assert(months.toSeq === expected)
+    val gaps = rows.filter(_.getAs[Long]("n_orders") == 0L)
+    assert(gaps.forall(_.getAs[Double]("revenue") == 0.0))
+    // carry at a gap equals the last non-gap revenue before it
+    regions.foreach { rk =>
+      val seq = rows.filter(_.getAs[Int]("r_regionkey") == rk)
+        .sortBy(_.getAs[String]("month"))
+      var lastObserved = 0.0
+      seq.foreach { r =>
+        if (r.getAs[Long]("n_orders") > 0L)
+          lastObserved = r.getAs[Double]("revenue")
+        assert(r.getAs[Double]("carry_revenue") === lastObserved)
+      }
+    }
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
