@@ -134,6 +134,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must not shuffle before the bucket join:\n$p")
   }
 
+  test("q68 column profile is one pass: a single scan feeding one " +
+      "Expand-based aggregate") {
+    val df = graft.operators.Profiling.q68ColumnProfile(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalSection).length
+    assert(scans === 1, s"profile must scan the table once, saw $scans:\n$p")
+    assert(finalSection.contains("Expand"),
+      s"multi-column distinct should plan as one Expand:\n$p")
+  }
+
+  test("q69 edit-distance blocking joins without shuffling either side " +
+      "(block tables broadcast at this scale)") {
+    val df = graft.operators.Dedup.q69EditDistancePairs(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"blocked self-join should " +
+      s"broadcast the build side:\n$p")
+    assert(p.contains("levenshtein"),
+      s"distance filter must run inside the join stage:\n$p")
+  }
+
+  test("q70 centroids aggregate partially before the label-dim exchange") {
+    val df = graft.operators.Similarity.q70EmbeddingCentroids(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("partial_"),
+      s"posexplode must feed a partial aggregate (map-side collapse):\n$p")
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(exchanges === 1,
+      s"only the label-dim state exchange is allowed, saw $exchanges:\n$p")
+  }
+
+  test("q74 histogram shuffles bucket states, not rows") {
+    val df = graft.operators.Profiling.q74Histogram(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("partial_"),
+      s"bucketing must partial-aggregate map-side:\n$p")
+    assert(finalSection.contains("BroadcastExchange") ||
+      finalSection.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row grand total must broadcast:\n$p")
+  }
+
   test("q64 SCD2 reuses one sort for both window passes") {
     val df = graft.operators.CorpusOps.q64Scd2History(spark, sfDir)
     df.collect()
