@@ -76,17 +76,27 @@ object KMeans {
 
   /** Assign each vector to its nearest centroid (squared L2), ties to
     * the lowest centroid id. Pure expression work against broadcast
-    * literals — the corpus does not shuffle. */
+    * literals — the corpus does not shuffle. Distances use the
+    * ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖² identity so the per-centroid work is
+    * ONE fused codegen'd dot product (VectorMath.DotProduct) instead of
+    * an interpreted zip_with+aggregate pair that allocates a difference
+    * array per (row, centroid) — at k=64 that's 64 allocations per row
+    * gone from the training hot loop. ‖v‖² is computed once per row;
+    * ‖c‖² folds to a driver-side literal. */
   def assign(vecs: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
+    import graft.functions.VectorMath.dotProduct
     val dists = centroids.map { case (cid, cv) =>
       val cArr = array(cv.map(lit): _*)
+      val cn2 = cv.map(x => x * x).sum
       struct(
-        aggregate(zip_with(col("v"), cArr, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("dist2"),
+        (col("__vn2") - lit(2.0) * dotProduct(col("v"), cArr) + lit(cn2))
+          .as("dist2"),
         lit(cid).as("cent_id"))
     }
-    vecs.withColumn("best", least(dists: _*))
+    vecs
+      .withColumn("__vn2", dotProduct(col("v"), col("v")))
+      .withColumn("best", least(dists: _*))
       .select(col("id"), col("v"),
         col("best.cent_id").as("cent_id"), col("best.dist2").as("dist2"))
   }
