@@ -1172,6 +1172,20 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q79_salted_join" -> """
+      WITH dim AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS lifetime_value
+        FROM orders GROUP BY 1
+      )
+      SELECT event_type, COUNT(*) AS n_events,
+             COUNT(n_orders) AS n_matched,
+             ROUND(CAST(SUM(CAST(COALESCE(lifetime_value, 0.0)
+                   AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_lifetime
+      FROM events LEFT JOIN dim USING (user_id)
+      GROUP BY 1
+    """,
     "q78_date_spine" -> """
       WITH monthly AS (
         SELECT n_regionkey, strftime(o_orderdate, '%Y-%m') AS month,

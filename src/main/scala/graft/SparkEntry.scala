@@ -112,7 +112,8 @@ object SparkEntry {
     "q75_segment_percentiles" -> (Profiling.q75SegmentPercentiles _),
     "q76_bpe_merge_step" -> (TextQueries.q76BpeMergeStep _),
     "q77_heavy_hitters" -> (Profiling.q77HeavyHitters _),
-    "q78_date_spine" -> (Analytics.q78DateSpine _)
+    "q78_date_spine" -> (Analytics.q78DateSpine _),
+    "q79_salted_join" -> (Analytics.q79SaltedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -249,6 +249,30 @@ object Analytics {
       "measure", "value")
   }
 
+  /** q79 — skew-safe salted JOIN (operators.Skew.saltedJoin): the event
+    * stream takes a per-user dimension through an 8-bucket salted
+    * left join — the fact side's hot keys spread across 8 shuffle
+    * partitions, the dim side is exploded 8× to meet them — then rolls
+    * up per event type. Like q51, the DuckDB oracle is the PLAIN join:
+    * the salt is invisible in the result, proving it's purely an
+    * execution-plan change. Joined values aggregate through exact
+    * DECIMAL so the salted shuffle order can't move a rounding
+    * boundary. */
+  def q79SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("lifetime_value"))
+    Skew.saltedJoin(ev, dim, "user_id", buckets = 8)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("n_orders")).as("n_matched"),
+        round(sum(coalesce(col("lifetime_value"), lit(0.0))
+          .cast("decimal(18,4)")).cast("double"), 2).as("total_lifetime"))
+  }
+
   /** q78 — calendar-spine gap fill: a generated month spine per region
     * left-joins the observed monthly revenue, so silent months appear
     * as explicit zero rows, and `carry_revenue` forward-fills the last

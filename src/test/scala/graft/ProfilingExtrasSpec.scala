@@ -151,6 +151,28 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 salted join result is identical to the plain join") {
+    val got = Analytics.q79SaltedJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ev = Tables.load(spark, sfDir, "events")
+    val dim = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("lifetime_value"))
+    val want = ev.join(dim, Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("n_orders")).as("n_matched"),
+        round(sum(coalesce(col("lifetime_value"), lit(0.0))
+          .cast("decimal(18,4)")).cast("double"), 2).as("total_lifetime"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === want, "salting must be invisible in the result")
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
