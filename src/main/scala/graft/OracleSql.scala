@@ -1172,6 +1172,36 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q80_dataset_split" -> """
+      WITH d AS (
+        SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        FROM documents
+      )
+      SELECT CASE WHEN b < 'cc' THEN 'train'
+                  WHEN b < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens,
+             COUNT(DISTINCT source) AS n_sources,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+      FROM d GROUP BY 1
+    """,
+    "q81_full_outer" -> """
+      WITH o AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+      ), e AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+      )
+      SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+             COALESCE(n_orders, 0) AS n_orders,
+             COALESCE(n_events, 0) AS n_events,
+             CASE WHEN o.user_id IS NULL THEN 'events_only'
+                  WHEN e.user_id IS NULL THEN 'orders_only'
+                  ELSE 'both' END AS presence
+      FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+    """,
     "q79_salted_join" -> """
       WITH dim AS (
         SELECT o_custkey AS user_id, COUNT(*) AS n_orders,

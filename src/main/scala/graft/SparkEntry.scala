@@ -113,7 +113,9 @@ object SparkEntry {
     "q76_bpe_merge_step" -> (TextQueries.q76BpeMergeStep _),
     "q77_heavy_hitters" -> (Profiling.q77HeavyHitters _),
     "q78_date_spine" -> (Analytics.q78DateSpine _),
-    "q79_salted_join" -> (Analytics.q79SaltedJoin _)
+    "q79_salted_join" -> (Analytics.q79SaltedJoin _),
+    "q80_dataset_split" -> (CorpusOps.q80DatasetSplit _),
+    "q81_full_outer" -> (CorpusOps.q81FullOuter _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -224,4 +224,49 @@ object CorpusOps {
         countDistinct(col("lang")).as("n_langs"),
         round(avg(col("n_chars")), 2).as("avg_chars"))
   }
+
+  /** q80 — deterministic train/val/test split with per-split health
+    * stats: the split is a pure function of the doc id (md5 hex-prefix
+    * buckets, ≈80/10/10), so any engine — and any rerun, at any
+    * scale — assigns every document identically with zero coordination
+    * (the same idiom as q49's stratified sample and q61's weighted
+    * sample). One map-only projection + a 3-group aggregate; the
+    * per-split token totals are exact integer sums. */
+  def q80DatasetSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("b", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("b") < "cc", "train")       // 204/256 ≈ 79.7%
+          .when(col("b") < "e6", "val")      //  26/256 ≈ 10.2%
+          .otherwise("test"))                //  26/256 ≈ 10.2%
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        round(sum(col("n_chars")) / count(lit(1)).cast("double"), 2)
+          .as("avg_chars"))
+
+  /** q81 — full-outer reconciliation: per-user order counts vs event
+    * counts, keeping users present on EITHER side and classifying the
+    * mismatch — the referential-integrity audit between two fact
+    * tables. Both inputs aggregate before the join (user-sized, not
+    * fact-sized), so the full-outer shuffle carries one row per user
+    * per side. */
+  def q81FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, o("user_id") === e("user_id"), "full_outer")
+      .select(
+        coalesce(o("user_id"), e("user_id")).as("user_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(o("user_id").isNull, "events_only")
+          .when(e("user_id").isNull, "orders_only")
+          .otherwise("both").as("presence"))
+  }
 }

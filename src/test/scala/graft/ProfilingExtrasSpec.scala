@@ -173,6 +173,37 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     assert(got === want, "salting must be invisible in the result")
   }
 
+  test("q80 split partitions the corpus deterministically, train largest") {
+    import graft.operators.CorpusOps
+    val rows = CorpusOps.q80DatasetSplit(spark, sfDir).collect()
+    val bySplit = rows.map(r =>
+      r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(bySplit.values.sum === nDocs, "every doc lands in exactly one split")
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // determinism: a second run assigns identically
+    val again = CorpusOps.q80DatasetSplit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(again === bySplit)
+  }
+
+  test("q81 full-outer presence classes are consistent with the counts") {
+    import graft.operators.CorpusOps
+    val rows = CorpusOps.q81FullOuter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, e) = (r.getAs[Long]("n_orders"), r.getAs[Long]("n_events"))
+      r.getAs[String]("presence") match {
+        case "events_only" => assert(o === 0L && e > 0L)
+        case "orders_only" => assert(o > 0L && e === 0L)
+        case "both"        => assert(o > 0L && e > 0L)
+      }
+    }
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length === users.length, "one row per user")
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
