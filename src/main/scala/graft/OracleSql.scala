@@ -1172,6 +1172,67 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q82_chunking" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, toks,
+               unnest(range(0, len(toks), 24)) AS start_tok
+        FROM d
+      )
+      SELECT doc_id, CAST(start_tok // 24 AS INT) AS chunk_idx, start_tok,
+             len(toks[start_tok + 1 : start_tok + 32]) AS n_in_chunk,
+             md5(array_to_string(toks[start_tok + 1 : start_tok + 32], ' '))
+               AS chunk_hash
+      FROM starts
+    """,
+    "q83_bm25" -> """
+      WITH stats AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        FROM documents
+      ), corpus AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM stats
+      ), tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN ('join', 'vector', 'filter') GROUP BY 1, 2
+      ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      ), sc AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl)))
+                 AS tscore
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN stats USING (doc_id), corpus
+      ), byDoc AS (
+        SELECT doc_id,
+               SUM(CASE WHEN term = 'join' THEN tscore ELSE 0.0 END)
+                 AS s_join,
+               SUM(CASE WHEN term = 'vector' THEN tscore ELSE 0.0 END)
+                 AS s_vector,
+               SUM(CASE WHEN term = 'filter' THEN tscore ELSE 0.0 END)
+                 AS s_filter
+        FROM sc GROUP BY 1
+      )
+      SELECT doc_id, rank, score FROM (
+        SELECT doc_id,
+               ROUND(s_join + s_vector + s_filter, 6) AS score,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(s_join + s_vector + s_filter, 6) DESC,
+                          doc_id ASC) AS rank
+        FROM byDoc)
+      WHERE rank <= 20
+    """,
     "q80_dataset_split" -> """
       WITH d AS (
         SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b

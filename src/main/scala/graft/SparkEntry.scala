@@ -115,7 +115,9 @@ object SparkEntry {
     "q78_date_spine" -> (Analytics.q78DateSpine _),
     "q79_salted_join" -> (Analytics.q79SaltedJoin _),
     "q80_dataset_split" -> (CorpusOps.q80DatasetSplit _),
-    "q81_full_outer" -> (CorpusOps.q81FullOuter _)
+    "q81_full_outer" -> (CorpusOps.q81FullOuter _),
+    "q82_chunking" -> (CorpusOps.q82Chunking _),
+    "q83_bm25" -> (TextQueries.q83Bm25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -247,6 +247,31 @@ object CorpusOps {
         round(sum(col("n_chars")) / count(lit(1)).cast("double"), 2)
           .as("avg_chars"))
 
+  val ChunkTokens = 32
+  val ChunkOverlap = 8
+
+  /** q82 — document chunking for retrieval: fixed 32-token windows with
+    * 8-token overlap (stride 24), emitted as boundaries + an md5 of the
+    * re-joined chunk text so the result is hash-checkable without
+    * dumping chunk bodies. The chunk starts come from sequence() over
+    * each doc's own length — map-only generate + slice, no shuffle at
+    * all; at 100 TB chunking is a pure scan whose output feeds the
+    * embedding stage. Distinct from q59 packing: packing CONCATENATES
+    * docs into fixed windows, chunking SPLITS each doc. */
+  def q82Chunking(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        posexplode(expr(
+          s"sequence(0, n_toks - 1, ${ChunkTokens - ChunkOverlap})"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .withColumn("chunk", expr(s"slice(toks, start_tok + 1, $ChunkTokens)"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).as("n_in_chunk"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+
   /** q81 — full-outer reconciliation: per-user order counts vs event
     * counts, keeping users present on EITHER side and classifying the
     * mismatch — the referential-integrity audit between two fact

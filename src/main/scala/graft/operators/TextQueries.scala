@@ -182,6 +182,62 @@ object TextQueries {
       .where(col("rank") <= CollocTopK)
   }
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = Seq("join", "vector", "filter")
+
+  /** q83 — BM25-shaped keyword retrieval: score every document against
+    * a fixed term set and return the top 20. Standard BM25 saturation
+    * (k1=1.2, b=0.75 length normalization), with the ln-IDF replaced by
+    * the same ratio-IDF q48 uses ((N+1)/(df+1)) — pure IEEE ops on
+    * exact counts, so scores are engine-exact (ln() differs in ulps
+    * across math libraries). Per-term scores land in their own columns
+    * via conditional aggregation and are added in FIXED order — a
+    * sum() over terms would add in shuffle-arrival order and flip
+    * rounding bits between engines. Plan: one explode + per-(doc,term)
+    * count against a 3-term broadcast filter, then a doc-sized
+    * aggregate — corpus-linear, like q48. */
+  def q83Bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stats = d.select(col("doc_id"), nTokens(col("text")).as("dl"))
+    val corpus = stats.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("term"))
+      .join(stats, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        (col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dl") / col("avgdl")))))
+    // one row per (doc, matched term) → conditional aggregation pivots
+    // each term's score into its own column; the final score adds the
+    // columns left-to-right (fixed order, engine-identical)
+    val perTerm = Bm25Terms.map { t =>
+      sum(when(col("term") === t, col("tscore")).otherwise(lit(0.0)))
+        .as(s"s_$t")
+    }
+    val byDoc = scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+    val total = Bm25Terms.map(t => col(s"s_$t")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    byDoc
+      .withColumn("score", round(total, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 20)
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
+
   val BpeTopMerges = 20
 
   /** q76 — one BPE-training merge step: count adjacent character

@@ -204,6 +204,38 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     assert(users.distinct.length === users.length, "one row per user")
   }
 
+  test("q82 chunks tile every document with the configured stride") {
+    import graft.operators.CorpusOps
+    val rows = CorpusOps.q82Chunking(spark, sfDir).collect()
+    val stride = CorpusOps.ChunkTokens - CorpusOps.ChunkOverlap
+    val nToks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.head.getAs[Int]("start_tok") === 0)
+      sorted.foreach { r =>
+        assert(r.getAs[Int]("start_tok") ===
+          r.getAs[Int]("chunk_idx") * stride)
+        assert(r.getAs[Int]("n_in_chunk") > 0)
+      }
+      // the last chunk reaches the end of the doc
+      val last = sorted.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Int]("n_in_chunk")
+        === nToks(id))
+    }
+  }
+
+  test("q83 BM25 returns a descending positive top-20") {
+    val rows = TextQueries.q83Bm25(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
