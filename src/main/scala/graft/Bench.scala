@@ -34,6 +34,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
     spark
   }
 

@@ -17,8 +17,10 @@ import graft.functions.{DotProduct, SimHash64}
   * from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
+  }
 }
 
 object GraftExtensions {
@@ -33,9 +35,14 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
 
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.ColumnBridge
         .registerFunction(spark, id, info, builder)
     }
+    val extra = spark.sessionState.experimentalMethods
+    if (!extra.extraOptimizations.contains(graft.plans.EditDistancePruning))
+      extra.extraOptimizations =
+        extra.extraOptimizations :+ graft.plans.EditDistancePruning
+  }
 }
