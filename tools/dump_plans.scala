@@ -40,6 +40,10 @@ section("q38 range join -- binned equi-rewrite keeps the fact unshuffled",
   "The interval side is replicated per bin and broadcast; the event side computes its bin in codegen and joins without an exchange.",
   RangeJoin.q38RangeJoin(spark, dir),
   Seq("BroadcastHashJoin", "BroadcastExchange", "Exchange "))
+section("q69 edit-distance pairs -- optimizer rule injects the length guard",
+  "With GraftExtensions registered, plans.EditDistancePruning rewrites the levenshtein threshold (pushed into the blocked self-join) to short-circuit behind abs(length(a)-length(b)) <= k.",
+  { graft.GraftExtensions.register(spark); graft.operators.Dedup.q69EditDistancePairs(spark, dir) },
+  Seq("levenshtein", "abs(", "BroadcastHashJoin"))
 section("q56 boilerplate spans -- skew-safe two-stage aggregate",
   "No Expand for count-distinct: the (span, doc) pre-aggregate collapses repeats map-side (partial_count), then the span rollup is a plain sum.",
   CorpusOps.q56BoilerplateSpans(spark, dir),
