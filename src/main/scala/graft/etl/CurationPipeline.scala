@@ -73,17 +73,14 @@ object CurationPipeline {
   }
 
   /** Assign each document to a fixed-size context-window pack
-    * (CorpusOps.q59 semantics over the curated survivors). */
-  def pack(docs: DataFrame, cfg: Config): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("cum_before",
-        coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    * (CorpusOps.q59 semantics over the curated survivors, via the
+    * distributed two-pass prefix sum — no global window). */
+  def pack(docs: DataFrame, cfg: Config): DataFrame =
+    graft.operators.PrefixSum
+      .exclusive(docs, "doc_id", "n_toks", "cum_before")
       .withColumn("pack_id",
         floor(col("cum_before") / cfg.contextTokens).cast("long"))
       .drop("cum_before")
-  }
 
   /** Run the whole funnel; `evalDocs` defaults to doc_id ≡ 0 (mod 100)
     * held-out sample. Writes curated parquet + gzip JSONL shards. */

@@ -94,17 +94,15 @@ object CorpusOps {
   /** q59 — sequence packing: stream documents in doc_id order into
     * fixed 512-token context windows (documents may straddle a
     * boundary — "packed pretraining batch" semantics), then report each
-    * pack's fill. The global running sum is a single-partition window
-    * here; at 100 TB the same op is a two-pass prefix sum
-    * (per-partition subtotal broadcast + local cumsum), which this
-    * formulation maps to directly. */
+    * pack's fill. The running sum is the DISTRIBUTED two-pass prefix
+    * sum ([[PrefixSum.exclusive]]: range-bucket → bucket-local window →
+    * broadcast offsets) — no single-partition global window anywhere,
+    * so the pass survives a 100 TB corpus. */
   def q59SeqPacking(s: SparkSession, dir: String): DataFrame = {
     val ctx = 512
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, dir)
+    val perDoc = docs(s, dir)
       .select(col("doc_id"), nTokens(col("text")).cast("long").as("n_toks"))
-      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    PrefixSum.exclusive(perDoc, "doc_id", "n_toks", "cum_before")
       .withColumn("pack_id", floor(col("cum_before") / ctx).cast("long"))
       .groupBy(col("pack_id"))
       .agg(

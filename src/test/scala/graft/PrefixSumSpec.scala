@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+/** The distributed two-pass prefix sum must equal the single-partition
+  * global-window formulation exactly — on real data, on skewed keys,
+  * and for any bucket count. */
+class PrefixSumSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def globalCumsum(df: org.apache.spark.sql.DataFrame,
+      order: String, value: String) = {
+    val w = Window.orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("expected", coalesce(sum(col(value)).over(w), lit(0L)))
+  }
+
+  test("matches the global window on the documents table") {
+    val perDoc = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n"))
+    val got = PrefixSum.exclusive(perDoc, "doc_id", "n", "cum", buckets = 8)
+      .select(col("doc_id"), col("cum"))
+    val want = globalCumsum(perDoc, "doc_id", "n")
+      .select(col("doc_id"), col("expected"))
+    val joined = got.join(want, "doc_id")
+      .where(col("cum") =!= col("expected"))
+    assert(joined.count() === 0)
+  }
+
+  test("matches under heavy key skew and tiny bucket counts") {
+    // keys clustered so approxQuantile boundaries collapse (duplicates)
+    val df = ((1L to 50L) ++ (1000L to 1049L) ++ (1000000L to 1000049L))
+      .map(k => (k, k % 7 + 1)).toDF("k", "v")
+    for (buckets <- Seq(2, 4, 32)) {
+      val got = PrefixSum.exclusive(df, "k", "v", "cum", buckets)
+      val want = globalCumsum(df, "k", "v")
+      val bad = got.join(want, "k").where(col("cum") =!= col("expected"))
+      assert(bad.count() === 0, s"mismatch at buckets=$buckets")
+    }
+  }
+
+  test("result is deterministic across repeated runs") {
+    val perDoc = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n"))
+    val a = PrefixSum.exclusive(perDoc, "doc_id", "n", "cum")
+      .select("doc_id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = PrefixSum.exclusive(perDoc, "doc_id", "n", "cum")
+      .select("doc_id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+}
