@@ -63,6 +63,27 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Durable streaming sink: append the transformed stream to
+    * partitioned parquet with a checkpoint — the streaming twin of the
+    * batch pipeline's bronze write. The checkpoint's WAL + file-sink
+    * manifest give exactly-once file output across restarts
+    * (re-running after a crash resumes from the last committed batch
+    * instead of re-appending); `Trigger.AvailableNow` drains the
+    * backlog and stops, which is also the idiomatic scheduled-batch
+    * replacement for the reference's monthly cron ingest. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+      partitionCols: Seq[String]): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partitionCols: _*)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup: first event wins per `event_id`, with state
     * bounded by the watermark (late duplicates beyond 2 hours are
     * dropped by the engine instead of accumulating state forever — the

@@ -49,6 +49,24 @@ class StreamingSpec extends AnyFunSuite {
     userDim.unpersist()
   }
 
+  test("parquet sink with checkpoint is exactly-once across a re-run") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    def enriched = EventStream.readEventStream(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    EventStream.runToParquet(enriched, out, ckpt, Seq("event_type"))
+    val n = Tables.load(spark, sfDir, "events").count()
+    assert(spark.read.parquet(out).count() === n)
+    // partitioned layout on disk
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("event_type=")))
+    // a second run against the SAME checkpoint finds no new data:
+    // the sink must not double-append (exactly-once file output)
+    EventStream.runToParquet(enriched, out, ckpt, Seq("event_type"))
+    assert(spark.read.parquet(out).count() === n)
+  }
+
   test("streaming dedup matches batch dropDuplicates on event_id") {
     val stream = EventStream.readEventStream(spark, sfDir)
     // the table has unique event_ids — self-union forces a duplicate of
