@@ -1172,6 +1172,16 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q84_inverted_index" -> """
+      WITH td AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+      )
+      SELECT term, COUNT(*) AS df,
+             array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+      FROM td GROUP BY 1 HAVING COUNT(*) >= 50
+    """,
     "q82_chunking" -> """
       WITH d AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -117,7 +117,8 @@ object SparkEntry {
     "q80_dataset_split" -> (CorpusOps.q80DatasetSplit _),
     "q81_full_outer" -> (CorpusOps.q81FullOuter _),
     "q82_chunking" -> (CorpusOps.q82Chunking _),
-    "q83_bm25" -> (TextQueries.q83Bm25 _)
+    "q83_bm25" -> (TextQueries.q83Bm25 _),
+    "q84_inverted_index" -> (TextQueries.q84InvertedIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

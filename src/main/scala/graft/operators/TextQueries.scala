@@ -238,6 +238,31 @@ object TextQueries {
       .select(col("doc_id"), col("rank"), col("score"))
   }
 
+  val PostingsCap = 10
+  val IndexMinDf = 50
+
+  /** q84 — inverted-index build: per-term document frequency and a
+    * capped, sorted posting list (first 10 doc ids), serialized with
+    * concat_ws for engine portability. One explode + per-(term, doc)
+    * distinct collapse + per-term aggregate; the posting list sorts
+    * INSIDE the aggregate value (sort_array of the collected ids) and
+    * is capped with slice — collect_list arrival order never leaks
+    * into the result, the same discipline as q50. At 100 TB the cap
+    * bounds per-term state; full postings would go through the
+    * chunk/shard layout instead of one aggregate value. */
+  def q84InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, PostingsCap),
+            d => d.cast("string"))).as("postings"))
+      .where(col("df") >= IndexMinDf)
+
   val BpeTopMerges = 20
 
   /** q76 — one BPE-training merge step: count adjacent character

@@ -236,6 +236,18 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q84 posting lists are sorted, capped, and df-consistent") {
+    val rows = TextQueries.q84InvertedIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val posts = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(posts.length <= TextQueries.PostingsCap)
+      assert(posts.sorted.sameElements(posts), "postings must be sorted")
+      assert(posts.length.toLong <=  r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df") >= TextQueries.IndexMinDf)
+    }
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
