@@ -60,4 +60,27 @@ class PropertySpec extends AnyFunSuite {
       assert(stringAnswer === dateAnswer)
     }
   }
+
+  test("distributed prefix sum equals the sequential scan on random " +
+      "key/value sets and bucket counts") {
+    val genRows = for {
+      n <- Gen.chooseNum(1, 120)
+      keys <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 1000L))
+    } yield keys.distinct.zip(vals)
+    samples(genRows, 8).zipWithIndex.foreach { case (rows, i) =>
+      val buckets = Seq(2, 5, 16, 64)(i % 4)
+      val df = rows.toDF("k", "v")
+      val got = graft.operators.PrefixSum
+        .exclusive(df, "k", "v", "cum", buckets)
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      // scan yields (k_i, prefix INCLUSIVE of v_i); rebuild exclusive
+      val exclusive = rows.sortBy(_._1).map(_._1)
+        .zip(expected.init.map(_._2)).toMap
+      assert(got === exclusive, s"buckets=$buckets n=${rows.size}")
+    }
+  }
 }
