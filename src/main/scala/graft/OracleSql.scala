@@ -1172,6 +1172,53 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q85_funnel" -> """
+      WITH pud AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+        FROM events GROUP BY 1, 2
+      ), flags AS (
+        SELECT day,
+               CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS viewed,
+               CASE WHEN v_ts IS NOT NULL AND c_ts > v_ts
+                    THEN 1 ELSE 0 END AS clicked,
+               CASE WHEN v_ts IS NOT NULL AND c_ts > v_ts AND p_ts > c_ts
+                    THEN 1 ELSE 0 END AS purchased
+        FROM pud
+      )
+      SELECT day,
+             CAST(SUM(viewed) AS BIGINT) AS n_viewers,
+             CAST(SUM(clicked) AS BIGINT) AS n_clickers,
+             CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+             ROUND(CAST(SUM(clicked) AS DOUBLE) / SUM(viewed), 4)
+               AS click_rate,
+             ROUND(CAST(SUM(purchased) AS DOUBLE) / SUM(viewed), 4)
+               AS purchase_rate
+      FROM flags GROUP BY 1 HAVING SUM(viewed) > 0
+    """,
+    "q86_retention_cohorts" -> """
+      WITH fw AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+        FROM events GROUP BY 1
+      ), act AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', ts) AS wk, cohort_wk
+        FROM events e JOIN fw ON e.user_id = fw.user_id
+      ), counts AS (
+        SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+               (epoch(wk)::BIGINT - epoch(cohort_wk)::BIGINT) // 604800
+                 AS weeks_later,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM act GROUP BY 1, 2
+      ), sizes AS (
+        SELECT cohort_week, n_active AS cohort_size
+        FROM counts WHERE weeks_later = 0
+      )
+      SELECT cohort_week, weeks_later, n_active, cohort_size,
+             ROUND(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+      FROM counts JOIN sizes USING (cohort_week)
+    """,
     "q84_inverted_index" -> """
       WITH td AS (
         SELECT DISTINCT doc_id,

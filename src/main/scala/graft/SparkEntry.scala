@@ -118,7 +118,9 @@ object SparkEntry {
     "q81_full_outer" -> (CorpusOps.q81FullOuter _),
     "q82_chunking" -> (CorpusOps.q82Chunking _),
     "q83_bm25" -> (TextQueries.q83Bm25 _),
-    "q84_inverted_index" -> (TextQueries.q84InvertedIndex _)
+    "q84_inverted_index" -> (TextQueries.q84InvertedIndex _),
+    "q85_funnel" -> (Analytics.q85Funnel _),
+    "q86_retention_cohorts" -> (Analytics.q86RetentionCohorts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

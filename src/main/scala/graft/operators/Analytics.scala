@@ -249,6 +249,70 @@ object Analytics {
       "measure", "value")
   }
 
+  /** q85 — ordered conversion funnel at user-day grain: a user counts
+    * as converted only if the stages happened IN ORDER (first view
+    * before first click before first purchase that day). Conditional
+    * min() collapses each (user, day) to one row of stage timestamps —
+    * a single shuffle on (user, day), then a day-sized rollup; the
+    * ordering test is a timestamp comparison, not a window. Rates are
+    * single divisions of exact counts. */
+  def q85Funnel(s: SparkSession, dir: String): DataFrame = {
+    val perUserDay = t(s, dir, "events")
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+        min(when(col("event_type") === "click", col("ts"))).as("c_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      .withColumn("viewed", when(col("v_ts").isNotNull, 1).otherwise(0))
+      .withColumn("clicked",
+        when(col("v_ts").isNotNull && col("c_ts") > col("v_ts"), 1)
+          .otherwise(0))
+      .withColumn("purchased",
+        when(col("v_ts").isNotNull && col("c_ts") > col("v_ts") &&
+          col("p_ts") > col("c_ts"), 1).otherwise(0))
+    perUserDay
+      .groupBy(col("day"))
+      .agg(
+        sum(col("viewed")).as("n_viewers"),
+        sum(col("clicked")).as("n_clickers"),
+        sum(col("purchased")).as("n_purchasers"))
+      .where(col("n_viewers") > 0)
+      .withColumn("click_rate",
+        round(col("n_clickers").cast("double") / col("n_viewers"), 4))
+      .withColumn("purchase_rate",
+        round(col("n_purchasers").cast("double") / col("n_viewers"), 4))
+  }
+
+  /** q86 — weekly retention cohorts: users grouped by first-activity
+    * week, retention = share of the cohort active k weeks later.
+    * weeks_later uses integer `div` on epoch seconds of week
+    * boundaries (both engines truncate weeks to Monday in UTC), so the
+    * bucketing is exact; two shuffles total (per-user first week, then
+    * the cohort×offset distinct count), both user-sized. */
+  def q86RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_wk"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .join(firstWeek, Seq("user_id"))
+      .withColumn("weeks_later", expr(
+        "(unix_timestamp(wk) - unix_timestamp(cohort_wk)) div 604800"))
+    val counts = active
+      .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_later"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = counts.where(col("weeks_later") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    counts
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("weeks_later"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+  }
+
   /** q79 — skew-safe salted JOIN (operators.Skew.saltedJoin): the event
     * stream takes a per-user dimension through an 8-bucket salted
     * left join — the fact side's hot keys spread across 8 shuffle

@@ -248,6 +248,34 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 funnel stages are monotone non-increasing") {
+    val rows = Analytics.q85Funnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p) = (r.getAs[Long]("n_viewers"),
+        r.getAs[Long]("n_clickers"), r.getAs[Long]("n_purchasers"))
+      assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+      assert(r.getAs[Double]("click_rate") <= 1.0)
+      assert(r.getAs[Double]("purchase_rate") <=
+        r.getAs[Double]("click_rate") + 1e-9)
+    }
+  }
+
+  test("q86 cohorts start at full retention and never exceed it") {
+    val rows = Analytics.q86RetentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_week"))
+    byCohort.foreach { case (_, g) =>
+      val week0 = g.find(_.getAs[Long]("weeks_later") == 0L).get
+      assert(week0.getAs[Double]("retention") === 1.0)
+      g.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+        assert(r.getAs[Long]("weeks_later") >= 0L,
+          "no activity can precede the cohort's first week")
+      }
+    }
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
