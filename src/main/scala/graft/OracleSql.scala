@@ -1172,6 +1172,40 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q87_ab_test" -> """
+      WITH pu AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events GROUP BY user_id
+      ), arms AS (
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(converted) AS BIGINT) AS c
+        FROM pu GROUP BY 1
+      ), a AS (SELECT n AS n_a, c AS c_a FROM arms WHERE variant = 'A'),
+         b AS (SELECT n AS n_b, c AS c_b FROM arms WHERE variant = 'B')
+      SELECT n_a, c_a, n_b, c_b,
+             ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+             ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+             ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      FROM a, b
+    """,
+    "q88_range_frame" -> """
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             COUNT(*) OVER w AS n_last_hour,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                   AS DOUBLE), 2) AS value_last_hour
+      FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY es
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "q85_funnel" -> """
       WITH pud AS (
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,

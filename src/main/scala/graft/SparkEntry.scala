@@ -120,7 +120,9 @@ object SparkEntry {
     "q83_bm25" -> (TextQueries.q83Bm25 _),
     "q84_inverted_index" -> (TextQueries.q84InvertedIndex _),
     "q85_funnel" -> (Analytics.q85Funnel _),
-    "q86_retention_cohorts" -> (Analytics.q86RetentionCohorts _)
+    "q86_retention_cohorts" -> (Analytics.q86RetentionCohorts _),
+    "q87_ab_test" -> (Analytics.q87AbTest _),
+    "q88_range_frame" -> (Analytics.q88RangeFrame _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -249,6 +249,70 @@ object Analytics {
       "measure", "value")
   }
 
+  /** q87 — deterministic experiment assignment + two-proportion z-test:
+    * users split 50/50 into A/B by md5 hex prefix (the same
+    * coordination-free idiom as the q80 dataset split — any engine
+    * assigns identically), conversion = user made a purchase; the
+    * z-score is pure IEEE arithmetic on exact counts (sqrt is
+    * correctly-rounded per IEEE-754, so even it is engine-exact). The
+    * whole analysis is two user-sized aggregates. Conversion is a
+    * threshold metric (≥14 purchases — roughly the median) rather than
+    * "any purchase", which saturates to p=1 on this event density and
+    * zeroes the pooled variance. */
+  def q87AbTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14,
+        1).otherwise(0).as("converted"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val arms = perUser
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .withColumn("rate",
+        round(col("n_conv").cast("double") / col("n_users"), 6))
+    val a = arms.where(col("variant") === "A")
+      .select(col("n_users").as("n_a"), col("n_conv").as("c_a"))
+    val b = arms.where(col("variant") === "B")
+      .select(col("n_users").as("n_b"), col("n_conv").as("c_b"))
+    a.crossJoin(b)
+      .withColumn("p_a", col("c_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("c_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z", round(
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(col("p_a"), 6).as("rate_a"),
+        round(col("p_b"), 6).as("rate_b"), col("z"))
+  }
+
+  /** q88 — time-RANGE window frame: for every event, how many events
+    * (and how much value) the same user generated in the preceding
+    * hour — frame bounds are event-time offsets, not row counts (the
+    * frame q40's ROWS form can't express: row frames count
+    * neighbors, range frames measure TIME). One per-user sort; the
+    * frame is evaluated over epoch seconds so both engines use exact
+    * integer bounds. */
+  def q88RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("value_last_hour",
+        round(sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("double"), 2))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_last_hour"), col("value_last_hour"))
+  }
+
   /** q85 — ordered conversion funnel at user-day grain: a user counts
     * as converted only if the stages happened IN ORDER (first view
     * before first click before first purchase that day). Conditional

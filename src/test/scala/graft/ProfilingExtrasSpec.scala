@@ -276,6 +276,35 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q87 A/B arms partition all users; z is finite") {
+    val r = Analytics.q87AbTest(spark, sfDir).head()
+    val nUsers = Tables.load(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === nUsers)
+    assert(r.getAs[Long]("c_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("c_b") <= r.getAs[Long]("n_b"))
+    assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+  }
+
+  test("q88 range frame counts itself and only same-user events " +
+      "within the hour") {
+    val rows = Analytics.q88RangeFrame(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Long]("n_last_hour") >= 1L),
+      "frame includes the current row")
+    // spot-check one user's series against a brute-force recount
+    val uid = rows.head.getAs[Long]("user_id")
+    val series = rows.filter(_.getAs[Long]("user_id") == uid)
+      .map(r => (r.getAs[String]("ts_s"), r.getAs[Long]("n_last_hour")))
+    val times = series.map(_._1).sorted
+    series.foreach { case (t, n) =>
+      val brute = times.count(u => u <= t &&
+        java.time.LocalDateTime.parse(u.replace(' ', 'T'))
+          .isAfter(java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .minusSeconds(3601)))
+      assert(n === brute.toLong, s"at $t")
+    }
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
