@@ -1172,6 +1172,18 @@ object OracleSql {
                AS revenue_share
       FROM b, g
     """,
+    "q89_correlated_subquery" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_big
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+                   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        AND EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+      GROUP BY o_orderpriority
+    """,
     "q87_ab_test" -> """
       WITH pu AS (
         SELECT user_id,

@@ -122,7 +122,8 @@ object SparkEntry {
     "q85_funnel" -> (Analytics.q85Funnel _),
     "q86_retention_cohorts" -> (Analytics.q86RetentionCohorts _),
     "q87_ab_test" -> (Analytics.q87AbTest _),
-    "q88_range_frame" -> (Analytics.q88RangeFrame _)
+    "q88_range_frame" -> (Analytics.q88RangeFrame _),
+    "q89_correlated_subquery" -> (Analytics.q89CorrelatedSubquery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -249,6 +249,30 @@ object Analytics {
       "measure", "value")
   }
 
+  /** q89 — correlated subqueries (scalar + EXISTS): orders costing more
+    * than 2× their customer's average order value, counted per
+    * priority. Catalyst DECORRELATES both forms into aggregate+join
+    * plans (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
+    * → semi join) — the per-row-subquery reading of the SQL would be
+    * O(n²); the executed plan is two shuffles. The average comparison
+    * is restructured as price×count > 2×sum in exact DECIMAL, because
+    * a double AVG's accumulation order differs between engines. */
+  def q89CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_big
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+                   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        AND EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+      GROUP BY o_orderpriority
+    """)
+  }
+
   /** q87 — deterministic experiment assignment + two-proportion z-test:
     * users split 50/50 into A/B by md5 hex prefix (the same
     * coordination-free idiom as the q80 dataset split — any engine

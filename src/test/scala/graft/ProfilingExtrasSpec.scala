@@ -305,6 +305,31 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q89 correlated subqueries decorrelate and match a manual join") {
+    val got = Analytics.q89CorrelatedSubquery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // manual decorrelation: pre-aggregate per customer, join, compare
+    val ord = Tables.load(spark, sfDir, "orders")
+    val per = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("s"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .where(col("c_acctbal") > 0).select(col("c_custkey"))
+    val want = ord
+      .join(per, ord("o_custkey") === col("ck"))
+      .join(cust, ord("o_custkey") === col("c_custkey"), "left_semi")
+      .where(col("o_totalprice").cast("decimal(18,4)") * col("n") >
+        col("s") * 2)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_big"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the executed plan must be join-shaped, not per-row subqueries
+    val plan = Analytics.q89CorrelatedSubquery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), "scalar subqueries must decorrelate")
+  }
+
   test("q75 percentiles are well-formed per segment") {
     val rows = Profiling.q75SegmentPercentiles(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
