@@ -48,6 +48,10 @@ section("q56 boilerplate spans -- skew-safe two-stage aggregate",
   "No Expand for count-distinct: the (span, doc) pre-aggregate collapses repeats map-side (partial_count), then the span rollup is a plain sum.",
   CorpusOps.q56BoilerplateSpans(spark, dir),
   Seq("HashAggregate", "partial_", "Exchange hashpartitioning"))
+section("q59 sequence packing -- distributed prefix sum, no global window",
+  "The running sum is the two-pass PrefixSum (range buckets + broadcast offsets): the plan shows bucket-partitioned windows and NO Exchange SinglePartition moving the corpus through one task.",
+  graft.operators.CorpusOps.q59SeqPacking(spark, dir),
+  Seq("Exchange", "Window", "Sort "))
 section("q70 embedding centroids -- shuffle is O(labels x dims)",
   "posexplode feeds a partial aggregate: each task emits at most labels x dims states, so exchange size is independent of corpus row count.",
   Similarity.q70EmbeddingCentroids(spark, dir),
