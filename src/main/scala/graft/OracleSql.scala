@@ -1458,6 +1458,134 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
+  /** Statistical / behavioral analytics pack (operators.Stats). */
+  val stats: Map[String, String] = Map(
+    "q90_point_in_time" -> """
+      WITH st AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type <> 'purchase'
+      ), changes AS (
+        SELECT user_id, ts, event_type AS state
+        FROM st WHERE prev IS NULL OR prev <> event_type
+      ), probes AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             p.value, c.state,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS state_since,
+             date_diff('second', c.ts, p.ts) AS secs_in_state
+      FROM probes p ASOF LEFT JOIN changes c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "q91_markov_transitions" -> """
+      WITH tr AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+      ), c AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+      )
+      SELECT from_type, to_type, n,
+             ROUND(CAST(n AS DOUBLE) / SUM(n) OVER
+                     (PARTITION BY from_type), 6) AS p
+      FROM c
+    """,
+    "q92_zscore_anomaly" -> """
+      WITH monthly AS (
+        SELECT n_regionkey AS region,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      ), st AS (
+        SELECT region, COUNT(*) AS n_months,
+               SUM(CAST(revenue AS DECIMAL(18,4))) AS s1,
+               -- DECIMAL(19,4): int128 storage so the product (exactly
+               -- 8 fractional digits, precision 38) can't overflow the
+               -- int64 path DECIMAL(18) would take.
+               SUM(CAST(revenue AS DECIMAL(19,4))
+                   * CAST(revenue AS DECIMAL(19,4))) AS s2
+        FROM monthly GROUP BY 1
+      ), mv AS (
+        SELECT region,
+               CAST(s1 AS DOUBLE) / n_months AS mean,
+               CAST(s2 AS DOUBLE) / n_months
+                 - (CAST(s1 AS DOUBLE) / n_months)
+                   * (CAST(s1 AS DOUBLE) / n_months) AS variance
+        FROM st
+      ), z AS (
+        SELECT m.region, m.month, m.revenue,
+               ROUND(mean, 2) AS mean_revenue,
+               CASE WHEN variance > 0
+                    THEN ROUND((m.revenue - mean) / sqrt(variance), 4)
+               END AS z
+        FROM monthly m JOIN mv USING (region)
+      )
+      SELECT region, month, revenue, mean_revenue, z,
+             (abs(z) > 2.0) AS is_anomaly
+      FROM z
+    """,
+    "q93_chi2_contingency" -> """
+      WITH cells AS (
+        SELECT r_name, o_orderpriority, COUNT(*) AS observed
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      ), m AS (
+        SELECT *,
+               SUM(observed) OVER (PARTITION BY r_name) AS row_total,
+               SUM(observed) OVER (PARTITION BY o_orderpriority) AS col_total,
+               SUM(observed) OVER () AS grand
+        FROM cells
+      ), e AS (
+        SELECT r_name, o_orderpriority, observed,
+               CAST(row_total * col_total AS DOUBLE) / grand AS expected
+        FROM m
+      )
+      SELECT r_name, o_orderpriority, observed,
+             ROUND(expected, 4) AS expected,
+             ROUND((observed - expected) * (observed - expected)
+                   / expected, 6) AS chi2_contrib
+      FROM e
+    """,
+    "q94_copurchase_pairs" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      )
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, p1, p2 LIMIT 50
+    """,
+    "q95_rolling_distinct" -> """
+      WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      ), ex AS (
+        SELECT CAST(UNNEST(generate_series(d, d + 6, INTERVAL 1 DAY))
+                    AS DATE) AS day,
+               user_id
+        FROM pairs
+      ), bounds AS (
+        SELECT MIN(d) AS lo, MAX(d) AS hi FROM pairs
+      )
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             COUNT(DISTINCT user_id) AS n_users_7d
+      FROM ex, bounds WHERE day BETWEEN lo AND hi
+      GROUP BY 1
+    """
+  ).map { case (k, v) => k -> v.trim }
+
   val all: Map[String, String] =
-    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b
+    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b ++ stats
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, KpiQueries, Profiling, RangeJoin, Similarity, TextQueries}
+  Dedup, KpiQueries, Profiling, RangeJoin, Similarity, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -123,7 +123,16 @@ object SparkEntry {
     "q86_retention_cohorts" -> (Analytics.q86RetentionCohorts _),
     "q87_ab_test" -> (Analytics.q87AbTest _),
     "q88_range_frame" -> (Analytics.q88RangeFrame _),
-    "q89_correlated_subquery" -> (Analytics.q89CorrelatedSubquery _)
+    "q89_correlated_subquery" -> (Analytics.q89CorrelatedSubquery _),
+    // Statistical / behavioral analytics pack: point-in-time SCD2
+    // lookup, Markov transitions, z-score anomalies, chi-square
+    // contingency, co-purchase pair mining, sliding distinct counts.
+    "q90_point_in_time" -> (Stats.q90PointInTime _),
+    "q91_markov_transitions" -> (Stats.q91MarkovTransitions _),
+    "q92_zscore_anomaly" -> (Stats.q92ZscoreAnomaly _),
+    "q93_chi2_contingency" -> (Stats.q93Chi2Contingency _),
+    "q94_copurchase_pairs" -> (Stats.q94CopurchasePairs _),
+    "q95_rolling_distinct" -> (Stats.q95RollingDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Statistical / behavioral analytics pack (round 3): point-in-time
+  * feature lookup, Markov transitions, distribution diagnostics
+  * (z-score anomalies, chi-square independence), market-basket pair
+  * mining, and sliding-window distinct counts.
+  *
+  * Everything here follows the engine-exact arithmetic discipline the
+  * rest of the suite uses: counts stay integral, money flows through
+  * DECIMAL sums, and every derived double is produced by the same
+  * correctly-rounded IEEE expression tree the DuckDB oracle evaluates,
+  * so results hash-match bit-for-bit across engines.
+  */
+object Stats {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+
+  /** q90 — point-in-time-correct feature lookup against SCD2 history:
+    * the user's state intervals (q64's build, restricted to
+    * non-purchase events) are probed by each purchase event, attaching
+    * the state that was valid AT purchase time — the
+    * leakage-free dimension lookup every training pipeline needs
+    * (joining current state would leak the future). Reuses
+    * AsofJoin.backward, so the plan is ONE co-partitioned shuffle of
+    * probes+changes and a single per-user window pass — no interval
+    * blow-up, no per-key probing. */
+  def q90PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    // SCD2 change rows: one row per state CHANGE (q64 semantics).
+    val changes = ev.where(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("chg_event_id"),
+        col("event_type").as("state"),
+        col("ts").as("state_since_ts"))
+    val probes = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    AsofJoin.backward(probes, changes, "user_id", "ts",
+        Seq("chg_event_id", "state", "state_since_ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"), col("state"),
+        date_format(col("state_since_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("state_since"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("state_since_ts")))
+          .as("secs_in_state"))
+  }
+
+  /** q91 — first-order Markov transition matrix over the event stream:
+    * P(next event type | current) per user-ordered adjacency. One
+    * per-user window pass produces the adjacent pairs map-side; the
+    * transition aggregate is |types|² rows, so the normalizing window
+    * is vocabulary-sized however large the stream is. Probabilities
+    * are one exact long/long division, engine-portable. */
+  def q91MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = t(s, dir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    trans.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+  }
+
+  /** q92 — z-score anomaly detection on monthly revenue per region:
+    * which months deviate >2σ from their region's mean. Moments come
+    * from exact DECIMAL sums (Σx, Σx² of the 2-dp revenue — the square
+    * of a 4-dp decimal is exact at 8 dp), so shuffle order can't move a
+    * bit; mean/variance/z are then the same correctly-rounded IEEE
+    * expression tree in both engines. The stats side is region-sized —
+    * it broadcasts back onto the monthly series no matter the fact
+    * volume. Population variance (÷n) keeps the formula
+    * division-order-free. */
+  def q92ZscoreAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val monthly = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val rd = col("revenue").cast("decimal(18,4)")
+    val stats = monthly.groupBy(col("region")).agg(
+      count(lit(1)).as("n_months"),
+      sum(rd).as("s1"),
+      sum(rd * rd).as("s2"))
+    monthly.join(broadcast(stats), Seq("region"))
+      .withColumn("mean", col("s1").cast("double") / col("n_months"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n_months") -
+          col("mean") * col("mean"))
+      .withColumn("z", when(col("variance") > 0,
+        round((col("revenue") - col("mean")) / sqrt(col("variance")), 4)))
+      .select(col("region"), col("month"), col("revenue"),
+        round(col("mean"), 2).as("mean_revenue"), col("z"),
+        (abs(col("z")) > lit(2.0)).as("is_anomaly"))
+  }
+
+  /** q93 — chi-square contingency table for region × order priority:
+    * observed counts, independence-expected counts, and per-cell χ²
+    * contributions. The cell grid is |regions|×|priorities| rows, so
+    * the three marginal windows run over a tiny aggregate — the only
+    * fact-sized work is the first count. Expected counts are exact
+    * BIGINT products divided once (both factors < 2⁵³ at any
+    * realistic cardinality), contributions the same IEEE tree in both
+    * engines. */
+  def q93Chi2Contingency(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    val cells = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("observed"))
+    val byRow = Window.partitionBy(col("r_name"))
+    val byCol = Window.partitionBy(col("o_orderpriority"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("row_total", sum(col("observed")).over(byRow))
+      .withColumn("col_total", sum(col("observed")).over(byCol))
+      .withColumn("grand", sum(col("observed")).over(all))
+      .withColumn("expected",
+        (col("row_total") * col("col_total")).cast("double") / col("grand"))
+      .withColumn("chi2_contrib", round(
+        (col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected"), 6))
+      .select(col("r_name"), col("o_orderpriority"), col("observed"),
+        round(col("expected"), 4).as("expected"), col("chi2_contrib"))
+  }
+
+  /** q94 — market-basket co-purchase pairs: the 50 part pairs most
+    * often bought in the same order. NOT a self-join: items collapse
+    * to one array per order (one shuffle), pairs expand MAP-SIDE from
+    * the array (orders have bounded line counts, so the expansion is
+    * O(k²) per row with small k), and the pair aggregate is the only
+    * other shuffle. The final top-50 is TakeOrderedAndProject with a
+    * full (count, p1, p2) tiebreak — deterministic, no global sort. */
+  def q94CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    items
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+      .limit(50)
+  }
+
+  /** q95 — trailing 7-day distinct active users per day, the sliding
+    * window a plain window frame can't do distinct-ly. Each (day,
+    * user) pair fans out map-side to the ≤7 window anchors it counts
+    * toward, then ONE distinct aggregate per anchor day — fan-out ×7
+    * instead of a per-day self-join (which would re-scan the stream
+    * per window position). The bounds row broadcasts to clip the
+    * spine to observed days. */
+  def q95RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val bounds = pairs.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    pairs
+      .select(explode(expr("sequence(d, date_add(d, 6))")).as("day"),
+        col("user_id"))
+      .join(broadcast(bounds), col("day").between(col("lo"), col("hi")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_users_7d"))
+  }
+}

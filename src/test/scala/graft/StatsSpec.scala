@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Invariant specs for the q90–q95 statistical analytics pack (each
+  * also has a DuckDB oracle; these pin the semantic properties the
+  * hash check can't express).
+  */
+class StatsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("q90 point-in-time state is never from the future and matches " +
+      "a brute-force interval lookup") {
+    val got = Stats.q90PointInTime(spark, sfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[String]("state") != null).foreach { r =>
+      assert(r.getAs[String]("state_since") <= r.getAs[String]("purchase_ts"))
+      assert(r.getAs[Long]("secs_in_state") >= 0L)
+    }
+    // Brute force: for each purchase, the latest earlier-or-equal
+    // non-purchase event's type must equal the SCD2 state.
+    val ev = Tables.load(spark, sfDir, "events")
+    val st = ev.where($"event_type" =!= "purchase")
+      .select($"user_id".as("u"), $"ts".as("sts"), $"event_type".as("stype"))
+    val probes = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val brute = probes.join(st, probes("user_id") === st("u") &&
+        st("sts") <= probes("ts"), "left")
+      .groupBy($"event_id")
+      .agg(max_by($"stype", $"sts").as("bstate"))
+    val cmp = got.select($"event_id", $"state")
+      .join(brute, Seq("event_id"), "left").collect()
+    cmp.foreach { r =>
+      assert(r.getAs[String]("state") === r.getAs[String]("bstate"))
+    }
+  }
+
+  test("q91 transition probabilities are positive and sum to 1 per " +
+      "from-state") {
+    val rows = Stats.q91MarkovTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("p") > 0.0))
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, g) =>
+      val s = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"probabilities sum to $s")
+    }
+  }
+
+  test("q92 z-scores standardize to mean ~0 and flag only |z|>2") {
+    val rows = Stats.q92ZscoreAnomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("region")).foreach { case (_, g) =>
+      val zs = g.flatMap(r => Option(r.getAs[java.lang.Double]("z")))
+        .map(_.doubleValue)
+      if (zs.nonEmpty) {
+        assert(math.abs(zs.sum / zs.size) < 1e-3, "z-scores center on 0")
+      }
+    }
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Boolean]("is_anomaly")).foreach { a =>
+        val z = r.getAs[java.lang.Double]("z").doubleValue
+        assert(a.booleanValue === (math.abs(z) > 2.0))
+      }
+    }
+  }
+
+  test("q93 chi-square expected counts preserve the marginals") {
+    val rows = Stats.q93Chi2Contingency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getAs[Long]("observed")).sum
+    // Sum of expected == grand total (up to rounding of each cell).
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(expSum - grand) < 0.01 * rows.length)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_contrib") >= 0.0))
+  }
+
+  test("q94 co-purchase pairs are ordered, counted, and bounded by " +
+      "order count") {
+    val nOrders = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey").distinct().count()
+    val rows = Stats.q94CopurchasePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+      assert(r.getAs[Long]("n_orders") >= 1L &&
+        r.getAs[Long]("n_orders") <= nOrders)
+    }
+    // Descending by count under the declared tiebreak.
+    val ns = rows.map(_.getAs[Long]("n_orders")).toSeq
+    assert(ns === ns.sorted.reverse)
+  }
+
+  test("q95 trailing 7-day distinct is >= the single-day distinct and " +
+      "monotone vs a widening prefix") {
+    val daily = Tables.load(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(countDistinct($"user_id").as("n1"))
+      .select(date_format($"d", "yyyy-MM-dd").as("day"), $"n1")
+    val rolling = Stats.q95RollingDistinct(spark, sfDir)
+    val joined = rolling.join(daily, Seq("day"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val n7 = r.getAs[Long]("n_users_7d")
+      Option(r.getAs[java.lang.Long]("n1")).foreach { n1 =>
+        assert(n7 >= n1.longValue)
+      }
+    }
+  }
+}
