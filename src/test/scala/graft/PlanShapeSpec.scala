@@ -195,4 +195,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"both windows must share one user_id shuffle, saw $exchanges:\n$p")
   }
+
+  test("q90 point-in-time lookup is one user_id shuffle over " +
+      "probes+changes (no interval join blow-up)") {
+    val df = graft.operators.Stats.q90PointInTime(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("SortMergeJoin") &&
+      !finalSection.contains("BroadcastNestedLoop"),
+      s"as-of reuse must not plan a join:\n$p")
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(exchanges <= 2,
+      s"union + one keyed window pass, saw $exchanges exchanges:\n$p")
+  }
+
+  test("q94 co-purchase top-50 plans as TakeOrderedAndProject over a " +
+      "two-phase pair aggregate, with no self-join") {
+    val df = graft.operators.Stats.q94CopurchasePairs(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("TakeOrderedAndProject"), s"got:\n$p")
+    assert(!finalSection.contains("SortMergeJoin") &&
+      !finalSection.contains("BroadcastHashJoin"),
+      s"pairs must expand map-side from per-order arrays, not join:\n$p")
+  }
+
+  test("q95 rolling distinct fans out map-side: one distinct exchange, " +
+      "bounds broadcast") {
+    val df = graft.operators.Stats.q95RollingDistinct(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bounds must broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"no keyed join belongs in this plan:\n$p")
+  }
 }
