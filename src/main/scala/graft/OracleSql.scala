@@ -1568,6 +1568,44 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q96_quality_report" -> """
+      WITH w AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS not_null_custkey,
+               SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                 AS positive_totalprice,
+               SUM(CASE WHEN NOT (o_orderpriority IN ('1-URGENT',
+                   '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+                   THEN 1 ELSE 0 END) AS valid_priority,
+               SUM(CASE WHEN NOT (o_orderdate BETWEEN '1990-01-01'
+                   AND '2005-12-31') THEN 1 ELSE 0 END) AS date_in_range,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS unique_orderkey
+        FROM orders
+      ), fk AS (
+        SELECT COUNT(*) AS v
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE o_custkey IS NOT NULL AND c_custkey IS NULL
+      ), tall AS (
+        SELECT 'not_null_custkey' AS check_name, n_rows,
+               CAST(not_null_custkey AS BIGINT) AS n_violations FROM w
+        UNION ALL SELECT 'positive_totalprice', n_rows,
+               CAST(positive_totalprice AS BIGINT) FROM w
+        UNION ALL SELECT 'valid_priority', n_rows,
+               CAST(valid_priority AS BIGINT) FROM w
+        UNION ALL SELECT 'date_in_range', n_rows,
+               CAST(date_in_range AS BIGINT) FROM w
+        UNION ALL SELECT 'unique_orderkey', n_rows,
+               CAST(unique_orderkey AS BIGINT) FROM w
+        UNION ALL SELECT 'fk_customer', n_rows, CAST(v AS BIGINT)
+               FROM w, fk
+      )
+      SELECT check_name, n_rows, n_violations,
+             ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6)
+               AS violation_rate,
+             (n_violations = 0) AS passed
+      FROM tall
+    """,
     "q95_rolling_distinct" -> """
       WITH pairs AS (
         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events

@@ -132,7 +132,8 @@ object SparkEntry {
     "q92_zscore_anomaly" -> (Stats.q92ZscoreAnomaly _),
     "q93_chi2_contingency" -> (Stats.q93Chi2Contingency _),
     "q94_copurchase_pairs" -> (Stats.q94CopurchasePairs _),
-    "q95_rolling_distinct" -> (Stats.q95RollingDistinct _)
+    "q95_rolling_distinct" -> (Stats.q95RollingDistinct _),
+    "q96_quality_report" -> (Profiling.q96QualityReport _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -123,4 +123,36 @@ object Profiling {
       .select(col("rank"), col("user_id"), col("n_rows"),
         col("share"), col("cum_share"))
   }
+
+  /** q96 — declarative data-quality audit over `orders`
+    * (etl.QualityChecks): five row/uniqueness constraints compile into
+    * ONE aggregate pass (the mixed distinct/non-distinct aggregate is
+    * a single Expand — one scan however many checks), plus a
+    * broadcast anti-join referential-integrity count against
+    * `customer`, all unioned into one tall pass/fail report. The
+    * reference pipeline has no quality gate; at 100 TB one-scan-per-
+    * constraint vs one-scan-total is the whole ballgame. */
+  def q96QualityReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.QualityChecks._
+    val ord = t(s, dir, "orders")
+    // c_custkey is unique and customer broadcasts, so the FK gate folds
+    // into the single-pass side as a row check on the joined row (the
+    // QualityChecks.ForeignKeyCheck variant is for dims that can't).
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val audited = ord.join(broadcast(cust),
+      ord("o_custkey") === cust("c_custkey"), "left")
+    report(
+      audited,
+      rowChecks = Seq(
+        RowCheck("not_null_custkey", col("o_custkey").isNull),
+        RowCheck("positive_totalprice", !(col("o_totalprice") > 0)),
+        RowCheck("valid_priority", !col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        RowCheck("date_in_range", !col("o_orderdate").between(
+          "1990-01-01", "2005-12-31")),
+        RowCheck("fk_customer",
+          col("o_custkey").isNotNull && col("c_custkey").isNull)),
+      uniqueChecks = Seq(UniqueCheck("unique_orderkey",
+        Seq(col("o_orderkey")))))
+  }
 }

@@ -340,4 +340,35 @@ class ProfilingExtrasSpec extends AnyFunSuite {
       assert(deciles.min === 1 && deciles.max === 10)
     }
   }
+
+  test("q96 quality report emits one row per check over the full table " +
+      "and a clean table passes every gate") {
+    val rows = Profiling.q96QualityReport(spark, sfDir).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[String]("check_name")).toSet === Set(
+      "not_null_custkey", "positive_totalprice", "valid_priority",
+      "date_in_range", "unique_orderkey", "fk_customer"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === nOrders)
+      assert(r.getAs[Boolean]("passed") ===
+        (r.getAs[Long]("n_violations") == 0L))
+      assert(r.getAs[Double]("violation_rate") >= 0.0)
+    }
+    // The synthetic orders table is clean: every constraint holds.
+    assert(rows.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("q96 single-pass plan: all six checks share ONE scan of orders " +
+      "(the FK folds into the broadcast-joined row)") {
+    val df = Profiling.q96QualityReport(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    // orders + broadcast customer = 2; any more means a constraint got
+    // its own scan.
+    assert(scans <= 2, s"expected <=2 scans, saw $scans:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the FK dim must broadcast:\n$p")
+  }
 }
