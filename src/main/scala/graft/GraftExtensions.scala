@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
@@ -44,5 +45,8 @@ object GraftExtensions {
     if (!extra.extraOptimizations.contains(graft.plans.EditDistancePruning))
       extra.extraOptimizations =
         extra.extraOptimizations :+ graft.plans.EditDistancePruning
+    if (!extra.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      extra.extraStrategies =
+        extra.extraStrategies :+ graft.plans.TopKPerGroupStrategy
   }
 }

@@ -1568,6 +1568,16 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q97_topk_per_group" -> """
+      WITH rk AS (
+        SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      )
+      SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice
+      FROM rk WHERE rn <= 3
+    """,
     "q96_quality_report" -> """
       WITH w AS (
         SELECT COUNT(*) AS n_rows,

@@ -133,7 +133,8 @@ object SparkEntry {
     "q93_chi2_contingency" -> (Stats.q93Chi2Contingency _),
     "q94_copurchase_pairs" -> (Stats.q94CopurchasePairs _),
     "q95_rolling_distinct" -> (Stats.q95RollingDistinct _),
-    "q96_quality_report" -> (Profiling.q96QualityReport _)
+    "q96_quality_report" -> (Profiling.q96QualityReport _),
+    "q97_topk_per_group" -> (Analytics.q97TopkPerGroup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -490,4 +490,19 @@ object Analytics {
                               (o_orderpriority), ())
     """)
   }
+
+  /** q97 — top-3 orders per priority class via the CUSTOM physical
+    * operator (plans.TopKPerGroup): bounded per-partition heaps →
+    * one exchange of only the per-partition winners → final heaps.
+    * Unlike q11's `row_number()` form, nothing ever sorts a whole
+    * group and the shuffle carries at most k×groups×partitions rows —
+    * the shape that survives a 100 TB fact. Order is total
+    * (totalprice desc, orderkey asc) so the result is deterministic
+    * and the DuckDB window-formulation oracle matches it row-for-row. */
+  def q97TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(col("o_orderpriority"),
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup(ord, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+  }
 }
