@@ -56,6 +56,22 @@ section("q70 embedding centroids -- shuffle is O(labels x dims)",
   "posexplode feeds a partial aggregate: each task emits at most labels x dims states, so exchange size is independent of corpus row count.",
   Similarity.q70EmbeddingCentroids(spark, dir),
   Seq("HashAggregate", "partial_", "Generate", "Exchange hashpartitioning"))
+section("q90 point-in-time SCD2 lookup -- one keyed window, no interval join",
+  "AsofJoin.backward unions probes+changes and carries state forward in ONE per-user window pass: no SortMergeJoin, no per-key range probe, a single hash exchange.",
+  graft.operators.Stats.q90PointInTime(spark, dir),
+  Seq("Window", "Exchange hashpartitioning", "SortMergeJoin"))
+section("q94 co-purchase pairs -- map-side pair expansion, TakeOrdered top-50",
+  "Pairs explode from per-order arrays (no self-join anywhere); the deterministic top-50 is TakeOrderedAndProject over the two-phase pair aggregate.",
+  graft.operators.Stats.q94CopurchasePairs(spark, dir),
+  Seq("TakeOrderedAndProject", "Generate explode", "HashAggregate", "partial_"))
+section("q96 quality audit -- six constraints, ONE scan of orders",
+  "All row/uniqueness checks ride a single Expand aggregate over the broadcast-joined row; the FK gate is a null-check on the joined dim key, not an extra pass.",
+  graft.operators.Profiling.q96QualityReport(spark, dir),
+  Seq("Scan parquet", "Expand", "BroadcastHashJoin", "HashAggregate"))
+section("q97 custom top-k-per-group operator -- winners-only exchange",
+  "The injected planner Strategy plans partial and final TopKPerGroupExec around one exchange: bounded heaps prune per partition, the shuffle carries at most k x groups x partitions rows, and no Sort or Window appears.",
+  graft.operators.Analytics.q97TopkPerGroup(spark, dir),
+  Seq("TopKPerGroup", "Exchange hashpartitioning", "Sort ", "Window"))
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
