@@ -1568,6 +1568,43 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q98_winsorize" -> """
+      WITH b AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.05) AS p05,
+               quantile_cont(c_acctbal, 0.95) AS p95
+        FROM customer GROUP BY 1
+      )
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CASE WHEN c_acctbal < p05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clipped_low,
+             CAST(SUM(CASE WHEN c_acctbal > p95 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clipped_high,
+             ROUND(MIN(p05), 2) AS p05,
+             ROUND(MIN(p95), 2) AS p95,
+             ROUND(CAST(SUM(CAST(GREATEST(p05, LEAST(p95, c_acctbal))
+                   AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+               AS winsorized_mean
+      FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+      GROUP BY 1
+    """,
+    "q99_time_weighted" -> """
+      WITH iv AS (
+        SELECT user_id, value,
+               CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT user_id,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(dur) AS BIGINT) AS total_secs,
+             ROUND(CAST(SUM(CAST(value * dur AS DECIMAL(28,4)))
+                   AS DOUBLE) / SUM(dur), 4) AS twa_value
+      FROM iv WHERE dur IS NOT NULL
+      GROUP BY 1
+    """,
     "q97_topk_per_group" -> """
       WITH rk AS (
         SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,

@@ -134,7 +134,9 @@ object SparkEntry {
     "q94_copurchase_pairs" -> (Stats.q94CopurchasePairs _),
     "q95_rolling_distinct" -> (Stats.q95RollingDistinct _),
     "q96_quality_report" -> (Profiling.q96QualityReport _),
-    "q97_topk_per_group" -> (Analytics.q97TopkPerGroup _)
+    "q97_topk_per_group" -> (Analytics.q97TopkPerGroup _),
+    "q98_winsorize" -> (Stats.q98Winsorize _),
+    "q99_time_weighted" -> (Stats.q99TimeWeighted _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

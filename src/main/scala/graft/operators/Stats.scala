@@ -171,6 +171,60 @@ object Stats {
       .limit(50)
   }
 
+  /** q98 — winsorized robust statistics per market segment: clip
+    * account balances at the exact interpolated [p05, p95] (the same
+    * percentile the q46 family proved engine-identical), then report
+    * clip counts and the winsorized mean. The percentile bounds are a
+    * segment-sized aggregate broadcast back onto the rows — the scale
+    * path swaps `percentile` for `approx_percentile` (t-digest) with
+    * the same plan shape. The winsorized mean flows through a DECIMAL
+    * sum of the clipped values so row order can't move a bit. */
+  def q98Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val bounds = cust.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(c_acctbal, array(0.05D, 0.95D))").as("ps"))
+      .select(col("c_mktsegment"), col("ps")(0).as("p05"),
+        col("ps")(1).as("p95"))
+    cust.join(broadcast(bounds), Seq("c_mktsegment"))
+      .withColumn("clipped",
+        greatest(col("p05"), least(col("p95"), col("c_acctbal"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("c_acctbal") < col("p05"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("c_acctbal") > col("p95"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        round(min(col("p05")), 2).as("p05"),
+        round(min(col("p95")), 2).as("p95"),
+        round(sum(col("clipped").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("winsorized_mean"))
+  }
+
+  /** q99 — time-weighted average event value per user: each event's
+    * value is weighted by how long it "held" (seconds until the user's
+    * next event; the final open-ended event is excluded). One per-user
+    * window pass produces (value, duration) pairs map-side; durations
+    * are exact longs and the value×duration products are summed as
+    * DECIMAL, so the weighted mean is engine-exact. The batch twin of
+    * a state-store time-weighted aggregation. */
+  def q99TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .withColumn("dur",
+        unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("total_secs"),
+        round(
+          sum((col("value") * col("dur")).cast("decimal(28,4)"))
+            .cast("double") / sum(col("dur")), 4).as("twa_value"))
+  }
+
   /** q95 — trailing 7-day distinct active users per day, the sliding
     * window a plain window frame can't do distinct-ly. Each (day,
     * user) pair fans out map-side to the ≤7 window anchors it counts

@@ -94,6 +94,37 @@ class StatsSpec extends AnyFunSuite {
     assert(ns === ns.sorted.reverse)
   }
 
+  test("q98 winsorized mean lies within the clip bounds and clips " +
+      "about 5% on each side") {
+    val rows = Stats.q98Winsorize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val m = r.getAs[Double]("winsorized_mean")
+      assert(p05 <= m && m <= p95, s"mean $m outside [$p05,$p95]")
+      val n = r.getAs[Long]("n_customers").toDouble
+      assert(r.getAs[Long]("n_clipped_low") <= math.ceil(n * 0.06) + 1)
+      assert(r.getAs[Long]("n_clipped_high") <= math.ceil(n * 0.06) + 1)
+    }
+  }
+
+  test("q99 time-weighted average is bounded by the user's raw value " +
+      "range and durations are positive") {
+    val rows = Stats.q99TimeWeighted(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bounds = Tables.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val joined = Stats.q99TimeWeighted(spark, sfDir)
+      .join(bounds, Seq("user_id")).collect()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("total_secs") > 0L)
+      val twa = r.getAs[Double]("twa_value")
+      assert(twa >= r.getAs[Double]("lo") - 1e-4 &&
+        twa <= r.getAs[Double]("hi") + 1e-4)
+    }
+  }
+
   test("q95 trailing 7-day distinct is >= the single-day distinct and " +
       "monotone vs a widening prefix") {
     val daily = Tables.load(spark, sfDir, "events")
