@@ -75,6 +75,33 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
   }
 
+  test("property: matches the window formulation on random data with " +
+      "nulls, duplicate keys, and skewed groups") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 4)
+      v <- Gen.option(Gen.chooseNum(-50, 50))
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield (g, v.map(Integer.valueOf).orNull, id)
+    for (seed <- 1 to 5) {
+      val rows = (1 to 400).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed(seed * 10000L + i)))
+      // unique tiebreak id so the order is total
+      val df = rows.zipWithIndex
+        .map { case ((g, v, id), i) => (g, Option(v).map(_.toInt), i.toLong) }
+        .toDF("g", "v", "id")
+      val group = Seq("g")
+      val order = Seq("v" -> false, "id" -> true)
+      for (k <- Seq(1, 4)) {
+        val got = sortedRows(TopKPerGroup(df, group, order, k))
+        val exp = sortedRows(windowTopK(df, group, order, k))
+        assert(got === exp, s"seed=$seed k=$k")
+      }
+    }
+  }
+
   test("q97 returns exactly 3 deterministic winners per priority") {
     val rows = graft.operators.Analytics.q97TopkPerGroup(spark, sfDir)
       .collect()
