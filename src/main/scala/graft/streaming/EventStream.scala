@@ -181,4 +181,33 @@ object EventStream {
     state.update(next)
     Iterator(next)
   }
+
+  /** Streaming data-quality monitor: every micro-batch runs the same
+    * declarative constraint set the batch gate uses
+    * (etl.QualityChecks — ONE aggregate pass per batch) and appends a
+    * per-batch tall report via `foreachBatch`. The report sink is the
+    * quality history a pipeline alerts on; a bad drop is visible the
+    * batch it arrives instead of at the next full-table audit. Returns
+    * the collected per-batch reports. */
+  def qualityMonitor(events: DataFrame,
+      onReport: (Long, DataFrame) => Unit): Unit = {
+    import graft.etl.QualityChecks._
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rep = report(
+          batch,
+          rowChecks = Seq(
+            RowCheck("not_null_user", col("user_id").isNull),
+            RowCheck("known_type", !col("event_type").isin(
+              "view", "click", "purchase", "signup", "error")),
+            RowCheck("nonneg_value", col("value") < 0)),
+          uniqueChecks = Seq(
+            UniqueCheck("unique_event_id", Seq(col("event_id")))))
+        onReport(batchId, rep)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

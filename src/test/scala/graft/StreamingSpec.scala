@@ -152,4 +152,26 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("streaming quality monitor audits every micro-batch with the " +
+      "batch constraint set and a clean feed passes") {
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    EventStream.qualityMonitor(
+      EventStream.readEventStream(spark, sfDir),
+      (id, rep) => reports.synchronized {
+        reports += ((id, rep.collect()))
+      })
+    assert(reports.nonEmpty)
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    val allRows = reports.flatMap(_._2)
+    assert(allRows.map(_.getAs[String]("check_name")).toSet === Set(
+      "not_null_user", "known_type", "nonneg_value", "unique_event_id"))
+    // each batch's report covers exactly that batch's rows; across
+    // AvailableNow the batches partition the backlog
+    val perBatchN = reports.map(_._2.head.getAs[Long]("n_rows"))
+    assert(perBatchN.sum === nEvents)
+    assert(allRows.forall(_.getAs[Boolean]("passed")),
+      "the synthetic feed is clean")
+  }
 }
