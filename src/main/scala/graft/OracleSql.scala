@@ -1568,6 +1568,54 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q101_pagerank" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+      ), nn AS (SELECT COUNT(*) AS n FROM deg),
+      r0 AS (
+        SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r FROM deg, nn
+      ), c1 AS (
+        SELECT e.dst,
+               SUM(CAST(FLOOR(r / d.deg * 1e12) AS BIGINT)) AS s
+        FROM edges e JOIN r0 ON e.src = r0.node
+        JOIN deg d ON e.src = d.src GROUP BY 1
+      ), r1 AS (
+        SELECT d.src AS node,
+               CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(CAST(s AS BIGINT), 0) / 1e12) AS r
+        FROM deg d CROSS JOIN nn LEFT JOIN c1 ON d.src = c1.dst
+      ), c2 AS (
+        SELECT e.dst,
+               SUM(CAST(FLOOR(r / d.deg * 1e12) AS BIGINT)) AS s
+        FROM edges e JOIN r1 ON e.src = r1.node
+        JOIN deg d ON e.src = d.src GROUP BY 1
+      ), r2 AS (
+        SELECT d.src AS node,
+               CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(CAST(s AS BIGINT), 0) / 1e12) AS r
+        FROM deg d CROSS JOIN nn LEFT JOIN c2 ON d.src = c2.dst
+      ), c3 AS (
+        SELECT e.dst,
+               SUM(CAST(FLOOR(r / d.deg * 1e12) AS BIGINT)) AS s
+        FROM edges e JOIN r2 ON e.src = r2.node
+        JOIN deg d ON e.src = d.src GROUP BY 1
+      ), r3 AS (
+        SELECT d.src AS node,
+               CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(CAST(s AS BIGINT), 0) / 1e12) AS r
+        FROM deg d CROSS JOIN nn LEFT JOIN c3 ON d.src = c3.dst
+      )
+      SELECT r3.node AS part, deg.deg AS degree,
+             ROUND(r * 1e6, 6) AS rank_ppm
+      FROM r3 JOIN deg ON r3.node = deg.src
+      ORDER BY rank_ppm DESC, part LIMIT 25
+    """,
     "q100_grouped_regression" -> """
       WITH monthly AS (
         SELECT n_regionkey AS region,

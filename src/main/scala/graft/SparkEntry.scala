@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, KpiQueries, Profiling, RangeJoin, Similarity, Stats, TextQueries}
+  Dedup, Graph, KpiQueries, Profiling, RangeJoin, Similarity, Stats,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -137,7 +138,8 @@ object SparkEntry {
     "q97_topk_per_group" -> (Analytics.q97TopkPerGroup _),
     "q98_winsorize" -> (Stats.q98Winsorize _),
     "q99_time_weighted" -> (Stats.q99TimeWeighted _),
-    "q100_grouped_regression" -> (Stats.q100GroupedRegression _)
+    "q100_grouped_regression" -> (Stats.q100GroupedRegression _),
+    "q101_pagerank" -> (Graph.q101Pagerank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

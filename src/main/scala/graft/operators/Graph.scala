@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over relational edges — PageRank on the
+  * co-purchase graph (parts are nodes, "bought in the same order" the
+  * edges, from q94's map-side pair expansion).
+  *
+  * Scale shape: each iteration is one join of the edge list with the
+  * current rank vector plus one aggregate — the classic distributed
+  * PageRank step. The edge list is the big side; it hash-partitions on
+  * `src` ONCE and every iteration's join reuses that partitioning (the
+  * rank vector is node-sized). Iterations are a fixed small count —
+  * the engine runs scheduled batch refreshes, not convergence loops.
+  *
+  * Engine-exactness: per-edge contributions are FLOORED to integer
+  * micro-units (×10¹²) before summing — floor is tie-free (unlike
+  * round-half-up vs half-even, which can disagree on a ....5
+  * boundary), the flooring of bit-identical doubles is bit-identical,
+  * and integer sums are shuffle-order-proof. The damping update is
+  * then the same correctly-rounded IEEE expression in both engines,
+  * so three chained iterations stay hash-identical.
+  */
+object Graph {
+
+  val Damping = 0.85
+  // Written as its own literal, NOT 1.0 - Damping: both engines parse
+  // the decimal string "0.15" to the same double, while 1.0 - 0.85
+  // evaluates to a DIFFERENT double than parsed "0.15".
+  val Teleport = 0.15
+  val Iterations = 3
+  val TopN = 25
+
+  /** q101 — co-purchase PageRank: which parts sit at the center of the
+    * basket graph. Returns the TopN parts by rank with degree
+    * context. */
+  def q101Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val pairs = items
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .where(col("p1") =!= col("p2"))
+      .select(col("p1").as("src"), col("p2").as("dst"))
+      .distinct()
+    // Cache the edge list: every iteration re-joins it, and without the
+    // cache each of the 3 iterations would recompute the pair explosion
+    // from the fact table.
+    val edges = pairs.cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val nN = nodes.count()
+
+    var rank = nodes.select(col("node"),
+      (lit(1.0) / nN).as(s"r"))
+    for (_ <- 1 to Iterations) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          floor(col("r") / col("deg") * lit(1e12)).cast("bigint")
+            .as("c_micro"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c_micro")).as("s_micro"))
+      rank = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(Teleport) / nN + lit(Damping) *
+            (coalesce(col("s_micro"), lit(0L)) / lit(1e12))).as("r"))
+    }
+    edges.unpersist(blocking = false)
+    rank.join(nodes.select(col("node"), col("deg")), Seq("node"))
+      .select(col("node").as("part"), col("deg").as("degree"),
+        round(col("r") * lit(1e6), 6).as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("part").asc)
+      .limit(TopN)
+  }
+}
