@@ -1568,6 +1568,26 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q102_prefix_jaccard" -> """
+      WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE doc_id < 500
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+      ), sh AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+             ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+               AS jaccard
+      FROM sh JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE shared * 39 >= (sa.n + sb.n) * 19
+    """,
     "q101_pagerank" -> """
       WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

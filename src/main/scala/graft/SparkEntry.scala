@@ -139,7 +139,8 @@ object SparkEntry {
     "q98_winsorize" -> (Stats.q98Winsorize _),
     "q99_time_weighted" -> (Stats.q99TimeWeighted _),
     "q100_grouped_regression" -> (Stats.q100GroupedRegression _),
-    "q101_pagerank" -> (Graph.q101Pagerank _)
+    "q101_pagerank" -> (Graph.q101Pagerank _),
+    "q102_prefix_jaccard" -> (Dedup.q102PrefixJaccardJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -79,4 +79,36 @@ class TextDedupSpec extends AnyFunSuite {
       .select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs === Set("en", "de", "es", "fr", "zh"))
   }
+
+  test("q102 prefix-filtered Jaccard join equals the brute-force " +
+      "all-pairs join (losslessness) and respects the threshold") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val tok = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = tok.as("a").join(tok.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .where(col("shared") * 39 >= (col("n_a") + col("n_b")) * 19)
+      .select(col("doc_a"), col("doc_b"), col("shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val got = graft.operators.Dedup.q102PrefixJaccardJoin(spark, sfDir)
+      .collect()
+    got.foreach { r =>
+      val jac = r.getAs[Double]("jaccard")
+      assert(jac >= 0.95 - 1e-9, s"below threshold: $jac")
+    }
+    val gotSet = got.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Long]("shared"))).toSet
+    assert(gotSet === brute, "prefix filtering must be lossless")
+  }
 }
