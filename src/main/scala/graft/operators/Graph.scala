@@ -49,7 +49,10 @@ object Graph {
       .distinct()
     // Cache the edge list: every iteration re-joins it, and without the
     // cache each of the 3 iterations would recompute the pair explosion
-    // from the fact table.
+    // from the fact table. No unpersist here — the returned DataFrame
+    // is lazy, so an unpersist at build time would empty the cache
+    // BEFORE execution and every iteration would recompute (callers
+    // clear session caches between runs, as Bench does).
     val edges = pairs.cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg"))
@@ -72,7 +75,6 @@ object Graph {
           (lit(Teleport) / nN + lit(Damping) *
             (coalesce(col("s_micro"), lit(0L)) / lit(1e12))).as("r"))
     }
-    edges.unpersist(blocking = false)
     rank.join(nodes.select(col("node"), col("deg")), Seq("node"))
       .select(col("node").as("part"), col("deg").as("degree"),
         round(col("r") * lit(1e6), 6).as("rank_ppm"))

@@ -68,6 +68,14 @@ section("q96 quality audit -- six constraints, ONE scan of orders",
   "All row/uniqueness checks ride a single Expand aggregate over the broadcast-joined row; the FK gate is a null-check on the joined dim key, not an extra pass.",
   graft.operators.Profiling.q96QualityReport(spark, dir),
   Seq("Scan parquet", "Expand", "BroadcastHashJoin", "HashAggregate"))
+section("q101 PageRank iteration -- edge list joins the node-sized rank vector",
+  "Each of the 3 iterations is one join of the cached edge list with the rank vector plus one aggregate; contributions are floored BIGINT micro-units, so the aggregate is an exact integer sum.",
+  graft.operators.Graph.q101Pagerank(spark, dir),
+  Seq("InMemoryTableScan", "HashAggregate", "partial_sum", "FLOOR"))
+section("q102 prefix-filtered Jaccard join -- no corpus^2 token join",
+  "Only prefix collisions reach the verify stage, and verification is a broadcast array-intersect -- the token stream is never self-joined in full.",
+  graft.operators.Dedup.q102PrefixJaccardJoin(spark, dir),
+  Seq("BroadcastHashJoin", "array_intersect", "SortMergeJoin"))
 section("q97 custom top-k-per-group operator -- winners-only exchange",
   "The injected planner Strategy plans partial and final TopKPerGroupExec around one exchange: bounded heaps prune per partition, the shuffle carries at most k x groups x partitions rows, and no Sort or Window appears.",
   graft.operators.Analytics.q97TopkPerGroup(spark, dir),
