@@ -223,6 +223,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pairs must expand map-side from per-order arrays, not join:\n$p")
   }
 
+  test("q101 PageRank iterations read the cached edge list, not the " +
+      "pair explosion (regression: lazy unpersist emptied the cache " +
+      "before execution)") {
+    spark.catalog.clearCache()
+    val df = graft.operators.Graph.q101Pagerank(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"iterations must read the edge cache:\n${p.take(4000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("q102 similarity join verifies by broadcast array-intersect — " +
+      "the token stream is never sort-merge self-joined") {
+    val df = graft.operators.Dedup.q102PrefixJaccardJoin(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("array_intersect"), s"broadcast verify missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join belongs in this plan at test scale:\n$p")
+  }
+
   test("q95 rolling distinct fans out map-side: one distinct exchange, " +
       "bounds broadcast") {
     val df = graft.operators.Stats.q95RollingDistinct(spark, sfDir)
