@@ -1568,6 +1568,23 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q103_supplier_topk" -> """
+      WITH per_sup AS (
+        SELECT n_name, s_suppkey, s_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+      ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                    ORDER BY revenue DESC, s_suppkey) AS rn
+        FROM per_sup
+      )
+      SELECT n_name, s_suppkey, s_name, revenue, n_lines
+      FROM rk WHERE rn <= 3
+    """,
     "q102_prefix_jaccard" -> """
       WITH tok AS (
         SELECT DISTINCT doc_id,

@@ -140,7 +140,8 @@ object SparkEntry {
     "q99_time_weighted" -> (Stats.q99TimeWeighted _),
     "q100_grouped_regression" -> (Stats.q100GroupedRegression _),
     "q101_pagerank" -> (Graph.q101Pagerank _),
-    "q102_prefix_jaccard" -> (Dedup.q102PrefixJaccardJoin _)
+    "q102_prefix_jaccard" -> (Dedup.q102PrefixJaccardJoin _),
+    "q103_supplier_topk" -> (Analytics.q103SupplierTopk _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

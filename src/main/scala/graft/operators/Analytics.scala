@@ -505,4 +505,26 @@ object Analytics {
     graft.plans.TopKPerGroup(ord, Seq("o_orderpriority"),
       Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
   }
+
+  /** q103 — top-3 suppliers by supplied revenue per nation: the
+    * supplier-axis rollup (the one testdata table no other query
+    * exercises), then the custom bounded-heap top-k operator over the
+    * supplier-sized aggregate — TopKPerGroup's second consumer, here
+    * running above a decimal-exact aggregate instead of a raw scan.
+    * Revenue is the 2-dp decimal-summed double, so the (revenue desc,
+    * suppkey) order is engine-identical and the oracle's window
+    * formulation matches row-for-row. */
+  def q103SupplierTopk(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val perSup = li
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+    graft.plans.TopKPerGroup(perSup, Seq("n_name"),
+      Seq("revenue" -> false, "s_suppkey" -> true), 3)
+  }
 }

@@ -102,6 +102,18 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("q103 supplier top-k returns <= 3 winners per nation in rank " +
+      "order with positive revenue") {
+    val rows = graft.operators.Analytics.q103SupplierTopk(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    byNation.foreach { case (_, g) =>
+      assert(g.length <= 3)
+      g.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
+    }
+  }
+
   test("q97 returns exactly 3 deterministic winners per priority") {
     val rows = graft.operators.Analytics.q97TopkPerGroup(spark, sfDir)
       .collect()
