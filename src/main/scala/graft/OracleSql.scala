@@ -1568,6 +1568,19 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q104_ngram_generate" -> """
+      WITH arrs AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents
+      ), tri AS (
+        SELECT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+        FROM arrs, UNNEST(generate_series(1, len(arr) - 2)) AS g(i)
+        WHERE len(arr) >= 3
+      )
+      SELECT ngram, COUNT(*) AS n FROM tri
+      GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20
+    """,
     "q103_supplier_topk" -> """
       WITH per_sup AS (
         SELECT n_name, s_suppkey, s_name,

@@ -141,7 +141,8 @@ object SparkEntry {
     "q100_grouped_regression" -> (Stats.q100GroupedRegression _),
     "q101_pagerank" -> (Graph.q101Pagerank _),
     "q102_prefix_jaccard" -> (Dedup.q102PrefixJaccardJoin _),
-    "q103_supplier_topk" -> (Analytics.q103SupplierTopk _)
+    "q103_supplier_topk" -> (Analytics.q103SupplierTopk _),
+    "q104_ngram_generate" -> (TextQueries.q104NgramGenerate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

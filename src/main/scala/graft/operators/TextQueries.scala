@@ -250,6 +250,23 @@ object TextQueries {
     * into the result, the same discipline as q50. At 100 TB the cap
     * bounds per-term state; full postings would go through the
     * chunk/shard layout instead of one aggregate value. */
+  /** q104 — corpus trigram counts through the CUSTOM table-generating
+    * expression (functions.NGramGenerate, extension point U3): each
+    * doc's token array emits its word trigrams directly from the
+    * generator — no intermediate n-gram array per row — then one
+    * two-phase count and a TakeOrdered top-20 under a full tiebreak.
+    * The builtin-explode formulation stays the codegen'd hot path;
+    * this query pins the Generator surface end-to-end against a
+    * positional-join oracle. */
+  def q104NgramGenerate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    graft.functions.NGramGenerate(d, "toks", 3)
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(20)
+  }
+
   def q84InvertedIndex(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))

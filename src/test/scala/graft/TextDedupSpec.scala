@@ -80,6 +80,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(langs === Set("en", "de", "es", "fr", "zh"))
   }
 
+  test("q104 custom Generator emits exactly the trigrams of a known " +
+      "token array and matches the builtin-explode formulation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r"))
+      .toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("toks"))
+    val rows = graft.functions.NGramGenerate(df, "toks", 3)
+      .select(col("id"), col("pos"), col("ngram")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows === Set((1L, 0, "a b c"), (1L, 1, "b c d"),
+      (3L, 0, "p q r")), "2-token doc emits nothing; windows tile")
+    // equivalence with the builtin formulation on real docs
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val got = graft.functions.NGramGenerate(d, "toks", 3)
+      .groupBy("ngram").count()
+    val want = d.select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("ngram"))
+      .where(size(col("toks")) >= 3)
+      .groupBy("ngram").count()
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("q102 prefix-filtered Jaccard join equals the brute-force " +
       "all-pairs join (losslessness) and respects the threshold") {
     import org.apache.spark.sql.functions._
