@@ -1568,6 +1568,41 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50
     """,
+    "q105_correlation_audit" -> """
+      WITH comp AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+      ), stats AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(18,12))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(c * c AS DECIMAL(28,20))) AS DOUBLE) AS s2
+        FROM comp GROUP BY 1
+      ), mv AS (
+        SELECT dim, s1 / n AS mean,
+               s2 / n - (s1 / n) * (s1 / n) AS variance
+        FROM stats
+      ), cr AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j, COUNT(*) AS n,
+               CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,20))) AS DOUBLE)
+                 AS sxy
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY 1, 2
+      ), cov AS (
+        SELECT dim_i, dim_j, n,
+               sxy / n - mi.mean * mj.mean AS cov,
+               (sxy / n - mi.mean * mj.mean)
+                 / sqrt(mi.variance * mj.variance) AS corr
+        FROM cr JOIN mv mi ON dim_i = mi.dim
+        JOIN mv mj ON dim_j = mj.dim
+        WHERE mi.variance > 0 AND mj.variance > 0
+      )
+      SELECT dim_i, dim_j, n AS n_vecs,
+             ROUND(cov, 8) AS cov, ROUND(corr, 6) AS corr
+      FROM cov
+      ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 20
+    """,
     "q104_ngram_generate" -> """
       WITH arrs AS (
         SELECT doc_id,

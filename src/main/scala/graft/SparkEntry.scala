@@ -142,7 +142,8 @@ object SparkEntry {
     "q101_pagerank" -> (Graph.q101Pagerank _),
     "q102_prefix_jaccard" -> (Dedup.q102PrefixJaccardJoin _),
     "q103_supplier_topk" -> (Analytics.q103SupplierTopk _),
-    "q104_ngram_generate" -> (TextQueries.q104NgramGenerate _)
+    "q104_ngram_generate" -> (TextQueries.q104NgramGenerate _),
+    "q105_correlation_audit" -> (Similarity.q105CorrelationAudit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

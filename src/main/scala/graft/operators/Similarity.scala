@@ -345,4 +345,51 @@ object Similarity {
       .select(col("label"), col("dim"), col("n_vecs"),
         round(col("dec_sum").cast("double") / col("n_vecs"), 6)
           .as("centroid"))
+
+  /** q105 — embedding feature-correlation audit: the 20 most-correlated
+    * dimension pairs across the corpus (redundant dimensions are
+    * wasted bytes at 100 TB — this is the "should we whiten/prune"
+    * diagnostic). The cross-moment aggregate carries d·(d−1)/2 states
+    * per task — the pair explosion collapses map-side, so the
+    * SHUFFLE is d²-sized no matter the corpus row count (same law as
+    * q70). Engine-exact: float components widen to double exactly,
+    * per-row products are one correctly-rounded multiply, Σxy flows
+    * through DECIMAL, and mean/var/cov/corr then evaluate the same
+    * IEEE tree in both engines (q92's discipline). */
+  def q105CorrelationAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.load(s, dir, "embeddings")
+    val comp = e.select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")).as(Seq("dim", "cf")))
+      .withColumn("c", col("cf").cast("double"))
+    val stats = comp.groupBy(col("dim")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(18,12)")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(28,20)")).as("s2"))
+      .select(col("dim"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        (col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) *
+          (col("s1").cast("double") / col("n"))).as("variance"))
+    val cross = comp
+      .select(col("vec_id"), col("dim").as("dim_i"), col("c").as("ci"),
+        posexplode(col("embedding")).as(Seq("dim_j", "cjf")))
+      .where(col("dim_i") < col("dim_j"))
+      .withColumn("cj", col("cjf").cast("double"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("ci") * col("cj")).cast("decimal(28,20)")).as("sxy"))
+    cross
+      .join(broadcast(stats.select(col("dim").as("dim_i"),
+        col("mean").as("m_i"), col("variance").as("v_i"))), Seq("dim_i"))
+      .join(broadcast(stats.select(col("dim").as("dim_j"),
+        col("mean").as("m_j"), col("variance").as("v_j"))), Seq("dim_j"))
+      .withColumn("cov",
+        col("sxy").cast("double") / col("n") - col("m_i") * col("m_j"))
+      .where(col("v_i") > 0 && col("v_j") > 0)
+      .withColumn("corr", col("cov") / sqrt(col("v_i") * col("v_j")))
+      .orderBy(abs(col("corr")).desc, col("dim_i").asc, col("dim_j").asc)
+      .limit(20)
+      .select(col("dim_i"), col("dim_j"), col("n").as("n_vecs"),
+        round(col("cov"), 8).as("cov"), round(col("corr"), 6).as("corr"))
+  }
 }

@@ -55,4 +55,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(decoded.orderBy("media_id").collect()
       .sameElements(twice.orderBy("media_id").collect()))
   }
+
+  test("q105 correlation audit: upper triangle only, corr bounded, " +
+      "ranked by |corr| descending") {
+    val rows = graft.operators.Similarity
+      .q105CorrelationAudit(spark, TestSpark.sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dim_i") < r.getAs[Int]("dim_j"))
+      assert(math.abs(r.getAs[Double]("corr")) <= 1.0 + 1e-9)
+    }
+    // descending by |corr|
+    val cs = rows.map(r => math.abs(r.getAs[Double]("corr"))).toSeq
+    assert(cs === cs.sorted.reverse)
+  }
 }
