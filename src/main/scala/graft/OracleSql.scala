@@ -1835,6 +1835,117 @@ object OracleSql {
              COUNT(DISTINCT user_id) AS n_users_7d
       FROM ex, bounds WHERE day BETWEEN lo AND hi
       GROUP BY 1
+    """,
+    "q106_item_similarity" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), deg AS (
+        SELECT l_partkey, COUNT(*) AS deg FROM items GROUP BY 1
+      ), pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_co
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      )
+      SELECT p1, p2, n_co, d1.deg AS d1, d2.deg AS d2,
+             ROUND(CAST(n_co AS DOUBLE) /
+                   sqrt(CAST(d1.deg * d2.deg AS DOUBLE)), 6) AS cosine
+      FROM pairs
+      JOIN deg d1 ON p1 = d1.l_partkey
+      JOIN deg d2 ON p2 = d2.l_partkey
+      ORDER BY CAST(n_co AS DOUBLE) /
+               sqrt(CAST(d1.deg * d2.deg AS DOUBLE)) DESC, p1, p2
+      LIMIT 50
+    """,
+    "q107_frequent_triples" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      )
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             COUNT(*) AS n_orders
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      JOIN items c ON b.l_orderkey = c.l_orderkey
+                  AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY n_orders DESC, p1, p2, p3 LIMIT 30
+    """,
+    "q108_mad_anomaly" -> """
+      WITH spend AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), med AS (
+        SELECT c_mktsegment, quantile_cont(spend, 0.5) AS med
+        FROM spend GROUP BY 1
+      ), dev AS (
+        SELECT s.c_mktsegment, spend, med, abs(spend - med) AS absdev
+        FROM spend s JOIN med m ON s.c_mktsegment = m.c_mktsegment
+      ), mad AS (
+        SELECT c_mktsegment, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY 1
+      )
+      SELECT d.c_mktsegment,
+             COUNT(*) AS n_customers,
+             ROUND(MIN(med), 4) AS median_spend,
+             ROUND(MIN(m.mad), 4) AS mad,
+             CAST(SUM(CASE WHEN absdev / (1.4826 * m.mad) > 3.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+             ROUND(MAX(absdev / (1.4826 * m.mad)), 6) AS max_robust_z
+      FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
+      GROUP BY 1 ORDER BY 1
+    """,
+    "q109_linear_interp" -> """
+      WITH monthly AS (
+        SELECT c_nationkey AS nation,
+               year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DOUBLE), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        GROUP BY 1, 2
+      ), bounds AS (
+        SELECT year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)) AS lo,
+               year(MAX(o_orderdate)) * 12 + month(MAX(o_orderdate)) AS hi
+        FROM orders
+      ), spine AS (
+        SELECT t.mi, n_nationkey AS nation
+        FROM bounds, UNNEST(generate_series(lo, hi)) AS t(mi), nation
+      ), j AS (
+        SELECT spine.nation, spine.mi, monthly.revenue
+        FROM spine LEFT JOIN monthly
+          ON spine.nation = monthly.nation AND spine.mi = monthly.mi
+      ), w AS (
+        SELECT nation, mi, revenue,
+          last_value(revenue IGNORE NULLS) OVER
+            (PARTITION BY nation ORDER BY mi
+             ROWS UNBOUNDED PRECEDING) AS prev_v,
+          last_value(CASE WHEN revenue IS NOT NULL THEN mi END
+                     IGNORE NULLS) OVER
+            (PARTITION BY nation ORDER BY mi
+             ROWS UNBOUNDED PRECEDING) AS prev_mi,
+          first_value(revenue IGNORE NULLS) OVER
+            (PARTITION BY nation ORDER BY mi
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+          first_value(CASE WHEN revenue IS NOT NULL THEN mi END
+                      IGNORE NULLS) OVER
+            (PARTITION BY nation ORDER BY mi
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_mi
+        FROM j
+      )
+      SELECT nation, mi, revenue IS NOT NULL AS observed,
+             ROUND(CASE
+               WHEN revenue IS NOT NULL THEN revenue
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                 prev_v + (next_v - prev_v) *
+                   (CAST(mi - prev_mi AS DOUBLE) /
+                    CAST(next_mi - prev_mi AS DOUBLE))
+               ELSE COALESCE(prev_v, next_v, 0.0) END, 4)
+               AS revenue_filled
+      FROM w
     """
   ).map { case (k, v) => k -> v.trim }
 

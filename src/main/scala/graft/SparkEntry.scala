@@ -143,7 +143,11 @@ object SparkEntry {
     "q102_prefix_jaccard" -> (Dedup.q102PrefixJaccardJoin _),
     "q103_supplier_topk" -> (Analytics.q103SupplierTopk _),
     "q104_ngram_generate" -> (TextQueries.q104NgramGenerate _),
-    "q105_correlation_audit" -> (Similarity.q105CorrelationAudit _)
+    "q105_correlation_audit" -> (Similarity.q105CorrelationAudit _),
+    "q106_item_similarity" -> (Stats.q106ItemSimilarity _),
+    "q107_frequent_triples" -> (Stats.q107FrequentTriples _),
+    "q108_mad_anomaly" -> (Stats.q108MadAnomaly _),
+    "q109_linear_interp" -> (Analytics.q109LinearInterp _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

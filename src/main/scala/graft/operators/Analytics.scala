@@ -466,6 +466,59 @@ object Analytics {
       .drop("observed")
   }
 
+  /** q109 — linear-interpolation gap fill: q78's spine fills silent
+    * months with zeros / carried values; here sparse series (urgent
+    * high-value orders per nation) interpolate LINEARLY between the
+    * surrounding observations — the time-series imputation a feature
+    * pipeline wants before a model sees the gaps. The month axis is an
+    * exact INTEGER index (year·12+month), so gap fractions are exact
+    * small-int ratios; prev/next anchors come from one
+    * last(ignoreNulls) and one first(ignoreNulls) window pass over
+    * the calendar-sized spine (never the fact table). The interpolant
+    * prev + (next−prev)·(Δ/gap) is the identical correctly-rounded
+    * IEEE tree in DuckDB on bit-identical decimal-sum inputs. */
+  def q109LinearInterp(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+    val cust = t(s, dir, "customer")
+    val monthly = ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("mi"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val bounds = t(s, dir, "orders").agg(
+      (year(min(col("o_orderdate"))) * 12 +
+        month(min(col("o_orderdate")))).as("lo"),
+      (year(max(col("o_orderdate"))) * 12 +
+        month(max(col("o_orderdate")))).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi)")).as("mi"))
+      .crossJoin(t(s, dir, "nation").select(col("n_nationkey").as("nation")))
+    val back = Window.partitionBy(col("nation")).orderBy(col("mi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("nation")).orderBy(col("mi"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(monthly, Seq("nation", "mi"), "left")
+      .withColumn("prev_v", last(col("revenue"), ignoreNulls = true).over(back))
+      .withColumn("prev_mi", last(when(col("revenue").isNotNull, col("mi")),
+        ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("revenue"), ignoreNulls = true).over(fwd))
+      .withColumn("next_mi", first(when(col("revenue").isNotNull, col("mi")),
+        ignoreNulls = true).over(fwd))
+      .withColumn("filled",
+        when(col("revenue").isNotNull, col("revenue"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            col("prev_v") + (col("next_v") - col("prev_v")) *
+              ((col("mi") - col("prev_mi")).cast("double") /
+                (col("next_mi") - col("prev_mi")).cast("double")))
+          .otherwise(coalesce(col("prev_v"), col("next_v"), lit(0.0))))
+      .select(col("nation"), col("mi"),
+        col("revenue").isNotNull.as("observed"),
+        round(col("filled"), 4).as("revenue_filled"))
+  }
+
   /** q73 — GROUPING SETS with GROUPING() markers: one shuffle computes
     * the region×priority matrix plus both one-dimensional margins and
     * the grand total (Expand ×4 feeding a single two-phase aggregate —

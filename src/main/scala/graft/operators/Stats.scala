@@ -301,4 +301,106 @@ object Stats {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_users_7d"))
   }
+
+  /** q106 — item-item cosine similarity from co-purchase counts (the
+    * classic item-based collaborative-filtering score over binary
+    * order×part incidence): cosine(i,j) = n_co / √(deg_i·deg_j).
+    * Reuses q94's joinless map-side pair expansion for the numerator;
+    * the degree vector is part-sized and broadcasts onto the pair
+    * aggregate (at dimension-table scale; a huge catalog falls back
+    * to the sort-merge AQE picks). Engine-exact: all three inputs are
+    * exact BIGINT counts, deg_i·deg_j stays far under 2⁵³, and the
+    * score is one correctly-rounded divide of a correctly-rounded
+    * sqrt — the identical IEEE tree in DuckDB. Support floor n_co ≥ 2
+    * keeps singleton flukes (cosine 1.0 from one shared order) out of
+    * the ranking; ties break on the full (cosine, p1, p2) key. */
+  def q106ItemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = items
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= 2)
+    pairs
+      .join(broadcast(deg.select(col("l_partkey").as("p1"),
+        col("deg").as("d1"))), Seq("p1"))
+      .join(broadcast(deg.select(col("l_partkey").as("p2"),
+        col("deg").as("d2"))), Seq("p2"))
+      .withColumn("cosine",
+        col("n_co").cast("double") /
+          sqrt((col("d1") * col("d2")).cast("double")))
+      .orderBy(col("cosine").desc, col("p1").asc, col("p2").asc)
+      .limit(50)
+      .select(col("p1"), col("p2"), col("n_co"), col("d1"), col("d2"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** q107 — frequent triple mining (the Apriori step after q94's
+    * pairs): part triples bought together in ≥ 2 orders. NO three-way
+    * self-join — each order's part set expands its C(k,3) combinations
+    * MAP-SIDE (line counts are bounded, so the per-row cost is a small
+    * constant) and the triple aggregate is the only shuffle; the
+    * final top-30 is TakeOrderedAndProject under a full tiebreak. At
+    * 100 TB the same shape holds: the expansion is linear in orders,
+    * never quadratic in the catalog. */
+  def q107FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    items
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"), col("parts"))
+      .where(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"), explode(col("parts")).as("p3"))
+      .where(col("p2") < col("p3"))
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc,
+        col("p3").asc)
+      .limit(30)
+  }
+
+  /** q108 — MAD-based robust anomaly screen per market segment: the
+    * robust twin of q92's z-score. Per-customer spend is an exact
+    * DECIMAL sum; the segment median and the median absolute
+    * deviation are the exact interpolated percentile the q46/q98
+    * family proved engine-identical; the robust z-score
+    * |x − med| / (1.4826·MAD) is then the same IEEE tree in both
+    * engines (1.4826 is a PARSED literal on both sides). Two
+    * segment-sized aggregate passes — the second needs the median
+    * joined back — with the scale swap being approx_percentile for
+    * the exact percentile at 100 TB (same plan shape). */
+  def q108MadAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").as("spend"))
+    val med = spend.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(spend, 0.5D)").as("med"))
+    val dev = spend.join(broadcast(med), Seq("c_mktsegment"))
+      .withColumn("absdev", abs(col("spend") - col("med")))
+    val mad = dev.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(absdev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("c_mktsegment"))
+      .withColumn("rz", col("absdev") / (lit(1.4826) * col("mad")))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(first(col("med")), 4).as("median_spend"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("rz") > 3.5, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(col("rz")), 6).as("max_robust_z"))
+      .orderBy(col("c_mktsegment").asc)
+  }
 }

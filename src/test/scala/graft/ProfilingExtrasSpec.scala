@@ -151,6 +151,39 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 interpolation: observed rows keep their value, filled " +
+      "rows lie between their anchors, spine is complete per nation") {
+    val rows = Analytics.q109LinearInterp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nations = rows.map(_.getAs[Int]("nation")).distinct
+    val mis = rows.map(_.getAs[Int]("mi")).distinct.sorted
+    assert(rows.length === nations.length * mis.length)
+    assert(mis.toSeq === (mis.head to mis.last))
+    nations.foreach { n =>
+      val seq = rows.filter(_.getAs[Int]("nation") == n)
+        .sortBy(_.getAs[Int]("mi"))
+      val obs = seq.filter(_.getAs[Boolean]("observed"))
+        .map(r => r.getAs[Int]("mi") -> r.getAs[Double]("revenue_filled"))
+      seq.filterNot(_.getAs[Boolean]("observed")).foreach { r =>
+        val mi = r.getAs[Int]("mi")
+        val v = r.getAs[Double]("revenue_filled")
+        val before = obs.filter(_._1 < mi).map(_._2)
+        val after = obs.filter(_._1 > mi).map(_._2)
+        if (before.nonEmpty && after.nonEmpty) {
+          val (p, nx) = (before.last, after.head)
+          assert(v >= math.min(p, nx) - 1e-6 &&
+            v <= math.max(p, nx) + 1e-6,
+            s"nation $n mi $mi: $v outside [$p, $nx]")
+        } else if (before.isEmpty && after.isEmpty) {
+          assert(v === 0.0)
+        } else {
+          // edge extrapolation holds the nearest anchor flat
+          assert(v === (before.lastOption orElse after.headOption).get)
+        }
+      }
+    }
+  }
+
   test("q79 salted join result is identical to the plain join") {
     val got = Analytics.q79SaltedJoin(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -170,4 +170,66 @@ class StatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q106 item-item cosine is in (0,1], bounded by the smaller " +
+      "degree, and recomputes from its own counts") {
+    val rows = Stats.q106ItemSimilarity(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (nCo, d1, d2) = (r.getAs[Long]("n_co"), r.getAs[Long]("d1"),
+        r.getAs[Long]("d2"))
+      assert(nCo >= 2 && nCo <= math.min(d1, d2))
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0)
+      val expect = BigDecimal(nCo.toDouble / math.sqrt((d1 * d2).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(c - expect) < 1e-9)
+    }
+  }
+
+  test("q107 triples obey Apriori anti-monotonicity against the q94 " +
+      "pair counts") {
+    val triples = Stats.q107FrequentTriples(spark, sfDir).collect()
+    assert(triples.nonEmpty)
+    val items = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairCount = items.as("a").join(items.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n")).toMap
+    triples.foreach { r =>
+      val (p1, p2, p3, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("n_orders"))
+      assert(n >= 2)
+      Seq((p1, p2), (p1, p3), (p2, p3)).foreach { pr =>
+        assert(pairCount.getOrElse(pr, 0L) >= n,
+          s"pair $pr count < triple count $n")
+      }
+    }
+  }
+
+  test("q108 MAD screen: anomalies bounded by customers, mad >= 0, " +
+      "and the median matches a recomputation") {
+    val got = Stats.q108MadAnomaly(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val med = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,4)")).cast("double")
+        .as("spend"))
+      .groupBy($"c_mktsegment")
+      .agg(expr("percentile(spend, 0.5D)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("m")).toMap
+    got.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      assert(r.getAs[Long]("n_anomalies") <= r.getAs[Long]("n_customers"))
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(math.abs(r.getAs[Double]("median_spend") -
+        BigDecimal(med(seg)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9)
+    }
+  }
 }
