@@ -1946,6 +1946,48 @@ object OracleSql {
                ELSE COALESCE(prev_v, next_v, 0.0) END, 4)
                AS revenue_filled
       FROM w
+    """,
+    "q110_embedding_outliers" -> """
+      WITH comp AS (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(embedding[i] AS DOUBLE) AS c
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+      ), cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(c AS DECIMAL(18,12))) AS DOUBLE)
+                 / COUNT(*) AS cd
+        FROM comp GROUP BY 1, 2
+      ), d AS (
+        SELECT comp.label, vec_id,
+               CAST(SUM(CAST((c - cd) * (c - cd) AS DECIMAL(28,20)))
+                    AS DOUBLE) AS dist2
+        FROM comp JOIN cent
+          ON comp.label = cent.label AND comp.dim = cent.dim
+        GROUP BY 1, 2
+      )
+      SELECT label, vec_id, ROUND(dist2, 8) AS dist2
+      FROM d ORDER BY dist2 DESC, vec_id LIMIT 50
+    """,
+    "q111_purchase_intervals" -> """
+      WITH iv AS (
+        SELECT o_custkey,
+               datediff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap
+        FROM orders
+      )
+      SELECT c_mktsegment,
+             COUNT(*) AS n_intervals,
+             MIN(gap) AS min_days,
+             MAX(gap) AS max_days,
+             ROUND(CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+               AS mean_days,
+             ROUND(quantile_cont(gap, 0.5), 4) AS median_days
+      FROM iv JOIN customer ON o_custkey = c_custkey
+      WHERE gap IS NOT NULL
+      GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

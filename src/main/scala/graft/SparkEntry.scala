@@ -147,7 +147,9 @@ object SparkEntry {
     "q106_item_similarity" -> (Stats.q106ItemSimilarity _),
     "q107_frequent_triples" -> (Stats.q107FrequentTriples _),
     "q108_mad_anomaly" -> (Stats.q108MadAnomaly _),
-    "q109_linear_interp" -> (Analytics.q109LinearInterp _)
+    "q109_linear_interp" -> (Analytics.q109LinearInterp _),
+    "q110_embedding_outliers" -> (Similarity.q110EmbeddingOutliers _),
+    "q111_purchase_intervals" -> (Stats.q111PurchaseIntervals _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -392,4 +392,40 @@ object Similarity {
       .select(col("dim_i"), col("dim_j"), col("n").as("n_vecs"),
         round(col("cov"), 8).as("cov"), round(col("corr"), 6).as("corr"))
   }
+
+  /** q110 — embedding outlier screen: the 50 vectors farthest from
+    * their label centroid (mislabeled / noisy examples a curation
+    * pipeline drops or routes to review before training). Same shuffle
+    * law as q70/q105: the centroid aggregate collapses map-side to
+    * labels×dims states, the centroid table broadcasts back onto the
+    * component stream, and the per-doc distance aggregate collapses
+    * 64 components to one row map-side — no stage carries more than
+    * corpus-row-count rows. Engine-exact: centroid = exact DECIMAL
+    * component sum / count (one correctly-rounded divide), each
+    * squared deviation is correctly-rounded IEEE on bit-identical
+    * inputs, and the 64-term Σ flows through DECIMAL so partition
+    * order can't move a bit; the final top-50 is
+    * TakeOrderedAndProject under a (dist², vec_id) tiebreak. */
+  def q110EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.load(s, dir, "embeddings")
+    val comp = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "cf")))
+      .withColumn("c", col("cf").cast("double"))
+    val cent = comp.groupBy(col("label"), col("dim")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(18,12)")).as("s1"))
+      .select(col("label"), col("dim"),
+        (col("s1").cast("double") / col("n")).as("cd"))
+    comp.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("t",
+        ((col("c") - col("cd")) * (col("c") - col("cd")))
+          .cast("decimal(28,20)"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("t")).as("d2"))
+      .select(col("label"), col("vec_id"),
+        col("d2").cast("double").as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+      .limit(50)
+      .select(col("label"), col("vec_id"), round(col("dist2"), 8).as("dist2"))
+  }
 }

@@ -403,4 +403,35 @@ object Stats {
         round(max(col("rz")), 6).as("max_robust_z"))
       .orderBy(col("c_mktsegment").asc)
   }
+
+  /** q111 — inter-purchase interval statistics per market segment:
+    * the repeat-purchase cadence (days between a customer's
+    * consecutive orders). One customer-partitioned window pass
+    * produces the lag intervals — orders co-partition by customer, so
+    * the window never sees more than one customer's history per
+    * group, and ties on order date break on the order key for a
+    * deterministic total order. The rollup is exact: intervals are
+    * exact INT day diffs, mean is one BIGINT-sum divide, the median
+    * the proven interpolated percentile. */
+  def q111PurchaseIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val iv = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .where(col("gap").isNotNull)
+    iv.join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        min(col("gap")).as("min_days"),
+        max(col("gap")).as("max_days"),
+        round(sum(col("gap").cast("bigint")).cast("double") /
+          count(lit(1)), 6).as("mean_days"),
+        round(expr("percentile(gap, 0.5D)"), 4).as("median_days"))
+      .orderBy(col("c_mktsegment").asc)
+  }
 }

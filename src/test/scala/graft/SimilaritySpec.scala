@@ -69,4 +69,26 @@ class SimilaritySpec extends AnyFunSuite {
     val cs = rows.map(r => math.abs(r.getAs[Double]("corr"))).toSeq
     assert(cs === cs.sorted.reverse)
   }
+
+  test("q110 outliers: ranked by distance descending and the top row " +
+      "matches a driver-side recomputation") {
+    val rows = graft.operators.Similarity
+      .q110EmbeddingOutliers(spark, TestSpark.sfDir).collect()
+    assert(rows.length === 50)
+    val ds = rows.map(_.getAs[Double]("dist2")).toSeq
+    assert(ds.forall(_ >= 0.0))
+    assert(ds === ds.sorted.reverse)
+    // driver-side recomputation of the top outlier's distance
+    val top = rows.head
+    val all = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val mine = all.filter(_._2 == top.getAs[Int]("label")).map(_._3)
+    val cd = Array.tabulate(mine.head.length)(d =>
+      mine.map(_(d)).sum / mine.length)
+    val x = all.find(_._1 == top.getAs[Long]("vec_id")).get._3
+    val d2 = x.zip(cd).map { case (a, c) => (a - c) * (a - c) }.sum
+    assert(math.abs(d2 - top.getAs[Double]("dist2")) < 1e-6)
+  }
 }

@@ -232,4 +232,28 @@ class StatsSpec extends AnyFunSuite {
           .toDouble) < 1e-9)
     }
   }
+
+  test("q111 interval stats: median and mean inside [min,max], and " +
+      "interval count = orders minus repeat customers per segment") {
+    val got = Stats.q111PurchaseIntervals(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lo, hi) = (r.getAs[Int]("min_days"), r.getAs[Int]("max_days"))
+      assert(lo <= hi)
+      assert(r.getAs[Double]("mean_days") >= lo &&
+        r.getAs[Double]("mean_days") <= hi)
+      assert(r.getAs[Double]("median_days") >= lo &&
+        r.getAs[Double]("median_days") <= hi)
+    }
+    val expect = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg((count(lit(1)) - countDistinct($"o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_intervals") ===
+        expect(r.getAs[String]("c_mktsegment")))
+    }
+  }
 }
