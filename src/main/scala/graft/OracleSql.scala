@@ -1988,6 +1988,48 @@ object OracleSql {
       FROM iv JOIN customer ON o_custkey = c_custkey
       WHERE gap IS NOT NULL
       GROUP BY 1 ORDER BY 1
+    """,
+    "q112_first_touch" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+      ), p AS (
+        SELECT event_id AS p_id, user_id, es AS p_es
+        FROM ev WHERE event_type = 'purchase'
+      ), tch AS (
+        SELECT user_id, event_type AS t_type, es AS t_es,
+               event_id AS t_id
+        FROM ev WHERE event_type <> 'purchase'
+      ), attributed AS (
+        SELECT p_id,
+               COALESCE(arg_min(t_type,
+                 lpad(CAST(t_es AS VARCHAR), 12, '0') ||
+                 lpad(CAST(t_id AS VARCHAR), 12, '0')), 'none')
+                 AS first_touch
+        FROM p LEFT JOIN tch ON p.user_id = tch.user_id
+             AND t_es >= p_es - 604800 AND t_es < p_es
+        GROUP BY 1
+      )
+      SELECT first_touch, COUNT(*) AS n_purchases,
+             ROUND(CAST(COUNT(*) AS DOUBLE) /
+                   (SELECT COUNT(*) FROM attributed), 6) AS credit_share
+      FROM attributed GROUP BY 1 ORDER BY 1
+    """,
+    "q113_activity_streaks" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      ), isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY d) AS INTEGER) AS anchor
+        FROM days
+      )
+      SELECT user_id, strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+             strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+             COUNT(*) AS streak_days
+      FROM isl GROUP BY user_id, anchor
+      ORDER BY streak_days DESC, user_id, streak_start LIMIT 25
     """
   ).map { case (k, v) => k -> v.trim }
 

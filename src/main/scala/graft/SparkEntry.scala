@@ -149,7 +149,9 @@ object SparkEntry {
     "q108_mad_anomaly" -> (Stats.q108MadAnomaly _),
     "q109_linear_interp" -> (Analytics.q109LinearInterp _),
     "q110_embedding_outliers" -> (Similarity.q110EmbeddingOutliers _),
-    "q111_purchase_intervals" -> (Stats.q111PurchaseIntervals _)
+    "q111_purchase_intervals" -> (Stats.q111PurchaseIntervals _),
+    "q112_first_touch" -> (Analytics.q112FirstTouch _),
+    "q113_activity_streaks" -> (Analytics.q113ActivityStreaks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -337,6 +337,75 @@ object Analytics {
         col("n_last_hour"), col("value_last_hour"))
   }
 
+  /** q112 — first-touch attribution: each purchase is credited to the
+    * EARLIEST event type the user produced in the preceding 7 days
+    * (strictly before the purchase second). The lookback is an
+    * equi-join on user_id with the time predicate as a residual — the
+    * shuffle is user-keyed and events-sized, and per-purchase fanout
+    * is bounded by a user's 7-day activity, not corpus size. The
+    * earliest-event choice must be deterministic under same-second
+    * ties, so the arg-min key is the zero-padded (epoch, event_id)
+    * STRING — lexicographic order equals numeric order, and both
+    * engines build the identical key. Credit shares are one division
+    * of exact counts. */
+  def q112FirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("es").as("p_es"))
+    val touches = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("t_type"),
+        col("es").as("t_es"), col("event_id").as("t_id"))
+    val attributed = purchases
+      .join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("t_es") >= col("p_es") - lit(604800L) &&
+          col("t_es") < col("p_es"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(min_by(col("t_type"),
+        concat(lpad(col("t_es").cast("string"), 12, "0"),
+          lpad(col("t_id").cast("string"), 12, "0"))).as("first_touch"))
+      .select(col("p_id"),
+        coalesce(col("first_touch"), lit("none")).as("first_touch"))
+    val total = attributed.agg(count(lit(1)).as("n_total"))
+    attributed.groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("first_touch"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / col("n_total"), 6)
+          .as("credit_share"))
+      .orderBy(col("first_touch").asc)
+  }
+
+  /** q113 — longest consecutive-day activity streaks (gaps-and-islands
+    * on the DATE axis; q41 sessionizes on second-level gaps, this
+    * finds calendar streaks): distinct active days collapse per user,
+    * the island anchor is date − row_number DAYS (consecutive days
+    * share an anchor — pure int/date arithmetic, exact in both
+    * engines), and each island is one aggregate row. The top-25 is
+    * TakeOrderedAndProject under a full (len, user, start) tiebreak;
+    * nothing ever sorts the events table globally. */
+  def q113ActivityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+    days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("streak_days"),
+        min(col("d")).as("streak_start"),
+        max(col("d")).as("streak_end"))
+      .orderBy(col("streak_days").desc, col("user_id").asc,
+        col("streak_start").asc)
+      .limit(25)
+      .select(col("user_id"),
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+        date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"),
+        col("streak_days"))
+  }
+
   /** q85 — ordered conversion funnel at user-day grain: a user counts
     * as converted only if the stages happened IN ORDER (first view
     * before first click before first purchase that day). Conditional

@@ -404,4 +404,69 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the FK dim must broadcast:\n$p")
   }
+
+  test("q112 credit shares sum to ~1 and bucket counts sum to the " +
+      "purchase count; 'none' matches a brute-force recount") {
+    val rows = Analytics.q112FirstTouch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+    val nPurch = ev.where(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch)
+    val shareSum = rows.map(_.getAs[Double]("credit_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    // brute-force 'none': purchases with no earlier same-user
+    // non-purchase event in the strict 7-day lookback
+    import spark.implicits._
+    val evs = ev.select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("es")).collect()
+    val byUser = evs.filter(_.getAs[String]("event_type") != "purchase")
+      .groupBy(_.getAs[Long]("user_id"))
+    val none = evs.filter(_.getAs[String]("event_type") == "purchase")
+      .count { p =>
+        val pes = p.getAs[Long]("es")
+        !byUser.getOrElse(p.getAs[Long]("user_id"), Array.empty)
+          .exists { t =>
+            val tes = t.getAs[Long]("es")
+            tes >= pes - 604800L && tes < pes
+          }
+      }
+    val got = rows.find(_.getAs[String]("first_touch") == "none")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    assert(got === none.toLong)
+  }
+
+  test("q113 streaks are genuinely consecutive and the longest streak " +
+      "matches a brute-force scan") {
+    val rows = Analytics.q113ActivityStreaks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    rows.foreach { r =>
+      val a = java.time.LocalDate.parse(r.getAs[String]("streak_start"), fmt)
+      val b = java.time.LocalDate.parse(r.getAs[String]("streak_end"), fmt)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) + 1 ===
+        r.getAs[Long]("streak_days"))
+    }
+    val lens = rows.map(_.getAs[Long]("streak_days")).toSeq
+    assert(lens === lens.sorted.reverse)
+    // brute-force the global max streak
+    import spark.implicits._
+    val days = Tables.load(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct().collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.sql.Date]("d").toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val bruteMax = days.values.map { ds =>
+      var best = 1L; var cur = 1L
+      ds.toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          if (java.time.temporal.ChronoUnit.DAYS
+              .between(pair(0), pair(1)) == 1) {
+            cur += 1; best = math.max(best, cur)
+          } else cur = 1
+        }
+      }
+      best
+    }.max
+    assert(rows.head.getAs[Long]("streak_days") === bruteMax)
+  }
 }
