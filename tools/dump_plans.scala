@@ -80,6 +80,18 @@ section("q97 custom top-k-per-group operator -- winners-only exchange",
   "The injected planner Strategy plans partial and final TopKPerGroupExec around one exchange: bounded heaps prune per partition, the shuffle carries at most k x groups x partitions rows, and no Sort or Window appears.",
   graft.operators.Analytics.q97TopkPerGroup(spark, dir),
   Seq("TopKPerGroup", "Exchange hashpartitioning", "Sort ", "Window"))
+section("q107 frequent triples -- map-side C(k,3) expansion, no 3-way self-join",
+  "Triples generate from per-order arrays (three chained explodes inside one codegen stage); the only shuffles are the per-order collect and the triple aggregate; top-30 is TakeOrderedAndProject.",
+  graft.operators.Stats.q107FrequentTriples(spark, dir),
+  Seq("Generate explode", "TakeOrderedAndProject", "SortMergeJoin", "HashAggregate"))
+section("q110 embedding outliers -- centroid broadcast, per-doc map-side collapse",
+  "The labels x dims centroid table broadcasts back onto the component stream; the per-doc distance aggregate is partial (64 components collapse before the exchange), and the top-50 is TakeOrderedAndProject.",
+  graft.operators.Similarity.q110EmbeddingOutliers(spark, dir),
+  Seq("BroadcastHashJoin", "TakeOrderedAndProject", "partial_", "Exchange hashpartitioning"))
+section("q112 first-touch attribution -- one user-keyed join, residual time filter",
+  "The 7-day lookback is an equi-join on user_id with the time predicate as a join residual -- no range-join blowup, no per-purchase re-scan; the arg-min collapses in a two-phase aggregate.",
+  graft.operators.Analytics.q112FirstTouch(spark, dir),
+  Seq("SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "partial_"))
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
