@@ -245,6 +245,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no sort-merge join belongs in this plan at test scale:\n$p")
   }
 
+  test("q107 triples expand map-side: three chained generates, " +
+      "no self-join anywhere") {
+    val df = graft.operators.Stats.q107FrequentTriples(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllIn(p).length >= 3,
+      s"expected 3 explodes:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"triple mining must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 must heap:\n$p")
+  }
+
+  test("q110 outlier screen: centroids broadcast back, per-doc " +
+      "aggregate is partial, top-50 heaps") {
+    val df = graft.operators.Similarity.q110EmbeddingOutliers(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"distance agg must be two-phase:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
+  }
+
+  test("q112 attribution joins once on user_id with the time window " +
+      "as a residual predicate") {
+    val df = graft.operators.Analytics.q112FirstTouch(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val joins = "SortMergeJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly one lookback join, got $joins:\n$p")
+    // the scalar n_total broadcast is a 1-row BroadcastNestedLoopJoin
+    // (like q95's bounds) — only an unkeyed CartesianProduct is banned
+    assert(!p.contains("CartesianProduct"),
+      s"time window must ride the equi-join as a residual:\n$p")
+  }
+
   test("q95 rolling distinct fans out map-side: one distinct exchange, " +
       "bounds broadcast") {
     val df = graft.operators.Stats.q95RollingDistinct(spark, sfDir)
