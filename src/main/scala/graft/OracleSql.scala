@@ -2030,6 +2030,28 @@ object OracleSql {
              COUNT(*) AS streak_days
       FROM isl GROUP BY user_id, anchor
       ORDER BY streak_days DESC, user_id, streak_start LIMIT 25
+    """,
+    "q114_mixture_diagnostics" -> """
+      WITH counts AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+      ), totals AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_langs, MAX(n) AS top_n
+        FROM counts GROUP BY 1
+      )
+      SELECT c.source,
+             MIN(n_docs) AS n_docs,
+             MIN(n_langs) AS n_langs,
+             arg_min(lang, lpad(CAST(n_docs - n AS VARCHAR), 12, '0')
+               || lang) AS top_lang,
+             ROUND(CAST(MIN(top_n) AS DOUBLE) / MIN(n_docs), 6)
+               AS top_share,
+             ROUND(1.0 - CAST(SUM(CAST(
+               (CAST(n AS DOUBLE) / n_docs) *
+               (CAST(n AS DOUBLE) / n_docs) AS DECIMAL(28,20)))
+               AS DOUBLE), 6) AS gini
+      FROM counts c JOIN totals t ON c.source = t.source
+      GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

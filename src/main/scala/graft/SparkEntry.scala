@@ -151,7 +151,8 @@ object SparkEntry {
     "q110_embedding_outliers" -> (Similarity.q110EmbeddingOutliers _),
     "q111_purchase_intervals" -> (Stats.q111PurchaseIntervals _),
     "q112_first_touch" -> (Analytics.q112FirstTouch _),
-    "q113_activity_streaks" -> (Analytics.q113ActivityStreaks _)
+    "q113_activity_streaks" -> (Analytics.q113ActivityStreaks _),
+    "q114_mixture_diagnostics" -> (Profiling.q114MixtureDiagnostics _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

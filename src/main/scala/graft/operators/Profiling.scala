@@ -155,4 +155,40 @@ object Profiling {
       uniqueChecks = Seq(UniqueCheck("unique_orderkey",
         Seq(col("o_orderkey")))))
   }
+
+  /** q114 — corpus mixture diagnostics: per-source language
+    * distribution with Gini impurity (1 − Σ p²) — the "how pure is
+    * each source's language mix" check run before choosing sampling
+    * weights. Gini instead of entropy BECAUSE of engine-exactness:
+    * ln() is not correctly rounded in either engine, while each share
+    * p = n/N is one exact-integer division, p² one multiply, and the
+    * language-count-sized Σ flows through DECIMAL so addition order
+    * can't move a bit. The dominant language is an arg-min over the
+    * zero-padded (N−n, lang) string — count-descending with a
+    * deterministic lexicographic tiebreak, identical in both engines.
+    * Shape: one (source, lang) aggregate, then a source-sized rollup
+    * — nothing after the first shuffle is corpus-sized. */
+  def q114MixtureDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        max(col("n")).as("top_n"))
+    counts.join(broadcast(totals), Seq("source"))
+      .withColumn("p", col("n").cast("double") / col("n_docs"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("n_langs")).as("n_langs"),
+        min_by(col("lang"),
+          concat(lpad((col("n_docs") - col("n")).cast("string"), 12, "0"),
+            col("lang"))).as("top_lang"),
+        round(first(col("top_n")).cast("double") /
+          first(col("n_docs")), 6).as("top_share"),
+        round(lit(1.0) -
+          sum((col("p") * col("p")).cast("decimal(28,20)"))
+            .cast("double"), 6).as("gini"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -405,6 +405,28 @@ class ProfilingExtrasSpec extends AnyFunSuite {
       s"the FK dim must broadcast:\n$p")
   }
 
+  test("q114 mixture diagnostics: doc counts partition the corpus, " +
+      "gini bounded by 1-1/k, dominant language matches brute force") {
+    val rows = Profiling.q114MixtureDiagnostics(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_langs")
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-9 && g <= 1.0 - 1.0 / k + 1e-9,
+        s"gini $g outside [0, 1-1/$k]")
+      assert(r.getAs[Double]("top_share") >= 1.0 / k - 1e-9)
+    }
+    // brute-force the dominant language of the first source
+    val src = rows.head.getAs[String]("source")
+    val langCounts = docs.where(col("source") === src)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count"))
+    val best = langCounts.sortBy { case (l, n) => (-n, l) }.head._1
+    assert(rows.head.getAs[String]("top_lang") === best)
+  }
+
   test("q112 credit shares sum to ~1 and bucket counts sum to the " +
       "purchase count; 'none' matches a brute-force recount") {
     val rows = Analytics.q112FirstTouch(spark, sfDir).collect()
