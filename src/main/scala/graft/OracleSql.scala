@@ -2052,6 +2052,60 @@ object OracleSql {
                AS DOUBLE), 6) AS gini
       FROM counts c JOIN totals t ON c.source = t.source
       GROUP BY 1 ORDER BY 1
+    """,
+    "q115_leakage_matrix" -> """
+      WITH d AS (
+        SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), g AS (
+        SELECT source,
+               unnest(list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END))
+                 AS gram
+        FROM d
+      ), sg AS (
+        SELECT DISTINCT source, gram FROM g
+      )
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS n_shared_grams
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY n_shared_grams DESC, src_a, src_b LIMIT 50
+    """,
+    "q116_distribution_drift" -> """
+      WITH pop AS (
+        SELECT year(o_orderdate) AS yr, o_totalprice AS v
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      ), grid AS (
+        SELECT quantile_cont(v,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM pop
+      ), b AS (
+        SELECT i AS decile, qs[i] AS boundary
+        FROM grid, UNNEST(generate_series(1, 9)) AS t(i)
+      )
+      SELECT decile, ROUND(boundary, 4) AS boundary,
+             ROUND(CAST(SUM(CASE WHEN yr = 1995 AND v <= boundary
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END), 6)
+               AS cdf_1995,
+             ROUND(CAST(SUM(CASE WHEN yr = 1996 AND v <= boundary
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END), 6)
+               AS cdf_1996,
+             ROUND(abs(
+               CAST(SUM(CASE WHEN yr = 1995 AND v <= boundary
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) -
+               CAST(SUM(CASE WHEN yr = 1996 AND v <= boundary
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)), 6)
+               AS cdf_gap
+      FROM pop, b
+      GROUP BY decile, boundary
+      ORDER BY decile
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -152,7 +152,9 @@ object SparkEntry {
     "q111_purchase_intervals" -> (Stats.q111PurchaseIntervals _),
     "q112_first_touch" -> (Analytics.q112FirstTouch _),
     "q113_activity_streaks" -> (Analytics.q113ActivityStreaks _),
-    "q114_mixture_diagnostics" -> (Profiling.q114MixtureDiagnostics _)
+    "q114_mixture_diagnostics" -> (Profiling.q114MixtureDiagnostics _),
+    "q115_leakage_matrix" -> (CorpusOps.q115LeakageMatrix _),
+    "q116_distribution_drift" -> (Stats.q116DistributionDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

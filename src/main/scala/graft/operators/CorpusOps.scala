@@ -292,4 +292,30 @@ object CorpusOps {
           .when(e("user_id").isNull, "orders_only")
           .otherwise("both").as("presence"))
   }
+
+  /** q115 — cross-source phrase-leakage matrix: for every source pair,
+    * how many DISTINCT word-3-grams they share verbatim — the "which
+    * feeds copy from which" diagnostic that decides whether dedup must
+    * run globally or per-source (and the contamination screen when one
+    * source is a held-out benchmark feed; q58 is the doc-level view,
+    * this the source-pair rollup). Shape: one (source, gram) distinct,
+    * one gram-keyed aggregate, then pairs expand MAP-SIDE from each
+    * gram's source set — bounded by the source count, never corpus².
+    * The top-50 is TakeOrderedAndProject under a full tiebreak. */
+  def q115LeakageMatrix(s: SparkSession, dir: String): DataFrame = {
+    val sg = docsSpread(s, dir)
+      .select(col("source"),
+        explode(array_distinct(shingles(col("text"), 3))).as("gram"))
+      .distinct()
+    sg.groupBy(col("gram")).agg(collect_set(col("source")).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("n_shared_grams").desc, col("src_a").asc,
+        col("src_b").asc)
+      .limit(50)
+  }
 }

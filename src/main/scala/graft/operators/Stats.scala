@@ -434,4 +434,41 @@ object Stats {
         round(expr("percentile(gap, 0.5D)"), 4).as("median_days"))
       .orderBy(col("c_mktsegment").asc)
   }
+
+  /** q116 — distribution drift on a decile grid (the KS-style check
+    * PSI users want, WITHOUT the ln() that isn't engine-exact): order
+    * values from 1995 vs 1996 compared at the 9 interior deciles of
+    * the pooled distribution. The grid is a 9-row aggregate broadcast
+    * back onto the pooled rows; per-decile CDFs are conditional
+    * counts divided once (exact integers → one correctly-rounded
+    * divide), the gap one subtraction — every number the identical
+    * IEEE tree in DuckDB. Scale shape: one pass for the grid
+    * (approx_percentile is the 100 TB swap), one conditional
+    * aggregate for all 9 boundaries — the fact table is read twice,
+    * never self-joined. */
+  def q116DistributionDrift(s: SparkSession, dir: String): DataFrame = {
+    val pop = t(s, dir, "orders")
+      .where(year(col("o_orderdate")).isin(1995, 1996))
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").as("v"))
+    val grid = pop.agg(expr(
+        "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "boundary")))
+    pop.crossJoin(broadcast(grid))
+      .groupBy((col("i") + 1).as("decile"), col("boundary"))
+      .agg(
+        sum(when(col("yr") === 1995 && col("v") <= col("boundary"), 1L)
+          .otherwise(0L)).as("le1"),
+        sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("yr") === 1996 && col("v") <= col("boundary"), 1L)
+          .otherwise(0L)).as("le2"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n2"))
+      .select(col("decile"), round(col("boundary"), 4).as("boundary"),
+        round(col("le1").cast("double") / col("n1"), 6).as("cdf_1995"),
+        round(col("le2").cast("double") / col("n2"), 6).as("cdf_1996"),
+        round(abs(col("le1").cast("double") / col("n1") -
+          col("le2").cast("double") / col("n2")), 6).as("cdf_gap"))
+      .orderBy(col("decile").asc)
+  }
 }

@@ -126,4 +126,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_langs") >= 1)
     }
   }
+
+  test("q115 leakage matrix: ordered pairs, counts positive, and the " +
+      "top pair matches a brute-force shared-gram recount") {
+    val rows = CorpusOps.q115LeakageMatrix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_shared_grams") > 0L)
+    }
+    val ns = rows.map(_.getAs[Long]("n_shared_grams")).toSeq
+    assert(ns === ns.sorted.reverse)
+    // brute-force the top pair's count via per-source gram sets
+    import graft.functions.TextFunctions.shingles
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    val top = rows.head
+    val grams = Tables.load(spark, sfDir, "documents")
+      .where(col("source").isin(top.getAs[String]("src_a"),
+        top.getAs[String]("src_b")))
+      .select(col("source"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val shared = grams(top.getAs[String]("src_a"))
+      .intersect(grams(top.getAs[String]("src_b"))).size
+    assert(top.getAs[Long]("n_shared_grams") === shared.toLong)
+  }
 }

@@ -256,4 +256,21 @@ class StatsSpec extends AnyFunSuite {
         expect(r.getAs[String]("c_mktsegment")))
     }
   }
+
+  test("q116 drift: CDFs monotone in [0,1] along a nondecreasing " +
+      "boundary grid, gap consistent with the two CDFs") {
+    val rows = Stats.q116DistributionDrift(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.length === 9)
+    var (pb, p1, p2) = (Double.MinValue, 0.0, 0.0)
+    rows.foreach { r =>
+      val (b, c1, c2) = (r.getAs[Double]("boundary"),
+        r.getAs[Double]("cdf_1995"), r.getAs[Double]("cdf_1996"))
+      assert(b >= pb); pb = b
+      assert(c1 >= p1 - 1e-9 && c1 >= 0.0 && c1 <= 1.0); p1 = c1
+      assert(c2 >= p2 - 1e-9 && c2 >= 0.0 && c2 <= 1.0); p2 = c2
+      assert(math.abs(r.getAs[Double]("cdf_gap") -
+        math.abs(c1 - c2)) < 2e-6)
+    }
+  }
 }
