@@ -357,7 +357,10 @@ object Similarity {
     * through DECIMAL, and mean/var/cov/corr then evaluate the same
     * IEEE tree in both engines (q92's discipline). */
   def q105CorrelationAudit(s: SparkSession, dir: String): DataFrame = {
+    // single-file table -> one input partition; spread BEFORE the d²
+    // pair explosion or one task generates every cross-moment row
     val e = graft.Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
     val comp = e.select(col("vec_id"), col("embedding"),
         posexplode(col("embedding")).as(Seq("dim", "cf")))
       .withColumn("c", col("cf").cast("double"))
@@ -370,10 +373,17 @@ object Similarity {
         (col("s2").cast("double") / col("n") -
           (col("s1").cast("double") / col("n")) *
           (col("s1").cast("double") / col("n"))).as("variance"))
+    // Upper triangle only, AT GENERATION: each component row explodes
+    // just the slice of the embedding AFTER its own dimension (j > i
+    // by construction), halving generated rows vs explode-then-filter
+    // — the filter after a Generate does not prune what the Generate
+    // emits. Bit-identical cross moments (same terms, same decimal
+    // sum; spec-checked against the filtered formulation).
     val cross = comp
       .select(col("vec_id"), col("dim").as("dim_i"), col("c").as("ci"),
-        posexplode(col("embedding")).as(Seq("dim_j", "cjf")))
-      .where(col("dim_i") < col("dim_j"))
+        posexplode(expr("slice(embedding, dim + 2, size(embedding))"))
+          .as(Seq("off", "cjf")))
+      .withColumn("dim_j", col("dim_i") + 1 + col("off"))
       .withColumn("cj", col("cjf").cast("double"))
       .groupBy(col("dim_i"), col("dim_j"))
       .agg(count(lit(1)).as("n"),
