@@ -58,12 +58,17 @@ object Graph {
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val nN = nodes.count()
 
+    // The rank vector and degree table are NODE-sized (the catalog,
+    // not the fact) — BROADCAST both, so each iteration is a map-side
+    // join over the cached edge partitions and the per-iteration
+    // shuffle is only the dst aggregate. Without the hint the planner
+    // re-exchanges the 100×-bigger edge list every iteration.
     var rank = nodes.select(col("node"),
       (lit(1.0) / nN).as(s"r"))
     for (_ <- 1 to Iterations) {
       val contrib = edges
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
+        .join(broadcast(deg), Seq("src"))
         .select(col("dst"),
           floor(col("r") / col("deg") * lit(1e12)).cast("bigint")
             .as("c_micro"))
