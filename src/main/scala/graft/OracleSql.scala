@@ -2106,6 +2106,37 @@ object OracleSql {
       FROM pop, b
       GROUP BY decile, boundary
       ORDER BY decile
+    """,
+    "q117_lorenz_gini" -> """
+      WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY 1
+      ), ranked AS (
+        SELECT o_custkey, x,
+               row_number() OVER (ORDER BY x, o_custkey) AS i,
+               CAST(ntile(10) OVER (ORDER BY x, o_custkey) AS BIGINT)
+                 AS decile
+        FROM spend
+      ), g AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx,
+               2.0 * CAST(SUM(CAST(x AS DECIMAL(18,2)) * i) AS DOUBLE) /
+                 (COUNT(*) * CAST(SUM(x) AS DOUBLE)) -
+                 CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*) AS gini_raw
+        FROM ranked
+      ), d AS (
+        SELECT decile, COUNT(*) AS n_customers, SUM(x) AS dx
+        FROM ranked GROUP BY 1
+      )
+      SELECT decile, n_customers,
+             ROUND(CAST(dx AS DOUBLE), 2) AS decile_spend,
+             ROUND(CAST(SUM(dx) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(sx AS DOUBLE), 6) AS cum_share,
+             ROUND(gini_raw, 6) AS gini
+      FROM d, g
+      ORDER BY decile
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -154,7 +154,8 @@ object SparkEntry {
     "q113_activity_streaks" -> (Analytics.q113ActivityStreaks _),
     "q114_mixture_diagnostics" -> (Profiling.q114MixtureDiagnostics _),
     "q115_leakage_matrix" -> (CorpusOps.q115LeakageMatrix _),
-    "q116_distribution_drift" -> (Stats.q116DistributionDrift _)
+    "q116_distribution_drift" -> (Stats.q116DistributionDrift _),
+    "q117_lorenz_gini" -> (Stats.q117LorenzGini _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

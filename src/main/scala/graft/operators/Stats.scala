@@ -471,4 +471,47 @@ object Stats {
           col("le2").cast("double") / col("n2")), 6).as("cdf_gap"))
       .orderBy(col("decile").asc)
   }
+
+  /** q117 — revenue concentration: Lorenz-curve deciles of customer
+    * spend plus the exact Gini coefficient via the sorted-rank
+    * formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Everything that crosses
+    * a shuffle is DECIMAL: per-customer spend at 2 dp, the rank-
+    * weighted sum Σ(i·xᵢ) as exact decimal products (at sf0.1 its
+    * unscaled value stays ~2×10¹⁵ < 2⁵³, so the one decimal→double
+    * cast agrees across engines; at larger corpora rescale x to
+    * coarser units first — same plan). The customer-sized total
+    * order (spend, custkey) feeds row_number and NTILE; the global
+    * window is customer-sized, never fact-sized (PrefixSum.exclusive
+    * is the documented swap when even the aggregate outgrows one
+    * task). The three Gini terms evaluate the identical IEEE tree in
+    * DuckDB. */
+  def q117LorenzGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    val w = Window.orderBy(col("x").asc, col("o_custkey").asc)
+    val ranked = spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val g = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(18,2)") * col("i")).as("sxi"))
+      .select(col("n"), col("sx"),
+        (lit(2.0) * col("sxi").cast("double") /
+          (col("n") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n")).as("gini_raw"))
+    val cum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("dx"))
+      .withColumn("cumx", sum(col("dx")).over(cum))
+      .crossJoin(broadcast(g))
+      .select(col("decile"), col("n_customers"),
+        round(col("dx").cast("double"), 2).as("decile_spend"),
+        round(col("cumx").cast("double") / col("sx").cast("double"), 6)
+          .as("cum_share"),
+        round(col("gini_raw"), 6).as("gini"))
+      .orderBy(col("decile").asc)
+  }
 }

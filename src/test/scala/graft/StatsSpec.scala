@@ -273,4 +273,33 @@ class StatsSpec extends AnyFunSuite {
         math.abs(c1 - c2)) < 2e-6)
     }
   }
+
+  test("q117 Lorenz curve is convex to the diagonal, cum_share ends " +
+      "at 1, and the Gini matches a driver-side recomputation") {
+    val rows = Stats.q117LorenzGini(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    // Lorenz: cumulative share of the k-th decile never exceeds k/10
+    shares.zipWithIndex.foreach { case (sh, k) =>
+      assert(sh <= (k + 1) / 10.0 + 1e-9)
+    }
+    val gini = rows.head.getAs[Double]("gini")
+    assert(rows.forall(_.getAs[Double]("gini") === gini))
+    // brute-force Gini over the sorted spend vector
+    import spark.implicits._
+    val xs = Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("x"))
+      .orderBy($"x".asc, $"o_custkey".asc)
+      .select($"x".cast("double")).collect().map(_.getDouble(0))
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val sxi = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val brute = 2.0 * sxi / (n * sx) - (n + 1.0) / n
+    assert(math.abs(gini - brute) < 1e-6)
+    assert(gini > 0.0 && gini < 1.0)
+  }
 }
