@@ -2137,6 +2137,47 @@ object OracleSql {
              ROUND(gini_raw, 6) AS gini
       FROM d, g
       ORDER BY decile
+    """,
+    "q118_cuped" -> """
+      WITH cut AS (
+        SELECT CAST(MIN(ts) AS DATE) + 15 AS cut FROM events
+      ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) < cut
+                 THEN CAST(value AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) >= cut
+                 THEN CAST(value AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS y,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 < '8' THEN 'A' ELSE 'B' END AS arm
+        FROM events, cut
+        GROUP BY user_id, cut
+      ), m0 AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) AS mx,
+               CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) AS my,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*) AS mxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*) AS mxx
+        FROM per_user
+      ), m AS (
+        SELECT mx, (mxy - mx * my) / (mxx - mx * mx) AS theta FROM m0
+      )
+      SELECT arm, COUNT(*) AS n_users,
+             ROUND(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_y,
+             ROUND(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*)
+               - MIN(theta) *
+                 (CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) - MIN(mx)), 6) AS mean_y_cuped,
+             ROUND(MIN(theta), 6) AS theta
+      FROM per_user, m
+      GROUP BY arm ORDER BY arm
     """
   ).map { case (k, v) => k -> v.trim }
 

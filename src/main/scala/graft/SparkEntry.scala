@@ -155,7 +155,8 @@ object SparkEntry {
     "q114_mixture_diagnostics" -> (Profiling.q114MixtureDiagnostics _),
     "q115_leakage_matrix" -> (CorpusOps.q115LeakageMatrix _),
     "q116_distribution_drift" -> (Stats.q116DistributionDrift _),
-    "q117_lorenz_gini" -> (Stats.q117LorenzGini _)
+    "q117_lorenz_gini" -> (Stats.q117LorenzGini _),
+    "q118_cuped" -> (Stats.q118Cuped _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -514,4 +514,67 @@ object Stats {
         round(col("gini_raw"), 6).as("gini"))
       .orderBy(col("decile").asc)
   }
+
+  /** q118 — CUPED variance-reduced A/B readout: per-user event value
+    * splits into a pre-period covariate x (first 15 days) and the
+    * experiment metric y (last 15 days); θ = cov(x,y)/var(x) is fit
+    * POOLED, and each arm reports mean(y) alongside the CUPED-adjusted
+    * mean(y) − θ·(mean(x) − mean(x)_global) — the standard trick that
+    * shrinks A/B confidence intervals without touching the estimate's
+    * expectation. Engine-exact by the q105 recipe: x and y are exact
+    * 4-dp decimal sums; cross/square products of those bit-identical
+    * doubles flow through DECIMAL(38,18) so partition order can't move
+    * a bit; every mean/cov/θ/adjustment is then the identical
+    * correctly-rounded IEEE tree in DuckDB, with the final 6-dp round
+    * far above any residual cast noise. Scale shape: one user-keyed
+    * aggregate (the only fact-sized shuffle), one 1-row moment
+    * aggregate, one arm-sized rollup. */
+  def q118Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val cut = ev.agg(date_add(to_date(min(col("ts"))), 15).as("cut"))
+    val zero = lit("0").cast("decimal(18,4)")
+    val perUser = ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) < col("cut"),
+          col("value").cast("decimal(18,4)")).otherwise(zero))
+          .cast("double").as("x"),
+        sum(when(to_date(col("ts")) >= col("cut"),
+          col("value").cast("decimal(18,4)")).otherwise(zero))
+          .cast("double").as("y"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+    val m = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,4)")).as("sx"),
+        sum(col("y").cast("decimal(18,4)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,18)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,18)")).as("sxx"))
+      .select(col("n"),
+        (col("sx").cast("double") / col("n")).as("mx"),
+        (col("sy").cast("double") / col("n")).as("my"),
+        (col("sxy").cast("double") / col("n")).as("mxy"),
+        (col("sxx").cast("double") / col("n")).as("mxx"))
+      .select(col("mx"),
+        ((col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx"))).as("theta"))
+    perUser.crossJoin(broadcast(m))
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        (sum(col("y").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("my_raw"),
+        (sum(col("x").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("mx_raw"),
+        first(col("theta")).as("th"),
+        first(col("mx")).as("gmx"))
+      .select(col("arm"), col("n_users"),
+        round(col("my_raw"), 6).as("mean_y"),
+        round(col("my_raw") - col("th") * (col("mx_raw") - col("gmx")), 6)
+          .as("mean_y_cuped"),
+        round(col("th"), 6).as("theta"))
+      .orderBy(col("arm").asc)
+  }
 }

@@ -302,4 +302,38 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(gini - brute) < 1e-6)
     assert(gini > 0.0 && gini < 1.0)
   }
+
+  test("q118 CUPED preserves the pooled mean and theta matches a " +
+      "driver-side covariance fit") {
+    val rows = Stats.q118Cuped(spark, sfDir).collect()
+    assert(rows.length === 2)
+    val th = rows.head.getAs[Double]("theta")
+    assert(rows.forall(_.getAs[Double]("theta") === th))
+    // the adjustment is mean-zero over the pooled population:
+    // Σ n_arm·mean_adj == Σ n_arm·mean_raw
+    def pooled(c: String): Double = rows.map(r =>
+      r.getAs[Long]("n_users") * r.getAs[Double](c)).sum
+    assert(math.abs(pooled("mean_y_cuped") - pooled("mean_y")) <
+      rows.map(_.getAs[Long]("n_users")).sum * 2e-6)
+    // driver-side theta: cov(x,y)/var(x) over per-user 15-day sums
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val cutD = java.time.LocalDate.parse(
+      ev.agg(date_format(date_add(to_date(min($"ts")), 15), "yyyy-MM-dd"))
+        .head().getString(0))
+    val xs = ev.select($"user_id", to_date($"ts").as("d"),
+        $"value".cast("decimal(18,4)").as("v"))
+      .groupBy($"user_id")
+      .agg(
+        coalesce(sum(when($"d" < lit(java.sql.Date.valueOf(cutD)), $"v")),
+          lit(0).cast("decimal(28,4)")).cast("double").as("x"),
+        coalesce(sum(when($"d" >= lit(java.sql.Date.valueOf(cutD)), $"v")),
+          lit(0).cast("decimal(28,4)")).cast("double").as("y"))
+      .collect().map(r => (r.getAs[Double]("x"), r.getAs[Double]("y")))
+    val n = xs.length
+    val (mx, my) = (xs.map(_._1).sum / n, xs.map(_._2).sum / n)
+    val cov = xs.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val vx = xs.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
+    assert(math.abs(th - cov / vx) < 1e-4, s"theta $th vs ${cov / vx}")
+  }
 }
