@@ -2178,6 +2178,33 @@ object OracleSql {
              ROUND(MIN(theta), 6) AS theta
       FROM per_user, m
       GROUP BY arm ORDER BY arm
+    """,
+    "q119_path_mining" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+      ), s1 AS (
+        SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                         OR es - lag(es) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s2 AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS session_seq
+        FROM s1
+      ), p AS (
+        SELECT event_type AS step1,
+               lead(event_type, 1) OVER w2 AS step2,
+               lead(event_type, 2) OVER w2 AS step3
+        FROM s2 WINDOW w2 AS (PARTITION BY user_id, session_seq
+                              ORDER BY ts, event_id)
+      )
+      SELECT step1, step2, step3, COUNT(*) AS n_paths
+      FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20
     """
   ).map { case (k, v) => k -> v.trim }
 

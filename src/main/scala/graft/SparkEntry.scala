@@ -156,7 +156,8 @@ object SparkEntry {
     "q115_leakage_matrix" -> (CorpusOps.q115LeakageMatrix _),
     "q116_distribution_drift" -> (Stats.q116DistributionDrift _),
     "q117_lorenz_gini" -> (Stats.q117LorenzGini _),
-    "q118_cuped" -> (Stats.q118Cuped _)
+    "q118_cuped" -> (Stats.q118Cuped _),
+    "q119_path_mining" -> (Analytics.q119PathMining _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

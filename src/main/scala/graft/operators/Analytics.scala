@@ -78,6 +78,40 @@ object Analytics {
         moneySum(col("value")).as("session_value"))
   }
 
+  /** q119 — clickstream path mining: the 20 most common 3-step
+    * event-type paths WITHIN a session (q41's 30-minute gap rule and
+    * the same (ts, event_id) total order — journeys must not span
+    * session breaks, so the path window is keyed by (user, session)).
+    * Two window leads build each step's triple MAP-SIDE on the
+    * already-session-partitioned stream — no self-joins, no per-path
+    * scans; the path aggregate is |types|³-bounded and the top-20 is
+    * TakeOrderedAndProject under a full tiebreak. All counts exact. */
+  def q119PathMining(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+            > SessionGapSec, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("step2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("step3", lead(col("event_type"), 2).over(bySess))
+      .where(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(20)
+  }
+
   /** q42 — set operations (absent in the reference, SURVEY §2.7):
     * INTERSECT / EXCEPT over two yearly buyer sets, tagged and unioned
     * into one result. Spark plans these as aggregate+join — no custom

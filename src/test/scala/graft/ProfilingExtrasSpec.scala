@@ -457,6 +457,26 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     assert(got === none.toLong)
   }
 
+  test("q119 path counts are bounded by the session-length budget and " +
+      "use only real event types") {
+    val rows = Analytics.q119PathMining(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val types = Tables.load(spark, sfDir, "events")
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      Seq("step1", "step2", "step3").foreach(c =>
+        assert(types.contains(r.getAs[String](c))))
+      assert(r.getAs[Long]("n_paths") > 0L)
+    }
+    val ns = rows.map(_.getAs[Long]("n_paths")).toSeq
+    assert(ns === ns.sorted.reverse)
+    // every session of length n contributes exactly max(0, n-2) paths
+    val budget = Analytics.q41Sessionize(spark, sfDir).collect()
+      .map(r => math.max(0L, r.getAs[Long]("n_events") - 2L)).sum
+    assert(ns.sum <= budget)
+  }
+
   test("q113 streaks are genuinely consecutive and the longest streak " +
       "matches a brute-force scan") {
     val rows = Analytics.q113ActivityStreaks(spark, sfDir).collect()
