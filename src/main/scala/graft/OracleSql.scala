@@ -2208,6 +2208,80 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
+  /** Scale-pattern pack: every oracle here is the PLAIN form of the
+    * query — sketches and manifests prune execution, never change
+    * answers, so DuckDB needs no knowledge of them. */
+  val scale: Map[String, String] = Map(
+    "q120_bloom_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING'
+                            AND c_acctbal > 7500)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """,
+    "q121_sketch_heavy_hitters" -> """
+      WITH thr AS (
+        SELECT GREATEST(1, COUNT(*) // 250) AS t FROM events
+      )
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+      HAVING COUNT(*) >= (SELECT t FROM thr)
+      ORDER BY n_events DESC, user_id
+    """,
+    "q122_array_fold" -> """
+      SELECT vec_id,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+               AS n_pos,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x -> abs(x))),
+               (a, b) -> a + b) AS l1,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x -> x * x)),
+               (a, b) -> a + b) AS l2sq,
+             CAST(list_sort(embedding, 'DESC')[1] AS DOUBLE)
+               + CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE)
+               + CAST(list_sort(embedding, 'DESC')[3] AS DOUBLE)
+               AS top3_sum
+      FROM embeddings
+      ORDER BY l1 DESC, vec_id
+      LIMIT 100
+    """,
+    "q123_incremental_agg" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             o_orderpriority,
+             COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE) / COUNT(*), 6) AS avg_price,
+             MIN(o_orderdate) AS first_order,
+             MAX(o_orderdate) AS last_order
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """,
+    "q124_zonemap_skipping" -> """
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+                           AND TIMESTAMP '1995-08-31 00:00:00'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """
+  ).map { case (k, v) => k -> v.trim }
+
   val all: Map[String, String] =
-    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b ++ stats
+    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b ++ stats ++ scale
 }

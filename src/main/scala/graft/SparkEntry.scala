@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, Graph, KpiQueries, Profiling, RangeJoin, Similarity, Stats,
-  TextQueries}
+  Dedup, Graph, KpiQueries, Profiling, RangeJoin, ScaleOps, Similarity,
+  Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -157,7 +157,15 @@ object SparkEntry {
     "q116_distribution_drift" -> (Stats.q116DistributionDrift _),
     "q117_lorenz_gini" -> (Stats.q117LorenzGini _),
     "q118_cuped" -> (Stats.q118Cuped _),
-    "q119_path_mining" -> (Analytics.q119PathMining _)
+    "q119_path_mining" -> (Analytics.q119PathMining _),
+    // Scale-pattern pack: sketch-pruned exact queries (bloom semi-join,
+    // CMS heavy hitters), higher-order array folds, incremental
+    // aggregate maintenance, zone-map file skipping.
+    "q120_bloom_join" -> (ScaleOps.q120BloomJoin _),
+    "q121_sketch_heavy_hitters" -> (ScaleOps.q121SketchHeavyHitters _),
+    "q122_array_fold" -> (ScaleOps.q122ArrayFold _),
+    "q123_incremental_agg" -> (ScaleOps.q123IncrementalAgg _),
+    "q124_zonemap_skipping" -> (ScaleOps.q124ZonemapSkipping _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

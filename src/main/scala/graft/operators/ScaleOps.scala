@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale-pattern pack (round 3, continuation): the execution patterns
+  * that separate a 100 TB pipeline from a laptop query, each expressed
+  * so its OUTPUT is exact and oracle-checkable even when the pattern
+  * itself uses a sketch — sketches prune work, exact passes produce
+  * answers.
+  *
+  * q120 bloom-filter-pruned semi-join (runtime row filter),
+  * q121 count-min-sketch heavy hitters with exact recount,
+  * q122 higher-order array functions with engine-exact left folds,
+  * q123 incremental aggregate maintenance (partial-state merge),
+  * q124 zone-map file skipping (cluster → manifest prune → residual).
+  */
+object ScaleOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+
+  /** q120 — bloom-filter-pruned semi-join: orders placed by high-value
+    * BUILDING-segment customers. The dim's keys build a
+    * `spark.util.sketch.BloomFilter` (one tiny aggregate job), the
+    * fact applies `mightContain` MAP-SIDE — before any exchange — and
+    * only the surviving ~1.2% of rows reach the exact semi-join that
+    * removes the false positives. Locally the dim broadcasts anyway;
+    * the pattern pays at 100 TB when the dim is too big to broadcast
+    * and the semi-join must shuffle BOTH sides: the bloom cuts the
+    * fact's shuffle volume by the filter's selectivity while the
+    * false-positive rate (1%) only adds noise rows, never wrong rows
+    * — correctness never depends on the sketch. This is the explicit
+    * form of Spark's own runtime bloom filter
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled), usable where
+    * the optimizer can't infer it (e.g. across a cache boundary). */
+  def q120BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 7500)
+      .select(col("c_custkey"))
+    val nKeys = dim.count()
+    val bloom = dim.stat.bloomFilter("c_custkey", math.max(nKeys, 1L), 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    t(s, dir, "orders")
+      .where(col("o_custkey").isNotNull && mightContain(col("o_custkey")))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q121 — heavy hitters via count-min sketch + exact recount: users
+    * with ≥ total/250 of all events. Pass 1 tree-aggregates a CMS over
+    * the fact with NO shuffle (the sketch is the only thing that
+    * moves). Pass 2 filters the fact MAP-SIDE by the sketch estimate —
+    * CMS only ever OVER-estimates, so the survivors are a guaranteed
+    * superset of the true heavy keys' rows — and only those rows reach
+    * the exact groupBy; the final HAVING drops the sketch's false
+    * positives. At 100 TB the plain groupBy shuffles every distinct
+    * key's rows; this shuffles only the heavy tail (here ~60% of rows,
+    * on a real power-law stream a few percent), and the answer is
+    * still EXACT — which is why the DuckDB oracle is the plain
+    * group-having form. eps=0.001 bounds overcount by 0.1% of stream
+    * length; size the sketch so eps·N ≪ threshold at the target SF. */
+  def q121SketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val total = ev.count()
+    val threshold = math.max(1L, total / 250)
+    val cms = ev.stat.countMinSketch(col("user_id"), 0.001, 0.999, 42)
+    val maybeHeavy = udf((u: Long) => cms.estimateCount(u) >= threshold)
+    ev.where(col("user_id").isNotNull && maybeHeavy(col("user_id")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= threshold)
+      .orderBy(col("n_events").desc, col("user_id").asc)
+  }
+
+  /** q122 — higher-order array functions over the embedding column:
+    * per-vector positive-component count (`filter`), L1 norm
+    * (`aggregate` left fold), L2² via `transform` then fold, and the
+    * sum of the top-3 components (`sort_array` + `element_at`). All
+    * map-side, no explode: the array never becomes 64 rows, so the
+    * only exchange in the plan is the final top-100 ordering
+    * (TakeOrderedAndProject). Engine-exactness: Spark's `aggregate`
+    * and DuckDB's `list_reduce` are both LEFT folds in element order,
+    * each float widens to double exactly, and float×float stays a
+    * float multiply on both engines — so every derived double is the
+    * identical correctly-rounded IEEE tree and the hash matches
+    * bit-for-bit with no rounding. */
+  def q122ArrayFold(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val v = col("embedding")
+    val sorted = sort_array(v, asc = false)
+    emb.select(
+      col("vec_id"),
+      size(filter(v, x => x > lit(0f))).cast("long").as("n_pos"),
+      aggregate(v, lit(0.0), (a, x) => a + abs(x)).as("l1"),
+      aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
+        .as("l2sq"),
+      (element_at(sorted, 1).cast("double") +
+        element_at(sorted, 2).cast("double") +
+        element_at(sorted, 3).cast("double")).as("top3_sum"))
+      .orderBy(col("l1").desc, col("vec_id").asc)
+      .limit(100)
+  }
+
+  /** q123 — incremental aggregate maintenance: the yearly-by-priority
+    * revenue mart kept fresh by MERGING partial-aggregate states
+    * instead of recomputing history. The base state (orders before
+    * 1996) and the delta state (1996 on) are each a normal two-phase
+    * aggregate; the union re-groups and merges states — counts add,
+    * DECIMAL sums add, min/max fold — and only then are the
+    * presentation columns (avg = sum/count, double cast) derived.
+    * Because sum/count/min/max states merge associatively and the
+    * money sums are exact DECIMAL, the merged mart is bit-identical
+    * to the full recompute — which IS the oracle. At 100 TB this is
+    * the daily-pipeline pattern: the base state is a stored
+    * table-sized aggregate, each day merges a day-sized delta, and
+    * history is never rescanned. avg derives AFTER the merge (an
+    * avg-of-avgs would be wrong — states carry sum+count precisely so
+    * ratios derive last). */
+  def q123IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val split = "1996-01-01"
+    def state(df: DataFrame): DataFrame = df
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"),
+        min(col("o_orderdate")).as("mn"),
+        max(col("o_orderdate")).as("mx"))
+    val base = state(ord.where(col("o_orderdate") < lit(split)))
+    val delta = state(ord.where(col("o_orderdate") >= lit(split)))
+    base.unionByName(delta)
+      .groupBy(col("o_year"), col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("rev")).as("rev_merged"),
+        min(col("mn")).as("first_order"),
+        max(col("mx")).as("last_order"))
+      .select(col("o_year"), col("o_orderpriority"), col("n_orders"),
+        round(col("rev_merged").cast("double"), 2).as("revenue"),
+        round(col("rev_merged").cast("double") / col("n_orders"), 6)
+          .as("avg_price"),
+        col("first_order"), col("last_order"))
+      .orderBy(col("o_year"), col("o_orderpriority"))
+  }
+
+  /** q124 — zone-map file skipping: cluster lineitem by `l_shipdate`
+    * (range repartition → each parquet file holds a tight, nearly
+    * disjoint date range), build a FILE-COUNT-sized manifest of
+    * per-file min/max, and answer a 3-month window query by reading
+    * ONLY the files whose [min,max] overlaps the predicate — the
+    * residual filter inside those files keeps the result exact
+    * whatever the file boundaries did. This is the Iceberg/Delta
+    * data-skipping play without a table format: at 100 TB a 3-month
+    * probe on 10 years of clustered history opens ~2.5% of files,
+    * and the manifest scan that decides so is metadata-sized. The
+    * clustering write amortizes across every later probe (it is the
+    * expensive step and is included in this query's own runtime;
+    * etl.ZOrder extends the same idea to two probe columns).
+    * Correctness never depends on the clustering: prune is
+    * conservative (overlap test) and the residual filter re-applies
+    * the exact predicate. */
+  def q124ZonemapSkipping(s: SparkSession, dir: String): DataFrame = {
+    val clustered = s"${sys.props("java.io.tmpdir")}/graft_zonemap_" +
+      math.abs(dir.hashCode).toString
+    t(s, dir, "lineitem")
+      .repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(clustered)
+    // min/max collected as ISO strings: lexicographic order on the
+    // fixed "yyyy-MM-dd HH:mm:ss" format IS chronological order, and
+    // strings sidestep the java8-time vs sql-Timestamp external-type
+    // split.
+    val manifest = s.read.parquet(clustered)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_shipdate")).cast("string").as("mn"),
+        max(col("l_shipdate")).cast("string").as("mx"))
+      .collect()
+    val lo = "1995-06-01 00:00:00"
+    val hi = "1995-08-31 00:00:00"
+    val picked = manifest.filter { r =>
+      r.getAs[String]("mn") <= hi && r.getAs[String]("mx") >= lo
+    }.map(_.getAs[String]("file"))
+    val src =
+      if (picked.isEmpty) s.read.parquet(clustered)
+      else s.read.parquet(picked.toIndexedSeq: _*)
+    src
+      .where(col("l_shipdate").between(
+        to_timestamp(lit(lo)), to_timestamp(lit(hi))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("revenue"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Manifest prune stats for q124's layout, for the spec: (files
+    * total, files overlapping the probe window). */
+  def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {
+    val clustered = s"${sys.props("java.io.tmpdir")}/graft_zonemap_" +
+      math.abs(dir.hashCode).toString
+    t(s, dir, "lineitem")
+      .repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(clustered)
+    val manifest = s.read.parquet(clustered)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_shipdate")).cast("string").as("mn"),
+        max(col("l_shipdate")).cast("string").as("mx"))
+      .collect()
+    val lo = "1995-06-01 00:00:00"
+    val hi = "1995-08-31 00:00:00"
+    val picked = manifest.count { r =>
+      r.getAs[String]("mn") <= hi && r.getAs[String]("mx") >= lo
+    }
+    (manifest.length, picked)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+/** Invariant specs for the q120–q124 scale-pattern pack. Each query
+  * also hash-matches a DuckDB oracle; these pin the properties the
+  * hash can't express — that the sketches/manifests PRUNE without
+  * changing answers.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("q120 bloom prefilter passes every true key (no false negatives) " +
+      "and the result equals the plain semi-join") {
+    val dim = Tables.load(spark, sfDir, "customer")
+      .where($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 7500)
+      .select($"c_custkey")
+    val keys = dim.as[Long].collect()
+    val bloom = dim.stat.bloomFilter("c_custkey", math.max(keys.length, 1), 0.01)
+    keys.foreach(k => assert(bloom.mightContain(k), s"bloom dropped true key $k"))
+
+    val got = ScaleOps.q120BloomJoin(spark, sfDir).collect()
+    val plain = Tables.load(spark, sfDir, "orders")
+      .join(dim, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+      .collect()
+    assert(got.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+
+  test("q121 CMS never underestimates, so the recount output equals the " +
+      "plain group-having form") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    val threshold = math.max(1L, total / 250)
+    val cms = ev.stat.countMinSketch(col("user_id"), 0.001, 0.999, 42)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n"))
+    exact.foreach { case (u, n) =>
+      assert(cms.estimateCount(u) >= n,
+        s"CMS underestimated user $u: ${cms.estimateCount(u)} < $n")
+    }
+    val got = ScaleOps.q121SketchHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    val want = exact.filter(_._2 >= threshold)
+      .sortBy { case (u, n) => (-n, u) }
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q122 folds match a driver-side recomputation in the same " +
+      "fold order") {
+    val rows = ScaleOps.q122ArrayFold(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val embById = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding"))
+      .toMap
+    rows.take(10).foreach { r =>
+      val v = embById(r.getAs[Long]("vec_id"))
+      val l1 = v.foldLeft(0.0)((a, x) => a + math.abs(x).toDouble)
+      val l2 = v.foldLeft(0.0)((a, x) => a + (x * x).toDouble)
+      assert(r.getAs[Double]("l1") === l1, "l1 fold differs")
+      assert(r.getAs[Double]("l2sq") === l2, "l2sq fold differs")
+      assert(r.getAs[Long]("n_pos") === v.count(_ > 0f).toLong)
+      val top3 = v.sorted(Ordering[Float].reverse).take(3)
+        .foldLeft(0.0)((a, x) => a + x.toDouble)
+      assert(r.getAs[Double]("top3_sum") === top3, "top3 differs")
+    }
+  }
+
+  test("q123 merged partial states are bit-identical to the full " +
+      "recompute") {
+    val got = ScaleOps.q123IncrementalAgg(spark, sfDir).collect()
+    val ord = Tables.load(spark, sfDir, "orders")
+    val full = ord
+      .groupBy(year($"o_orderdate").as("o_year"), $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 6).as("avg_price"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderdate").as("last_order"))
+      .orderBy($"o_year", $"o_orderpriority")
+      .select("o_year", "o_orderpriority", "n_orders", "revenue",
+        "avg_price", "first_order", "last_order")
+      .collect()
+    assert(got.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    // Both halves are non-empty, so the merge genuinely merged.
+    assert(ord.where($"o_orderdate" < "1996-01-01").count() > 0)
+    assert(ord.where($"o_orderdate" >= "1996-01-01").count() > 0)
+  }
+
+  test("q124 manifest prune skips files yet the result equals the " +
+      "plain filtered aggregate") {
+    val (nFiles, nPicked) = ScaleOps.zonemapPruneStats(spark, sfDir)
+    assert(nFiles > 1, "clustered write produced a single file")
+    assert(nPicked < nFiles,
+      s"zone map pruned nothing: $nPicked of $nFiles files picked")
+    assert(nPicked > 0, "probe window overlaps no file")
+
+    val got = ScaleOps.q124ZonemapSkipping(spark, sfDir).collect()
+    val plain = Tables.load(spark, sfDir, "lineitem")
+      .where($"l_shipdate".between("1995-06-01", "1995-08-31"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"l_extendedprice".cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"),
+        round(sum($"l_quantity".cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_qty"))
+      .orderBy($"l_returnflag")
+      .collect()
+    assert(got.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+}
