@@ -92,6 +92,18 @@ section("q112 first-touch attribution -- one user-keyed join, residual time filt
   "The 7-day lookback is an equi-join on user_id with the time predicate as a join residual -- no range-join blowup, no per-purchase re-scan; the arg-min collapses in a two-phase aggregate.",
   graft.operators.Analytics.q112FirstTouch(spark, dir),
   Seq("SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "partial_"))
+section("q120 bloom-pruned semi-join -- sketch filter ahead of the join",
+  "The bloom mightContain UDF filters the orders scan MAP-SIDE (a Filter directly over the FileScan, before any exchange); the exact broadcast semi-join then removes the sketch's false positives.",
+  graft.operators.ScaleOps.q120BloomJoin(spark, dir),
+  Seq("BroadcastHashJoin", "LeftSemi", "Filter", "Scan parquet"))
+section("q122 higher-order array folds -- no explode, map-side only",
+  "filter/transform/aggregate evaluate per row inside the projection: no Generate (explode) node exists, the array never becomes 64 rows, and the only exchange feeds TakeOrderedAndProject.",
+  graft.operators.ScaleOps.q122ArrayFold(spark, dir),
+  Seq("TakeOrderedAndProject", "Generate", "aggregate(", "Exchange"))
+section("q123 incremental aggregate maintenance -- states merge, history unscanned",
+  "Base and delta are each a two-phase aggregate; the union re-groups WITHOUT re-reading rows -- the merge input is the two state tables, and avg derives after the merge.",
+  graft.operators.ScaleOps.q123IncrementalAgg(spark, dir),
+  Seq("HashAggregate", "partial_", "Union", "Scan parquet"))
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
