@@ -2279,6 +2279,37 @@ object OracleSql {
                            AND TIMESTAMP '1995-08-31 00:00:00'
       GROUP BY l_returnflag
       ORDER BY l_returnflag
+    """,
+    "q125_skyline" -> """
+      SELECT b.p_partkey, b.p_retailprice, b.p_size
+      FROM part b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part a
+        WHERE a.p_retailprice <= b.p_retailprice
+          AND a.p_size >= b.p_size
+          AND (a.p_retailprice < b.p_retailprice
+               OR a.p_size > b.p_size))
+      ORDER BY b.p_retailprice, b.p_partkey
+    """,
+    "q126_rfm" -> """
+      WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+      per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                 (SELECT a FROM anchor)) AS recency,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+        FROM orders GROUP BY o_custkey
+      ), q AS (
+        SELECT *,
+               NTILE(5) OVER (ORDER BY recency, o_custkey) AS r_q,
+               NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        FROM per_cust
+      )
+      SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+             ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS total_monetary
+      FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -165,7 +165,9 @@ object SparkEntry {
     "q121_sketch_heavy_hitters" -> (ScaleOps.q121SketchHeavyHitters _),
     "q122_array_fold" -> (ScaleOps.q122ArrayFold _),
     "q123_incremental_agg" -> (ScaleOps.q123IncrementalAgg _),
-    "q124_zonemap_skipping" -> (ScaleOps.q124ZonemapSkipping _)
+    "q124_zonemap_skipping" -> (ScaleOps.q124ZonemapSkipping _),
+    "q125_skyline" -> (ScaleOps.q125Skyline _),
+    "q126_rfm" -> (ScaleOps.q126Rfm _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -201,6 +201,69 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q125 — 2-D skyline (Pareto frontier) over parts: the set of parts
+    * no other part beats on BOTH price (lower better) and size (higher
+    * better). The naive form is a quadratic NOT-EXISTS self-join —
+    * which IS the DuckDB oracle — but the frontier is computable in
+    * ONE ordered pass: collapse to per-price groups (max size per
+    * price), take the running max of size over all STRICTLY cheaper
+    * groups, and a part is on the frontier iff it holds its group's
+    * max and beats that running max. The ordered pass runs on the
+    * price-GROUP table, not the parts; at 100 TB the group table is
+    * distinct-price-sized, and the single-partition running max swaps
+    * to the PrefixSum bucket pattern (range-bucket boundaries, bucket-
+    * local windows, broadcast per-bucket offsets) with max as the
+    * monoid — same shape as q59/q117's documented swap. */
+  def q125Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val grp = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("gmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_retailprice").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val withPrev = grp.withColumn("prev_max", max(col("gmax")).over(w))
+    p.join(withPrev, Seq("p_retailprice"))
+      .where(col("p_size") === col("gmax") &&
+        (col("prev_max").isNull || col("prev_max") < col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+  }
+
+  /** q126 — RFM segmentation: each customer's recency / frequency /
+    * monetary quintiles, rolled up to segment counts. Quintiles come
+    * from NTILE over a DETERMINISTIC total order (metric, custkey) so
+    * equal metrics can't land in different buckets across engines or
+    * runs; monetary stays DECIMAL through both the per-customer sum
+    * and the segment rollup, cast to double exactly once. The NTILE
+    * windows run over the CUSTOMER-sized aggregate, not the fact —
+    * and at 100 TB the single-partition NTILE swaps to the PrefixSum
+    * bucket pattern (rank = bucket offset + local row_number, quintile
+    * = exact integer arithmetic on the rank). */
+  def q126Rfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = t(s, dir, "orders")
+    val anchor = ord.agg(max(col("o_orderdate")).as("a"))
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency", datediff(col("a"), col("last_order")))
+    val rW = Window.orderBy(col("recency").asc, col("o_custkey").asc)
+    val fW = Window.orderBy(col("freq").desc, col("o_custkey").asc)
+    val mW = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
+    perCust
+      .withColumn("r_q", ntile(5).over(rW))
+      .withColumn("f_q", ntile(5).over(fW))
+      .withColumn("m_q", ntile(5).over(mW))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")).cast("double"), 2).as("total_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Manifest prune stats for q124's layout, for the spec: (files
     * total, files overlapping the probe window). */
   def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {

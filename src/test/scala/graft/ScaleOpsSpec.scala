@@ -98,6 +98,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ord.where($"o_orderdate" >= "1996-01-01").count() > 0)
   }
 
+  test("q125 one-pass skyline equals the brute-force dominance filter") {
+    val got = ScaleOps.q125Skyline(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size")))
+    val pts = Tables.load(spark, sfDir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size")))
+    val brute = pts.filter { case (_, bp, bs) =>
+      !pts.exists { case (_, ap, as_) =>
+        ap <= bp && as_ >= bs && (ap < bp || as_ > bs)
+      }
+    }.sortBy { case (k, p, _) => (p, k) }
+    assert(got.toSeq === brute.toSeq)
+    assert(got.nonEmpty)
+    // Frontier is strictly monotone: as price rises, size strictly rises.
+    got.sliding(2).foreach {
+      case Array((_, p1, s1), (_, p2, s2)) =>
+        if (p1 < p2) assert(s2 > s1, "non-dominated point out of order")
+      case _ =>
+    }
+  }
+
+  test("q126 RFM quintiles balance to the customer count and the " +
+      "rollup preserves total monetary") {
+    val seg = ScaleOps.q126Rfm(spark, sfDir).collect()
+    val nCust = Tables.load(spark, sfDir, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(seg.map(_.getAs[Long]("n_customers")).sum === nCust)
+    seg.foreach { r =>
+      assert(r.getAs[Int]("r_q") >= 1 && r.getAs[Int]("r_q") <= 5)
+      assert(r.getAs[Int]("f_q") >= 1 && r.getAs[Int]("f_q") <= 5)
+      assert(r.getAs[Int]("m_q") >= 1 && r.getAs[Int]("m_q") <= 5)
+    }
+    // Each NTILE axis splits customers into near-equal buckets
+    // (sizes differ by at most 1).
+    Seq("r_q", "f_q", "m_q").foreach { axis =>
+      val sizes = seg.groupBy(_.getAs[Int](axis)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$axis buckets unbalanced: $sizes")
+    }
+  }
+
   test("q124 manifest prune skips files yet the result equals the " +
       "plain filtered aggregate") {
     val (nFiles, nPicked) = ScaleOps.zonemapPruneStats(spark, sfDir)
