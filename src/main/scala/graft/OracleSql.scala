@@ -2310,6 +2310,42 @@ object OracleSql {
       SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
              ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS total_monetary
       FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q127_theil_sen" -> """
+      WITH monthly AS (
+        SELECT r_name,
+               (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      ), slopes AS (
+        SELECT a.r_name,
+               (b.y - a.y) / CAST(b.m - a.m AS DOUBLE) AS slope
+        FROM monthly a JOIN monthly b
+          ON a.r_name = b.r_name AND a.m < b.m
+      )
+      SELECT r_name, COUNT(*) AS n_pairs,
+             ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+      FROM slopes GROUP BY r_name ORDER BY r_name
+    """,
+    "q128_table_checksum" -> """
+      WITH h AS (
+        SELECT c_mktsegment,
+               CAST(concat('0x', substr(md5(concat_ws('|',
+                 coalesce(CAST(c_custkey AS VARCHAR), '∅'),
+                 coalesce(c_name, '∅'),
+                 coalesce(CAST(c_nationkey AS VARCHAR), '∅'),
+                 coalesce(c_mktsegment, '∅'))), 1, 15)) AS BIGINT) AS hv
+        FROM customer
+      )
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+             CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR) AS sum_hash,
+             bit_xor(hv) AS xor_hash
+      FROM h GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -167,7 +167,9 @@ object SparkEntry {
     "q123_incremental_agg" -> (ScaleOps.q123IncrementalAgg _),
     "q124_zonemap_skipping" -> (ScaleOps.q124ZonemapSkipping _),
     "q125_skyline" -> (ScaleOps.q125Skyline _),
-    "q126_rfm" -> (ScaleOps.q126Rfm _)
+    "q126_rfm" -> (ScaleOps.q126Rfm _),
+    "q127_theil_sen" -> (ScaleOps.q127TheilSen _),
+    "q128_table_checksum" -> (ScaleOps.q128TableChecksum _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

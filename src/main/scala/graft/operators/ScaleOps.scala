@@ -264,6 +264,78 @@ object ScaleOps {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** q127 — Theil–Sen robust trend estimation: per-region median of
+    * all pairwise monthly-revenue slopes — the breakdown-resistant
+    * twin of q100's OLS (one wild month moves OLS, not the median
+    * slope). The pair explosion runs on the MONTHLY aggregate, so it
+    * is calendar²-bounded — ~82 months → ≤3.3k pairs per region
+    * however many fact rows exist; at 100 TB the fact collapses to
+    * the same month table before anything quadratic happens. Engine-
+    * exact: monthly revenue is a DECIMAL sum cast to double once,
+    * each slope one subtraction and one divide, and the median is
+    * the exact interpolated percentile the q46/q98/q108 family
+    * proved engine-identical (approx_percentile is the documented
+    * 100 TB swap). */
+  def q127TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = t(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val monthly = ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .select(col("r_name"), col("m"), col("rev").cast("double").as("y"))
+    val right = monthly.select(col("r_name").as("rn2"), col("m").as("m2"),
+      col("y").as("y2"))
+    val slopes = monthly
+      .join(right, col("r_name") === col("rn2") && col("m") < col("m2"))
+      .select(col("r_name"),
+        ((col("y2") - col("y")) / (col("m2") - col("m")).cast("double"))
+          .as("slope"))
+    slopes.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5D)").as("ts"))
+      .select(col("r_name"), col("n_pairs"),
+        round(col("ts"), 6).as("theil_sen_slope"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q128 — order-independent table checksum for cross-system
+    * reconciliation: per-segment row count + SUM and XOR of a
+    * per-row md5-derived 60-bit hash. Sum and xor are commutative, so
+    * the checksum is identical whatever partitioning, shuffle order,
+    * or engine produced it — the "did the migration copy every row
+    * exactly" audit that needs NO sort and NO row-by-row diff at
+    * 100 TB (one map-side hash + one tiny aggregate; two systems
+    * compare a handful of numbers). Hash inputs stick to
+    * exactly-rendered types (ints, strings) with a NULL sentinel, so
+    * both engines hash identical bytes; the 15-hex-digit slice keeps
+    * the value < 2⁶⁰, summable exactly in DECIMAL(38,0) and castable
+    * to BIGINT on both sides. */
+  def q128TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val nul = "∅"
+    val rowStr = concat_ws("|",
+      coalesce(col("c_custkey").cast("string"), lit(nul)),
+      coalesce(col("c_name"), lit(nul)),
+      coalesce(col("c_nationkey").cast("string"), lit(nul)),
+      coalesce(col("c_mktsegment"), lit(nul)))
+    val rowHash = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+    t(s, dir, "customer")
+      .withColumn("h", rowHash)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Manifest prune stats for q124's layout, for the spec: (files
     * total, files overlapping the probe window). */
   def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {

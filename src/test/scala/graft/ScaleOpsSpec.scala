@@ -141,6 +141,84 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 pair counts are calendar-bounded and the median slope " +
+      "matches a driver-side Theil-Sen fit") {
+    val got = ScaleOps.q127TheilSen(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // Recompute one region's slopes brute-force from the monthly series.
+    val monthly = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.load(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .join(Tables.load(spark, sfDir, "region"),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))
+      .agg(sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("r_name"))
+    got.foreach { r =>
+      val series = monthly(r.getAs[String]("r_name"))
+        .map(x => (x.getAs[Int]("m"), x.getAs[Double]("y"))).sortBy(_._1)
+      val n = series.length.toLong
+      assert(r.getAs[Long]("n_pairs") === n * (n - 1) / 2)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(j)._2 - series(i)._2) /
+        (series(j)._1 - series(i)._1).toDouble).sorted
+      val k = slopes.length
+      val med =
+        if (k % 2 == 1) slopes(k / 2)
+        else slopes(k / 2 - 1) + (slopes(k / 2) - slopes(k / 2 - 1)) * 0.5
+      assert(math.abs(r.getAs[Double]("theil_sen_slope") -
+        math.rint(med * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("q128 checksum is order-independent and detects a one-row " +
+      "perturbation") {
+    val base = ScaleOps.q128TableChecksum(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[String]("sum_hash"),
+        r.getAs[Long]("xor_hash"))).toSeq
+    // Same rows, shuffled into a different partitioning -> same checksums.
+    val shuffled = Tables.load(spark, sfDir, "customer")
+      .repartition(13, $"c_name")
+    val reHash = conv(substring(md5(concat_ws("|",
+        coalesce($"c_custkey".cast("string"), lit("∅")),
+        coalesce($"c_name", lit("∅")),
+        coalesce($"c_nationkey".cast("string"), lit("∅")),
+        coalesce($"c_mktsegment", lit("∅")))), 1, 15), 16, 10).cast("long")
+    val again = shuffled.withColumn("h", reHash)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"h".cast("decimal(38,0)")).cast("string").as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+      .orderBy($"c_mktsegment").collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[String]("sum_hash"),
+        r.getAs[Long]("xor_hash"))).toSeq
+    assert(base === again)
+    // Perturb one row's name -> that segment's sum and xor both move.
+    val perturbed = Tables.load(spark, sfDir, "customer")
+      .withColumn("c_name", when($"c_custkey" === 1L,
+        concat($"c_name", lit("X"))).otherwise($"c_name"))
+      .withColumn("h", reHash)
+      .groupBy($"c_mktsegment")
+      .agg(sum($"h".cast("decimal(38,0)")).cast("string").as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+      .collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[String]("sum_hash"), r.getAs[Long]("xor_hash"))).toMap
+    val seg1 = Tables.load(spark, sfDir, "customer")
+      .where($"c_custkey" === 1L).select($"c_mktsegment")
+      .collect().head.getString(0)
+    val (origSum, origXor) = base.collect {
+      case (s, sh, xh) if s == seg1 => (sh, xh)
+    }.head
+    assert(perturbed(seg1)._1 !== origSum)
+    assert(perturbed(seg1)._2 !== origXor)
+  }
+
   test("q124 manifest prune skips files yet the result equals the " +
       "plain filtered aggregate") {
     val (nFiles, nPicked) = ScaleOps.zonemapPruneStats(spark, sfDir)
