@@ -2346,6 +2346,15 @@ object OracleSql {
              CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR) AS sum_hash,
              bit_xor(hv) AS xor_hash
       FROM h GROUP BY 1 ORDER BY 1
+    """,
+    "q129_nested_pruning" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_value
+      FROM events
+      WHERE event_type IS NOT NULL AND event_type <> 'purchase'
+      GROUP BY event_type
+      ORDER BY event_type
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -169,7 +169,8 @@ object SparkEntry {
     "q125_skyline" -> (ScaleOps.q125Skyline _),
     "q126_rfm" -> (ScaleOps.q126Rfm _),
     "q127_theil_sen" -> (ScaleOps.q127TheilSen _),
-    "q128_table_checksum" -> (ScaleOps.q128TableChecksum _)
+    "q128_table_checksum" -> (ScaleOps.q128TableChecksum _),
+    "q129_nested_pruning" -> (ScaleOps.q129NestedPruning _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -336,6 +336,36 @@ object ScaleOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q129 — nested-struct column pruning: events re-shaped into the
+    * nested-log layout real pipelines ship (`actor{user_id,event_type}`
+    * / `payload{ts,value,props}`), then an aggregate that touches ONE
+    * leaf per struct. Catalyst's nested-schema pruning rewrites the
+    * scan to read only those leaves — the parquet ReadSchema is
+    * `actor.event_type` + `payload.value`, so the wide `props` blob
+    * and the untouched leaves never leave the file. At 100 TB of
+    * nested telemetry this is the difference between scanning 2
+    * columns and scanning the world; the nested filter also reaches
+    * the scan as a pushed predicate. The spec asserts both plan
+    * properties; the oracle is the same aggregate over the flat
+    * table, so the reshape+prune provably changes nothing. */
+  def q129NestedPruning(s: SparkSession, dir: String): DataFrame = {
+    val nested = s"${sys.props("java.io.tmpdir")}/graft_nested_" +
+      math.abs(dir.hashCode).toString
+    t(s, dir, "events")
+      .select(col("event_id"),
+        struct(col("user_id"), col("event_type")).as("actor"),
+        struct(col("ts"), col("value"), col("props")).as("payload"))
+      .write.mode("overwrite").parquet(nested)
+    s.read.parquet(nested)
+      .where(col("actor.event_type").isNotNull &&
+        col("actor.event_type") =!= "purchase")
+      .groupBy(col("actor.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("payload.value").cast("decimal(18,4)"))
+          .cast("double"), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Manifest prune stats for q124's layout, for the spec: (files
     * total, files overlapping the probe window). */
   def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {

@@ -219,6 +219,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(perturbed(seg1)._2 !== origXor)
   }
 
+  test("q129 scan reads only the touched nested leaves and pushes the " +
+      "nested predicate") {
+    val df = ScaleOps.q129NestedPruning(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains(
+      "ReadSchema: struct<actor:struct<event_type:string>," +
+        "payload:struct<value:double>>"),
+      s"nested schema not pruned to the two leaves:\n$scan")
+    assert(!scan.contains("props"), "untouched props leaf read from file")
+    assert(scan.contains("PushedFilters: [IsNotNull(actor.event_type)"),
+      s"nested predicate not pushed to parquet:\n$scan")
+    // Equal to the flat-table aggregate.
+    val flat = Tables.load(spark, sfDir, "events")
+      .where($"event_type".isNotNull && $"event_type" =!= "purchase")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy($"event_type").collect()
+    assert(rows.map(_.toSeq).toSeq === flat.map(_.toSeq).toSeq)
+  }
+
   test("q124 manifest prune skips files yet the result equals the " +
       "plain filtered aggregate") {
     val (nFiles, nPicked) = ScaleOps.zonemapPruneStats(spark, sfDir)
