@@ -2355,6 +2355,57 @@ object OracleSql {
       WHERE event_type IS NOT NULL AND event_type <> 'purchase'
       GROUP BY event_type
       ORDER BY event_type
+    """,
+    "q130_balanced_sample" -> """
+      SELECT lang, rk, doc_id, substr(md5(text), 1, 12) AS pick_hash
+      FROM (
+        SELECT lang, doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 20
+      ORDER BY lang, rk
+    """,
+    "q131_session_window" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, value, epoch_us(ts) AS eu
+        FROM events
+      ), s1 AS (
+        SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+                         OR eu - lag(eu) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s2 AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS sess
+        FROM s1
+      )
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS session_value
+      FROM s2 GROUP BY user_id, sess
+      ORDER BY user_id, session_start
+    """,
+    "q132_weighted_median" -> """
+      WITH byprice AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+      ), c AS (
+        SELECT *,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                 ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM byprice
+      )
+      SELECT l_returnflag,
+             CAST(MIN(total_w) AS BIGINT) AS total_weight,
+             MIN(price) AS weighted_median_price
+      FROM c WHERE cumw * 2 >= total_w
+      GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -170,7 +170,10 @@ object SparkEntry {
     "q126_rfm" -> (ScaleOps.q126Rfm _),
     "q127_theil_sen" -> (ScaleOps.q127TheilSen _),
     "q128_table_checksum" -> (ScaleOps.q128TableChecksum _),
-    "q129_nested_pruning" -> (ScaleOps.q129NestedPruning _)
+    "q129_nested_pruning" -> (ScaleOps.q129NestedPruning _),
+    "q130_balanced_sample" -> (CorpusOps.q130BalancedSample _),
+    "q131_session_window" -> (Analytics.q131SessionWindow _),
+    "q132_weighted_median" -> (Stats.q132WeightedMedian _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

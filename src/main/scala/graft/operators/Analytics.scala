@@ -683,4 +683,28 @@ object Analytics {
     graft.plans.TopKPerGroup(perSup, Seq("n_name"),
       Seq("revenue" -> false, "s_suppkey" -> true), 3)
   }
+
+  /** q131 — sessionization via the BUILTIN `session_window` aggregate
+    * (q41 builds the same sessions by hand with lag + running sum —
+    * this is the one-liner Spark 3.2+ form, and having both
+    * oracle-checked pins their equivalence). Semantics note the
+    * boundary makes visible: `session_window(ts, gap)` starts a NEW
+    * session when the next event is ≥ gap after the previous
+    * (window end = last_ts + gap, exclusive), where q41's manual rule
+    * used strictly >. The oracle mirrors the builtin's ≥. Scale: one
+    * hash shuffle on user_id, session merging inside the aggregate —
+    * same cost envelope as the manual window pass, with the gap
+    * semantics maintained by the engine. */
+  def q131SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
 }

@@ -318,4 +318,26 @@ object CorpusOps {
         col("src_b").asc)
       .limit(50)
   }
+
+  /** q130 — balanced per-class subsample: at most 20 documents per
+    * language, chosen by md5 rank — the class-rebalancing step before
+    * training on a skewed corpus. Determinism is the whole point:
+    * rank = row_number over (md5(text), doc_id) within each language,
+    * so any engine at any parallelism picks the SAME 20 docs (a
+    * `TABLESAMPLE` or `rand()` sample is irreproducible and
+    * un-oracle-able). Scale: the window partitions by language, and
+    * at 100 TB per-class top-20-by-hash swaps to the bounded-heap
+    * top-k-per-group operator (q97's plans.TopKPerGroup — same
+    * semantics, winners-only shuffle, no per-class sort). */
+  def q130BalancedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text")).asc, col("doc_id").asc)
+    docs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"),
+        substring(md5(col("text")), 1, 12).as("pick_hash"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -577,4 +577,36 @@ object Stats {
         round(col("th"), 6).as("theta"))
       .orderBy(col("arm").asc)
   }
+
+  /** q132 — weighted median price per return flag, weighted by shipped
+    * quantity: the "median dollar" rather than the median line — a
+    * robust price statistic Spark has no builtin for. Definition:
+    * lower weighted median = the smallest price whose cumulative
+    * weight reaches half the total (2·cumw ≥ total, ALL-INTEGER
+    * comparison — quantities are integral, so the halving never
+    * touches a float). Shape: collapse to (flag, price) groups first
+    * — the window then runs over the distinct-price table, not the
+    * fact — one cumulative-sum window partitioned by flag, one
+    * conditional min. PrefixSum's bucket pattern is the documented
+    * swap if a single flag's price list outgrows a partition. */
+  def q132WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val byPrice = li.groupBy(col("l_returnflag"),
+        col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    byPrice
+      .withColumn("cumw", sum(col("w")).over(ord))
+      .withColumn("total_w", sum(col("w")).over(tot))
+      .where(col("cumw") * 2 >= col("total_w"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).as("weighted_median_price"),
+        first(col("total_w")).as("tw"))
+      .select(col("l_returnflag"), col("tw").as("total_weight"),
+        col("weighted_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
 }

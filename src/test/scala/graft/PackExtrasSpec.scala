@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, CorpusOps, Stats}
+
+/** Invariant specs for q130–q132 (balanced sampling, builtin session
+  * windows, weighted median). */
+class PackExtrasSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("q130 picks at most 20 docs per language and exactly the " +
+      "smallest md5 ranks") {
+    val got = CorpusOps.q130BalancedSample(spark, sfDir).collect()
+    val byLang = got.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.length <= 20)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to rows.length))
+    }
+    // Brute force: per language, the chosen doc_ids are the first 20
+    // under (md5(text), doc_id) order.
+    val all = Tables.load(spark, sfDir, "documents")
+      .select($"lang", $"doc_id", md5($"text").as("h")).collect()
+      .groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val want = all(lang)
+        .map(r => (r.getAs[String]("h"), r.getAs[Long]("doc_id")))
+        .sorted.take(20).map(_._2).toSeq
+      val gotIds = rows.sortBy(_.getAs[Int]("rk"))
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(gotIds === want, s"wrong picks for $lang")
+    }
+  }
+
+  test("q131 builtin session_window reproduces the manual " +
+      "gaps-and-islands sessions on this data") {
+    val builtin = Analytics.q131SessionWindow(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("session_value")))
+      .toSet
+    val manual = Analytics.q41Sessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("session_value")))
+      .toSet
+    // The two differ only on gaps of EXACTLY 30 minutes (builtin >=,
+    // manual >); micro-precision timestamps make that measure-zero,
+    // and on this data the session sets coincide.
+    assert(builtin === manual)
+  }
+
+  test("q132 weighted median matches a driver-side computation and " +
+      "sits at the half-weight point") {
+    val got = Stats.q132WeightedMedian(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Double]("l_extendedprice"),
+        r.getAs[Double]("l_quantity").toLong))
+      .groupBy(_._1)
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val data = rows(flag).map(x => (x._2, x._3)).sortBy(_._1)
+      val total = data.map(_._2).sum
+      assert(r.getAs[Long]("total_weight") === total)
+      var cum = 0L
+      val med = data.find { case (_, w) => cum += w; cum * 2 >= total }
+        .get._1
+      assert(r.getAs[Double]("weighted_median_price") === med)
+    }
+  }
+}
