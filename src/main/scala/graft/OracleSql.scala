@@ -2406,6 +2406,34 @@ object OracleSql {
              MIN(price) AS weighted_median_price
       FROM c WHERE cumw * 2 >= total_w
       GROUP BY 1 ORDER BY 1
+    """,
+    "q133_listagg" -> """
+      SELECT r_name,
+             COUNT(n_name) AS n_nations,
+             string_agg(n_name, '|' ORDER BY n_name) AS nations
+      FROM (
+        SELECT DISTINCT r.r_name, n.n_name
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+      ) pairs
+      GROUP BY r_name
+      ORDER BY r_name
+    """,
+    "q134_rendezvous" -> """
+      WITH cand AS (
+        SELECT doc_id, n_chars, k.shard,
+               md5(concat(CAST(doc_id AS VARCHAR), ':',
+                 CAST(k.shard AS VARCHAR))) AS h
+        FROM documents, (SELECT unnest(range(8)) AS shard) k
+      ), win AS (
+        SELECT doc_id, n_chars, arg_max(shard, h) AS shard
+        FROM cand GROUP BY doc_id, n_chars
+      )
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM win GROUP BY shard ORDER BY shard
     """
   ).map { case (k, v) => k -> v.trim }
 

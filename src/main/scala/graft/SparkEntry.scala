@@ -173,7 +173,9 @@ object SparkEntry {
     "q129_nested_pruning" -> (ScaleOps.q129NestedPruning _),
     "q130_balanced_sample" -> (CorpusOps.q130BalancedSample _),
     "q131_session_window" -> (Analytics.q131SessionWindow _),
-    "q132_weighted_median" -> (Stats.q132WeightedMedian _)
+    "q132_weighted_median" -> (Stats.q132WeightedMedian _),
+    "q133_listagg" -> (Analytics.q133ListAgg _),
+    "q134_rendezvous" -> (ScaleOps.q134RendezvousRouting _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -707,4 +707,38 @@ object Analytics {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
   }
+
+  /** q133 — ordered LISTAGG (SQL:2016 surface, new in Spark 4): the
+    * pipe-joined alphabetical roster of nations-with-customers per
+    * region. The WITHIN GROUP order makes the string deterministic —
+    * an unordered listagg/string_agg is engine- and
+    * shuffle-order-dependent and could never hash-match. The
+    * customer⋈nation stream collapses to DISTINCT (region, nation)
+    * pairs BEFORE the listagg, so the ordered aggregate runs on a
+    * dimension-sized input however big the fact is (for fact-sized
+    * groups the documented form is a capped
+    * sort_array(collect_list(...)), never an unbounded ordered
+    * aggregate). The pair-collapse also sidesteps a Spark 4.1
+    * planner bug: LISTAGG(DISTINCT …) WITHIN GROUP mixed with a
+    * second distinct aggregate in the same SELECT throws a
+    * SortOrder cast error in RewriteDistinctAggregates. */
+  def q133ListAgg(s: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(s"la_$n")
+    }
+    s.sql("""
+      SELECT r_name,
+             COUNT(n_name) AS n_nations,
+             LISTAGG(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+               AS nations
+      FROM (
+        SELECT DISTINCT r.r_name, n.n_name
+        FROM la_region r
+        JOIN la_nation n ON n.n_regionkey = r.r_regionkey
+        JOIN la_customer c ON c.c_nationkey = n.n_nationkey
+      ) pairs
+      GROUP BY r_name
+      ORDER BY r_name
+    """)
+  }
 }

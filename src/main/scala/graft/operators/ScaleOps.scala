@@ -366,6 +366,32 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** q134 — rendezvous (highest-random-weight) shard routing: every
+    * document deterministically owns ONE of 8 shards — the shard
+    * whose md5(doc_id:shard) hash is highest. Unlike `hash % N`,
+    * adding shard N+1 moves only ~1/(N+1) of keys (only those whose
+    * new hash wins), which is why HRW is the standard router for
+    * stateful serving tiers and shard-local ANN indexes. Everything
+    * is map-side arithmetic (8 hash evaluations per row, no shuffle
+    * until the per-shard rollup), the winner is an arg-max over a
+    * hex string both engines order identically, and the output
+    * reports per-shard counts and byte load plus each shard's
+    * assignment fingerprint (SUM of doc_ids — order-independent), so
+    * the oracle hash proves both balance and exact membership. */
+  def q134RendezvousRouting(s: SparkSession, dir: String): DataFrame = {
+    val shardHashes = (0 until 8).map { k =>
+      struct(md5(concat_ws(":", col("doc_id").cast("string"),
+        lit(k.toString))).as("h"), lit(k).as("shard"))
+    }
+    t(s, dir, "documents")
+      .withColumn("win", greatest(shardHashes: _*))
+      .groupBy(col("win.shard").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard"))
+  }
+
   /** Manifest prune stats for q124's layout, for the spec: (files
     * total, files overlapping the probe window). */
   def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {

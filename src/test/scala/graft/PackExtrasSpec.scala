@@ -50,6 +50,53 @@ class PackExtrasSpec extends AnyFunSuite {
     assert(builtin === manual)
   }
 
+  test("q133 ordered listagg is deterministic and lists exactly the " +
+      "nations that have customers") {
+    val got = Analytics.q133ListAgg(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val expected = Tables.load(spark, sfDir, "customer")
+      .join(Tables.load(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .join(Tables.load(spark, sfDir, "region"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name").distinct().collect()
+      .groupBy(_.getAs[String]("r_name"))
+      .view.mapValues(_.map(_.getAs[String]("n_name")).sorted).toMap
+    got.foreach { r =>
+      val want = expected(r.getAs[String]("r_name"))
+      assert(r.getAs[Long]("n_nations") === want.length.toLong)
+      assert(r.getAs[String]("nations") === want.mkString("|"))
+    }
+  }
+
+  test("q134 rendezvous routing partitions every doc and adding a " +
+      "shard moves only the keys the new shard wins") {
+    import graft.operators.ScaleOps
+    val rolled = ScaleOps.q134RendezvousRouting(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rolled.map(_.getAs[Long]("n_docs")).sum === nDocs)
+
+    def assign(nShards: Int) = {
+      val hashes = (0 until nShards).map { k =>
+        struct(md5(concat_ws(":", $"doc_id".cast("string"),
+          lit(k.toString))).as("h"), lit(k).as("shard"))
+      }
+      Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", greatest(hashes: _*).getField("shard").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val a8 = assign(8)
+    val a9 = assign(9)
+    // HRW minimal disruption: every doc either keeps its shard or
+    // moves to the NEW shard — never between old shards.
+    a8.foreach { case (doc, s8) =>
+      val s9 = a9(doc)
+      assert(s9 == s8 || s9 == 8, s"doc $doc moved $s8 -> $s9")
+    }
+    // And some docs do move (the new shard takes ~1/9 of keys).
+    assert(a9.values.count(_ == 8) > 0)
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
