@@ -150,6 +150,35 @@ object EventStream {
           .as("secs_to_purchase"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickToPurchase]],
+    * but clicks with NO purchase inside their hour still emit — with
+    * null purchase columns — once the watermark passes the click's
+    * join window and the engine can PROVE no match is coming. That
+    * emission-on-watermark-expiry is the distinctive stateful
+    * behavior: an outer stream-stream join without watermarks +
+    * time bounds is rejected outright, because unmatched-row results
+    * would never be final. Conversion analytics needs exactly this
+    * shape (matched AND unmatched clicks in one pass). */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("secs_to_purchase"), col("purchase_value"))
+  }
+
   // ---- custom state: per-user activity sessions ----------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

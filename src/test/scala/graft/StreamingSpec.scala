@@ -139,6 +139,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "interval join should produce matches on testdata")
   }
 
+  test("stream-stream LEFT OUTER join emits matches immediately and " +
+      "unmatched clicks once the watermark proves them final") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Mutable source dir: outer-join state only finalizes in a batch
+    // AFTER the watermark has advanced past a click's join window, and
+    // Trigger.AvailableNow runs no trailing no-data batch — exactly
+    // the production shape, where the next day's data closes out the
+    // previous day's unmatched rows. Sentinel 'noop' events far in
+    // the future drive the watermark forward across checkpointed
+    // re-runs (which also exercises restart-resume).
+    val srcDir = Files.createTempDirectory("graft_outer_src_")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val outDir = Files.createTempDirectory("graft_outer_out_").toString
+    val ckpt = Files.createTempDirectory("graft_outer_ckpt_").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.eventsFileSchema)
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStream.runToParquet(EventStream.clickToPurchaseOuter(stream),
+        outDir, ckpt, Seq.empty)
+    }
+    val ev = Tables.load(spark, sfDir, "events")
+    val maxEpochSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    // The watermark operators sit AFTER the click/purchase filters, so
+    // a sentinel only advances them if it IS a click (left) and a
+    // purchase (right) — on a user (-1) that joins nothing real.
+    def addSentinel(name: String, plusHours: Int): Unit = {
+      val stage = Files.createTempDirectory("graft_sentinel_")
+      import spark.implicits._
+      val ts = (maxEpochSec + plusHours * 3600L) * 1000000000L
+      Seq((-1L, ts, -1L, "click", 0.0, "{}"),
+          (-2L, ts, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, srcDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    runOnce()                      // backlog: matches emit, state parks
+    addSentinel("s1.parquet", 10)  // watermark -> maxTs + 8h
+    runOnce()                      // evicts state vs OLD watermark
+    addSentinel("s2.parquet", 20)  // watermark -> maxTs + 18h
+    runOnce()                      // batch runs with +8h watermark: all
+                                   // remaining unmatched clicks emit
+    val got = spark.read.parquet(outDir)
+      .where(col("click_id") >= 0)   // drop watermark-driver sentinels
+      .collect().map { r =>
+        (r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong))
+      }.toSet
+
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val want = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id")).collect().map { r =>
+        (r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong))
+      }.toSet
+    assert(got === want,
+      "outer-join stream must converge to the batch left-outer join")
+    assert(got.exists(_._2.isEmpty), "expected some null-extended rows")
+  }
+
   test("stateful per-user stats match a batch groupBy") {
     val stream = EventStream.readEventStream(spark, sfDir)
     val got = EventStream
