@@ -91,22 +91,25 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark2 = newSession(cpus)
 
-    // Full pipeline twice, mirroring BASELINE.md's pair of published
-    // numbers: initial load (full history) then an incremental re-run of
-    // one year, where dynamic partition overwrite rewrites only the
-    // touched partitions.
-    val (etlTime, etlIncTime) =
+    // Full pipeline pair, mirroring BASELINE.md's published numbers:
+    // initial load (full history) then an incremental re-run of one
+    // year, where dynamic partition overwrite rewrites only the touched
+    // partitions. Like the query passes, the pair is measured TWICE and
+    // min-merged — the etl numbers were the only un-replicated samples
+    // in the report, so a single ambient-load spike could triple them.
+    // Each attempt gets its own fresh SparkContext (see above).
+    def etlPair(): (Double, Double) = {
+      val sp = newSession(cpus)
       try {
         val wh = java.nio.file.Files
           .createTempDirectory("graft_bench_wh_").toString
         val initial = timed {
-          Pipeline.run(spark2,
+          Pipeline.run(sp,
             Pipeline.Config(sfDir, wh, "19920101", "20021231"))
         }
         val incremental = timed {
-          Pipeline.run(spark2,
+          Pipeline.run(sp,
             Pipeline.Config(sfDir, wh, "19950101", "19951231"))
         }
         // best-effort cleanup of the temp warehouse
@@ -117,7 +120,17 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL etl_pipeline: $e")
           (-1.0, -1.0)
+      } finally {
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
       }
+    }
+    val (e1, e2) = (etlPair(), etlPair())
+    def minPos(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    val etlTime = minPos(e1._1, e2._1)
+    val etlIncTime = minPos(e1._2, e2._2)
 
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime)
@@ -125,6 +138,5 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark2.stop()
   }
 }
