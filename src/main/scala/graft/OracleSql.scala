@@ -2434,6 +2434,53 @@ object OracleSql {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM win GROUP BY shard ORDER BY shard
+    """,
+    "q135_snapshot_diff" -> """
+      WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      ), new_snap AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM old WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        FROM old WHERE c_custkey % 101 = 0
+      ), diff AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS key,
+               CASE WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN o.c_acctbal <> n.c_acctbal
+                      OR o.c_name <> n.c_name
+                      OR o.c_mktsegment <> n.c_mktsegment THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new_snap n
+          ON o.c_custkey = n.c_custkey
+      )
+      SELECT status, COUNT(*) AS n_keys,
+             CAST(SUM(key) AS BIGINT) AS key_sum
+      FROM diff GROUP BY status ORDER BY status
+    """,
+    "q136_cumulative_distinct" -> """
+      WITH ev AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+      ), fm AS (
+        SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id
+      ), daily_new AS (
+        SELECT first_day AS day, COUNT(*) AS n_new
+        FROM fm GROUP BY first_day
+      ), daily_active AS (
+        SELECT day, COUNT(*) AS n_active
+        FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY day
+      )
+      SELECT a.day, a.n_active,
+             coalesce(n.n_new, 0) AS n_new,
+             a.n_active - coalesce(n.n_new, 0) AS n_returning,
+             CAST(SUM(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+      FROM daily_active a LEFT JOIN daily_new n ON a.day = n.day
+      ORDER BY a.day
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -175,7 +175,9 @@ object SparkEntry {
     "q131_session_window" -> (Analytics.q131SessionWindow _),
     "q132_weighted_median" -> (Stats.q132WeightedMedian _),
     "q133_listagg" -> (Analytics.q133ListAgg _),
-    "q134_rendezvous" -> (ScaleOps.q134RendezvousRouting _)
+    "q134_rendezvous" -> (ScaleOps.q134RendezvousRouting _),
+    "q135_snapshot_diff" -> (ScaleOps.q135SnapshotDiff _),
+    "q136_cumulative_distinct" -> (Stats.q136CumulativeDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

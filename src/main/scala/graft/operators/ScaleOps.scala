@@ -392,6 +392,49 @@ object ScaleOps {
       .orderBy(col("shard"))
   }
 
+  /** q135 — CDC snapshot diff: classify every key across two dimension
+    * snapshots as added / removed / changed / unchanged — the audit
+    * run after any replication or migration step (q128's checksum says
+    * WHETHER tables differ; this says HOW). The "new" snapshot derives
+    * deterministically from the old (drop custkey%97, bump acctbal on
+    * custkey%13, clone custkey%101 under offset keys) so both engines
+    * build identical inputs with no side files. One FULL OUTER join on
+    * the key — at 100 TB both sides hash-shuffle once on c_custkey,
+    * and the per-status rollup adds a second, status-sized exchange;
+    * the per-column difference flags are plain map-side comparisons.
+    * Reported per status: key count and an order-independent key-sum
+    * fingerprint (the q128 trick), so the oracle hash pins exact
+    * MEMBERSHIP of each class, not just counts. */
+  def q135SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    val newSnap = old
+      .where(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 13 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .unionByName(old.where(col("c_custkey") % 101 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+    val o = old.select(col("c_custkey").as("k"), col("c_name").as("o_name"),
+      col("c_acctbal").as("o_bal"), col("c_mktsegment").as("o_seg"))
+    val n = newSnap.select(col("c_custkey").as("k2"),
+      col("c_name").as("n_name"), col("c_acctbal").as("n_bal"),
+      col("c_mktsegment").as("n_seg"))
+    o.join(n, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("key"),
+        when(col("k2").isNull, "removed")
+          .when(col("k").isNull, "added")
+          .when(col("o_bal") =!= col("n_bal") ||
+            col("o_name") =!= col("n_name") ||
+            col("o_seg") =!= col("n_seg"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("key")).as("key_sum"))
+      .orderBy(col("status"))
+  }
+
   /** Manifest prune stats for q124's layout, for the spec: (files
     * total, files overlapping the probe window). */
   def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {

@@ -578,6 +578,40 @@ object Stats {
       .orderBy(col("arm").asc)
   }
 
+  /** q136 — cumulative distinct actives per day: "how many unique
+    * users has the platform EVER seen, by day" — the growth metric
+    * every dashboard wants and no engine supports directly, because
+    * COUNT(DISTINCT) OVER a cumulative window isn't implementable as
+    * a window (state would be set-sized). The standard rewrite IS the
+    * operator: a user counts exactly once, in their FIRST month —
+    * so cumulative-distinct = prefix-sum of first-appearance counts.
+    * One user-keyed aggregate (min day per user), one calendar-sized
+    * aggregate, one calendar-sized window; daily actives ride along
+    * for the new-vs-returning split. The rewrite is spec-checked
+    * against brute-force cumulative sets; the oracle runs the same
+    * rewrite, pinning the arithmetic. */
+  def q136CumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val dailyNew = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val dailyActive = ev.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyActive
+      .join(dailyNew, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_distinct_users", sum(col("n_new")).over(w))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        col("cum_distinct_users"))
+      .orderBy(col("day"))
+  }
+
   /** q132 — weighted median price per return flag, weighted by shipped
     * quantity: the "median dollar" rather than the median line — a
     * robust price statistic Spark has no builtin for. Definition:

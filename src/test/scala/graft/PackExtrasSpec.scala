@@ -97,6 +97,49 @@ class PackExtrasSpec extends AnyFunSuite {
     assert(a9.values.count(_ == 8) > 0)
   }
 
+  test("q135 snapshot diff classifies every key exactly once and " +
+      "matches the deterministic derivation rules") {
+    import graft.operators.ScaleOps
+    val got = ScaleOps.q135SnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("key_sum"))).toMap
+    val keys = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey").as[Long].collect()
+    val removed = keys.filter(_ % 97 == 0)
+    val added = keys.filter(_ % 101 == 0).map(_ + 1000000L)
+    val changed = keys.filter(k => k % 97 != 0 && k % 13 == 0)
+    val unchanged = keys.filter(k => k % 97 != 0 && k % 13 != 0)
+    assert(got("removed") === ((removed.length.toLong, removed.sum)))
+    assert(got("added") === ((added.length.toLong, added.sum)))
+    assert(got("changed") === ((changed.length.toLong, changed.sum)))
+    assert(got("unchanged") === ((unchanged.length.toLong, unchanged.sum)))
+  }
+
+  test("q136 first-appearance rewrite equals brute-force cumulative " +
+      "distinct sets") {
+    import graft.operators.Stats
+    val got = Stats.q136CumulativeDistinct(spark, sfDir).collect()
+    assert(got.length > 1)
+    val pairs = Tables.load(spark, sfDir, "events")
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted
+    var seen = Set.empty[Long]
+    val brute = days.map { d =>
+      val todays = pairs.filter(_._1 == d).map(_._2).toSet
+      val newcomers = (todays -- seen).size.toLong
+      seen ++= todays
+      (d, todays.size.toLong, newcomers, seen.size.toLong)
+    }
+    val gotSeq = got.map(r => (r.getAs[String]("day"),
+      r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+      r.getAs[Long]("cum_distinct_users"))).toSeq
+    assert(gotSeq === brute.toSeq)
+    got.foreach(r => assert(r.getAs[Long]("n_returning") ===
+      r.getAs[Long]("n_active") - r.getAs[Long]("n_new")))
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
