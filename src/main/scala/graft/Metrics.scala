@@ -51,13 +51,10 @@ object Metrics {
   def summary(df: DataFrame): Map[String, Long] = {
     val rows = raw(df)
     val root = df.queryExecution.executedPlan
+    // Topmost node that reports row counts (Sort/Exchange roots don't).
     val rootRows = allNodes(root)
-      .headOption.map(_ => root match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case o => o
-      })
       .flatMap(_.metrics.get("numOutputRows").map(_.value))
-      .getOrElse(-1L)
+      .headOption.getOrElse(-1L)
     Map(
       "scan_bytes" -> sumWhere(rows)((n, _, d) =>
         n.toLowerCase.contains("scan") && d.contains("size of files read")),

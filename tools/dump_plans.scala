@@ -104,6 +104,14 @@ section("q123 incremental aggregate maintenance -- states merge, history unscann
   "Base and delta are each a two-phase aggregate; the union re-groups WITHOUT re-reading rows -- the merge input is the two state tables, and avg derives after the merge.",
   graft.operators.ScaleOps.q123IncrementalAgg(spark, dir),
   Seq("HashAggregate", "partial_", "Union", "Scan parquet"))
+section("q127 Theil-Sen -- pair explosion runs on the month table, dims broadcast",
+  "The fact collapses to (region, month) aggregates BEFORE the quadratic slope join; all three dimension joins broadcast, and the pair join's inputs are calendar-sized.",
+  graft.operators.ScaleOps.q127TheilSen(spark, dir),
+  Seq("BroadcastHashJoin", "SortMergeJoin", "HashAggregate", "partial_"))
+section("q134 rendezvous routing -- map-side winner, one exchange to the rollup",
+  "All 8 candidate hashes and the greatest() winner evaluate inside the scan's projection; the only exchange is the 8-group rollup aggregate.",
+  graft.operators.ScaleOps.q134RendezvousRouting(spark, dir),
+  Seq("Exchange", "HashAggregate", "partial_", "Scan parquet"))
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
