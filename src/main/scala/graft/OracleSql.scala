@@ -2481,6 +2481,34 @@ object OracleSql {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
       FROM daily_active a LEFT JOIN daily_new n ON a.day = n.day
       ORDER BY a.day
+    """,
+    "q137_quarantine_audit" -> """
+      WITH dirty AS (
+        SELECT event_id,
+               CASE WHEN event_id % 11 = 0 THEN substr(props, 1, 3)
+                    WHEN event_id % 13 = 0 THEN '{"k": "oops"}'
+                    WHEN event_id % 17 = 0 THEN '{"x": 1}'
+                    ELSE props END AS props
+        FROM events
+      ), parsed AS (
+        SELECT event_id,
+               CASE WHEN NOT json_valid(props) THEN NULL
+                    ELSE json_extract_string(props, 'k') END AS kraw,
+               json_valid(props) AS jv
+        FROM dirty
+      ), classed AS (
+        SELECT event_id, TRY_CAST(kraw AS BIGINT) AS kval,
+               CASE WHEN NOT jv THEN 'invalid_json'
+                    WHEN kraw IS NULL THEN 'missing_key'
+                    WHEN TRY_CAST(kraw AS BIGINT) IS NULL
+                      THEN 'non_numeric_value'
+                    ELSE 'ok' END AS status
+        FROM parsed
+      )
+      SELECT status, COUNT(*) AS n_events,
+             CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             CAST(coalesce(SUM(kval), 0) AS BIGINT) AS k_total
+      FROM classed GROUP BY status ORDER BY status
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -177,7 +177,8 @@ object SparkEntry {
     "q133_listagg" -> (Analytics.q133ListAgg _),
     "q134_rendezvous" -> (ScaleOps.q134RendezvousRouting _),
     "q135_snapshot_diff" -> (ScaleOps.q135SnapshotDiff _),
-    "q136_cumulative_distinct" -> (Stats.q136CumulativeDistinct _)
+    "q136_cumulative_distinct" -> (Stats.q136CumulativeDistinct _),
+    "q137_quarantine_audit" -> (Profiling.q137QuarantineAudit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

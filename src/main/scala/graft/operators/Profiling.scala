@@ -191,4 +191,43 @@ object Profiling {
             .cast("double"), 6).as("gini"))
       .orderBy(col("source").asc)
   }
+
+  /** q137 — ingestion quarantine audit: classify every record of a
+    * dirty JSON feed as ok / invalid_json / missing_key /
+    * non_numeric_value, with per-class counts, an id-sum membership
+    * fingerprint, and the good-row value total — the
+    * reject-with-reason pattern every bronze ingest needs (fail the
+    * batch on NOTHING, quarantine rows with a reason code, let the
+    * clean majority proceed). The dirty feed derives
+    * deterministically from events.props (truncate on id%11, retype
+    * k to a string on id%13, drop the key on id%17) so both engines
+    * classify identical bytes and every reason code is exercised; parsing is try-semantics all the way down (`from_json`
+    * null on malformed ↔ DuckDB json_valid; `try_cast` null on
+    * non-numeric ↔ TRY_CAST) — no exception ever aborts the scan,
+    * which at 100 TB is the difference between a quarantine table
+    * and a 3 a.m. page. Map-only until the status-sized rollup. */
+  def q137QuarantineAudit(s: SparkSession, dir: String): DataFrame = {
+    val dirty = t(s, dir, "events").select(col("event_id"),
+      when(col("event_id") % 11 === 0, substring(col("props"), 1, 3))
+        .when(col("event_id") % 13 === 0, lit("""{"k": "oops"}"""))
+        .when(col("event_id") % 17 === 0, lit("""{"x": 1}"""))
+        .otherwise(col("props")).as("props"))
+    val parsed = dirty
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .withColumn("kraw", element_at(col("m"), "k"))
+      .withColumn("kval", expr("try_cast(kraw AS BIGINT)"))
+      .withColumn("status",
+        when(col("m").isNull, "invalid_json")
+          .when(col("kraw").isNull, "missing_key")
+          .when(col("kval").isNull, "non_numeric_value")
+          .otherwise("ok"))
+    parsed.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        coalesce(sum(col("kval")), lit(0L)).as("k_total"))
+      .orderBy(col("status"))
+  }
 }

@@ -140,6 +140,28 @@ class PackExtrasSpec extends AnyFunSuite {
       r.getAs[Long]("n_active") - r.getAs[Long]("n_new")))
   }
 
+  test("q137 quarantine classifies every record exactly once by the " +
+      "derivation rules and loses no ids") {
+    import graft.operators.Profiling
+    val got = Profiling.q137QuarantineAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("id_sum"))).toMap
+    assert(got.keySet === Set("ok", "invalid_json", "missing_key",
+      "non_numeric_value"), s"classes seen: ${got.keySet}")
+    val ids = Tables.load(spark, sfDir, "events")
+      .select($"event_id").as[Long].collect()
+    val invalid = ids.filter(_ % 11 == 0)
+    val nonNum = ids.filter(i => i % 11 != 0 && i % 13 == 0)
+    val missing = ids.filter(i => i % 11 != 0 && i % 13 != 0 && i % 17 == 0)
+    val ok = ids.filter(i => i % 11 != 0 && i % 13 != 0 && i % 17 != 0)
+    assert(got("invalid_json") === ((invalid.length.toLong, invalid.sum)))
+    assert(got("non_numeric_value") === ((nonNum.length.toLong, nonNum.sum)))
+    assert(got("missing_key") === ((missing.length.toLong, missing.sum)))
+    assert(got("ok") === ((ok.length.toLong, ok.sum)))
+    // Partition property: every record lands in exactly one class.
+    assert(got.values.map(_._1).sum === ids.length.toLong)
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
