@@ -2509,6 +2509,40 @@ object OracleSql {
              CAST(SUM(event_id) AS BIGINT) AS id_sum,
              CAST(coalesce(SUM(kval), 0) AS BIGINT) AS k_total
       FROM classed GROUP BY status ORDER BY status
+    """,
+    "q138_feature_hashing" -> """
+      WITH tok AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+      ), per_doc AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % 32
+                 AS dim,
+               COUNT(*) AS cnt
+        FROM tok GROUP BY 1, 2
+      )
+      SELECT dim, CAST(SUM(cnt) AS BIGINT) AS total_count,
+             COUNT(*) AS n_docs_nonzero,
+             CAST(MAX(cnt) AS BIGINT) AS max_doc_count
+      FROM per_doc GROUP BY dim ORDER BY dim
+    """,
+    "q139_class_weights" -> """
+      WITH per_label AS (
+        SELECT label, COUNT(*) AS n_examples
+        FROM embeddings GROUP BY label
+      ), totals AS (
+        SELECT CAST(SUM(n_examples) AS BIGINT) AS n_total,
+               COUNT(*) AS n_classes
+        FROM per_label
+      )
+      SELECT label, n_examples,
+             ROUND(CAST(n_total AS DOUBLE) / (n_classes * n_examples), 6)
+               AS class_weight
+      FROM per_label, totals
+      ORDER BY label
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -178,7 +178,9 @@ object SparkEntry {
     "q134_rendezvous" -> (ScaleOps.q134RendezvousRouting _),
     "q135_snapshot_diff" -> (ScaleOps.q135SnapshotDiff _),
     "q136_cumulative_distinct" -> (Stats.q136CumulativeDistinct _),
-    "q137_quarantine_audit" -> (Profiling.q137QuarantineAudit _)
+    "q137_quarantine_audit" -> (Profiling.q137QuarantineAudit _),
+    "q138_feature_hashing" -> (TextQueries.q138FeatureHashing _),
+    "q139_class_weights" -> (Similarity.q139ClassWeights _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -438,4 +438,25 @@ object Similarity {
       .limit(50)
       .select(col("label"), col("vec_id"), round(col("dist2"), 8).as("dist2"))
   }
+
+  /** q139 — inverse-frequency class weights over the labeled
+    * embeddings: weight_c = N / (K · n_c), the standard loss
+    * reweighting for class-imbalanced training (sklearn's "balanced"
+    * rule). Each weight is ONE division of exact BIGINT counts, so
+    * the table is engine-exact; the label aggregate is K-sized and
+    * the scalar total broadcasts. The sanity identity
+    * Σ n_c·weight_c = N (spec-checked) is what makes the rule
+    * "balanced": every class contributes equal total weight. */
+  def q139ClassWeights(s: SparkSession, dir: String): DataFrame = {
+    val emb = vecs(s, dir)
+    val perLabel = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_examples"))
+    val totals = perLabel.agg(sum(col("n_examples")).as("n_total"),
+      count(lit(1)).as("n_classes"))
+    perLabel.crossJoin(broadcast(totals))
+      .select(col("label"), col("n_examples"),
+        round(col("n_total").cast("double") /
+          (col("n_classes") * col("n_examples")), 6).as("class_weight"))
+      .orderBy(col("label"))
+  }
 }

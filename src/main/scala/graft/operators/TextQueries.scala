@@ -309,4 +309,32 @@ object TextQueries {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= BpeTopMerges)
   }
+
+  /** q138 — feature hashing (the hashing trick): every token routes to
+    * one of 32 feature dimensions by an md5-derived bucket, turning
+    * unbounded vocabulary into fixed-width sparse vectors with ZERO
+    * vocabulary state — no dictionary build, no broadcast, no OOV
+    * problem, which is why it's the standard featurizer when the
+    * vocabulary itself would not fit anywhere. Reported per
+    * dimension: total token mass, documents with a nonzero entry,
+    * and the heaviest single-document count — the collision-load
+    * diagnostic that tells you whether 32 dims is too few. All
+    * integer counts; the md5-bucket assignment is engine-exact, so
+    * the whole feature matrix (not just its shape) is pinned by the
+    * oracle hash. Map-side explode+bucket, two bounded aggregates. */
+  def q138FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+    val perDoc = tok
+      .withColumn("dim",
+        conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long") % 32)
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+    perDoc.groupBy(col("dim"))
+      .agg(sum(col("cnt")).as("total_count"),
+        count(lit(1)).as("n_docs_nonzero"),
+        max(col("cnt")).as("max_doc_count"))
+      .orderBy(col("dim"))
+  }
 }

@@ -162,6 +162,55 @@ class PackExtrasSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === ids.length.toLong)
   }
 
+  test("q138 feature hashing conserves token mass and assigns buckets " +
+      "by the md5 rule") {
+    import graft.operators.TextQueries
+    val got = TextQueries.q138FeatureHashing(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val d = r.getAs[Long]("dim")
+      assert(d >= 0 && d < 32)
+      assert(r.getAs[Long]("max_doc_count") <= r.getAs[Long]("total_count"))
+    }
+    val tokenCount = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .where(length($"w") > 0).count()
+    assert(got.map(_.getAs[Long]("total_count")).sum === tokenCount,
+      "hashing dropped or duplicated tokens")
+    // Spot-check the bucket rule on one token.
+    val w = "the"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dim = java.lang.Long.parseLong(hex.take(7), 16) % 32
+    val viaSpark = Tables.load(spark, sfDir, "documents").limit(1)
+      .select((conv(substring(md5(lit(w)), 1, 7), 16, 10).cast("long") % 32)
+        .as("d")).head().getLong(0)
+    assert(viaSpark === dim)
+  }
+
+  test("q139 class weights are balanced: every class contributes equal " +
+      "total weight") {
+    import graft.operators.Similarity
+    val got = Similarity.q139ClassWeights(spark, sfDir).collect()
+    assert(got.length > 1)
+    val n = got.map(_.getAs[Long]("n_examples")).sum
+    val contributions = got.map(r =>
+      r.getAs[Long]("n_examples") * r.getAs[Double]("class_weight"))
+    // n_c * (N / (K * n_c)) = N / K for every class, up to 6-dp rounding.
+    val expected = n.toDouble / got.length
+    contributions.foreach(c => assert(math.abs(c - expected) < 1e-2,
+      s"unbalanced contribution $c vs $expected"))
+    // Rarer class -> strictly larger weight.
+    val sorted = got.sortBy(_.getAs[Long]("n_examples"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.getAs[Long]("n_examples") < b.getAs[Long]("n_examples"))
+          assert(a.getAs[Double]("class_weight") >
+            b.getAs[Double]("class_weight"))
+      case _ =>
+    }
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
