@@ -211,6 +211,64 @@ object EventStream {
     Iterator(next)
   }
 
+  /** Streaming incremental aggregate view — the streaming twin of
+    * q123's state merge: each micro-batch folds its per-user partial
+    * aggregate (count + DECIMAL value sum) into a parquet view by
+    * union + re-group, so the view is always the exact aggregate of
+    * everything ingested and history is never rescanned. A batch-id
+    * ledger file makes the merge EXACTLY-ONCE: foreachBatch is
+    * at-least-once under retries, and a blind re-merge of a replayed
+    * batch would double-count — the ledger skips batches already
+    * applied (the same idempotency trick table-format MERGEs get from
+    * txn ids). State merges associatively (counts add, DECIMAL sums
+    * add), so the view equals the batch groupBy bit-for-bit —
+    * spec-asserted across multi-batch runs and a full checkpoint
+    * replay. */
+  def incrementalUserView(events: DataFrame, viewPath: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val ledger = new java.io.File(viewPath + ".applied_batches")
+    def applied(): Set[Long] =
+      if (!ledger.exists()) Set.empty
+      else scala.io.Source.fromFile(ledger).getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    val writer0 = events.writeStream.outputMode(OutputMode.Append())
+    val q = checkpointDir.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!applied().contains(batchId)) {
+          val spark = batch.sparkSession
+          val delta = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,4)")).as("total_value"))
+            .select(col("user_id"), col("n_events"),
+              col("total_value").cast("decimal(28,4)").as("total_value"))
+          val tgt = new java.io.File(viewPath)
+          val merged =
+            if (tgt.exists())
+              spark.read.parquet(viewPath).unionByName(delta)
+                .groupBy(col("user_id"))
+                .agg(sum(col("n_events")).as("n_events"),
+                  sum(col("total_value")).cast("decimal(28,4)")
+                    .as("total_value"))
+            else delta
+          val tmp = viewPath + ".merge_tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          def delete(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(delete)
+            f.delete()
+          }
+          if (tgt.exists()) delete(tgt)
+          if (!new java.io.File(tmp).renameTo(tgt))
+            throw new java.io.IOException(s"view swap failed: $viewPath")
+          val w = new java.io.FileWriter(ledger, true)
+          try w.write(s"$batchId\n") finally w.close()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming data-quality monitor: every micro-batch runs the same
     * declarative constraint set the batch gate uses
     * (etl.QualityChecks — ONE aggregate pass per batch) and appends a

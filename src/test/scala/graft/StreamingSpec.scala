@@ -214,6 +214,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2.isEmpty), "expected some null-extended rows")
   }
 
+  test("streaming incremental view equals the batch aggregate across " +
+      "multiple micro-batches and survives a checkpoint replay") {
+    import java.nio.file.Files
+    // Split the backlog into 3 source files so AvailableNow +
+    // maxFilesPerTrigger=1 genuinely merges across micro-batches.
+    val srcDir = Files.createTempDirectory("graft_iv_src_").toString
+    spark.read.schema(EventStream.eventsFileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val viewPath = Files.createTempDirectory("graft_iv_view_").toString +
+      "/view"
+    val ckpt = Files.createTempDirectory("graft_iv_ckpt_").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.eventsFileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStream.incrementalUserView(stream, viewPath, Some(ckpt))
+    }
+    run()
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(28,4)")
+          .as("total_value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value"))).toSet
+    def viewSet() = spark.read.parquet(viewPath).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value"))).toSet
+    assert(viewSet() === want)
+    val ledger = new java.io.File(viewPath + ".applied_batches")
+    assert(ledger.exists())
+    val batches = scala.io.Source.fromFile(ledger).getLines().toSeq
+    assert(batches.length >= 3, s"expected >=3 micro-batches: $batches")
+    // Replay: a fresh run against the SAME checkpoint must change
+    // nothing (ledger + checkpoint make the merge exactly-once).
+    run()
+    assert(viewSet() === want, "checkpoint replay mutated the view")
+  }
+
   test("stateful per-user stats match a batch groupBy") {
     val stream = EventStream.readEventStream(spark, sfDir)
     val got = EventStream
