@@ -2543,6 +2543,25 @@ object OracleSql {
                AS class_weight
       FROM per_label, totals
       ORDER BY label
+    """,
+    "q141_asof_tolerance" -> """
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+      ), v AS (
+        SELECT user_id, ts AS vts, event_id AS view_id FROM events
+        WHERE event_type = 'view'
+      ), m AS (
+        SELECT p.event_id, p.user_id, p.ts, v.view_id, v.vts,
+               date_diff('second', v.vts, p.ts) AS secs
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.vts <= p.ts
+      )
+      SELECT event_id, user_id,
+             CASE WHEN secs <= 7200 THEN view_id END AS view_id,
+             CASE WHEN secs <= 7200 THEN secs END AS secs_since_view,
+             (vts IS NOT NULL AND secs > 7200) AS stale_dropped
+      FROM m ORDER BY event_id
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -180,13 +180,15 @@ object SparkEntry {
     "q136_cumulative_distinct" -> (Stats.q136CumulativeDistinct _),
     "q137_quarantine_audit" -> (Profiling.q137QuarantineAudit _),
     "q138_feature_hashing" -> (TextQueries.q138FeatureHashing _),
-    "q139_class_weights" -> (Similarity.q139ClassWeights _)
+    "q139_class_weights" -> (Similarity.q139ClassWeights _),
+    "q140_simhash_pairs" -> (Dedup.q140SimhashPairs _),
+    "q141_asof_tolerance" -> (AsofJoin.q141AsofTolerance _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ rows-only check) only for the
     * ops whose seeds/sketches aren't SQL-expressible: q20/q21 (xxhash64
-    * MinHash), q24 (LSH bucketing), q26 (FNV-1a SimHash), q47 (HLL
+    * MinHash), q24 (LSH bucketing), q26/q140 (FNV-1a SimHash), q47 (HLL
     * registers), q53 (k-means float accumulation order); each of those
     * has a spec pinning its semantics instead, and q54/q55/q66 are the
     * hash-checked twins of the MinHash/LSH family. */

@@ -28,6 +28,36 @@ object AsofJoin {
     * greatest payload struct (field order = `payload` order), so put a
     * unique id first in `payload` for a deterministic winner.
     */
+  /** q141 — tolerance-bounded as-of join: each purchase attaches the
+    * user's latest PRIOR view event, but only if it is fresh enough
+    * (≤ 2 h old) — staler matches null out. This is the as-of
+    * variant feature stores call a "staleness bound": a lookup that
+    * silently joins month-old state is worse than no join at all.
+    * Same single-shuffle union+window plan as q37/q90 (the tolerance
+    * is a residual map-side filter on the matched pair, NOT a join
+    * condition — the join stays equi+window shaped); DuckDB's native
+    * ASOF LEFT JOIN plus one CASE is the oracle. */
+  def q141AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(s, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ToleranceSec = 7200L
+    backward(purchases, views, "user_id", "ts", Seq("view_id", "view_ts"))
+      .withColumn("secs_since_view",
+        unix_timestamp(col("ts")) - unix_timestamp(col("view_ts")))
+      .select(col("event_id"), col("user_id"),
+        when(col("secs_since_view") <= ToleranceSec, col("view_id"))
+          .as("view_id"),
+        when(col("secs_since_view") <= ToleranceSec,
+          col("secs_since_view")).as("secs_since_view"),
+        (col("view_ts").isNotNull &&
+          col("secs_since_view") > ToleranceSec).as("stale_dropped"))
+      .orderBy(col("event_id"))
+  }
+
   def backward(left: DataFrame, right: DataFrame,
                key: String, time: String, payload: Seq[String]): DataFrame = {
     val packed = right.select(

@@ -219,6 +219,42 @@ object Dedup {
         bit_count(col("simhash").bitwiseXOR(col("sim_b"))).as("hamming_next"))
   }
 
+  /** q140 — SimHash-banded near-dup pairs: the 64-bit fingerprint
+    * splits into four 16-bit bands; by pigeonhole, any pair within
+    * Hamming distance 3 agrees EXACTLY on at least one band, so
+    * equi-joining on (band index, band value) finds every such pair
+    * while touching only band-collision candidates — the linear-ish
+    * alternative to the corpus² Hamming join, same banding law as
+    * MinHash-LSH (q21) but for bit fingerprints. Verification is one
+    * codegen'd `bit_count(a XOR b)` per candidate. *Rows-only* like
+    * q26 (the FNV-seeded signature isn't SQL-expressible); the spec
+    * proves the pigeonhole guarantee on-data: banding recovers
+    * EXACTLY the pairs a brute-force all-pairs Hamming scan finds at
+    * the threshold. */
+  def q140SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val HammingMax = 3
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        SimHash.simhash64(tokens(col("text"))).as("sig"))
+    val banded = d.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("bv"))): _*)).as("bx"))
+      .select(col("doc_id"), col("sig"),
+        col("bx.band").as("band"), col("bx.bv").as("bv"))
+    val right = banded.select(col("band").as("band2"), col("bv").as("bv2"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    banded.join(right,
+        col("band") === col("band2") && col("bv") === col("bv2") &&
+          col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        bit_count(col("sig").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val EditDistMax = 4
 
   /** q69 — edit-distance near-dup pairs with attribute blocking: part

@@ -211,6 +211,57 @@ class PackExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 banding recovers exactly the brute-force Hamming pairs " +
+      "at the threshold (pigeonhole guarantee)") {
+    import graft.operators.Dedup
+    import graft.functions.SimHash
+    import graft.functions.TextFunctions.tokens
+    val got = Dedup.q140SimhashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val sigs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", SimHash.simhash64(tokens($"text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === brute)
+    got.foreach { case (_, _, h) => assert(h >= 0 && h <= 3) }
+  }
+
+  test("q141 as-of tolerance nulls stale matches and keeps fresh ones, " +
+      "against a brute-force lookup") {
+    import graft.operators.AsofJoin
+    val got = AsofJoin.q141AsofTolerance(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("es"),
+        $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = ev.filter(_._4 == "view").groupBy(_._2)
+    got.foreach { r =>
+      val pid = r.getAs[Long]("event_id")
+      val (_, u, pts, _) = ev.find(_._1 == pid).get
+      val prior = views.getOrElse(u, Array.empty)
+        .filter(_._3 <= pts)
+      if (prior.isEmpty) {
+        assert(r.getAs[Any]("view_id") == null)
+        assert(!r.getAs[Boolean]("stale_dropped"))
+      } else {
+        val best = prior.maxBy(v => (v._3, v._1))
+        val secs = pts - best._3
+        if (secs <= 7200) {
+          assert(r.getAs[Long]("secs_since_view") === secs)
+          assert(!r.getAs[Boolean]("stale_dropped"))
+        } else {
+          assert(r.getAs[Any]("view_id") == null)
+          assert(r.getAs[Boolean]("stale_dropped"))
+        }
+      }
+    }
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
