@@ -294,4 +294,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalSection.contains("SortMergeJoin"),
       s"no keyed join belongs in this plan:\n$p")
   }
+
+  test("q120 bloom prefilter sits under the semi-join, which broadcasts") {
+    val df = graft.operators.ScaleOps.q120BloomJoin(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    // the mightContain UDF must filter the fact BEFORE the join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"exact semi-join must broadcast:\n$p")
+    val filterIdx = p.indexOf("UDF(knownnotnull(o_custkey")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      "bloom filter must appear under (after, in tree print) the join")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q121 sketch filter is map-side: no exchange below the recount " +
+      "aggregate's partial phase") {
+    val df = graft.operators.ScaleOps.q121SketchHeavyHitters(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    // partial aggregate directly over the filtered scan: the UDF filter
+    // and partial_count must be in the same pre-exchange stage.
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    val udfIdx = p.indexOf("UDF(knownnotnull(user_id")
+    val partialIdx = p.indexOf("partial_count")
+    assert(udfIdx > partialIdx && partialIdx >= 0,
+      "sketch filter must evaluate below the partial aggregate")
+  }
+
+  test("q134 rendezvous winner computes map-side with one shuffle to " +
+      "the rollup") {
+    val df = graft.operators.ScaleOps.q134RendezvousRouting(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"),
+      s"routing must not join:\n$finalSection")
+    assert(finalSection.contains("partial_count"),
+      s"rollup must combine map-side:\n$finalSection")
+  }
+
+  test("q123 merge re-groups aggregate STATES: a union of two " +
+      "aggregates feeds the final merge, each two-phase") {
+    val df = graft.operators.ScaleOps.q123IncrementalAgg(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Union"), s"state merge must union:\n$p")
+    // base, delta, and the merge each aggregate -> >=3 HashAggregate
+    // pairs; the scans carry the date split as a pushed filter.
+    assert("HashAggregate".r.findAllIn(p).length >= 6,
+      s"expected three two-phase aggregates:\n$p")
+    assert(p.contains("LessThan(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date split must push to the scans:\n$p")
+  }
 }
