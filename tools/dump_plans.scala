@@ -112,6 +112,14 @@ section("q134 rendezvous routing -- map-side winner, one exchange to the rollup"
   "All 8 candidate hashes and the greatest() winner evaluate inside the scan's projection; the only exchange is the 8-group rollup aggregate.",
   graft.operators.ScaleOps.q134RendezvousRouting(spark, dir),
   Seq("Exchange", "HashAggregate", "partial_", "Scan parquet"))
+section("q129 nested pruning -- ReadSchema holds two leaves, nested predicate pushed",
+  "The scan reads actor.event_type + payload.value only (the wide props blob never leaves the file) and the nested filter reaches PushedFilters.",
+  graft.operators.ScaleOps.q129NestedPruning(spark, dir),
+  Seq("ReadSchema", "PushedFilters", "FileScan"))
+section("q141 as-of tolerance -- same single-shuffle union+window as q37",
+  "The staleness bound is a residual projection-level CASE, not a join condition: one hash exchange on user_id, one window pass, no range join.",
+  graft.operators.AsofJoin.q141AsofTolerance(spark, dir),
+  Seq("Exchange hashpartitioning", "Window", "SortMergeJoin", "RunningWindowFunction"))
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
