@@ -2562,6 +2562,16 @@ object OracleSql {
              CASE WHEN secs <= 7200 THEN secs END AS secs_since_view,
              (vts IS NOT NULL AND secs > 7200) AS stale_dropped
       FROM m ORDER BY event_id
+    """,
+    "q142_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -182,7 +182,8 @@ object SparkEntry {
     "q138_feature_hashing" -> (TextQueries.q138FeatureHashing _),
     "q139_class_weights" -> (Similarity.q139ClassWeights _),
     "q140_simhash_pairs" -> (Dedup.q140SimhashPairs _),
-    "q141_asof_tolerance" -> (AsofJoin.q141AsofTolerance _)
+    "q141_asof_tolerance" -> (AsofJoin.q141AsofTolerance _),
+    "q142_bucketed_join" -> (graft.etl.Bucketing.q142BucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

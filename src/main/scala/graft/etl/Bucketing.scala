@@ -47,4 +47,59 @@ object Bucketing {
     val r = spark.table(right)
     l.join(r, l(leftKey) === r(rightKey), joinType)
   }
+
+  /** [[writeBucketed]] variant that pins the table data under an
+    * explicit path (EXTERNAL table) instead of the session warehouse —
+    * for callers whose working directory must stay clean. */
+  def writeBucketedAt(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(path)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** q142 — the exchange-free big ⋈ big join as an end-to-end query:
+    * lineitem and orders (fact ⋈ fact-header — at 100 TB NEITHER side
+    * broadcasts) are written bucketed by the join key, and the join
+    * then plans as a SortMergeJoin over co-located buckets with ZERO
+    * Exchange nodes — the shuffle was paid ONCE at write time and is
+    * amortized over every subsequent join, which is the entire
+    * economics of bucketed layouts. The bucketing write is included
+    * in this query's own runtime (same amortization framing as
+    * q124's clustering). The oracle is the plain join+aggregate, so
+    * the layout provably changes nothing. BucketingSpec asserts the
+    * zero-exchange plan; the revenue rollup keeps the output
+    * status-sized. */
+  def q142BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_" +
+      math.abs(dir.hashCode).toString
+    writeBucketedAt(graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_quantity")),
+      "q142_lineitem", "l_orderkey", 8, s"$base/lineitem")
+    writeBucketedAt(graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "q142_orders", "o_orderkey", 8, s"$base/orders")
+    bucketedJoin(s, "q142_lineitem", "q142_orders",
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"),
+        round(sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("double"), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -34,6 +34,34 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q142 bucketed fact join plans zero exchanges and equals the " +
+      "plain join aggregate") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // fact ⋈ fact-header must not silently broadcast at test scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.etl.Bucketing.q142BucketedJoin(spark, sfDir)
+      val got = df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected co-located SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not re-shuffle its inputs:\n$p")
+      val plain = Tables.load(spark, sfDir, "lineitem")
+        .join(Tables.load(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double"), 2).as("revenue"),
+          round(sum(col("l_quantity").cast("decimal(18,4)"))
+            .cast("double"), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority")).collect()
+      assert(got.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bottom-k aggregator equals ORDER BY hash LIMIT k") {
     val viaAgg = TextQueries.q30DeterministicSample(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
