@@ -2572,6 +2572,36 @@ object OracleSql {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority
+    """,
+    "q143_proportional_allocation" -> """
+      WITH sizes AS (
+        SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang
+      ), tot AS (
+        SELECT CAST(SUM(n_stratum) AS BIGINT) AS n_total FROM sizes
+      ), q0 AS (
+        SELECT lang, n_stratum,
+               (100 * n_stratum) // n_total AS base,
+               (100 * n_stratum) % n_total AS rem
+        FROM sizes, tot
+      ), q1 AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS seat_rank,
+               CAST(SUM(base) OVER () AS BIGINT) AS total_base
+        FROM q0
+      ), quotas AS (
+        SELECT lang, n_stratum,
+               CAST(base + CASE WHEN seat_rank <= 100 - total_base
+                 THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM q1
+      ), ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS rk
+        FROM documents
+      )
+      SELECT r.lang, q.n_stratum, q.quota, r.rk, r.doc_id
+      FROM ranked r JOIN quotas q ON r.lang = q.lang
+      WHERE r.rk <= q.quota
+      ORDER BY r.lang, r.rk
     """
   ).map { case (k, v) => k -> v.trim }
 

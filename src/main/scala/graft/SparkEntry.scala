@@ -183,7 +183,9 @@ object SparkEntry {
     "q139_class_weights" -> (Similarity.q139ClassWeights _),
     "q140_simhash_pairs" -> (Dedup.q140SimhashPairs _),
     "q141_asof_tolerance" -> (AsofJoin.q141AsofTolerance _),
-    "q142_bucketed_join" -> (graft.etl.Bucketing.q142BucketedJoin _)
+    "q142_bucketed_join" -> (graft.etl.Bucketing.q142BucketedJoin _),
+    "q143_proportional_allocation" ->
+      (CorpusOps.q143ProportionalAllocation _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

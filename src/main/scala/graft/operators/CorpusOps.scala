@@ -329,6 +329,46 @@ object CorpusOps {
     * at 100 TB per-class top-20-by-hash swaps to the bounded-heap
     * top-k-per-group operator (q97's plans.TopKPerGroup — same
     * semantics, winners-only shuffle, no per-class sort). */
+  /** q143 — proportional sample allocation via Hamilton's
+    * largest-remainder method: exactly K=100 documents allocated
+    * across languages proportional to stratum size — floor quotas
+    * first, then the K − Σfloor leftover seats go to the largest
+    * integer remainders (K·n_l mod N, tie-broken by language) — and
+    * each stratum's quota filled by q130's deterministic md5 rank.
+    * Every step is INTEGER arithmetic (floor = div, remainder = mod),
+    * so the allocation — not just its size — is engine-exact, unlike
+    * float-quota rounding which ulp-flips seats between engines. The
+    * apportionment runs on the language-sized table; only the final
+    * rank-filter touches documents. Σquota = K by construction
+    * (spec-checked), the property float rounding can't guarantee. */
+  def q143ProportionalAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 100
+    val sizes = docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+    val tot = sizes.agg(sum(col("n_stratum")).as("n_total"))
+    val wRem = Window.orderBy(col("rem").desc, col("lang").asc)
+    val quotas = sizes.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($K * n_stratum) div n_total"))
+      .withColumn("rem", (lit(K) * col("n_stratum")) % col("n_total"))
+      .withColumn("seat_rank", row_number().over(wRem))
+      .withColumn("total_base",
+        sum(col("base")).over(Window.partitionBy()))
+      .withColumn("quota",
+        col("base") + when(col("seat_rank") <= lit(K) - col("total_base"),
+          1L).otherwise(0L))
+      .select(col("lang"), col("n_stratum"), col("quota"))
+    val wPick = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text")).asc, col("doc_id").asc)
+    docs(s, dir)
+      .withColumn("rk", row_number().over(wPick))
+      .join(broadcast(quotas), Seq("lang"))
+      .where(col("rk") <= col("quota"))
+      .select(col("lang"), col("n_stratum"), col("quota"), col("rk"),
+        col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   def q130BalancedSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"))

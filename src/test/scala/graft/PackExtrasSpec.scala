@@ -262,6 +262,28 @@ class PackExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q143 Hamilton allocation sums to exactly K, stays within one " +
+      "seat of the exact share, and picks the smallest md5 ranks") {
+    val got = CorpusOps.q143ProportionalAllocation(spark, sfDir).collect()
+    assert(got.length === 100, s"allocation must sum to K: ${got.length}")
+    val quotas = got.map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("n_stratum"), r.getAs[Long]("quota"))).distinct
+    val nTotal = quotas.map(_._2).sum
+    quotas.foreach { case (lang, n, q) =>
+      val exact = 100.0 * n / nTotal
+      assert(q >= math.floor(exact) && q <= math.floor(exact) + 1,
+        s"$lang quota $q outside [floor, floor+1] of $exact")
+    }
+    assert(quotas.map(_._3).sum === 100L)
+    // Within each stratum the picks are ranks 1..quota.
+    got.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val q = rows.head.getAs[Long]("quota")
+      assert(rows.length.toLong === q)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to q.toInt), s"$lang picks must be the top ranks")
+    }
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
