@@ -2602,6 +2602,41 @@ object OracleSql {
       FROM ranked r JOIN quotas q ON r.lang = q.lang
       WHERE r.rk <= q.quota
       ORDER BY r.lang, r.rk
+    """,
+    "q144_bounce_analysis" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+      ), s1 AS (
+        SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                         OR es - lag(es) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s2 AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS session_seq
+        FROM s1
+      ), sess AS (
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               arg_min(event_type, concat_ws(':',
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                 lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS entry_type,
+               arg_max(event_type, concat_ws(':',
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                 lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS exit_type
+        FROM s2 GROUP BY user_id, session_seq
+      )
+      SELECT entry_type, COUNT(*) AS n_sessions,
+             ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+             ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+               AS avg_session_events,
+             ROUND(CAST(SUM(CASE WHEN entry_type = exit_type
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS same_exit_rate
+      FROM sess GROUP BY entry_type ORDER BY entry_type
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -185,7 +185,8 @@ object SparkEntry {
     "q141_asof_tolerance" -> (AsofJoin.q141AsofTolerance _),
     "q142_bucketed_join" -> (graft.etl.Bucketing.q142BucketedJoin _),
     "q143_proportional_allocation" ->
-      (CorpusOps.q143ProportionalAllocation _)
+      (CorpusOps.q143ProportionalAllocation _),
+    "q144_bounce_analysis" -> (Analytics.q144BounceAnalysis _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -708,6 +708,55 @@ object Analytics {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q144 — landing-event bounce analysis: sessions (q41's 30-minute
+    * gap rule, same (ts, event_id) total order) grouped by their ENTRY
+    * event type — how often does a session that starts with a view /
+    * click / error end right there (bounce = single-event session),
+    * and how long does it otherwise run. Entry and exit come from the
+    * same window pass that numbers the sessions (first/last over the
+    * session partition — no extra shuffle beyond q41's); the rollup
+    * is |types|-sized. Bounce rate and average length are single
+    * exact-integer divisions. */
+  def q144BounceAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+            > SessionGapSec, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // (epoch_us, event_id) zero-padded into one string: the same
+      // lexicographic-equals-chronological arg-min key both engines
+      // order identically (q112/q114's trick — DuckDB's arg_min takes
+      // no composite keys).
+      .withColumn("ord_key", concat_ws(":",
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("event_type"), col("ord_key")).as("entry_type"),
+        max_by(col("event_type"), col("ord_key")).as("exit_type"))
+    sess.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("total_events"),
+        sum(when(col("entry_type") === col("exit_type"), 1L)
+          .otherwise(0L)).as("n_same_exit"))
+      .select(col("entry_type"), col("n_sessions"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        round(col("total_events").cast("double") / col("n_sessions"), 6)
+          .as("avg_session_events"),
+        round(col("n_same_exit").cast("double") / col("n_sessions"), 6)
+          .as("same_exit_rate"))
+      .orderBy(col("entry_type"))
+  }
+
   /** q133 — ordered LISTAGG (SQL:2016 surface, new in Spark 4): the
     * pipe-joined alphabetical roster of nations-with-customers per
     * region. The WITHIN GROUP order makes the string deterministic —

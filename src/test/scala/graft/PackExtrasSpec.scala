@@ -284,6 +284,29 @@ class PackExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q144 bounce analysis reconciles with q41's session counts and " +
+      "bounds its rates") {
+    val got = Analytics.q144BounceAnalysis(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val sessions = Analytics.q41Sessionize(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n_sessions")).sum === sessions.length.toLong,
+      "entry-type groups must partition the session set")
+    val bounces = sessions.count(_.getAs[Long]("n_events") == 1L)
+    val gotBounces = got.map(r => math.round(
+      r.getAs[Double]("bounce_rate") * r.getAs[Long]("n_sessions"))).sum
+    assert(math.abs(gotBounces - bounces) <= got.length,
+      s"bounce totals drifted: $gotBounces vs $bounces")
+    got.foreach { r =>
+      assert(r.getAs[Double]("bounce_rate") >= 0.0 &&
+        r.getAs[Double]("bounce_rate") <= 1.0)
+      assert(r.getAs[Double]("avg_session_events") >= 1.0)
+      // a bounced session exits where it entered, so same_exit_rate
+      // dominates bounce_rate
+      assert(r.getAs[Double]("same_exit_rate") >=
+        r.getAs[Double]("bounce_rate") - 1e-9)
+    }
+  }
+
   test("q132 weighted median matches a driver-side computation and " +
       "sits at the half-weight point") {
     val got = Stats.q132WeightedMedian(spark, sfDir).collect()
