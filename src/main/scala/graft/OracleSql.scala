@@ -2637,6 +2637,88 @@ object OracleSql {
                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
                AS same_exit_rate
       FROM sess GROUP BY entry_type ORDER BY entry_type
+    """,
+    "q145_interval_merge" -> """
+      WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS start_d,
+               CAST(o_orderdate AS DATE) + 7 AS end_d
+        FROM orders
+      ), m AS (
+        SELECT *,
+               MAX(end_d) OVER (PARTITION BY o_custkey
+                 ORDER BY start_d, end_d, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM iv
+      ), flagged AS (
+        SELECT *, CASE WHEN prev_max_end IS NULL
+                         OR start_d > prev_max_end
+                  THEN 1 ELSE 0 END AS new_island
+        FROM m
+      ), islanded AS (
+        SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey
+                    ORDER BY start_d, end_d, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS island_seq
+        FROM flagged
+      ), islands AS (
+        SELECT o_custkey, island_seq, COUNT(*) AS n_orders,
+               MIN(start_d) AS island_start, MAX(end_d) AS island_end
+        FROM islanded GROUP BY o_custkey, island_seq
+      )
+      SELECT o_custkey, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+             COUNT(*) AS n_islands,
+             CAST(SUM(island_end - island_start) AS BIGINT)
+               AS covered_days,
+             MAX(island_end - island_start) AS longest_island_days
+      FROM islands GROUP BY o_custkey
+    """,
+    "q146_hourly_entropy" -> """
+      WITH hist AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), p AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                 AS p
+        FROM hist
+      )
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+             COUNT(*) AS n_active_hours,
+             ROUND(-SUM(p * ln(p)), 6) AS entropy_nats,
+             ROUND(-SUM(p * ln(p)) / ln(24.0), 6) AS evenness
+      FROM p GROUP BY event_type ORDER BY event_type
+    """,
+    "q147_triangle_count" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ), tri AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.p2 = e2.p1
+        JOIN edges e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+      ), per_part AS (
+        SELECT part, COUNT(*) AS n_triangles FROM (
+          SELECT a AS part FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL
+          SELECT c FROM tri
+        ) GROUP BY part
+      ), deg AS (
+        SELECT part, COUNT(*) AS degree FROM (
+          SELECT p1 AS part FROM edges UNION ALL
+          SELECT p2 FROM edges
+        ) GROUP BY part
+      )
+      SELECT t.part, t.n_triangles, d.degree
+      FROM per_part t JOIN deg d ON t.part = d.part
+      ORDER BY n_triangles DESC, degree DESC, t.part ASC LIMIT 25
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -186,7 +186,10 @@ object SparkEntry {
     "q142_bucketed_join" -> (graft.etl.Bucketing.q142BucketedJoin _),
     "q143_proportional_allocation" ->
       (CorpusOps.q143ProportionalAllocation _),
-    "q144_bounce_analysis" -> (Analytics.q144BounceAnalysis _)
+    "q144_bounce_analysis" -> (Analytics.q144BounceAnalysis _),
+    "q145_interval_merge" -> (Analytics.q145IntervalMerge _),
+    "q146_hourly_entropy" -> (Stats.q146HourlyEntropy _),
+    "q147_triangle_count" -> (Graph.q147TriangleCount _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

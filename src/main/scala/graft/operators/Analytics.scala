@@ -790,4 +790,44 @@ object Analytics {
       ORDER BY r_name
     """)
   }
+
+  /** q145 — interval merging (gaps-and-islands over ranges): each order
+    * opens a 7-day service window `[o_orderdate, o_orderdate+7)`; merge
+    * a customer's overlapping/adjacent windows into coverage islands
+    * and report per-customer coverage. The classic running-max island
+    * rule: an interval starts a new island iff its start exceeds the
+    * max end seen so far. Two per-customer window passes (running max →
+    * running sum of island starts) and two aggregates — all partitioned
+    * by `o_custkey`, so at 100 TB this is one hash exchange and
+    * key-local sorts; no self-join, no range join. Date arithmetic is
+    * integer day arithmetic in both engines — nothing to drift. */
+  def q145IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("start_d"),
+        date_add(to_date(col("o_orderdate")), 7).as("end_d"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("start_d"), col("end_d"), col("o_orderkey"))
+    val islanded = iv
+      .withColumn("prev_max_end",
+        max(col("end_d")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_d") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island_seq",
+        sum(col("new_island"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islanded
+      .groupBy(col("o_custkey"), col("island_seq"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("start_d")).as("island_start"),
+        max(col("end_d")).as("island_end"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_islands"),
+        sum(datediff(col("island_end"), col("island_start")))
+          .as("covered_days"),
+        max(datediff(col("island_end"), col("island_start")))
+          .as("longest_island_days"))
+  }
 }

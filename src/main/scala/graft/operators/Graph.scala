@@ -86,4 +86,51 @@ object Graph {
       .orderBy(col("rank_ppm").desc, col("part").asc)
       .limit(TopN)
   }
+
+  /** q147 — triangle counting on the co-purchase graph: parts whose
+    * neighborhoods close into triangles are cross-sell cores (the
+    * clustering-coefficient numerator). Edges are q94's map-side pair
+    * expansion kept in canonical `p1 < p2` orientation and pruned to
+    * support ≥ 2 co-orders — the support filter is what keeps the
+    * two-hop join from exploding on hub parts (the standard
+    * heavy-edge prune; at 100 TB the same role is played by
+    * degree-ordered orientation, which this canonical ordering
+    * already approximates). Triangles enumerate once each as
+    * a < b < c via wedge join + closing-edge semi-check: two
+    * broadcast-able self-joins at this edge cardinality, two hash
+    * exchanges on the big path. Counts are exact integers — nothing
+    * to drift. */
+  def q147TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val MinSupport = 2
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val edges = items
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= MinSupport)
+      .select(col("p1"), col("p2"))
+      .cache()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(edges.as("e3"),
+        col("e1.p1") === col("e3.p1") && col("e2.p2") === col("e3.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"),
+        col("e2.p2").as("c"))
+    val perPart = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges
+      .select(explode(array(col("p1"), col("p2"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("degree"))
+    perPart.join(deg, Seq("part"))
+      .orderBy(col("n_triangles").desc, col("degree").desc, col("part").asc)
+      .limit(TopN)
+  }
 }

@@ -643,4 +643,34 @@ object Stats {
         col("weighted_median_price"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q146 — temporal-concentration profile via Shannon entropy: how
+    * spread over the 24 hours of the day is each event type's traffic?
+    * H = −Σ p·ln p over the hour-of-day histogram, reported with the
+    * normalized evenness H/ln(24) (1 = perfectly uniform). Shape: one
+    * fact-sized (type,hour) aggregate, then a 24-row-per-type window
+    * for the totals — histogram first, entropy over the histogram, so
+    * the fact is touched once regardless of scale. Engine-exactness:
+    * p is a quotient of exact longs, each p·ln p term is the same IEEE
+    * expression in DuckDB, and the ≤24-term sum is rounded at 6 dp —
+    * ~10⁹× above any libm ulp drift (the one caveat: this is the
+    * suite's only transcendental, so the guard is the rounding margin,
+    * not bit-equality of ln itself). */
+  def q146HourlyEntropy(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("n_total", sum(col("n")).over(tot))
+      .select(col("event_type"), col("n"), col("n_total"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_active_hours"),
+        round(-sum(col("p") * log(col("p"))), 6).as("entropy_nats"),
+        round(-sum(col("p") * log(col("p"))) / log(lit(24.0)), 6)
+          .as("evenness"))
+      .orderBy(col("event_type"))
+  }
 }
