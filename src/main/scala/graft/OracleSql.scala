@@ -2719,6 +2719,131 @@ object OracleSql {
       SELECT t.part, t.n_triangles, d.degree
       FROM per_part t JOIN deg d ON t.part = d.part
       ORDER BY n_triangles DESC, degree DESC, t.part ASC LIMIT 25
+    """,
+    "q148_fk_integrity" -> """
+      SELECT fk, CAST(SUM(n) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN hit IS NULL THEN n ELSE 0 END) AS BIGINT)
+               AS n_orphan_rows,
+             CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_keys
+      FROM (
+        SELECT 'customer.c_nationkey->nation' AS fk, k, n, hit FROM
+          (SELECT CAST(c_nationkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM customer GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS k,
+                     1 AS hit FROM nation) p USING (k)
+        UNION ALL
+        SELECT 'events.user_id->customer', k, n, hit FROM
+          (SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS n
+           FROM events GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k,
+                     1 AS hit FROM customer) p USING (k)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', k, n, hit FROM
+          (SELECT CAST(l_orderkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM lineitem GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k,
+                     1 AS hit FROM orders) p USING (k)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', k, n, hit FROM
+          (SELECT CAST(l_partkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM lineitem GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k,
+                     1 AS hit FROM part) p USING (k)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', k, n, hit FROM
+          (SELECT CAST(l_suppkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM lineitem GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k,
+                     1 AS hit FROM supplier) p USING (k)
+        UNION ALL
+        SELECT 'nation.n_regionkey->region', k, n, hit FROM
+          (SELECT CAST(n_regionkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM nation GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(r_regionkey AS BIGINT) AS k,
+                     1 AS hit FROM region) p USING (k)
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', k, n, hit FROM
+          (SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM orders GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k,
+                     1 AS hit FROM customer) p USING (k)
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation', k, n, hit FROM
+          (SELECT CAST(s_nationkey AS BIGINT) AS k, COUNT(*) AS n
+           FROM supplier GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS k,
+                     1 AS hit FROM nation) p USING (k)
+      ) GROUP BY fk ORDER BY fk
+    """,
+    "q149_cusum_changepoint" -> """
+      WITH m AS (
+        SELECT r_name,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      ), w AS (
+        SELECT r_name, mon,
+               ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY mon) AS i,
+               SUM(rev) OVER (PARTITION BY r_name ORDER BY mon
+                 ROWS UNBOUNDED PRECEDING) AS run,
+               CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS tot,
+               COUNT(*) OVER (PARTITION BY r_name) AS nm
+        FROM m
+      ), c AS (
+        SELECT r_name, mon, nm,
+               tot / CAST(nm AS DOUBLE) AS mean,
+               CAST(run AS DOUBLE)
+                 - CAST(i AS DOUBLE) * (tot / CAST(nm AS DOUBLE)) AS cusum
+        FROM w
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY r_name
+                    ORDER BY ABS(cusum) DESC, mon ASC) AS rk
+        FROM c
+      )
+      SELECT r_name, mon AS cp_month, CAST(nm AS BIGINT) AS n_months,
+             ROUND(mean, 2) AS mean_monthly,
+             ROUND(cusum, 2) AS cusum_at_cp
+      FROM r WHERE rk = 1 ORDER BY r_name
+    """,
+    "q150_copurchase_recs" -> """
+      WITH cp AS (
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ), items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_co
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ), edges AS (
+        SELECT p1 AS src, p2 AS dst, n_co FROM pairs
+        UNION ALL
+        SELECT p2, p1, n_co FROM pairs
+      ), scored AS (
+        SELECT s.o_custkey, e.dst,
+               CAST(SUM(e.n_co) AS BIGINT) AS score,
+               COUNT(*) AS n_paths
+        FROM (SELECT * FROM cp WHERE o_custkey % 100 = 7) s
+        JOIN edges e ON s.l_partkey = e.src
+        GROUP BY 1, 2
+      ), unseen AS (
+        SELECT sc.* FROM scored sc
+        LEFT JOIN cp ON cp.o_custkey = sc.o_custkey
+                    AND cp.l_partkey = sc.dst
+        WHERE cp.l_partkey IS NULL
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY score DESC, n_paths DESC, dst ASC) AS rec_rank
+        FROM unseen
+      )
+      SELECT o_custkey, dst AS rec_partkey, score, n_paths, rec_rank
+      FROM r WHERE rec_rank <= 5 ORDER BY o_custkey, rec_rank
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -189,7 +189,10 @@ object SparkEntry {
     "q144_bounce_analysis" -> (Analytics.q144BounceAnalysis _),
     "q145_interval_merge" -> (Analytics.q145IntervalMerge _),
     "q146_hourly_entropy" -> (Stats.q146HourlyEntropy _),
-    "q147_triangle_count" -> (Graph.q147TriangleCount _)
+    "q147_triangle_count" -> (Graph.q147TriangleCount _),
+    "q148_fk_integrity" -> (Profiling.q148FkIntegrity _),
+    "q149_cusum_changepoint" -> (Stats.q149CusumChangepoint _),
+    "q150_copurchase_recs" -> (Graph.q150CopurchaseRecs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

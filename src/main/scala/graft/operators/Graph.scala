@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Iterative graph analytics over relational edges — PageRank on the
@@ -132,5 +133,60 @@ object Graph {
     perPart.join(deg, Seq("part"))
       .orderBy(col("n_triangles").desc, col("degree").desc, col("part").asc)
       .limit(TopN)
+  }
+
+  /** q150 — two-hop co-purchase recommendations (item-based
+    * collaborative filtering serving path): for each customer in a
+    * declared deterministic audit slice (`c_custkey % 100 = 7` —
+    * engine-portable, coordination-free), score every part reachable
+    * through one co-purchase hop from their basket by the summed
+    * co-order counts, drop parts they already bought (anti-join),
+    * and keep the top 5 under a full (score, n_paths, partkey)
+    * tie-break. Scale shape: the edge list is q147's map-side pair
+    * expansion with a support-≥2 prune — NO user×user or item×item
+    * self-join on the fact — so the expensive object is the
+    * support-pruned edge table, which hash-joins the slice's baskets
+    * on partkey. At 100 TB the slice is "all customers" and the same
+    * plan holds: incidence ⋈ edges is the one big shuffle, scores are
+    * exact BIGINTs, and the per-customer top-k is a rank window over
+    * the scored candidates. */
+  def q150CopurchaseRecs(s: SparkSession, dir: String): DataFrame = {
+    val MinSupport = 2
+    val TopK = 5
+    val cp = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val pairs = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= MinSupport)
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"),
+        col("n_co"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst"),
+        col("n_co")))
+    val scored = cp.where(pmod(col("o_custkey"), lit(100)) === 7)
+      .join(edges, col("l_partkey") === col("src"))
+      .groupBy(col("o_custkey"), col("dst"))
+      .agg(sum(col("n_co")).as("score"), count(lit(1)).as("n_paths"))
+    val unseen = scored.join(cp
+        .select(col("o_custkey").as("sc"), col("l_partkey").as("sp")),
+        col("o_custkey") === col("sc") && col("dst") === col("sp"),
+        "left_anti")
+    unseen
+      .withColumn("rec_rank", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("score").desc, col("n_paths").desc,
+            col("dst").asc)))
+      .where(col("rec_rank") <= TopK)
+      .select(col("o_custkey"), col("dst").as("rec_partkey"),
+        col("score"), col("n_paths"), col("rec_rank"))
+      .orderBy(col("o_custkey"), col("rec_rank"))
   }
 }

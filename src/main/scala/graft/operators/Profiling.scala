@@ -230,4 +230,53 @@ object Profiling {
         coalesce(sum(col("kval")), lit(0L)).as("k_total"))
       .orderBy(col("status"))
   }
+
+  /** q148 — referential-integrity audit over every FK edge in the
+    * schema: per edge, the child row count, rows whose key has no
+    * parent, and the distinct orphan keys. Shape per edge: the child
+    * collapses to (key, count) FIRST — a partial-agg shuffle that is
+    * key-sized, never fact-sized — then left-joins the parent's
+    * distinct key set (broadcast for dimension parents; the one
+    * fact-sized parent, orders←lineitem, is a key-on-key shuffle join
+    * of two pre-aggregated sides). Eight key-sized audits union into
+    * an 8-row report. Everything is exact integer counting. */
+  def q148FkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(edge: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val ck = child.groupBy(col(key).cast("bigint").as("k"))
+        .agg(count(lit(1)).as("n"))
+      val pk = parent.select(col(pkey).cast("bigint").as("k"))
+        .distinct().withColumn("__hit", lit(1))
+      ck.join(pk, Seq("k"), "left")
+        .agg(sum(col("n")).as("n_child"),
+          sum(when(col("__hit").isNull, col("n")).otherwise(lit(0L)))
+            .as("n_orphan_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L))
+            .as("n_orphan_keys"))
+        .select(lit(edge).as("fk"), col("n_child"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }
+    val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer"); val supp = t(s, dir, "supplier")
+    val part = t(s, dir, "part"); val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region"); val ev = t(s, dir, "events")
+    Seq(
+      audit("customer.c_nationkey->nation", cust, "c_nationkey",
+        nat, "n_nationkey"),
+      audit("events.user_id->customer", ev, "user_id",
+        cust, "c_custkey"),
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey"),
+      audit("lineitem.l_partkey->part", li, "l_partkey",
+        part, "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        supp, "s_suppkey"),
+      audit("nation.n_regionkey->region", nat, "n_regionkey",
+        reg, "r_regionkey"),
+      audit("orders.o_custkey->customer", ord, "o_custkey",
+        cust, "c_custkey"),
+      audit("supplier.s_nationkey->nation", supp, "s_nationkey",
+        nat, "n_nationkey"),
+    ).reduce(_.unionAll(_)).orderBy(col("fk"))
+  }
 }

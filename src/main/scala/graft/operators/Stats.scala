@@ -673,4 +673,50 @@ object Stats {
           .as("evenness"))
       .orderBy(col("event_type"))
   }
+
+  /** q149 — CUSUM changepoint detection on each region's monthly
+    * revenue series: the month where the cumulative sum of deviations
+    * from the series mean peaks in magnitude is the classic
+    * single-changepoint estimate (where the level shifted). Shape:
+    * the fact collapses to a (region × month) aggregate — dimension
+    * joins broadcast — then every window pass (running sum, series
+    * totals, the argmax rank) runs over that calendar-sized table, so
+    * 100 TB of orders costs one fact-sized partial-agg shuffle and
+    * nothing else. Engine-exactness: the running sum stays DECIMAL
+    * (exact, shuffle-order-proof); the mean and each CUSUM value are
+    * then the same three-operation IEEE tree (`cast(run) − i·(tot/n)`)
+    * in both engines, so even the argmax tie-break can't drift. */
+  def q149CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"),
+        trunc(col("o_orderdate").cast("date"), "month").as("mon"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val series = Window.partitionBy(col("r_name"))
+    val ord = series.orderBy(col("mon"))
+    val cusum = monthly
+      .withColumn("i", row_number().over(ord))
+      .withColumn("run",
+        sum(col("rev")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("tot", sum(col("rev")).over(series).cast("double"))
+      .withColumn("nm", count(lit(1)).over(series))
+      .withColumn("mean", col("tot") / col("nm").cast("double"))
+      .withColumn("cusum",
+        col("run").cast("double") - col("i").cast("double") * col("mean"))
+    cusum
+      .withColumn("rk", row_number().over(
+        series.orderBy(abs(col("cusum")).desc, col("mon").asc)))
+      .where(col("rk") === 1)
+      .select(col("r_name"), col("mon").as("cp_month"),
+        col("nm").as("n_months"),
+        round(col("mean"), 2).as("mean_monthly"),
+        round(col("cusum"), 2).as("cusum_at_cp"))
+      .orderBy(col("r_name"))
+  }
 }
