@@ -47,7 +47,13 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional dev filter: SPARK_GRAFT_ONLY=q101_pagerank,q21_lsh_pairs
+    // restricts the measured set (and skips the etl pair) so a single
+    // query's warm time can be iterated on without the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warmup pass: file listing, plan, codegen, JIT.
     sorted.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
@@ -126,7 +132,9 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val (e1, e2) = (etlPair(), etlPair())
+    val (e1, e2) =
+      if (only.isDefined) ((-1.0, -1.0), (-1.0, -1.0))
+      else (etlPair(), etlPair())
     def minPos(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
     val etlTime = minPos(e1._1, e2._1)

@@ -42,11 +42,14 @@ object Graph {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
-    val pairs = items
+    // Deduplicate pairs in CANONICAL p1<p2 orientation — half the rows
+    // through the distinct's shuffle (the dominant cost of the whole
+    // query) — and mirror afterwards; the edge SET is identical to
+    // deduplicating both orientations directly.
+    val half = items
       .select(explode(col("parts")).as("p1"), col("parts"))
       .select(col("p1"), explode(col("parts")).as("p2"))
-      .where(col("p1") =!= col("p2"))
-      .select(col("p1").as("src"), col("p2").as("dst"))
+      .where(col("p1") < col("p2"))
       .distinct()
     // Cache the edge list: every iteration re-joins it, and without the
     // cache each of the 3 iterations would recompute the pair explosion
@@ -54,8 +57,13 @@ object Graph {
     // is lazy, so an unpersist at build time would empty the cache
     // BEFORE execution and every iteration would recompute (callers
     // clear session caches between runs, as Bench does).
-    val edges = pairs.cache()
+    val edges = half.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(half.select(col("p2").as("src"), col("p1").as("dst")))
+      .cache()
+    // deg/nodes are NODE-sized; cache them too, or every iteration's
+    // chained rank plan re-aggregates the edge list to rebuild them.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .cache()
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val nN = nodes.count()
 
