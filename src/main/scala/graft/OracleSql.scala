@@ -2844,6 +2844,83 @@ object OracleSql {
       )
       SELECT o_custkey, dst AS rec_partkey, score, n_paths, rec_rank
       FROM r WHERE rec_rank <= 5 ORDER BY o_custkey, rec_rank
+    """,
+    "q151_unigram_lm" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+      ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM vocab
+      ), surprise AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(-ln(CAST(v.cnt AS DOUBLE)
+                 / CAST(tot.t_total AS DOUBLE)) * 1e9) AS BIGINT)
+                 AS surprise_nn
+        FROM toks t JOIN vocab v ON t.token = v.token, tot
+      )
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(CAST(SUM(surprise_nn) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9, 6)
+               AS avg_neg_log_prob
+      FROM surprise GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q152_mix_shift" -> """
+      WITH base AS (
+        SELECT c_mktsegment,
+               EXTRACT(year FROM o_orderdate) AS y, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 2000)
+      ), seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(SUM(CASE WHEN y = 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b,
+               SUM(CAST(CASE WHEN y = 1995 THEN o_totalprice ELSE 0.0 END
+                 AS DECIMAL(18,4))) AS rev_a,
+               SUM(CAST(CASE WHEN y = 2000 THEN o_totalprice ELSE 0.0 END
+                 AS DECIMAL(18,4))) AS rev_b
+        FROM base GROUP BY 1
+      ), d AS (
+        SELECT c_mktsegment, n_a, n_b,
+               CAST(n_a AS DOUBLE)
+                 / CAST(SUM(n_a) OVER () AS DOUBLE) AS share_a,
+               CAST(n_b AS DOUBLE)
+                 / CAST(SUM(n_b) OVER () AS DOUBLE) AS share_b,
+               CAST(rev_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS avg_a,
+               CAST(rev_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS avg_b
+        FROM seg
+      )
+      SELECT c_mktsegment, n_a, n_b,
+             ROUND(share_a, 6) AS share_a,
+             ROUND(share_b, 6) AS share_b,
+             ROUND(avg_a, 2) AS avg_order_a,
+             ROUND(avg_b, 2) AS avg_order_b,
+             ROUND(share_a * (avg_b - avg_a), 6) AS value_effect,
+             ROUND((share_b - share_a) * avg_b, 6) AS mix_effect,
+             ROUND(share_b * avg_b - share_a * avg_a, 6) AS total_effect
+      FROM d ORDER BY c_mktsegment
+    """,
+    "q153_transition_dwell" -> """
+      WITH g AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS gap_us
+        FROM events
+      )
+      SELECT prev_type, event_type,
+             COUNT(*) AS n_transitions,
+             ROUND(CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_s,
+             ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_s,
+             ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s
+      FROM g WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2
     """
   ).map { case (k, v) => k -> v.trim }
 

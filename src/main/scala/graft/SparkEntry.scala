@@ -192,7 +192,10 @@ object SparkEntry {
     "q147_triangle_count" -> (Graph.q147TriangleCount _),
     "q148_fk_integrity" -> (Profiling.q148FkIntegrity _),
     "q149_cusum_changepoint" -> (Stats.q149CusumChangepoint _),
-    "q150_copurchase_recs" -> (Graph.q150CopurchaseRecs _)
+    "q150_copurchase_recs" -> (Graph.q150CopurchaseRecs _),
+    "q151_unigram_lm" -> (TextQueries.q151UnigramLmScore _),
+    "q152_mix_shift" -> (Analytics.q152MixShift _),
+    "q153_transition_dwell" -> (Stats.q153TransitionDwell _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -830,4 +830,57 @@ object Analytics {
         max(datediff(col("island_end"), col("island_start")))
           .as("longest_island_days"))
   }
+
+  /** q152 — mix-shift decomposition of the change in average order
+    * value between 1995 and 2000, by customer market segment: how much
+    * of the overall Δ comes from segments' averages moving (value
+    * effect, share_95·Δavg) vs the order mix shifting between segments
+    * (mix effect, Δshare·avg_00). The standard two-way attribution —
+    * "did orders get bigger, or did big-order segments grow?". Shape:
+    * the fact collapses to a (segment × year) conditional aggregate in
+    * one pass (dimension join broadcasts), and every derived number is
+    * computed over the 5-row segment table — window totals, shares,
+    * effects — so the fact is scanned exactly once at any scale.
+    * Engine-exactness: counts are exact longs, revenue flows through
+    * DECIMAL, and each share/avg/effect is the identical IEEE
+    * expression tree in DuckDB, rounded at 6 dp on output only. */
+  def q152MixShift(s: SparkSession, dir: String): DataFrame = {
+    val (yearA, yearB) = (1995, 2000)
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .withColumn("y", year(col("o_orderdate")))
+      .where(col("y").isin(yearA, yearB))
+    val seg = base.groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("y") === yearA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("y") === yearB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("y") === yearA, col("o_totalprice"))
+          .otherwise(lit(0.0)).cast("decimal(18,4)")).as("rev_a"),
+        sum(when(col("y") === yearB, col("o_totalprice"))
+          .otherwise(lit(0.0)).cast("decimal(18,4)")).as("rev_b"))
+    val all = Window.partitionBy()
+    seg
+      .withColumn("share_a",
+        col("n_a").cast("double") /
+          sum(col("n_a")).over(all).cast("double"))
+      .withColumn("share_b",
+        col("n_b").cast("double") /
+          sum(col("n_b")).over(all).cast("double"))
+      .withColumn("avg_a",
+        col("rev_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("avg_b",
+        col("rev_b").cast("double") / col("n_b").cast("double"))
+      .select(col("c_mktsegment"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round(col("avg_a"), 2).as("avg_order_a"),
+        round(col("avg_b"), 2).as("avg_order_b"),
+        round(col("share_a") * (col("avg_b") - col("avg_a")), 6)
+          .as("value_effect"),
+        round((col("share_b") - col("share_a")) * col("avg_b"), 6)
+          .as("mix_effect"),
+        round(col("share_b") * col("avg_b")
+          - col("share_a") * col("avg_a"), 6).as("total_effect"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -719,4 +719,36 @@ object Stats {
         round(col("cusum"), 2).as("cusum_at_cp"))
       .orderBy(col("r_name"))
   }
+
+  /** q153 — dwell-time statistics per event transition: for each
+    * (prev_type → type) pair, how long users linger before making that
+    * transition (mean / median / p90 seconds). The behavioral
+    * companion to q91's transition PROBABILITIES — same single
+    * user-keyed window pass (one hash exchange on user_id, key-local
+    * sort), then a |types|²-sized aggregate. Engine-exactness: gaps
+    * are exact BIGINT microseconds from the same (ts, event_id) total
+    * order both engines sort by; the mean divides two exact integers;
+    * median/p90 use exact interpolated percentiles over integers
+    * (q111's quantile_cont correspondence), with
+    * approx_percentile the documented 100 TB swap. */
+  def q153TransitionDwell(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    gaps.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        round(sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6), 6).as("mean_s"),
+        round(percentile(col("gap_us"), lit(0.5)) / lit(1e6), 6)
+          .as("median_s"),
+        round(percentile(col("gap_us"), lit(0.9)) / lit(1e6), 6)
+          .as("p90_s"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
 }

@@ -337,4 +337,41 @@ object TextQueries {
         max(col("cnt")).as("max_doc_count"))
       .orderBy(col("dim"))
   }
+
+  /** q151 — unigram language-model quality scoring (the CCNet-style
+    * perplexity filter, with the corpus itself as the LM): each doc's
+    * average per-token surprise −ln p(token) under the corpus unigram
+    * distribution; abnormally high = gibberish/noise, abnormally low =
+    * boilerplate. Scale shape: ONE token explode; the vocabulary
+    * aggregate is vocab-sized and broadcasts back onto the token
+    * stream, so the only fact-sized shuffles are the vocab count and
+    * the per-doc re-aggregate. Engine-exactness: p is a quotient of
+    * exact longs; each token's surprise is FLOORED to integer
+    * nano-nats (q101's trick — floor of a bit-identical double is
+    * bit-identical, integer sums are shuffle-order-proof, where a
+    * float Σ ln p would drift with partitioning); the per-doc mean
+    * divides two exact integers and rounds at 6 dp, ~10² above any
+    * libm ulp wobble in ln itself. */
+  def q151UnigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("t_total"))
+    toks
+      .join(broadcast(vocab), Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(-log(col("cnt").cast("double") /
+          col("t_total").cast("double")) * lit(1e9))
+          .cast("bigint").as("surprise_nn"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprise_nn")).as("sum_nn"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_nn").cast("double") /
+          col("n_tokens").cast("double") / lit(1e9), 6)
+          .as("avg_neg_log_prob"))
+      .orderBy(col("doc_id"))
+  }
 }
