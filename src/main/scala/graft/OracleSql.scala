@@ -2921,6 +2921,118 @@ object OracleSql {
              ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s
       FROM g WHERE prev_type IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q154_decile_gains" -> """
+      WITH byc AS (
+        SELECT o_custkey,
+               SUM(CAST(CASE WHEN EXTRACT(year FROM o_orderdate) <= 1999
+                 THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4)))
+                 AS past_rev,
+               SUM(CAST(CASE WHEN EXTRACT(year FROM o_orderdate) = 2000
+                 THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4)))
+                 AS next_rev
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1995 AND 2000
+        GROUP BY 1
+        HAVING SUM(CAST(CASE WHEN EXTRACT(year FROM o_orderdate) <= 1999
+          THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) > 0
+      ), dec AS (
+        SELECT *, NTILE(10) OVER (ORDER BY past_rev DESC, o_custkey ASC)
+                 AS decile
+        FROM byc
+      ), pd AS (
+        SELECT decile, COUNT(*) AS n_customers,
+               SUM(past_rev) AS past_dec, SUM(next_rev) AS next_dec
+        FROM dec GROUP BY 1
+      ), cum AS (
+        SELECT *,
+               SUM(next_dec) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS cum_next,
+               SUM(next_dec) OVER () AS tot_next
+        FROM pd
+      )
+      SELECT decile, n_customers,
+             ROUND(CAST(past_dec AS DOUBLE), 2) AS past_revenue,
+             ROUND(CAST(next_dec AS DOUBLE), 2) AS next_revenue,
+             ROUND(CAST(next_dec AS DOUBLE) / CAST(tot_next AS DOUBLE), 6)
+               AS capture,
+             ROUND(CAST(cum_next AS DOUBLE) / CAST(tot_next AS DOUBLE), 6)
+               AS cum_capture,
+             ROUND(CAST(cum_next AS DOUBLE) / CAST(tot_next AS DOUBLE)
+               / (CAST(decile AS DOUBLE) / 10.0), 6) AS cum_lift
+      FROM cum ORDER BY decile
+    """,
+    "q155_km_retention" -> """
+      WITH s AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS eu,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_eu
+        FROM events
+      ), marked AS (
+        SELECT *, CASE WHEN prev_eu IS NULL
+                        OR eu - prev_eu > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+        FROM s
+      ), g AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS sid
+        FROM marked
+      ), sess AS (
+        SELECT user_id, sid, MIN(eu) AS st, MAX(eu) AS en
+        FROM g GROUP BY 1, 2
+      ), e AS (
+        SELECT MAX(epoch_us(ts)) AS end_us FROM events
+      ), life AS (
+        SELECT (en - st) // 60000000 AS minute,
+               COUNT(*) AS n_leaving,
+               CAST(SUM(CASE WHEN en <= end_us - 1800000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_died
+        FROM sess, e GROUP BY 1
+      ), risk AS (
+        SELECT *, CAST(SUM(n_leaving) OVER (ORDER BY minute
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS n_at_risk
+        FROM life
+      ), steps AS (
+        SELECT *, CAST(FLOOR(ln(1.0 - CAST(n_died AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT)
+                  AS step_nn
+        FROM risk WHERE n_died > 0 AND n_died < n_at_risk
+      ), c AS (
+        SELECT *, CAST(SUM(step_nn) OVER (ORDER BY minute
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nn
+        FROM steps
+      )
+      SELECT minute, n_at_risk, n_died, n_leaving,
+             ROUND(CAST(cum_nn AS DOUBLE) / 1e9, 6) AS log_survival,
+             ROUND(exp(CAST(cum_nn AS DOUBLE) / 1e9), 6) AS survival
+      FROM c ORDER BY minute
+    """,
+    "q156_seasonal_index" -> """
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1
+      ), w AS (
+        SELECT mon, rev,
+               SUM(rev) OVER (ORDER BY mon
+                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS core,
+               lag(rev, 6) OVER (ORDER BY mon) AS lo,
+               lead(rev, 6) OVER (ORDER BY mon) AS hi
+        FROM m
+      ), r AS (
+        SELECT mon,
+               CAST(FLOOR(CAST(rev AS DOUBLE)
+                 / ((CAST(core AS DOUBLE) + CAST(lo + hi AS DOUBLE) / 2.0)
+                    / 12.0) * 1e9) AS BIGINT) AS ratio_nn
+        FROM w WHERE lo IS NOT NULL AND hi IS NOT NULL
+      )
+      SELECT EXTRACT(month FROM mon) AS calendar_month,
+             COUNT(*) AS n_obs,
+             ROUND(CAST(CAST(SUM(ratio_nn) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS seasonal_index
+      FROM r GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

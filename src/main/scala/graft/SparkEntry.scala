@@ -195,7 +195,10 @@ object SparkEntry {
     "q150_copurchase_recs" -> (Graph.q150CopurchaseRecs _),
     "q151_unigram_lm" -> (TextQueries.q151UnigramLmScore _),
     "q152_mix_shift" -> (Analytics.q152MixShift _),
-    "q153_transition_dwell" -> (Stats.q153TransitionDwell _)
+    "q153_transition_dwell" -> (Stats.q153TransitionDwell _),
+    "q154_decile_gains" -> (Analytics.q154DecileGains _),
+    "q155_km_retention" -> (Stats.q155KmRetention _),
+    "q156_seasonal_index" -> (Analytics.q156SeasonalIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

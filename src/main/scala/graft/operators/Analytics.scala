@@ -883,4 +883,92 @@ object Analytics {
           - col("share_a") * col("avg_a"), 6).as("total_effect"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** q154 — decile gains chart on a temporal split: rank customers by
+    * 1995–1999 revenue, decile them (NTILE over a deterministic
+    * (revenue, custkey) total order), and measure how much 2000
+    * revenue each decile captures — the lift/cumulative-gains table
+    * used to evaluate any targeting score, here with "past spend" as
+    * the score. Shape: two conditional aggregates over one fact pass
+    * collapse to a customer-sized table; the NTILE and the running
+    * capture totals are windows over that, so the fact is scanned
+    * once. Engine-exactness: revenue stays DECIMAL through every sum
+    * (including the running cumulative), counts are exact, and each
+    * share is one double division of exact inputs. */
+  def q154DecileGains(s: SparkSession, dir: String): DataFrame = {
+    val byCust = t(s, dir, "orders")
+      .withColumn("y", year(col("o_orderdate")))
+      .where(col("y").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("y") <= 1999, col("o_totalprice"))
+          .otherwise(lit(0.0)).cast("decimal(18,4)")).as("past_rev"),
+        sum(when(col("y") === 2000, col("o_totalprice"))
+          .otherwise(lit(0.0)).cast("decimal(18,4)")).as("next_rev"))
+      .where(col("past_rev") > 0)
+    val deciled = byCust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("past_rev").desc,
+        col("o_custkey").asc)))
+    val perDecile = deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("past_rev")).as("past_dec"),
+        sum(col("next_rev")).as("next_dec"))
+    val ord = Window.orderBy(col("decile"))
+    val all = Window.partitionBy()
+    perDecile
+      .withColumn("cum_next", sum(col("next_dec"))
+        .over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("tot_next", sum(col("next_dec")).over(all))
+      .select(col("decile"), col("n_customers"),
+        round(col("past_dec").cast("double"), 2).as("past_revenue"),
+        round(col("next_dec").cast("double"), 2).as("next_revenue"),
+        round(col("next_dec").cast("double") /
+          col("tot_next").cast("double"), 6).as("capture"),
+        round(col("cum_next").cast("double") /
+          col("tot_next").cast("double"), 6).as("cum_capture"),
+        round(col("cum_next").cast("double") /
+          col("tot_next").cast("double") /
+          (col("decile").cast("double") / lit(10.0)), 6).as("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
+  /** q156 — classical seasonal-index extraction (ratio-to-moving-
+    * average): monthly revenue over a centered 2×12 moving average
+    * (half-weight end months, so the window is symmetric and
+    * seasonality-free), averaged per calendar month. Shape: the fact
+    * collapses to one global monthly series; every window runs over
+    * that calendar-sized table. Engine-exactness: the 11-month core
+    * sum and the two half-weighted ends stay DECIMAL; the MA and each
+    * month's ratio are then identical IEEE trees — and the per-
+    * calendar-month MEAN of ratios floors each ratio to integer
+    * nano-units first (q101's trick), because a float Σ of ratios
+    * would be shuffle-order-dependent where an integer sum cannot
+    * be. */
+  def q156SeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("mon"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val ord = Window.orderBy(col("mon"))
+    val ratios = monthly
+      .withColumn("core",
+        sum(col("rev")).over(ord.rowsBetween(-5, 5)))
+      .withColumn("lo", lag(col("rev"), 6).over(ord))
+      .withColumn("hi", lead(col("rev"), 6).over(ord))
+      // lag-6 and lead-6 existing implies the ±5 core window is full
+      .where(col("lo").isNotNull && col("hi").isNotNull)
+      .withColumn("ma",
+        (col("core").cast("double") +
+          (col("lo") + col("hi")).cast("double") / lit(2.0)) / lit(12.0))
+      .withColumn("ratio_nn",
+        floor(col("rev").cast("double") / col("ma") * lit(1e9))
+          .cast("bigint"))
+    ratios
+      .groupBy(month(col("mon")).as("calendar_month"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(col("ratio_nn")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e9), 6)
+          .as("seasonal_index"))
+      .orderBy(col("calendar_month"))
+  }
 }

@@ -751,4 +751,68 @@ object Stats {
           .as("p90_s"))
       .orderBy(col("prev_type"), col("event_type"))
   }
+
+  /** q155 — Kaplan–Meier survival curve over SESSION durations:
+    * observed lifetime = whole minutes between a session's first and
+    * last event (q41's 30-minute-gap sessionization); sessions whose
+    * last event falls within one gap of the corpus end are CENSORED —
+    * they may still be open, so dropping them would bias durations
+    * down and counting them closed would bias them up; the
+    * product-limit estimator keeps them in the risk sets without
+    * counting a death. Shape: one user-keyed window pass builds
+    * sessions (exactly q41's single hash exchange), sessions collapse
+    * to a ≤|minutes|-sized life table, and every KM quantity — risk
+    * sets via a reverse running sum, the survival product — is a
+    * window over that tiny table. Engine-exactness: the survival
+    * PRODUCT is taken in log space with each factor's ln floored to
+    * integer nano-nats (q101's trick) so the running sum is exact and
+    * order-proof; survival back-transforms through one exp of an
+    * identical double. Curve rows stop before a terminal d=n step
+    * (where survival is exactly 0 and ln diverges). */
+  def q155KmRetention(s: SparkSession, dir: String): DataFrame = {
+    val GapUs = 30L * 60L * 1000000L
+    val MinuteUs = 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val marked = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("eu"))
+      .withColumn("prev_eu", lag(col("eu"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_eu").isNull ||
+          col("eu") - col("prev_eu") > GapUs, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val sessions = marked.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("eu")).as("st"), max(col("eu")).as("en"))
+    val withEnd = sessions.crossJoin(broadcast(
+      t(s, dir, "events").agg(max(unix_micros(col("ts"))).as("end_us"))))
+    val life = withEnd
+      .select(
+        expr(s"(en - st) DIV $MinuteUs").as("minute"),
+        when(col("en") <= col("end_us") - GapUs, 1L)
+          .otherwise(0L).as("died"))
+      .groupBy(col("minute"))
+      .agg(count(lit(1)).as("n_leaving"), sum(col("died")).as("n_died"))
+    val ord = Window.orderBy(col("minute"))
+    val curve = life
+      .withColumn("n_at_risk",
+        sum(col("n_leaving")).over(ord.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .where(col("n_died") > 0 && col("n_died") < col("n_at_risk"))
+      .withColumn("step_nn",
+        floor(log(lit(1.0) - col("n_died").cast("double") /
+          col("n_at_risk").cast("double")) * lit(1e9)).cast("bigint"))
+      .withColumn("cum_nn",
+        sum(col("step_nn")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    curve.select(col("minute"), col("n_at_risk"), col("n_died"),
+        col("n_leaving"),
+        round(col("cum_nn").cast("double") / lit(1e9), 6)
+          .as("log_survival"),
+        round(exp(col("cum_nn").cast("double") / lit(1e9)), 6)
+          .as("survival"))
+      .orderBy(col("minute"))
+  }
 }
