@@ -132,8 +132,10 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
+    // dev filter: naming etl_pipeline in SPARK_GRAFT_ONLY keeps the pair
+    val runEtl = only.forall(_.contains("etl_pipeline"))
     val (e1, e2) =
-      if (only.isDefined) ((-1.0, -1.0), (-1.0, -1.0))
+      if (!runEtl) ((-1.0, -1.0), (-1.0, -1.0))
       else (etlPair(), etlPair())
     def minPos(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
@@ -145,6 +147,16 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the result line: stdout tails can truncate mid-stream
+    // (sbt log interleaving), which loses the headline number from the
+    // artifact. A file is the machine-parseable source of truth.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH RESULT FILE WRITE FAIL $out: $e") }
   }
 }

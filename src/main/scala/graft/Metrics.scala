@@ -19,13 +19,21 @@ object Metrics {
 
   /** All nodes of the executed plan, descending through AQE's adaptive
     * subtrees and materialized query stages. */
-  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+  def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    allNodesDepth(p).map(_._1)
+
+  /** Nodes paired with their depth from the root. Depth matters when
+    * picking the "topmost" node with a given metric: a pre-order DFS
+    * would descend the whole leftmost subtree before shallower
+    * siblings, so for a join-rooted plan it can return the left scan
+    * instead of the shallowest row-reporting operator. */
+  def allNodesDepth(p: SparkPlan, d: Int = 0): Seq[(SparkPlan, Int)] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case o => o.children
     }
-    p +: kids.flatMap(allNodes)
+    (p, d) +: kids.flatMap(allNodesDepth(_, d + 1))
   }
 
   /** Raw (nodeName, metricKey, metricDescription, value) rows for every
@@ -51,10 +59,13 @@ object Metrics {
   def summary(df: DataFrame): Map[String, Long] = {
     val rows = raw(df)
     val root = df.queryExecution.executedPlan
-    // Topmost node that reports row counts (Sort/Exchange roots don't).
-    val rootRows = allNodes(root)
-      .flatMap(_.metrics.get("numOutputRows").map(_.value))
-      .headOption.getOrElse(-1L)
+    // Topmost node that reports row counts (Sort/Exchange roots don't):
+    // minimum-DEPTH node with the metric, so "topmost" matches actual
+    // plan depth rather than pre-order DFS position.
+    val rootRows = allNodesDepth(root)
+      .flatMap { case (n, d) =>
+        n.metrics.get("numOutputRows").map(m => (d, m.value)) }
+      .sortBy(_._1).headOption.map(_._2).getOrElse(-1L)
     Map(
       "scan_bytes" -> sumWhere(rows)((n, _, d) =>
         n.toLowerCase.contains("scan") && d.contains("size of files read")),

@@ -2491,11 +2491,19 @@ object OracleSql {
                     ELSE props END AS props
         FROM events
       ), parsed AS (
+        -- objects-only, matching Spark's from_json(MapType): scalar or
+        -- array JSON parses to NULL there, so it must classify as
+        -- invalid_json here too (json_valid alone accepts scalars).
+        -- CASE guards json_type: it errors on malformed input.
         SELECT event_id,
-               CASE WHEN NOT json_valid(props) THEN NULL
-                    ELSE json_extract_string(props, 'k') END AS kraw,
-               json_valid(props) AS jv
-        FROM dirty
+               CASE WHEN NOT jv THEN NULL
+                    ELSE json_extract_string(props, 'k') END AS kraw, jv
+        FROM (
+          SELECT event_id, props,
+                 CASE WHEN NOT json_valid(props) THEN FALSE
+                      WHEN json_type(props) <> 'OBJECT' THEN FALSE
+                      ELSE TRUE END AS jv
+          FROM dirty)
       ), classed AS (
         SELECT event_id, TRY_CAST(kraw AS BIGINT) AS kval,
                CASE WHEN NOT jv THEN 'invalid_json'

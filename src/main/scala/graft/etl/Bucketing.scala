@@ -83,16 +83,20 @@ object Bucketing {
     * status-sized. */
   def q142BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_" +
-      math.abs(dir.hashCode).toString
+    // scratch path AND table names carry the per-context token: two
+    // concurrent drivers (Bench ∥ Verify) must not overwrite each
+    // other's bucket files or catalog entries mid-read
+    val base = graft.Scratch.dir(s, "bucketed")
+    val tok = graft.Scratch.token(s)
+    val (tl, to) = (s"q142_lineitem_$tok", s"q142_orders_$tok")
     writeBucketedAt(graft.Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"),
           col("l_quantity")),
-      "q142_lineitem", "l_orderkey", 8, s"$base/lineitem")
+      tl, "l_orderkey", 8, s"$base/lineitem")
     writeBucketedAt(graft.Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "q142_orders", "o_orderkey", 8, s"$base/orders")
-    bucketedJoin(s, "q142_lineitem", "q142_orders",
+      to, "o_orderkey", 8, s"$base/orders")
+    bucketedJoin(s, tl, to,
         "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),

@@ -85,10 +85,19 @@ object Pipeline {
   // ---- T1: silver ----------------------------------------------------
 
   /** The T1 join chain (J1,J2,J3→P3): left-join all dimensions onto the
-    * fact — fact never shuffles, dims are broadcast. Shared by both
-    * modes; `fact` is either the pruned bronze read (staged) or the
-    * cached in-memory window (pipelined). */
-  private def silverJoin(spark: SparkSession, cfg: Config,
+    * fact. Only the FIXED-cardinality dims (nation 25, region 5) carry
+    * an explicit broadcast hint — orders, customer, and part all grow
+    * linearly with scale factor, so a forced broadcast is a driver OOM
+    * at 100× while costing nothing to omit at small scale: Spark's
+    * size-based planning (and AQE's runtime re-plan) still broadcasts
+    * them whenever they fit under autoBroadcastJoinThreshold, and
+    * switches to shuffle joins when they don't (PlanShapeSpec pins the
+    * sort-merge plan at a simulated large-stats threshold). At true
+    * cluster scale the fact⋈orders join routes through the bucketed
+    * layout (etl.Bucketing/q142) so the orders shuffle is paid once at
+    * write time. Shared by both modes; `fact` is either the pruned
+    * bronze read (staged) or the cached in-memory window (pipelined). */
+  private[graft] def silverJoin(spark: SparkSession, cfg: Config,
       fact: DataFrame): DataFrame = {
     def dim(n: String): DataFrame =
       spark.read.parquet(s"${cfg.warehouseDir}/dimension/$n")
@@ -106,11 +115,11 @@ object Pipeline {
       .drop(reg("r_regionkey"))
 
     fact
-      .join(broadcast(ord), fact("l_orderkey") === ord("o_orderkey"), "left")
+      .join(ord, fact("l_orderkey") === ord("o_orderkey"), "left")
       .drop(ord("o_orderkey"))
-      .join(broadcast(part), fact("l_partkey") === part("p_partkey"), "left")
+      .join(part, fact("l_partkey") === part("p_partkey"), "left")
       .drop(part("p_partkey"))
-      .join(broadcast(custGeo), col("o_custkey") === custGeo("c_custkey"), "left")
+      .join(custGeo, col("o_custkey") === custGeo("c_custkey"), "left")
       .drop(custGeo("c_custkey"))
   }
 
@@ -163,8 +172,10 @@ object Pipeline {
           col("ship_month"))
         .agg(moneySum(col("l_extendedprice")).as("total_purchase_amount"),
           count(col("l_quantity")).as("count_of_purchase"))
+      // no broadcast hint: customer grows with scale factor — size-based
+      // planning broadcasts it while it fits and shuffle-joins when not
       val cust = spark.read.parquet(s"${cfg.warehouseDir}/dimension/customer")
-      perCust.join(broadcast(cust),
+      perCust.join(cust,
           perCust("o_custkey") === cust("c_custkey"), "left")
         .drop(cust("c_custkey"))
     })

@@ -87,7 +87,12 @@ object KMeans {
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     import graft.functions.VectorMath.dotProduct
     val dists = centroids.map { case (cid, cv) =>
-      val cArr = array(cv.map(lit): _*)
+      // ONE ArrayType literal per centroid (typedLit), not 64 scalar
+      // lit() nodes wrapped in array(): the k×dim scalar form made every
+      // Lloyd pass carry a ~1k-node expression tree that Janino
+      // recompiled per iteration (fresh literals each pass) and pushed
+      // codegen toward the 8K-bytecode fallback cliff.
+      val cArr = typedLit(cv.toSeq)
       val cn2 = cv.map(x => x * x).sum
       struct(
         (col("__vn2") - lit(2.0) * dotProduct(col("v"), cArr) + lit(cn2))

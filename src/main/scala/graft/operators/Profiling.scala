@@ -109,10 +109,16 @@ object Profiling {
     val counts = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    // Top-k via orderBy().limit() → TakeOrderedAndProject: per-partition
+    // heaps + a k-sized driver merge, never a single-partition sort of
+    // the full key-count table. The rank/cum-share windows then run
+    // over the k-row result only — bounded by k, not by key cardinality.
+    val top = counts
+      .orderBy(col("n_rows").desc, col("user_id").asc)
+      .limit(HeavyHitterTopK)
     val w = Window.orderBy(col("n_rows").desc, col("user_id").asc)
-    counts
+    top
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= HeavyHitterTopK)
       .crossJoin(broadcast(total))
       .withColumn("share",
         round(col("n_rows").cast("double") / col("n_total"), 6))

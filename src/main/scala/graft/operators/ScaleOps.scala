@@ -168,8 +168,7 @@ object ScaleOps {
     * conservative (overlap test) and the residual filter re-applies
     * the exact predicate. */
   def q124ZonemapSkipping(s: SparkSession, dir: String): DataFrame = {
-    val clustered = s"${sys.props("java.io.tmpdir")}/graft_zonemap_" +
-      math.abs(dir.hashCode).toString
+    val clustered = graft.Scratch.dir(s, "zonemap")
     t(s, dir, "lineitem")
       .repartitionByRange(16, col("l_shipdate"))
       .write.mode("overwrite").parquet(clustered)
@@ -349,8 +348,7 @@ object ScaleOps {
     * properties; the oracle is the same aggregate over the flat
     * table, so the reshape+prune provably changes nothing. */
   def q129NestedPruning(s: SparkSession, dir: String): DataFrame = {
-    val nested = s"${sys.props("java.io.tmpdir")}/graft_nested_" +
-      math.abs(dir.hashCode).toString
+    val nested = graft.Scratch.dir(s, "nested")
     t(s, dir, "events")
       .select(col("event_id"),
         struct(col("user_id"), col("event_type")).as("actor"),
@@ -438,8 +436,9 @@ object ScaleOps {
   /** Manifest prune stats for q124's layout, for the spec: (files
     * total, files overlapping the probe window). */
   def zonemapPruneStats(s: SparkSession, dir: String): (Int, Int) = {
-    val clustered = s"${sys.props("java.io.tmpdir")}/graft_zonemap_" +
-      math.abs(dir.hashCode).toString
+    // same tag as q124 on purpose: within a session this inspects the
+    // layout q124 writes (both rewrite it themselves, so order-free)
+    val clustered = graft.Scratch.dir(s, "zonemap")
     t(s, dir, "lineitem")
       .repartitionByRange(16, col("l_shipdate"))
       .write.mode("overwrite").parquet(clustered)

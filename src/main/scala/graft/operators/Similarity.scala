@@ -198,7 +198,7 @@ object Similarity {
   /** Bucket id from the sign pattern of hyperplane projections. */
   def lshBucket(v: Column, dim: Int): Column =
     planes(dim).zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      val pl = typedLit(p)
       when(dot(v, pl) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 

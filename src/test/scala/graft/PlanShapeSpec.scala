@@ -335,6 +335,53 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rollup must combine map-side:\n$finalSection")
   }
 
+  test("silver join survives a 100× scale-up: orders/customer/part fall " +
+      "back to shuffle joins when they exceed the broadcast threshold, " +
+      "while the hinted fixed-size dims (nation/region) still broadcast") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_planshape_wh_").toString
+    val cfg = graft.etl.Pipeline.Config(sfDir, wh, "19920101", "20021231")
+    graft.etl.Pipeline.t0Fact(spark, cfg)
+    graft.etl.Pipeline.t0Dimensions(spark, cfg)
+    val fact = spark.read.parquet(s"$wh/bronze/fact")
+    // Simulate "dims too big to broadcast" (the 100 TB stats point):
+    // with the threshold off, ONLY explicit hints may broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.etl.Pipeline.silverJoin(spark, cfg, fact))
+      assert(p.contains("SortMergeJoin [l_orderkey") ||
+        p.contains("SortMergeJoin [cast(l_orderkey"),
+        s"fact⋈orders must sort-merge when orders can't broadcast:\n$p")
+      assert(!p.contains("BroadcastHashJoin [l_orderkey"),
+        s"orders must NOT be forced onto the driver:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"hinted nation/region must still broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // And at SMALL stats (default threshold, sf0.001 dims), size-based
+    // planning must still broadcast everything — dropping the forced
+    // hints costs nothing where they used to apply. custGeo is a join
+    // RESULT whose planning-time estimate is conservative, so the
+    // broadcast decision lands at runtime via AQE: execute, then check
+    // the FINAL plan.
+    val dfSmall = graft.etl.Pipeline.silverJoin(spark, cfg, fact)
+    dfSmall.collect() // count() would execute a different wrapped query
+    val pSmall = plan(dfSmall).split("== Initial Plan ==").head
+    assert(!pSmall.contains("SortMergeJoin"),
+      s"small dims must (auto-)broadcast without hints:\n$pSmall")
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(wh)).deleteRecursively()
+  }
+
+  test("q77 heavy hitters plans as TakeOrderedAndProject, not a " +
+      "single-partition global window") {
+    val df = graft.operators.Profiling.q77HeavyHitters(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must heap per-partition:\n$p")
+  }
+
   test("q123 merge re-groups aggregate STATES: a union of two " +
       "aggregates feeds the final merge, each two-phase") {
     val df = graft.operators.ScaleOps.q123IncrementalAgg(spark, sfDir)
