@@ -3041,6 +3041,16 @@ object OracleSql {
              ROUND(CAST(CAST(SUM(ratio_nn) AS BIGINT) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS seasonal_index
       FROM r GROUP BY 1 ORDER BY 1
+    """,
+    // q157 stages supplier into Derby and reads it back over JDBC; the
+    // round trip is lossless (BIGINT/INTEGER/DOUBLE exact), so the
+    // oracle is simply the same aggregate on the parquet table.
+    "q157_jdbc_source" -> """
+      SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_bal
+      FROM supplier WHERE s_acctbal > 0
+      GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, Graph, KpiQueries, Profiling, RangeJoin, ScaleOps, Similarity,
-  Stats, TextQueries}
+  Dedup, Graph, JdbcQueries, KpiQueries, Profiling, RangeJoin, ScaleOps,
+  Similarity, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -198,7 +198,9 @@ object SparkEntry {
     "q153_transition_dwell" -> (Stats.q153TransitionDwell _),
     "q154_decile_gains" -> (Analytics.q154DecileGains _),
     "q155_km_retention" -> (Stats.q155KmRetention _),
-    "q156_seasonal_index" -> (Analytics.q156SeasonalIndex _)
+    "q156_seasonal_index" -> (Analytics.q156SeasonalIndex _),
+    // S1/S2 JDBC extract, live against an embedded Derby instance
+    "q157_jdbc_source" -> (JdbcQueries.q157JdbcSource _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -53,6 +53,26 @@ object Sinks {
   def register(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
 
+  /** Persistent crawler registration (S9's cross-job half): the
+    * reference's crawler writes partitioned table metadata into the
+    * Glue Data Catalog, where EVERY subsequent job/session sees it
+    * (document/glue_t0.md:95-117) — a temp view only lives in one
+    * session. This variant registers an EXTERNAL datasource table in
+    * the shared catalog and recovers Hive-layout partitions, so any
+    * other session on the same metastore reads it by name with
+    * partition pruning intact (PersistentCatalogSpec proves a fresh
+    * `newSession()` sees it; on a cluster the same call against a
+    * Hive/Glue metastore survives driver restarts too). */
+  def registerPersistent(spark: SparkSession, name: String,
+      path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.catalog.createTable(name, "parquet", Map("path" -> path))
+    // partitioned layouts need an explicit partition recovery (MSCK);
+    // unpartitioned tables reject it — that's fine, nothing to recover
+    try spark.catalog.recoverPartitions(name)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
   /** ORC sink — interop with ORC-standardized warehouses. */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

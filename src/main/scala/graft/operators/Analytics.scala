@@ -894,7 +894,11 @@ object Analytics {
     * capture totals are windows over that, so the fact is scanned
     * once. Engine-exactness: revenue stays DECIMAL through every sum
     * (including the running cumulative), counts are exact, and each
-    * share is one double division of exact inputs. */
+    * share is one double division of exact inputs. At 100 TB the
+    * global NTILE swaps to the PrefixSum bucket pattern (q63/q117/
+    * q126's documented swap): range-bucket on (past_rev, custkey),
+    * broadcast per-bucket offsets, rank = offset + bucket-local
+    * row_number, decile = exact integer arithmetic on the rank. */
   def q154DecileGains(s: SparkSession, dir: String): DataFrame = {
     val byCust = t(s, dir, "orders")
       .withColumn("y", year(col("o_orderdate")))

@@ -215,58 +215,108 @@ object EventStream {
     * q123's state merge: each micro-batch folds its per-user partial
     * aggregate (count + DECIMAL value sum) into a parquet view by
     * union + re-group, so the view is always the exact aggregate of
-    * everything ingested and history is never rescanned. A batch-id
-    * ledger file makes the merge EXACTLY-ONCE: foreachBatch is
-    * at-least-once under retries, and a blind re-merge of a replayed
-    * batch would double-count — the ledger skips batches already
-    * applied (the same idempotency trick table-format MERGEs get from
-    * txn ids). State merges associatively (counts add, DECIMAL sums
-    * add), so the view equals the batch groupBy bit-for-bit —
-    * spec-asserted across multi-batch runs and a full checkpoint
-    * replay. */
+    * everything ingested and history is never rescanned.
+    *
+    * EXACTLY-ONCE via versioned dirs + an atomic pointer commit:
+    * foreachBatch is at-least-once under retries, and a blind re-merge
+    * of a replayed batch would double-count. Each merge writes a NEW
+    * immutable version dir (`<view>.versions/v<batchId>`), then commits
+    * by atomically renaming a pointer file (`<view>.current`) that
+    * records BOTH the live version and the full applied-batch set in
+    * one filesystem operation. A crash before the rename leaves the old
+    * pointer (old view + old applied set → the batch replays into a
+    * fresh overwrite of its version dir); a crash after the rename is
+    * already committed (the replayed batch is in the applied set and is
+    * skipped). There is no window where the view is deleted or the
+    * ledger disagrees with the data — the old delete-then-rename swap
+    * had both. Same recipe table formats use: immutable data files, one
+    * atomic metadata pointer flip. State merges associatively (counts
+    * add, DECIMAL sums add), so the view equals the batch groupBy
+    * bit-for-bit — spec-asserted across multi-batch runs and a full
+    * checkpoint replay. Read with [[readUserView]]. */
   def incrementalUserView(events: DataFrame, viewPath: String,
       checkpointDir: Option[String] = None): Unit = {
-    val ledger = new java.io.File(viewPath + ".applied_batches")
-    def applied(): Set[Long] =
-      if (!ledger.exists()) Set.empty
-      else scala.io.Source.fromFile(ledger).getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
     val writer0 = events.writeStream.outputMode(OutputMode.Append())
     val q = checkpointDir.fold(writer0)(c =>
       writer0.option("checkpointLocation", c))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!applied().contains(batchId)) {
+        val prev = readPointer(viewPath)
+        if (!prev.exists(_._2.contains(batchId))) {
           val spark = batch.sparkSession
           val delta = batch.groupBy(col("user_id"))
             .agg(count(lit(1)).as("n_events"),
               sum(col("value").cast("decimal(18,4)")).as("total_value"))
             .select(col("user_id"), col("n_events"),
               col("total_value").cast("decimal(28,4)").as("total_value"))
-          val tgt = new java.io.File(viewPath)
-          val merged =
-            if (tgt.exists())
-              spark.read.parquet(viewPath).unionByName(delta)
+          val merged = prev match {
+            case Some((dir, _)) =>
+              spark.read.parquet(dir).unionByName(delta)
                 .groupBy(col("user_id"))
                 .agg(sum(col("n_events")).as("n_events"),
                   sum(col("total_value")).cast("decimal(28,4)")
                     .as("total_value"))
-            else delta
-          val tmp = viewPath + ".merge_tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          def delete(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(delete)
-            f.delete()
+            case None => delta
           }
-          if (tgt.exists()) delete(tgt)
-          if (!new java.io.File(tmp).renameTo(tgt))
-            throw new java.io.IOException(s"view swap failed: $viewPath")
-          val w = new java.io.FileWriter(ledger, true)
-          try w.write(s"$batchId\n") finally w.close()
+          val versionDir = s"$viewPath.versions/v$batchId"
+          // overwrite: a partial dir from a crashed attempt is replaced
+          merged.write.mode("overwrite").parquet(versionDir)
+          commitPointer(viewPath, versionDir,
+            prev.map(_._2).getOrElse(Set.empty) + batchId)
+          // committed — old versions are garbage, best-effort removal
+          prev.foreach { case (old, _) => deleteRecursively(
+            new java.io.File(old)) }
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The committed incremental view (resolves the pointer file). */
+  def readUserView(spark: SparkSession, viewPath: String): DataFrame =
+    readPointer(viewPath) match {
+      case Some((dir, _)) => spark.read.parquet(dir)
+      case None => throw new java.io.FileNotFoundException(
+        s"no committed view at $viewPath")
+    }
+
+  /** Batch ids the committed view has already folded in. */
+  def appliedBatches(viewPath: String): Set[Long] =
+    readPointer(viewPath).map(_._2).getOrElse(Set.empty)
+
+  /** Pointer format: line 1 = live version dir, rest = applied batch
+    * ids. Parsed leniently — a missing file means "no commits yet". */
+  private def readPointer(viewPath: String): Option[(String, Set[Long])] = {
+    val f = new java.io.File(viewPath + ".current")
+    if (!f.exists()) None
+    else {
+      val lines = scala.io.Source.fromFile(f).getLines()
+        .filter(_.nonEmpty).toSeq
+      lines.headOption.map(dir => (dir, lines.tail.map(_.toLong).toSet))
+    }
+  }
+
+  /** The single commit point: write the new pointer beside the target,
+    * then an atomic POSIX rename over it. */
+  private def commitPointer(viewPath: String, versionDir: String,
+      applied: Set[Long]): Unit = {
+    val content = (versionDir +: applied.toSeq.sorted.map(_.toString))
+      .mkString("", "\n", "\n")
+    val tmp = java.nio.file.Paths.get(viewPath + ".current.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(viewPath + ".current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
+    f.delete()
+    ()
   }
 
   /** Streaming data-quality monitor: every micro-batch runs the same

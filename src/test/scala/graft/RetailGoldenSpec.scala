@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.RetailPipeline
+
+/** Golden end-to-end over the reference's OWN seed data
+  * (the CSVs under /root/reference/data) + the FIXTURES.md-contract purchase
+  * fact — SURVEY §5.2.2. The retail-specific traps (zipcode fan-out,
+  * nullable customer_id, null-residence customers, product-key misses,
+  * weekday naming) are asserted on the real reference rows, not by
+  * analogy on the TPC-H-ish testdata. */
+class RetailGoldenSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dataDir = "/root/reference/data"
+  private val NPurchase = 100000L
+
+  private lazy val cust = RetailPipeline.customer(spark, dataDir).cache()
+  private lazy val zip = RetailPipeline.zipcode(spark, dataDir).cache()
+  private lazy val products =
+    RetailPipeline.productsInfo(spark, dataDir).cache()
+  private lazy val custZip =
+    RetailPipeline.customerWithZipcode(cust, zip).cache()
+  private lazy val purchase =
+    RetailPipeline.synthPurchase(spark, products, NPurchase).cache()
+
+  test("seed CSVs load with the documented profiles") {
+    assert(cust.count() === 19383L)
+    assert(cust.where(col("residence").isNull).count() === 178L,
+      "empty residence strings must read as NULL")
+    assert(products.count() === 4386L)
+    assert(zip.count() === 473L)
+    assert(zip.select(col("short_zipcode")).distinct().count() === 452L,
+      "the 21 duplicated short_zipcodes must be preserved, not deduped")
+    // zero-padded ids stay strings: '00001' would be destroyed by an
+    // int read
+    assert(cust.agg(min(col("customer_id"))).head.getString(0) === "00001")
+  }
+
+  test("customer ⟕ zipcode fans out exactly as the reference: " +
+      "19,383 customers → 20,239 joined rows") {
+    assert(custZip.count() === 20239L)
+    // every customer survives the left join; null-residence rows keep
+    // null geography
+    assert(custZip.select(col("customer_id")).distinct().count() === 19383L)
+    assert(custZip.where(col("residence").isNull &&
+      col("province_city").isNull).count() === 178L)
+  }
+
+  test("T1 silver preserves left-join row semantics: fan-out rows from " +
+      "duplicated zipcodes, null dims for product misses and " +
+      "anonymous purchases") {
+    val silverDf =
+      RetailPipeline.silver(purchase, products, custZip).cache()
+    // expected rows = purchases + one extra per purchase whose customer
+    // resides in a duplicated short_zipcode (computed independently)
+    val dupCodes = zip.groupBy(col("short_zipcode")).count()
+      .where(col("count") > 1).select(col("short_zipcode"))
+    val dupCustomers = cust.join(dupCodes,
+      cust("residence") === dupCodes("short_zipcode")).select("customer_id")
+    val extra = purchase.join(dupCustomers, Seq("customer_id")).count()
+    assert(silverDf.count() === NPurchase + extra)
+    assert(extra > 0L, "fixture must exercise the fan-out")
+    // product misses keep their purchase row, null descriptions
+    val misses = silverDf.where(col("affiliate") === "Z")
+    assert(misses.count() > 0L)
+    assert(misses.where(col("main_category_desc").isNotNull).count() === 0L)
+    // anonymous purchases survive with null customer dims
+    val anon = silverDf.where(col("customer_id").isNull)
+    assert(anon.count() > 0L)
+    assert(anon.where(col("sex").isNotNull).count() === 0L)
+    silverDf.unpersist()
+    ()
+  }
+
+  test("full DAG writes the four marts with the reference's shapes " +
+      "and the weekday UDF's exact naming") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_retail_wh_").toString
+    try {
+      val counts = RetailPipeline.run(spark, dataDir, wh, NPurchase)
+      assert(counts.keySet === Set("mart_salesbydatetime",
+        "mart_salesbyageproducts", "mart_salesbyresidence",
+        "mart_salesbycustomer"))
+      assert(counts.values.forall(_ > 0L))
+
+      val byTime = spark.table("mart_salesbydatetime")
+      // column ORDER is part of the reference contract
+      // (t2_salesbydatetime_s2s.py:82); partitionBy moves the partition
+      // columns to the END on read-back, so compare the data columns
+      assert(byTime.columns.toSeq ===
+        Seq("purchase_day", "day_of_week", "purchase_time",
+          "total_purchase_amount", "count_of_purchase",
+          "affiliate", "purchase_year", "purchase_month"))
+      // the reference's own doc-test: 2014-11-12 is a Wednesday
+      val wed = byTime.where(col("purchase_year") === "2014" &&
+        col("purchase_month") === "11" && col("purchase_day") === "12")
+      assert(wed.count() > 0L)
+      assert(wed.select(col("day_of_week")).distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("Wednesday"))
+
+      // salesbycustomer keeps anonymous purchases as a NULL-id group
+      val byCust = spark.table("mart_salesbycustomer")
+      assert(byCust.where(col("customer_id").isNull).count() > 0L)
+      // and its amounts roll up from the RAW fact (aggregate-then-join);
+      // the zipcode fan-out then duplicates the aggregate row of every
+      // customer residing in a duplicated code — the reference's exact
+      // (surprising) semantics, reproduced and accounted for here
+      val martTotal = byCust
+        .agg(sum(col("total_purchase_amount").cast("decimal(18,4)")))
+        .head.getDecimal(0)
+      val perCust = purchase
+        .groupBy(col("customer_id"), col("affiliate"),
+          col("purchase_year"), col("purchase_month"))
+        .agg(round(sum(col("amount").cast("decimal(18,4)"))
+          .cast("double"), 2).as("t"))
+      val dupCodes = zip.groupBy(col("short_zipcode")).count()
+        .where(col("count") > 1).select(col("short_zipcode"))
+      val dupCustomers = cust.join(dupCodes,
+        cust("residence") === dupCodes("short_zipcode"))
+        .select("customer_id")
+      val factTotal = perCust
+        .agg(sum(col("t").cast("decimal(18,4)"))).head.getDecimal(0)
+      val dupExtra = perCust.join(dupCustomers, Seq("customer_id"))
+        .agg(coalesce(sum(col("t").cast("decimal(18,4)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")))
+        .head.getDecimal(0)
+      assert(martTotal === factTotal.add(dupExtra))
+
+      // residence mart groups on zipcode geography from the fan-out join
+      val byRes = spark.table("mart_salesbyresidence")
+      assert(byRes.where(col("province_city").isNotNull).count() > 0L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(wh)).deleteRecursively()
+    }
+  }
+}

@@ -243,14 +243,17 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
         r.getAs[java.math.BigDecimal]("total_value"))).toSet
-    def viewSet() = spark.read.parquet(viewPath).collect()
+    def viewSet() = EventStream.readUserView(spark, viewPath).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
         r.getAs[java.math.BigDecimal]("total_value"))).toSet
     assert(viewSet() === want)
-    val ledger = new java.io.File(viewPath + ".applied_batches")
-    assert(ledger.exists())
-    val batches = scala.io.Source.fromFile(ledger).getLines().toSeq
-    assert(batches.length >= 3, s"expected >=3 micro-batches: $batches")
+    val batches = EventStream.appliedBatches(viewPath)
+    assert(batches.size >= 3, s"expected >=3 micro-batches: $batches")
+    // the commit is a pointer flip: exactly one live version dir
+    // remains after the older ones are garbage-collected
+    val versions = new java.io.File(viewPath + ".versions").listFiles()
+    assert(versions != null && versions.length === 1,
+      s"expected one committed version, got: ${versions.mkString(",")}")
     // Replay: a fresh run against the SAME checkpoint must change
     // nothing (ledger + checkpoint make the merge exactly-once).
     run()
