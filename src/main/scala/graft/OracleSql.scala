@@ -3051,6 +3051,98 @@ object OracleSql {
                AS total_bal
       FROM supplier WHERE s_acctbal > 0
       GROUP BY 1 ORDER BY 1
+    """,
+    "q158_dup_passage" -> """
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+      ), g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 3),
+                 i -> md5(array_to_string(toks[i:i+4], ' '))))) AS gh
+        FROM t WHERE len(toks) >= 5
+      ), c AS (
+        SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+      )
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_grams,
+             ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS dup_coverage
+      FROM g JOIN c USING (gh)
+      GROUP BY 1 ORDER BY 1
+    """,
+    "q159_mix_planner" -> """
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                 AS BIGINT) AS tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+      ), w AS (
+        SELECT *, CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS w
+        FROM per
+      ), t AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(w) AS BIGINT) AS total_w
+        FROM w
+      ), a AS (
+        SELECT source, tokens, n_docs, w, total_w,
+               ((total_tokens // 2) * w) // total_w AS alloc_raw
+        FROM w, t
+      )
+      SELECT source, tokens, n_docs,
+             ROUND(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE), 6)
+               AS weight_share,
+             CAST(LEAST(alloc_raw, tokens * 4) AS BIGINT) AS alloc_tokens,
+             ROUND(CAST(LEAST(alloc_raw, tokens * 4) AS DOUBLE)
+               / CAST(tokens AS DOUBLE), 4) AS epochs,
+             alloc_raw > tokens * 4 AS capped
+      FROM a ORDER BY source
+    """,
+    "q160_source_dedup_health" -> """
+      WITH fp AS (
+        SELECT source, doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+      ), sp AS (
+        SELECT fp, COUNT(DISTINCT source) AS n_sources FROM fp GROUP BY 1
+      )
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT f.fp) AS n_fingerprints,
+             ROUND(1.0 - CAST(COUNT(DISTINCT f.fp) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+             CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_source_docs
+      FROM fp f JOIN sp USING (fp)
+      GROUP BY 1 ORDER BY 1
+    """,
+    "q161_leakage_safe_split" -> """
+      WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+      ), g AS (
+        SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY 1
+      ), gs AS (
+        SELECT fp,
+               CASE WHEN CAST(concat('0x', substr(
+                      md5(concat('split_', CAST(rep AS VARCHAR))), 1, 7))
+                      AS BIGINT) % 1000 < 100
+                    THEN 'val' ELSE 'train' END AS split
+        FROM g
+      ), tagged AS (
+        SELECT f.doc_id, f.fp, split FROM fp f JOIN gs USING (fp)
+      ), v AS (
+        SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violations
+        FROM (SELECT fp, COUNT(DISTINCT split) AS ns
+              FROM tagged GROUP BY 1)
+      )
+      SELECT split, COUNT(*) AS n_docs,
+             COUNT(DISTINCT fp) AS n_fingerprints, violations
+      FROM tagged, v GROUP BY 1, violations ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

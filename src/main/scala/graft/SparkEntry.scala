@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, Graph, JdbcQueries, KpiQueries, Profiling, RangeJoin, ScaleOps,
-  Similarity, Stats, TextQueries}
+  Dedup, Governance, Graph, JdbcQueries, KpiQueries, Profiling, RangeJoin,
+  ScaleOps, Similarity, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -200,7 +200,12 @@ object SparkEntry {
     "q155_km_retention" -> (Stats.q155KmRetention _),
     "q156_seasonal_index" -> (Analytics.q156SeasonalIndex _),
     // S1/S2 JDBC extract, live against an embedded Derby instance
-    "q157_jdbc_source" -> (JdbcQueries.q157JdbcSource _)
+    "q157_jdbc_source" -> (JdbcQueries.q157JdbcSource _),
+    // corpus governance: the mixture-decision accounting layer
+    "q158_dup_passage" -> (Governance.q158DupPassageCoverage _),
+    "q159_mix_planner" -> (Governance.q159MixPlanner _),
+    "q160_source_dedup_health" -> (Governance.q160SourceDedupHealth _),
+    "q161_leakage_safe_split" -> (Governance.q161LeakageSafeSplit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Corpus-governance operators: the accounting a training-data pipeline
+  * runs BEFORE committing a mixture — inter-document duplicated-passage
+  * coverage, temperature-based token-budget allocation, per-source
+  * dedup health, and leakage-safe splitting. (Absent in the reference,
+  * whose governance was "the crawler ran"; first-class here because at
+  * 100 TB the mixture decisions are what the whole pipeline exists to
+  * inform.)
+  */
+object Governance {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  val PassageGram = 5
+
+  /** q158 — cross-document duplicated-passage coverage (the
+    * RefinedWeb/Dolma-style report that motivates span-level dedup
+    * where document-level MinHash keeps both copies): per document,
+    * the fraction of its distinct word 5-grams that also occur in at
+    * least one OTHER document. Shape: docs explode to distinct
+    * (doc, gram-md5) pairs map-side; one gram-keyed aggregate counts
+    * distinct docs per gram (map-side partial — gram keys are 32-byte
+    * md5, never raw text); one join back flags shared grams; the
+    * per-doc rollup is doc-sized. Two corpus-scale shuffles on hashed
+    * keys — the honest minimum for inter-document evidence; both are
+    * AQE-skew-safe because md5 keys are uniform by construction. */
+  def q158DupPassageCoverage(s: SparkSession, dir: String): DataFrame = {
+    val n = PassageGram
+    val grams = docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => md5(concat_ws(" ",
+            slice(col("toks"), i + 1, lit(n))))))).as("gh"))
+    val shared = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    grams.join(shared, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+      .withColumn("dup_coverage",
+        round(col("n_shared_grams").cast("double") /
+          col("n_grams").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val MixTemperature = 2 // p_s ∝ tokens_s^(1/τ), the standard τ=2 mix
+  val MaxEpochs = 4
+
+  /** q159 — token-budget mix planner: allocate a training budget of
+    * half the corpus's tokens across sources by temperature sampling
+    * (weight ∝ √tokens, τ=2 — the standard flattening that keeps small
+    * sources from vanishing), capped at [[MaxEpochs]] epochs per
+    * source (upsampling cap; freed budget is NOT redistributed — the
+    * single-pass allocation, documented). Engine-exactness: √tokens
+    * FLOORS to integer micro-units so the 20-source weight sum is an
+    * exact BIGINT (a float Σ√ would be order-dependent); every
+    * allocation is then integer arithmetic (budget·w_s)/(Σw), with
+    * epochs the only division left in IEEE. Works on source-sized
+    * aggregates — the fact pass is one token-count rollup. At true
+    * scale budget·w_s moves to DECIMAL(38,0); the floor/ratio shape is
+    * unchanged. */
+  def q159MixPlanner(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextFunctions.nTokens(col("text")).cast("long"))
+        .as("tokens"),
+        count(lit(1)).as("n_docs"))
+    val withW = per.withColumn("w",
+      floor(sqrt(col("tokens").cast("double")) * lit(1e6)).cast("long"))
+    val totals = withW.agg(
+      sum(col("tokens")).as("total_tokens"),
+      sum(col("w")).as("total_w"))
+    withW.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("total_tokens DIV 2"))
+      .withColumn("alloc_raw", expr("(budget * w) DIV total_w"))
+      .withColumn("alloc_capped",
+        least(col("alloc_raw"), col("tokens") * MaxEpochs))
+      .select(
+        col("source"), col("tokens"), col("n_docs"),
+        round(col("w").cast("double") / col("total_w").cast("double"), 6)
+          .as("weight_share"),
+        col("alloc_capped").as("alloc_tokens"),
+        round(col("alloc_capped").cast("double") /
+          col("tokens").cast("double"), 4).as("epochs"),
+        (col("alloc_raw") > col("tokens") * MaxEpochs).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  /** q160 — per-source dedup health: document counts, distinct
+    * fingerprints, within-source duplicate rate, and how many of the
+    * source's documents share their fingerprint with ANOTHER source
+    * (cross-source contamination — the signal that two crawls overlap
+    * and dedup must run globally, not per-source). One doc-sized
+    * fingerprint projection, one fingerprint-keyed aggregate, one join
+    * back; everything after the first shuffle is source- or
+    * fingerprint-sized. */
+  def q160SourceDedupHealth(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("source"), col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val spread = fp.groupBy(col("fp"))
+      .agg(count_distinct(col("source")).as("n_sources"))
+    fp.join(spread, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_fingerprints"),
+        sum(when(col("n_sources") >= 2, 1L).otherwise(0L))
+          .as("n_cross_source_docs"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_fingerprints").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("n_fingerprints"),
+        col("dup_rate"), col("n_cross_source_docs"))
+      .orderBy(col("source"))
+  }
+
+  val ValPermille = 100 // ~10% validation
+
+  /** q161 — leakage-safe train/val split: the split decision is made
+    * once per FINGERPRINT GROUP (hash of the group's min doc_id), and
+    * every copy of a duplicated document follows its group — so no
+    * near-identical text can sit on both sides of the split (the q115
+    * leakage matrix measures the failure this construction makes
+    * impossible for exact dups). The audit column `violations` counts
+    * fingerprints with feet in both splits and must be 0 BY
+    * CONSTRUCTION, not by luck — it's computed, not asserted, so the
+    * report carries its own proof. Doc-sized work; the split hash is
+    * md5-derived and engine-portable. */
+  def q161LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("split_"),
+          col("rep").cast("string"))), 1, 7), 16, 10).cast("long") %
+          1000 < ValPermille, "val").otherwise("train"))
+    val tagged = fp.join(groups, Seq("fp"))
+    val viol = tagged.groupBy(col("fp"))
+      .agg(count_distinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("violations"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_fingerprints"))
+      .crossJoin(broadcast(viol))
+      .select(col("split"), col("n_docs"), col("n_fingerprints"),
+        col("violations"))
+      .orderBy(col("split"))
+  }
+}

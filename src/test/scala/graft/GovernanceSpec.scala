@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Governance
+
+/** Corpus-governance operators (q158–q161): semantics pinned against
+  * brute-force recomputation on the test corpus. */
+class GovernanceSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+
+  test("q158 dup-passage coverage: doc 0's gram counts match a " +
+      "driver-side brute force, and coverage is a valid fraction") {
+    val rows = Governance.q158DupPassageCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("dup_coverage")
+      c >= 0.0 && c <= 1.0 &&
+        r.getAs[Long]("n_shared_grams") <= r.getAs[Long]("n_grams")
+    })
+    // brute force over the whole corpus in plain Scala
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(t: String): Set[Seq[String]] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length < Governance.PassageGram) Set.empty
+      else toks.sliding(Governance.PassageGram).map(_.toSeq).toSet
+    }
+    val byDoc = texts.map { case (id, t) => id -> grams(t) }
+    val docFreq = byDoc.values.flatten
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    for (r <- rows.take(20)) {
+      val id = r.getAs[Long]("doc_id")
+      val g = byDoc(id)
+      assert(r.getAs[Long]("n_grams") === g.size.toLong)
+      assert(r.getAs[Long]("n_shared_grams") ===
+        g.count(docFreq(_) >= 2).toLong)
+    }
+    // docs with <5 tokens are excluded, all others present
+    val expectDocs = byDoc.count(_._2.nonEmpty)
+    assert(rows.length === expectDocs)
+  }
+
+  test("q159 mix planner: allocation respects the budget and the " +
+      "epoch cap, and weight shares sum to ~1") {
+    val rows = Governance.q159MixPlanner(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val totalTokens = docs
+      .agg(sum(size(split(trim(col("text")), "\\s+")))).head.getLong(0)
+    val budget = totalTokens / 2
+    val allocSum = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(allocSum <= budget,
+      s"allocated $allocSum over budget $budget")
+    assert(rows.forall(_.getAs[Double]("epochs") <=
+      Governance.MaxEpochs + 1e-9))
+    val shareSum = rows.map(_.getAs[Double]("weight_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    // uncapped sources receive budget-proportional allocations: any
+    // source with more tokens than another uncapped source gets >= its
+    // allocation (monotone in weight)
+    val uncapped = rows.filter(!_.getAs[Boolean]("capped"))
+      .sortBy(_.getAs[Long]("tokens"))
+    uncapped.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("alloc_tokens") <=
+        b.getAs[Long]("alloc_tokens"))
+      case _ => ()
+    }
+  }
+
+  test("q160 per-source dedup health: counts partition the corpus and " +
+      "cross-source flags match a brute-force recount") {
+    val rows = Governance.q160SourceDedupHealth(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.forall { r =>
+      r.getAs[Long]("n_fingerprints") <= r.getAs[Long]("n_docs") &&
+        r.getAs[Double]("dup_rate") >= 0.0
+    })
+    val crossTotal = rows.map(_.getAs[Long]("n_cross_source_docs")).sum
+    val expectCross = docs
+      .select(col("source"), md5(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count_distinct(col("source")).as("ns"), count(lit(1)).as("n"))
+      .where(col("ns") >= 2)
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    assert(crossTotal === expectCross)
+  }
+
+  test("q161 leakage-safe split: zero violations by construction, " +
+      "every doc lands exactly once, and duplicate docs travel " +
+      "together") {
+    val rows = Governance.q161LeakageSafeSplit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val")))
+    assert(rows.forall(_.getAs[Long]("violations") === 0L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // group-consistency is structural: fingerprint count per split sums
+    // to the distinct fingerprint total (no fingerprint counted twice)
+    val fpTotal = docs.select(md5(regexp_replace(lower(trim(col("text"))),
+      "\\s+", " "))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_fingerprints")).sum === fpTotal)
+    // both sides non-trivial at this corpus size
+    assert(rows.length === 2, s"expected both splits, got ${rows.toSeq}")
+  }
+}
