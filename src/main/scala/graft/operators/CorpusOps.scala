@@ -165,16 +165,23 @@ object CorpusOps {
 
   /** q63 — curriculum bucketing: NTILE(10) over (n_chars, doc_id) —
     * the deterministic total order makes bucket boundaries
-    * engine-portable — with per-bucket size/length stats. NTILE is a
-    * single-partition window at this shape; the scale path is
-    * approx-quantile boundaries broadcast as a bucketizer (q46's
-    * machinery). */
+    * engine-portable — with per-bucket size/length stats. The tiles
+    * come from [[PrefixSum.ntile]] (bucketed prefix-count rank +
+    * integer tile arithmetic), NOT a global window: bit-identical to
+    * `ntile(10).over(Window.orderBy(...))` (the DuckDB oracle still
+    * hash-matches) but the corpus never moves through one task. The
+    * composite order key packs (n_chars, doc_id) into one long —
+    * exact while n_chars·2³² + doc_id < 2⁵³ (the approxQuantile
+    * boundary probe casts it to double; only bucket ASSIGNMENT uses
+    * the cast, and any monotone bucketing is correct). */
   def q63CurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
-    docs(s, dir)
+    val base = docs(s, dir)
       .select(col("doc_id"), col("n_chars"),
         nTokens(col("text")).cast("long").as("n_toks"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .withColumn("_ord",
+        col("n_chars") * lit(4294967296L) + col("doc_id"))
+    PrefixSum.ntile(base, "_ord", 10, "bucket")
+      .withColumn("bucket", col("bucket").cast("long"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -64,4 +64,31 @@ object PrefixSum {
       .withColumn(outCol, col("_local") + col("_off"))
       .drop("_bkt", "_local", "_off")
   }
+
+  /** Exact NTILE(k) over the total order of a UNIQUE `orderCol`,
+    * WITHOUT the single-partition global window: rank = bucketed
+    * exclusive prefix COUNT (+1), tile = pure integer arithmetic on
+    * the rank (the first n%k tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+    * SQL NTILE's exact fill rule). Bit-identical to
+    * `ntile(k).over(Window.orderBy(orderCol))`, spec-pinned; the cost
+    * is one range-ish shuffle + bucket-local sorts instead of "the
+    * table through one task". */
+  def ntile(df: DataFrame, orderCol: String, k: Int, outCol: String,
+      buckets: Int = 32): DataFrame = {
+    val n = df.count()
+    val q = n / k
+    val rem = n % k
+    val cut = (q + 1) * rem // ranks 1..cut land in the ⌈n/k⌉-sized tiles
+    val ranked = exclusive(df.withColumn("_one", lit(1L)),
+      orderCol, "_one", "_rank0", buckets)
+    val tile =
+      if (q == 0) col("_rank") // n < k: tile i holds exactly row of rank i
+      else when(col("_rank") <= cut,
+        expr(s"(_rank - 1) DIV ${q + 1}") + 1)
+        .otherwise(lit(rem) + expr(s"(_rank - 1 - $cut) DIV $q") + 1)
+    ranked
+      .withColumn("_rank", col("_rank0") + 1)
+      .withColumn(outCol, tile.cast("int"))
+      .drop("_one", "_rank0", "_rank")
+  }
 }

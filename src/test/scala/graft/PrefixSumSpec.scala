@@ -45,6 +45,21 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("ntile matches the global-window ntile exactly") {
+    // n chosen so n%k != 0 (uneven fill), plus n < k (degenerate)
+    for ((n, k) <- Seq((103, 10), (100, 7), (5, 10), (64, 64))) {
+      val df = (1 to n).map(i => (i.toLong * 13 % 997 * 1000 + i, i))
+        .toDF("key", "payload")
+      val got = PrefixSum.ntile(df, "key", k, "tile", buckets = 8)
+        .select(col("key"), col("tile"))
+      val want = df.withColumn("expected",
+        ntile(k).over(Window.orderBy(col("key"))))
+        .select(col("key"), col("expected"))
+      val bad = got.join(want, "key").where(col("tile") =!= col("expected"))
+      assert(bad.count() === 0, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
   test("result is deterministic across repeated runs") {
     val perDoc = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
