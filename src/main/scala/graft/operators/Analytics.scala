@@ -894,11 +894,11 @@ object Analytics {
     * capture totals are windows over that, so the fact is scanned
     * once. Engine-exactness: revenue stays DECIMAL through every sum
     * (including the running cumulative), counts are exact, and each
-    * share is one double division of exact inputs. At 100 TB the
-    * global NTILE swaps to the PrefixSum bucket pattern (q63/q117/
-    * q126's documented swap): range-bucket on (past_rev, custkey),
-    * broadcast per-bucket offsets, rank = offset + bucket-local
-    * row_number, decile = exact integer arithmetic on the rank. */
+    * share is one double division of exact inputs. The decile comes
+    * from [[PrefixSum.ntileCols]] on (−past_rev, custkey) — the
+    * q63/q117/q126 bucketed-rank pattern, bit-identical to the DESC
+    * NTILE window with no single-partition sort; the remaining
+    * running-capture window is decile-sized (10 rows). */
   def q154DecileGains(s: SparkSession, dir: String): DataFrame = {
     val byCust = t(s, dir, "orders")
       .withColumn("y", year(col("o_orderdate")))
@@ -910,9 +910,8 @@ object Analytics {
         sum(when(col("y") === 2000, col("o_totalprice"))
           .otherwise(lit(0.0)).cast("decimal(18,4)")).as("next_rev"))
       .where(col("past_rev") > 0)
-    val deciled = byCust.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("past_rev").desc,
-        col("o_custkey").asc)))
+    val deciled = PrefixSum.ntileCols(byCust,
+      Seq(lit(0) - col("past_rev"), col("o_custkey")), 10, "decile")
     val perDecile = deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("past_rev")).as("past_dec"),

@@ -235,13 +235,13 @@ object ScaleOps {
     * from NTILE over a DETERMINISTIC total order (metric, custkey) so
     * equal metrics can't land in different buckets across engines or
     * runs; monetary stays DECIMAL through both the per-customer sum
-    * and the segment rollup, cast to double exactly once. The NTILE
-    * windows run over the CUSTOMER-sized aggregate, not the fact —
-    * and at 100 TB the single-partition NTILE swaps to the PrefixSum
-    * bucket pattern (rank = bucket offset + local row_number, quintile
-    * = exact integer arithmetic on the rank). */
+    * and the segment rollup, cast to double exactly once. Each
+    * quintile comes from [[PrefixSum.ntileCols]] over the CUSTOMER-
+    * sized aggregate (rank = bucket offset + local prefix count,
+    * quintile = exact integer arithmetic on the rank) — bit-identical
+    * to the NTILE window but no single-partition sort exists even if
+    * the customer aggregate outgrows one task. */
   def q126Rfm(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ord = t(s, dir, "orders")
     val anchor = ord.agg(max(col("o_orderdate")).as("a"))
     val perCust = ord.groupBy(col("o_custkey"))
@@ -250,13 +250,17 @@ object ScaleOps {
         sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency", datediff(col("a"), col("last_order")))
-    val rW = Window.orderBy(col("recency").asc, col("o_custkey").asc)
-    val fW = Window.orderBy(col("freq").desc, col("o_custkey").asc)
-    val mW = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
-    perCust
-      .withColumn("r_q", ntile(5).over(rW))
-      .withColumn("f_q", ntile(5).over(fW))
-      .withColumn("m_q", ntile(5).over(mW))
+      .cache() // three rank passes over the same customer aggregate
+    // DESC keys pass negated (exact for counts/decimals); each quintile
+    // comes from the bucketed prefix-count rank, not a global window
+    val quintiled = Seq(
+      ("r_q", Seq(col("recency"), col("o_custkey"))),
+      ("f_q", Seq(lit(0) - col("freq"), col("o_custkey"))),
+      ("m_q", Seq(lit(0) - col("monetary"), col("o_custkey"))))
+      .foldLeft(perCust) { case (df, (out, keys)) =>
+        PrefixSum.ntileCols(df, keys, 5, out)
+      }
+    quintiled
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("monetary")).cast("double"), 2).as("total_monetary"))

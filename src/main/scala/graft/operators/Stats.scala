@@ -480,19 +480,20 @@ object Stats {
     * unscaled value stays ~2×10¹⁵ < 2⁵³, so the one decimal→double
     * cast agrees across engines; at larger corpora rescale x to
     * coarser units first — same plan). The customer-sized total
-    * order (spend, custkey) feeds row_number and NTILE; the global
-    * window is customer-sized, never fact-sized (PrefixSum.exclusive
-    * is the documented swap when even the aggregate outgrows one
-    * task). The three Gini terms evaluate the identical IEEE tree in
-    * DuckDB. */
+    * order (spend, custkey) feeds rank and decile from ONE
+    * [[PrefixSum.rankNtile]] pass — bit-identical to
+    * row_number/NTILE over the global window, but the customer
+    * aggregate crosses a range-ish shuffle instead of one task. The
+    * three Gini terms evaluate the identical IEEE tree in DuckDB. */
   def q117LorenzGini(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
-    val w = Window.orderBy(col("x").asc, col("o_custkey").asc)
-    val ranked = spend
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val ranked = PrefixSum.rankNtile(spend,
+        Seq(col("x"), col("o_custkey")), 10, Some("_i"), "_dec")
+      .withColumn("i", col("_i").cast("long"))
+      .withColumn("decile", col("_dec").cast("long"))
+      .drop("_i", "_dec")
     val g = ranked.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"),

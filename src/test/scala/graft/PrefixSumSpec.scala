@@ -60,6 +60,34 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("ntileCols with negated DESC key matches the DESC-window ntile") {
+    // duplicate metric values force the tiebreak column to matter
+    val df = (1 to 120).map(i => (i.toLong, (i % 9).toLong)).toDF("ck", "metric")
+    val got = PrefixSum.ntileCols(df,
+        Seq(lit(0) - col("metric"), col("ck")), 5, "tile", buckets = 8)
+      .select(col("ck"), col("tile"))
+    val want = df.withColumn("expected",
+        ntile(5).over(Window.orderBy(col("metric").desc, col("ck").asc)))
+      .select(col("ck"), col("expected"))
+    val bad = got.join(want, "ck").where(col("tile") =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
+  test("rankNtile rank equals row_number over the same order") {
+    val df = (1 to 77).map(i => (i.toLong, (i * 31 % 13).toLong)).toDF("ck", "m")
+    val got = PrefixSum.rankNtile(df, Seq(col("m"), col("ck")), 10,
+        Some("rk"), "tile", buckets = 4)
+      .select(col("ck"), col("rk"), col("tile"))
+    val w = Window.orderBy(col("m").asc, col("ck").asc)
+    val want = df
+      .withColumn("erk", row_number().over(w))
+      .withColumn("etile", ntile(10).over(w))
+      .select(col("ck"), col("erk"), col("etile"))
+    val bad = got.join(want, "ck")
+      .where(col("rk") =!= col("erk") || col("tile") =!= col("etile"))
+    assert(bad.count() === 0)
+  }
+
   test("result is deterministic across repeated runs") {
     val perDoc = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
