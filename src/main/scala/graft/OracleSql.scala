@@ -3143,6 +3143,30 @@ object OracleSql {
       SELECT split, COUNT(*) AS n_docs,
              COUNT(DISTINCT fp) AS n_fingerprints, violations
       FROM tagged, v GROUP BY 1, violations ORDER BY 1
+    """,
+    // q162's partitioned layout + runtime pruning change the plan, not
+    // the answer: the oracle is the same year-dim join computed flat.
+    "q162_dpp_join" -> """
+      WITH dim AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+           probe AS (SELECT y FROM dim WHERE y IN (1995, 1996))
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               2) AS revenue
+      FROM orders o JOIN probe t ON year(o.o_orderdate) = t.y
+      GROUP BY 1 ORDER BY 1
+    """,
+    // identical recursion runs natively in DuckDB (// is integer div)
+    "q163_recursive_hierarchy" -> """
+      WITH RECURSIVE walk AS (
+        SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth FROM customer
+        UNION ALL
+        SELECT k, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+      )
+      SELECT cur AS root, COUNT(*) AS n_customers,
+             MAX(depth) AS max_depth,
+             CAST(SUM(k) AS BIGINT) AS key_sum
+      FROM walk WHERE cur < 10
+      GROUP BY cur ORDER BY root
     """
   ).map { case (k, v) => k -> v.trim }
 

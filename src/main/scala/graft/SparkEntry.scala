@@ -205,7 +205,10 @@ object SparkEntry {
     "q158_dup_passage" -> (Governance.q158DupPassageCoverage _),
     "q159_mix_planner" -> (Governance.q159MixPlanner _),
     "q160_source_dedup_health" -> (Governance.q160SourceDedupHealth _),
-    "q161_leakage_safe_split" -> (Governance.q161LeakageSafeSplit _)
+    "q161_leakage_safe_split" -> (Governance.q161LeakageSafeSplit _),
+    // join-driven partition pruning + Spark 4 recursive SQL
+    "q162_dpp_join" -> (ScaleOps.q162DppJoin _),
+    "q163_recursive_hierarchy" -> (CoreQueries.q163RecursiveHierarchy _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -296,6 +296,35 @@ object CoreQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** q163 — recursive CTE hierarchy walk (WITH RECURSIVE, new SQL
+    * surface in Spark 4): every customer climbs a synthetic reporting
+    * tree (parent = key div 10) to its single-digit root, then the
+    * walk rolls up per root — subtree size, max depth, and an
+    * order-independent key-sum fingerprint pinning exact membership.
+    * Spark executes the recursion as an iterated union (UnionLoop):
+    * each step is one distributed map over the still-live rows, and
+    * the step count is log₁₀(max key) — 7 levels at 15M customers,
+    * never row-count-bounded — so the pattern holds at 100 TB where a
+    * driver-side loop would not. DuckDB runs the identical recursion
+    * natively, making this the rare graph-walk query that is fully
+    * hash-checked rather than rows-only. */
+  def q163RecursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      WITH RECURSIVE walk AS (
+        SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth FROM customer
+        UNION ALL
+        SELECT k, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+      )
+      SELECT cur AS root,
+             COUNT(*) AS n_customers,
+             MAX(depth) AS max_depth,
+             SUM(k) AS key_sum
+      FROM walk WHERE cur < 10
+      GROUP BY cur ORDER BY root
+    """)
+  }
+
   /** q19 — time-bucketed event aggregation (the batch form of the
     * Structured Streaming hourly window; see graft.streaming). Hour
     * formatted as string for engine-portable hashing. */

@@ -39,7 +39,9 @@ object Graph {
     * context. */
   def q101Pagerank(s: SparkSession, dir: String): DataFrame = {
     val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      // no pre-distinct: collect_set dedupes, and its PARTIAL aggregate
+      // dedupes map-side — one exchange instead of two
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
     // Deduplicate pairs in CANONICAL p1<p2 orientation — half the rows
@@ -112,7 +114,9 @@ object Graph {
   def q147TriangleCount(s: SparkSession, dir: String): DataFrame = {
     val MinSupport = 2
     val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      // no pre-distinct: collect_set dedupes, and its PARTIAL aggregate
+      // dedupes map-side — one exchange instead of two
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
     val edges = items
@@ -166,7 +170,9 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey")).distinct()
     val pairs = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      // no pre-distinct: collect_set dedupes, and its PARTIAL aggregate
+      // dedupes map-side — one exchange instead of two
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
       .select(explode(col("parts")).as("p1"), col("parts"))

@@ -251,15 +251,20 @@ object ScaleOps {
       .crossJoin(broadcast(anchor))
       .withColumn("recency", datediff(col("a"), col("last_order")))
       .cache() // three rank passes over the same customer aggregate
-    // DESC keys pass negated (exact for counts/decimals); each quintile
-    // comes from the bucketed prefix-count rank, not a global window
-    val quintiled = Seq(
-      ("r_q", Seq(col("recency"), col("o_custkey"))),
-      ("f_q", Seq(lit(0) - col("freq"), col("o_custkey"))),
-      ("m_q", Seq(lit(0) - col("monetary"), col("o_custkey"))))
-      .foldLeft(perCust) { case (df, (out, keys)) =>
-        PrefixSum.ntileCols(df, keys, 5, out)
-      }
+    // DESC keys pass negated (exact for counts/decimals); the three
+    // quintiles come from ONE [[PrefixSum.ntileMulti]] pass — all
+    // boundaries in one approxQuantile job, all bucket counts in one
+    // exploded aggregate — instead of paying two eager driver jobs per
+    // metric, and still never a single-partition window.
+    val quintiled = PrefixSum.ntileMulti(
+      perCust.select(col("o_custkey"), col("recency"), col("freq"),
+        col("monetary")),
+      "o_custkey",
+      Seq(
+        ("r_q", Seq(col("recency"), col("o_custkey"))),
+        ("f_q", Seq(lit(0) - col("freq"), col("o_custkey"))),
+        ("m_q", Seq(lit(0) - col("monetary"), col("o_custkey")))),
+      5)
     quintiled
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
@@ -435,6 +440,43 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_keys"),
         sum(col("key")).as("key_sum"))
       .orderBy(col("status"))
+  }
+
+  /** q162 — dynamic partition pruning: the fact lands partitioned by
+    * order year (the layout every date-partitioned warehouse table
+    * ships), the probe filter lives on a YEAR DIMENSION (era = "probe"),
+    * and the fact scan's partition filter is therefore unknowable at
+    * plan time — Catalyst inserts a `dynamicpruning` subquery that
+    * reuses the dim's broadcast exchange to decide, AT RUN TIME, which
+    * partition directories to open. q01/S4 prune statically (the
+    * predicate names the partition column); this is the join-driven
+    * twin, and at 100 TB it is the difference between scanning 2 of 10
+    * year partitions and scanning all of them whenever the selective
+    * predicate sits on a dim the fact only reaches through a join.
+    * The partitioned write is scratch (per-run unique dir, shutdown
+    * cleanup); correctness never depends on the pruning — the oracle
+    * is the same join computed flat — and DppSpec pins the
+    * `dynamicpruning` partition filter in the executed plan. */
+  def q162DppJoin(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "dpp")
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(scratch)
+    val fact = s.read.parquet(scratch)
+    // Year dim built from the raw orders table (not the scratch
+    // layout): a calendar-attribute table the partition values can't
+    // statically answer for — exactly the shape that forces DPP.
+    val dim = t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .withColumn("era",
+        when(col("y").isin(1995, 1996), "probe").otherwise("other"))
+    fact
+      .join(broadcast(dim.where(col("era") === "probe")),
+        col("o_year") === col("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** Manifest prune stats for q124's layout, for the spec: (files

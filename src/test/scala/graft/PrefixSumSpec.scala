@@ -88,6 +88,27 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("ntileMulti matches per-metric global-window ntiles exactly") {
+    // three orders over the same table, incl. negated-DESC and ties
+    val df = (1 to 157).map(i =>
+      (i.toLong, (i % 11).toLong, (i * 7 % 13).toLong, (i * 3 % 5).toLong))
+      .toDF("ck", "a", "b", "c")
+    val got = PrefixSum.ntileMulti(df, "ck", Seq(
+        ("ta", Seq(col("a"), col("ck"))),
+        ("tb", Seq(lit(0) - col("b"), col("ck"))),
+        ("tc", Seq(col("c"), col("ck")))), 5, buckets = 8)
+      .select(col("ck"), col("ta"), col("tb"), col("tc"))
+    val want = df
+      .withColumn("ea", ntile(5).over(Window.orderBy(col("a").asc, col("ck").asc)))
+      .withColumn("eb", ntile(5).over(Window.orderBy(col("b").desc, col("ck").asc)))
+      .withColumn("ec", ntile(5).over(Window.orderBy(col("c").asc, col("ck").asc)))
+      .select(col("ck"), col("ea"), col("eb"), col("ec"))
+    val bad = got.join(want, "ck").where(
+      col("ta") =!= col("ea") || col("tb") =!= col("eb") ||
+        col("tc") =!= col("ec"))
+    assert(bad.count() === 0)
+  }
+
   test("result is deterministic across repeated runs") {
     val perDoc = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
