@@ -3170,6 +3170,103 @@ object OracleSql {
     """
   ).map { case (k, v) => k -> v.trim }
 
+  // q164–q167: the retail golden path. The inputs are NOT the sf
+  // tables — graft.operators.RetailQueries stages the Spark-parsed seed
+  // dims + the synthesized purchase fact as parquet during Verify, and
+  // these oracles read those exact files, so both engines consume
+  // byte-identical rows. Paths are literals by contract
+  // (RetailQueries.StageDir).
+  private val retailStage = "/root/repo/target/retail_stage"
+  private def rp(table: String): String =
+    s"read_parquet('$retailStage/$table/*.parquet')"
+  // customer ⟕ zipcode — the reference's enriched customer dim; the 21
+  // duplicated short_zipcodes fan out here exactly as in
+  // RetailPipeline.customerWithZipcode.
+  private val retailCz = s"""
+      cz AS (
+        SELECT c.customer_id, c.sex, c.age_group, c.residence,
+               z.zipcode, z.province_city, z.province_city_eng,
+               z.city_county, z.city_county_eng, z.eup_myeon,
+               z.eup_myeon_eng, z.road_nm, z.road_nm_eng
+        FROM ${rp("customer")} c
+        LEFT JOIN ${rp("zipcode")} z ON c.residence = z.short_zipcode
+      )"""
+  // purchase ⟕ products_info (4-col composite key) ⟕ cz — T1 silver.
+  private val retailSilver = s"""
+      silver AS (
+        SELECT p.affiliate, p.purchase_year, p.purchase_month,
+               p.purchase_date, p.purchase_time, p.amount,
+               p.division_cd, pi.main_category_desc, pi.sub_category_desc,
+               cz.age_group, cz.province_city, cz.city_county
+        FROM ${rp("purchase")} p
+        LEFT JOIN ${rp("products_info")} pi
+          ON p.affiliate = pi.affiliate
+         AND p.division_cd = pi.division_cd
+         AND p.main_category_cd = pi.main_category_cd
+         AND p.sub_category_cd = pi.sub_category_cd
+        LEFT JOIN cz ON p.customer_id = cz.customer_id
+      )"""
+
+  val retail: Map[String, String] = Map(
+    "q164_retail_datetime" -> s"""
+      WITH $retailCz, $retailSilver
+      SELECT affiliate, purchase_year, purchase_month,
+             substring(purchase_date, 7, 2) AS purchase_day,
+             dayname(strptime(purchase_date, '%Y%m%d')) AS day_of_week,
+             purchase_time,
+             ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_purchase_amount,
+             COUNT(amount) AS count_of_purchase
+      FROM silver
+      GROUP BY 1, 2, 3, 4, 5, 6
+      ORDER BY 1, 2, 3, 4, 6
+    """,
+    "q165_retail_ageproducts" -> s"""
+      WITH $retailCz, $retailSilver
+      SELECT affiliate, purchase_year, purchase_month, age_group,
+             division_cd, main_category_desc, sub_category_desc,
+             ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_purchase_amount,
+             COUNT(amount) AS count_of_purchase
+      FROM silver
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+      ORDER BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    "q166_retail_residence" -> s"""
+      WITH $retailCz, $retailSilver
+      SELECT affiliate, purchase_year, purchase_month,
+             province_city, city_county,
+             ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_purchase_amount,
+             COUNT(amount) AS count_of_purchase
+      FROM silver
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY 1, 2, 3, total_purchase_amount DESC, count_of_purchase DESC
+    """,
+    // aggregate the RAW fact, THEN join the enriched dim — the fan-out
+    // duplicates per-customer aggregate rows, exactly as the reference.
+    "q167_retail_customer" -> s"""
+      WITH $retailCz, per AS (
+        SELECT customer_id, affiliate, purchase_year, purchase_month,
+               ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+                 AS total_purchase_amount,
+               COUNT(amount) AS count_of_purchase
+        FROM ${rp("purchase")}
+        GROUP BY 1, 2, 3, 4
+      )
+      SELECT per.customer_id, per.affiliate, per.purchase_year,
+             per.purchase_month, per.total_purchase_amount,
+             per.count_of_purchase,
+             cz.sex, cz.age_group, cz.residence, cz.zipcode,
+             cz.province_city, cz.province_city_eng, cz.city_county,
+             cz.city_county_eng, cz.eup_myeon, cz.eup_myeon_eng,
+             cz.road_nm, cz.road_nm_eng
+      FROM per LEFT JOIN cz ON per.customer_id = cz.customer_id
+      ORDER BY 1, 2, 3, 4
+    """
+  ).map { case (k, v) => k -> v.trim }
+
   val all: Map[String, String] =
-    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b ++ stats ++ scale
+    core ++ text ++ kpi ++ round2 ++ corpus ++ round3b ++ stats ++ scale ++
+      retail
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
   Dedup, Governance, Graph, JdbcQueries, KpiQueries, Profiling, RangeJoin,
-  ScaleOps, Similarity, Stats, TextQueries}
+  RetailQueries, ScaleOps, Similarity, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -208,7 +208,13 @@ object SparkEntry {
     "q161_leakage_safe_split" -> (Governance.q161LeakageSafeSplit _),
     // join-driven partition pruning + Spark 4 recursive SQL
     "q162_dpp_join" -> (ScaleOps.q162DppJoin _),
-    "q163_recursive_hierarchy" -> (CoreQueries.q163RecursiveHierarchy _)
+    "q163_recursive_hierarchy" -> (CoreQueries.q163RecursiveHierarchy _),
+    // the reference's OWN retail golden path (seed CSVs + FIXTURES.md
+    // fact), hash-checked end-to-end — see RetailQueries's staging note
+    "q164_retail_datetime" -> (RetailQueries.q164RetailDatetime _),
+    "q165_retail_ageproducts" -> (RetailQueries.q165RetailAgeProducts _),
+    "q166_retail_residence" -> (RetailQueries.q166RetailResidence _),
+    "q167_retail_customer" -> (RetailQueries.q167RetailCustomer _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
