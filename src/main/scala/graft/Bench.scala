@@ -38,9 +38,19 @@ object Bench {
     spark
   }
 
+  /** One `/proc/loadavg` sample ("1m 5m 15m" fields), "" off-Linux.
+    * Recorded in the bench artifact so a round-over-round delta can be
+    * attributed to ambient host load vs a genuine code regression
+    * (round 6's uniform 13% drift was exactly this ambiguity). */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadavg()
     val spark = newSession(cpus)
 
     def timed(f: => Unit): Double = {
@@ -147,8 +157,9 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
+    val loadEnd = loadavg()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     println(line)
     // Also persist the result line: stdout tails can truncate mid-stream
     // (sbt log interleaving), which loses the headline number from the
@@ -158,5 +169,20 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"BENCH RESULT FILE WRITE FAIL $out: $e") }
+    // Per-round self-identifying copy: bench_result.json is overwritten
+    // every run, so round-over-round comparison needs a file the next
+    // run won't clobber. The round number = 1 + the highest BENCH_r{N}
+    // the driver has already published in cwd.
+    try {
+      val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .map(_.getName)
+        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+          s.replaceAll("\\D", "").toInt }
+      val round = (if (seen.isEmpty) 0 else seen.max) + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"bench_result_r$round%02d.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH PER-ROUND FILE WRITE FAIL: $e") }
   }
 }

@@ -19,17 +19,34 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-    // rejects unless read as a raw long; normalize it back to a (micro-
-    // precision) TimestampType so downstream operators see one type.
+    // events.ts arrives in whatever layout the upstream writer chose; a
+    // 100 TB lake mixes writers, so normalize to ONE canonical type
+    // (session-local TimestampType, micro precision) at the registry
+    // boundary. Layouts seen in the wild here:
+    //   - parquet TIMESTAMP(NANOS): Spark 4 rejects it unless read as a raw
+    //     long (legacy.parquet.nanosAsLong) -> rebuild via micros = ns/1000
+    //   - parquet TIMESTAMP(isAdjustedToUTC=false, MICROS): Spark reads
+    //     TIMESTAMP_NTZ -> cast to TimestampType (session tz is pinned to
+    //     UTC by Verify/Bench/specs, so the cast is semantics-preserving)
+    //   - parquet TIMESTAMP(isAdjustedToUTC=true, MICROS): already
+    //     TimestampType -> no-op
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events"
-        && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Canonicalize an `events`-shaped frame's `ts` column to TimestampType.
+    * Idempotent; accepts nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` queries can refer

@@ -322,10 +322,15 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("token"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Global rarity order: df asc, token asc — vocabulary-sized.
-    val rank = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .withColumn("grank", row_number().over(
-        Window.orderBy(col("df").asc, col("token").asc)))
+    // Global rarity order: df asc, token asc. The vocabulary at 100 TB
+    // is billions of distinct tokens, so the rank must NOT be a
+    // single-partition `row_number` window — use the bucketed
+    // prefix-count rank (PrefixSum.rankNtile: one range-ish shuffle +
+    // bucket-local sorts, bit-identical to ROW_NUMBER, spec-pinned).
+    val rank = PrefixSum.rankNtile(
+        tok.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        Seq(col("df"), col("token")), k = 1,
+        rankCol = Some("grank"), tileCol = "_tile")
       .select(col("token"), col("grank"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("grank").asc)

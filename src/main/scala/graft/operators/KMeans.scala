@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * the trainer behind a real IVF index (q34 stubs its centroids with
   * the lowest vec_ids; this is the production "train" step).
   *
-  * Per iteration: ONE pass over the corpus — centroids broadcast
+  * Per iteration: ONE pass over the cached corpus — centroids broadcast
   * (they're k·dim doubles, kilobytes), each vector computes its argmin
-  * centroid in a codegen'd expression chain, then a single shuffle
-  * aggregates per-centroid dimension sums via `aggregate` on arrays.
+  * centroid in a codegen'd expression chain, then a single k-keyed
+  * shuffle aggregates per-centroid per-dimension sums as a wide
+  * HashAggregate buffer (map-side partials; partitions×k rows move).
   * No corpus materialization between iterations, no driver-side data
   * loops (the driver only holds the k centroids, like a broadcast
   * join's build side).
@@ -29,7 +30,11 @@ object KMeans {
     val spark = vecs.sparkSession
     import spark.implicits._
 
+    // Materialize the cache BEFORE the loop: every Lloyd pass must hit
+    // memory, never the parquet source; without the eager count the
+    // first pass pays the scan inside the training timing.
     val data = vecs.select(col("id"), col("v")).persist()
+    data.count()
     var centroids: Array[(Int, Array[Double])] = data
       .orderBy(col("id")).limit(k)
       .select(col("id"), col("v")).as[(Long, Seq[Double])]
@@ -40,32 +45,26 @@ object KMeans {
     val dim = centroids.head._2.length
     for (_ <- 0 until iters) {
       val assigned = assign(data, centroids)
-      // Per-centroid per-dimension sums via posexplode: ONE shuffle of
-      // corpus×dim skinny rows with map-side partial aggregation, k·dim
-      // rows out — bounded driver state (vs collect_list, whose
-      // per-group lists grow with the corpus). dist2 contributes to the
-      // SSE only from dimension 0 so one aggregate carries both.
+      // Per-centroid per-dimension sums as `dim` scalar aggregates over
+      // CORPUS rows — no posexplode: exploding to corpus×dim skinny
+      // rows multiplied the rows the aggregate hashes (and the
+      // group-by key cardinality) by the dimension count for zero
+      // information gain. A wide HashAggregate buffer (k rows × dim+2
+      // doubles) with map-side partial aggregation shuffles only
+      // partitions×k rows; the driver still holds k·(dim+2) doubles.
+      val aggCols = (0 until dim).map(i => sum(col("v")(i)).as(s"s$i")) ++
+        Seq(count(lit(1)).as("n"), sum(col("dist2")).as("sse"))
       val stats = assigned
-        .select(col("cent_id"), col("dist2"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(
-          sum(col("x")).as("xsum"),
-          count(lit(1)).as("n"),
-          sum(when(col("pos") === 0, col("dist2")).otherwise(lit(0.0)))
-            .as("sse_part"))
-        .as[(Int, Int, Double, Long, Double)]
+        .groupBy(col("cent_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
-      inertia = stats.map(_._5).sum
-      val byCent = stats.groupBy(_._1)
+      inertia = stats.map(_.getAs[Double]("sse")).sum
+      val byCent = stats.map(r => r.getAs[Int]("cent_id") -> r).toMap
       centroids = centroids.map { case (cid, old) =>
         byCent.get(cid) match {
-          case Some(rows) =>
-            val mean = new Array[Double](dim)
-            rows.foreach { case (_, pos, xsum, n, _) =>
-              mean(pos) = xsum / n
-            }
-            (cid, mean)
+          case Some(r) =>
+            val n = r.getAs[Long]("n")
+            (cid, Array.tabulate(dim)(i => r.getDouble(1 + i) / n))
           case None => (cid, old) // empty cell keeps its centroid
         }
       }

@@ -18,22 +18,27 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) in the file → read
-    * as long, rebuilt to a timestamp column, mirroring Tables.load). */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The file-stream source needs a declared schema, but the upstream
+    * writer's `ts` layout varies (TIMESTAMP(NANOS)-read-as-long vs
+    * TIMESTAMP_NTZ vs TIMESTAMP — same zoo [[graft.Tables.load]]
+    * handles). Probe the files' actual schema with ONE batch footer read,
+    * declare exactly that to the stream, then apply the matching
+    * canonical rebuild. Hardcoding any single layout breaks the moment
+    * the writer changes (it did). */
+  def eventsFileSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+  }
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsFileSchema)
+    val schema = eventsFileSchema(spark, dir)
+    val raw = spark.readStream
+      .schema(schema)
       // file-stream source wants a directory; select just the events
       // table out of the shared sf dir
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** Watermarked hourly windowed aggregation — the streaming twin of

@@ -243,6 +243,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("array_intersect"), s"broadcast verify missing:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no sort-merge join belongs in this plan at test scale:\n$p")
+    // the global token-rarity rank must come from the bucketed
+    // prefix-count pass, never a vocabulary-sized single-partition sort
+    assert(!p.contains("Exchange SinglePartition"),
+      s"token rank must not gather the vocabulary to one task:\n$p")
   }
 
   test("q107 triples expand map-side: three chained generates, " +

@@ -336,4 +336,67 @@ class StatsSpec extends AnyFunSuite {
     val vx = xs.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
     assert(math.abs(th - cov / vx) < 1e-4, s"theta $th vs ${cov / vx}")
   }
+
+  test("q155 KM retention: survival is monotone non-increasing and the " +
+      "whole curve matches a driver-side product-limit recomputation") {
+    val GapUs = 30L * 60L * 1000000L
+    val MinuteUs = 60L * 1000000L
+    val got = Stats.q155KmRetention(spark, sfDir).collect()
+    assert(got.nonEmpty, "curve must have rows on the testdata")
+    // survival strictly positive (terminal d=n step excluded by design)
+    // and monotone non-increasing along minutes
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("minute") < b.getAs[Long]("minute"))
+        assert(b.getAs[Double]("survival") <=
+          a.getAs[Double]("survival") + 1e-12)
+      case _ =>
+    }
+    got.foreach(r => assert(r.getAs[Double]("survival") > 0.0))
+
+    // Driver-side recomputation from raw events (independent of every
+    // Spark window/aggregate in the operator).
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("eu"), $"event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("eu"),
+        r.getAs[Long]("event_id")))
+    val endUs = ev.map(_._2).max
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st, en = sorted.head._2
+      sorted.tail.foreach { case (_, eu, _) =>
+        if (eu - en > GapUs) { sess += ((st, en)); st = eu }
+        en = eu
+      }
+      sess += ((st, en))
+      sess
+    }.toSeq
+    val life = sessions
+      .map { case (st, en) =>
+        (Math.floorDiv(en - st, MinuteUs),
+          if (en <= endUs - GapUs) 1L else 0L)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (m, xs) => (m, xs.size.toLong, xs.map(_._2).sum) }
+    // suffix-sum risk sets, then the product-limit curve with the
+    // operator's integer nano-nat log floor
+    val suffix = life.map(_._2).scanRight(0L)(_ + _).init
+    var cumNn = 0L
+    val want = life.zip(suffix).flatMap { case ((m, leaving, died), risk) =>
+      if (died > 0 && died < risk) {
+        cumNn += math.floor(
+          math.log(1.0 - died.toDouble / risk.toDouble) * 1e9).toLong
+        Some((m, risk, died, leaving,
+          BigDecimal(math.exp(cumNn / 1e9))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      } else None
+    }
+    val gotTuples = got.map(r => (r.getAs[Long]("minute"),
+      r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_died"),
+      r.getAs[Long]("n_leaving"), r.getAs[Double]("survival"))).toSeq
+    assert(gotTuples === want,
+      s"KM curve mismatch:\n got=${gotTuples.take(5)}\nwant=${want.take(5)}")
+  }
 }

@@ -141,7 +141,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream LEFT OUTER join emits matches immediately and " +
       "unmatched clicks once the watermark proves them final") {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, StandardCopyOption}
     // Mutable source dir: outer-join state only finalizes in a batch
     // AFTER the watermark has advanced past a click's join window, and
     // Trigger.AvailableNow runs no trailing no-data batch — exactly
@@ -149,17 +149,20 @@ class StreamingSpec extends AnyFunSuite {
     // previous day's unmatched rows. Sentinel 'noop' events far in
     // the future drive the watermark forward across checkpointed
     // re-runs (which also exercises restart-resume).
+    // Canonicalize the backlog once via Tables.load (it absorbs whatever
+    // ts layout the upstream writer used) so sentinels and backlog share
+    // a single TimestampType schema.
     val srcDir = Files.createTempDirectory("graft_outer_src_")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.load(spark, sfDir, "events").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val canonSchema = spark.read.parquet(srcDir.toString).schema
     val outDir = Files.createTempDirectory("graft_outer_out_").toString
     val ckpt = Files.createTempDirectory("graft_outer_ckpt_").toString
 
     def runOnce(): Unit = {
       val stream = spark.readStream
-        .schema(EventStream.eventsFileSchema)
+        .schema(canonSchema)
         .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       EventStream.runToParquet(EventStream.clickToPurchaseOuter(stream),
         outDir, ckpt, Seq.empty)
     }
@@ -171,10 +174,14 @@ class StreamingSpec extends AnyFunSuite {
     def addSentinel(name: String, plusHours: Int): Unit = {
       val stage = Files.createTempDirectory("graft_sentinel_")
       import spark.implicits._
-      val ts = (maxEpochSec + plusHours * 3600L) * 1000000000L
-      Seq((-1L, ts, -1L, "click", 0.0, "{}"),
-          (-2L, ts, -1L, "purchase", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      Seq((-1L, "click"), (-2L, "purchase"))
+        .toDF("event_id", "event_type")
+        .withColumn("ts",
+          timestamp_seconds(lit(maxEpochSec + plusHours * 3600L)))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
@@ -220,18 +227,17 @@ class StreamingSpec extends AnyFunSuite {
     // Split the backlog into 3 source files so AvailableNow +
     // maxFilesPerTrigger=1 genuinely merges across micro-batches.
     val srcDir = Files.createTempDirectory("graft_iv_src_").toString
-    spark.read.schema(EventStream.eventsFileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    Tables.load(spark, sfDir, "events")
       .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val canonSchema = spark.read.parquet(srcDir).schema
     val viewPath = Files.createTempDirectory("graft_iv_view_").toString +
       "/view"
     val ckpt = Files.createTempDirectory("graft_iv_ckpt_").toString
     def run(): Unit = {
       val stream = spark.readStream
-        .schema(EventStream.eventsFileSchema)
+        .schema(canonSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       EventStream.incrementalUserView(stream, viewPath, Some(ckpt))
     }
     run()
