@@ -152,8 +152,54 @@ object Bench {
     val etlTime = minPos(e1._1, e2._1)
     val etlIncTime = minPos(e1._2, e2._2)
 
+    // 10× scale smoke: replicate lineitem+orders 10× with shifted order
+    // keys (same join/partition structure, 10× the fact volume) and run
+    // ONE initial load — scale-up evidence beyond the sf dir, where a
+    // partition strategy that only works at test scale would show as a
+    // superlinear blowup. Single attempt (not min-merged): this is a
+    // smoke, and generation+run already dominate the bench tail.
+    def etl10x(): Double = {
+      val sp = newSession(cpus)
+      try {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_10x_src_").toString
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val ord = Tables.load(sp, sfDir, "orders")
+        val keyStride = ord.agg(max(col("o_orderkey")).cast("long"))
+          .head().getLong(0) + 1L
+        def rep(df: org.apache.spark.sql.DataFrame, key: String) =
+          (0 until 10).map(i =>
+            df.withColumn(key, col(key).cast("long") + lit(i * keyStride)))
+            .reduce(_ unionByName _)
+        rep(Tables.load(sp, sfDir, "lineitem"), "l_orderkey")
+          .write.parquet(s"$base/lineitem.parquet")
+        rep(ord, "o_orderkey").write.parquet(s"$base/orders.parquet")
+        Seq("customer", "nation", "region", "part", "supplier").foreach {
+          d => Tables.load(sp, sfDir, d).write.parquet(s"$base/$d.parquet")
+        }
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft_10x_wh_").toString
+        val t = timed {
+          Pipeline.run(sp, Pipeline.Config(base, wh, "19920101", "20021231"))
+        }
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(wh)).deleteRecursively()
+        new Directory(new java.io.File(base)).deleteRecursively()
+        t
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL etl_pipeline_10x: $e")
+          -1.0
+      } finally {
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val etl10xTime = if (runEtl) etl10x() else -1.0
+
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
-      ("etl_incremental" -> etlIncTime)
+      ("etl_incremental" -> etlIncTime) :+ ("etl_pipeline_10x" -> etl10xTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

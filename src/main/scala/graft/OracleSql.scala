@@ -278,6 +278,47 @@ object OracleSql {
       )
       WHERE rank <= 5
     """,
+    "q24_ann_lsh" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          CASE CAST(concat('0x', substring(md5(concat('q24_',
+                 CAST(p AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1))
+               AS INT) % 4
+            WHEN 0 THEN -3.0 WHEN 1 THEN -1.0 WHEN 2 THEN 1.0
+            ELSE 3.0 END) AS pv
+        FROM range(0, 4) t(p)
+      ), b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                             THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n CROSS JOIN planes GROUP BY vec_id
+      ), nb AS (
+        SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN b USING (vec_id)
+      ), probes AS (
+        SELECT unnest([0, 1, 2, 4, 8]) AS probe
+      ), q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+               xor(bucket, probe) AS qb
+        FROM nb CROSS JOIN probes WHERE vec_id < 10
+      ), s AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(c.v, q.qv) / (c.nrm * q.qn) AS cosine
+        FROM nb c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.query_id
+      )
+      SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM s
+      )
+      WHERE rank <= 5
+    """,
     "q31_cosine_neardup" -> """
       WITH n AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -3174,9 +3215,10 @@ object OracleSql {
   // tables — graft.operators.RetailQueries stages the Spark-parsed seed
   // dims + the synthesized purchase fact as parquet during Verify, and
   // these oracles read those exact files, so both engines consume
-  // byte-identical rows. Paths are literals by contract
-  // (RetailQueries.StageDir).
-  private val retailStage = "/root/repo/target/retail_stage"
+  // byte-identical rows. ONE constant owns the path — the SQL is
+  // interpolated at dump time, so the oracle always points wherever
+  // RetailQueries actually staged.
+  private val retailStage = graft.operators.RetailQueries.StageDir
   private def rp(table: String): String =
     s"read_parquet('$retailStage/$table/*.parquet')"
   // customer ⟕ zipcode — the reference's enriched customer dim; the 21

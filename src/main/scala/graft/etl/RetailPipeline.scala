@@ -231,7 +231,10 @@ object RetailPipeline {
     marts(fact, silverBack, custZip).map { case (name, df) =>
       Sinks.writePartitioned(df, s"$warehouseDir/gold/$name",
         Seq("affiliate", "purchase_year", "purchase_month"))
-      Sinks.register(spark, name, s"$warehouseDir/gold/$name")
+      // persistent (crawler-equivalent) registration: any OTHER session
+      // on the same metastore reads the mart by name, like the
+      // reference's Glue-catalog marts feeding Athena (SURVEY §2.13)
+      Sinks.registerPersistent(spark, name, s"$warehouseDir/gold/$name")
       name -> spark.read.parquet(s"$warehouseDir/gold/$name").count()
     }
   }

@@ -114,8 +114,15 @@ object CorpusOps {
 
   /** q60 — corpus vocabulary top-k: the 50 most frequent whitespace
     * tokens with deterministic tie-break (count desc, token asc). One
-    * shuffle on the token with partial agg, then a top-k that Catalyst
-    * plans as TakeOrderedAndProject — no global sort materialization. */
+    * shuffle on the token with partial agg, then `rank <= 50` over an
+    * EMPTY-partition window, which Spark 4's
+    * LimitPushDownThroughWindow rule rewrites to a limit BELOW the
+    * window: the executed plan is TakeOrderedAndProject(50) — a
+    * per-partition top-50 heap + driver merge — feeding a Window over
+    * exactly 50 rows. The vocabulary is never globally sorted or
+    * gathered (plan-pinned in PlanShapeSpec; the partitioned-rank
+    * cousin of this rewrite is WindowGroupLimitExec, which q97-style
+    * per-group top-k shapes get instead). */
   def q60VocabTopK(s: SparkSession, dir: String): DataFrame = {
     val counts = docsSpread(s, dir)
       .select(explode(tokens(col("text"))).as("token"))

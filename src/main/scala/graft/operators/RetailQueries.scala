@@ -37,8 +37,9 @@ object RetailQueries {
   /** Reference seed CSVs (read-only). */
   val DataDir = "/root/reference/data"
 
-  /** Where the oracle-visible parquet copies land — must match the
-    * literal paths inside [[graft.OracleSql]]'s q164–q167 entries. */
+  /** Where the oracle-visible parquet copies land. Single source of
+    * truth: [[graft.OracleSql]] interpolates this constant into the
+    * q164–q167 oracle SQL at dump time. */
   val StageDir = "/root/repo/target/retail_stage"
 
   /** Same fact size RetailGoldenSpec exercises. */

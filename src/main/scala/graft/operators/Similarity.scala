@@ -189,11 +189,27 @@ object Similarity {
 
   val NumPlanes = 4
 
-  /** Deterministic pseudo-random hyperplanes (seeded, engine-side). */
-  private def planes(dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
+  /** Deterministic hyperplanes with components in {-3,-1,1,3}, derived
+    * from md5 nibble parity (salt "q24") — engine-portable the same way
+    * q66's ±1 planes are (any engine reproduces the weights from
+    * `md5('q24_' || p || '_' || i)`), but a 4-level weight alphabet, so
+    * the projections aren't a re-run of the Rademacher family. Small
+    * integer weights keep each product a single exact-or-once-rounded
+    * IEEE multiply and the dot an in-order double sum — identical
+    * floats in Spark and DuckDB, hence identical bucket signs. */
+  private def planes(dim: Int): Seq[Seq[Double]] =
+    (0 until NumPlanes).map { p =>
+      (0 until dim).map { i =>
+        val nibble =
+          Integer.parseInt(md5Hex(s"q24_${p}_$i").substring(0, 1), 16)
+        nibble % 4 match {
+          case 0 => -3.0
+          case 1 => -1.0
+          case 2 => 1.0
+          case _ => 3.0
+        }
+      }
+    }
 
   /** Bucket id from the sign pattern of hyperplane projections. */
   def lshBucket(v: Column, dim: Int): Column =
@@ -207,7 +223,9 @@ object Similarity {
     * hamming-distance-1 neighbor buckets (multi-probe recovers most of
     * the recall a single probe loses, at 1+planes probes per query).
     * The corpus-side cost stays one shuffle on the bucket key — the
-    * shape that scales to 100 TB. */
+    * shape that scales to 100 TB. Hash-checkable: the planes derive
+    * from md5 (see [[planes]]), so the DuckDB oracle reproduces the
+    * exact buckets, probes, and ranking. */
   def q24AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val all = vecs(s, dir).withColumn("bucket", lshBucket(col("v"), dim))

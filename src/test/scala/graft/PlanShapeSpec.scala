@@ -377,6 +377,24 @@ class PlanShapeSpec extends AnyFunSuite {
     new Directory(new java.io.File(wh)).deleteRecursively()
   }
 
+  test("q60 vocab top-k: the limit pushes BELOW the window " +
+      "(TakeOrderedAndProject feeds it) — the vocabulary is never " +
+      "globally sorted") {
+    val df = graft.operators.CorpusOps.q60VocabTopK(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // LimitPushDownThroughWindow: rank<=50 over an empty partition spec
+    // becomes a top-50 heap under the window
+    assert(p.contains("TakeOrderedAndProject(limit=50"),
+      s"rank filter must become a pushed top-50 heap:\n$p")
+    val windowIdx = p.indexOf("Window [row_number")
+    val topkIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && topkIdx > windowIdx,
+      s"the heap must sit BELOW the window (window input = 50 rows):\n$p")
+    assert(!p.contains("Sort [n"),
+      s"no global vocabulary sort belongs in this plan:\n$p")
+  }
+
   test("q77 heavy hitters plans as TakeOrderedAndProject, not a " +
       "single-partition global window") {
     val df = graft.operators.Profiling.q77HeavyHitters(spark, sfDir)

@@ -131,6 +131,15 @@ class RetailGoldenSpec extends AnyFunSuite {
       // residence mart groups on zipcode geography from the fan-out join
       val byRes = spark.table("mart_salesbyresidence")
       assert(byRes.where(col("province_city").isNotNull).count() > 0L)
+
+      // crawler-equivalent CROSS-SESSION semantics on the reference's
+      // own path: a brand-new session (fresh temp-view registry, same
+      // metastore) must see every mart by name with matching counts
+      val fresh = spark.newSession()
+      counts.foreach { case (name, n) =>
+        assert(fresh.table(name).count() === n,
+          s"$name must be visible from a fresh session")
+      }
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(wh)).deleteRecursively()
