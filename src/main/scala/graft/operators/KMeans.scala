@@ -30,47 +30,68 @@ object KMeans {
     val spark = vecs.sparkSession
     import spark.implicits._
 
-    // Materialize the cache BEFORE the loop: every Lloyd pass must hit
-    // memory, never the parquet source; without the eager count the
-    // first pass pays the scan inside the training timing.
-    val data = vecs.select(col("id"), col("v")).persist()
-    data.count()
-    var centroids: Array[(Int, Array[Double])] = data
-      .orderBy(col("id")).limit(k)
-      .select(col("id"), col("v")).as[(Long, Seq[Double])]
-      .collect().zipWithIndex
-      .map { case ((_, v), i) => (i, v.toArray) }
-    var inertia = Double.MaxValue
+    // Lloyd's loop runs 1 + `iters` tiny-output jobs back to back, so
+    // per-job OVERHEAD — not arithmetic — is what training time is made
+    // of. Two session knobs are scoped to the loop and restored after:
+    //  - AQE off: every iteration's aggregate has a FIXED shape with a
+    //    ≤k-row output; AQE's per-iteration query-stage barrier +
+    //    re-optimization buys nothing for it at any scale and costs a
+    //    scheduling round trip per pass.
+    //  - shuffle.partitions = k: the reduce side holds at most k keys
+    //    (k·(dim+2) doubles total); more reducers than keys is pure
+    //    task-launch waste, again at any corpus size.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val shufWas = spark.conf.get(shufKey, "200")
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, k.toString)
+    try {
+      // The init job below (per-partition TakeOrdered over EVERY input
+      // partition) doubles as the cache materializer: after it, every
+      // Lloyd pass hits memory, never the source — no separate count()
+      // job needed.
+      val data = vecs.select(col("id"), col("v")).persist()
+      var centroids: Array[(Int, Array[Double])] = data
+        .orderBy(col("id")).limit(k)
+        .select(col("id"), col("v")).as[(Long, Seq[Double])]
+        .collect().zipWithIndex
+        .map { case ((_, v), i) => (i, v.toArray) }
+      var inertia = Double.MaxValue
 
-    val dim = centroids.head._2.length
-    for (_ <- 0 until iters) {
-      val assigned = assign(data, centroids)
-      // Per-centroid per-dimension sums as `dim` scalar aggregates over
-      // CORPUS rows — no posexplode: exploding to corpus×dim skinny
-      // rows multiplied the rows the aggregate hashes (and the
-      // group-by key cardinality) by the dimension count for zero
-      // information gain. A wide HashAggregate buffer (k rows × dim+2
-      // doubles) with map-side partial aggregation shuffles only
-      // partitions×k rows; the driver still holds k·(dim+2) doubles.
-      val aggCols = (0 until dim).map(i => sum(col("v")(i)).as(s"s$i")) ++
-        Seq(count(lit(1)).as("n"), sum(col("dist2")).as("sse"))
-      val stats = assigned
-        .groupBy(col("cent_id"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-      inertia = stats.map(_.getAs[Double]("sse")).sum
-      val byCent = stats.map(r => r.getAs[Int]("cent_id") -> r).toMap
-      centroids = centroids.map { case (cid, old) =>
-        byCent.get(cid) match {
-          case Some(r) =>
-            val n = r.getAs[Long]("n")
-            (cid, Array.tabulate(dim)(i => r.getDouble(1 + i) / n))
-          case None => (cid, old) // empty cell keeps its centroid
+      val dim = centroids.head._2.length
+      for (_ <- 0 until iters) {
+        val assigned = assign(data, centroids)
+        // Per-centroid per-dimension sums as `dim` scalar aggregates over
+        // CORPUS rows — no posexplode: exploding to corpus×dim skinny
+        // rows multiplied the rows the aggregate hashes (and the
+        // group-by key cardinality) by the dimension count for zero
+        // information gain. A wide HashAggregate buffer (k rows × dim+2
+        // doubles) with map-side partial aggregation shuffles only
+        // partitions×k rows; the driver still holds k·(dim+2) doubles.
+        val aggCols = (0 until dim).map(i => sum(col("v")(i)).as(s"s$i")) ++
+          Seq(count(lit(1)).as("n"), sum(col("dist2")).as("sse"))
+        val stats = assigned
+          .groupBy(col("cent_id"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        inertia = stats.map(_.getAs[Double]("sse")).sum
+        val byCent = stats.map(r => r.getAs[Int]("cent_id") -> r).toMap
+        centroids = centroids.map { case (cid, old) =>
+          byCent.get(cid) match {
+            case Some(r) =>
+              val n = r.getAs[Long]("n")
+              (cid, Array.tabulate(dim)(i => r.getDouble(1 + i) / n))
+            case None => (cid, old) // empty cell keeps its centroid
+          }
         }
       }
+      data.unpersist()
+      Model(centroids, inertia)
+    } finally {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(shufKey, shufWas)
     }
-    data.unpersist()
-    Model(centroids, inertia)
   }
 
   /** Assign each vector to its nearest centroid (squared L2), ties to
@@ -80,26 +101,30 @@ object KMeans {
     * ONE fused codegen'd dot product (VectorMath.DotProduct) instead of
     * an interpreted zip_with+aggregate pair that allocates a difference
     * array per (row, centroid) — at k=64 that's 64 allocations per row
-    * gone from the training hot loop. ‖v‖² is computed once per row;
-    * ‖c‖² folds to a driver-side literal. */
+    * gone from the training hot loop.
+    *
+    * EVERY centroid-dependent number lives inside an ArrayType literal:
+    * codegen emits array literals as `references[i]` lookups, while a
+    * scalar `lit(‖c‖²)` would be inlined into the generated SOURCE — so
+    * the scalar form produces different source each Lloyd pass (fresh
+    * centroid values), misses the codegen cache, and pays a Janino
+    * recompile per iteration, which DOMINATES training at bench scale.
+    * Folding ‖c‖² into the array as c ++ [−‖c‖²/2] against v ++ [1]
+    * (dist2 = ‖v‖² − 2·dot(v∥1, c∥−‖c‖²/2)) keeps the source
+    * byte-identical across iterations: every pass is a cache hit. */
   def assign(vecs: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     import graft.functions.VectorMath.dotProduct
     val dists = centroids.map { case (cid, cv) =>
-      // ONE ArrayType literal per centroid (typedLit), not 64 scalar
-      // lit() nodes wrapped in array(): the k×dim scalar form made every
-      // Lloyd pass carry a ~1k-node expression tree that Janino
-      // recompiled per iteration (fresh literals each pass) and pushed
-      // codegen toward the 8K-bytecode fallback cliff.
-      val cArr = typedLit(cv.toSeq)
-      val cn2 = cv.map(x => x * x).sum
+      val cExt = typedLit((cv :+ (-cv.map(x => x * x).sum / 2)).toSeq)
       struct(
-        (col("__vn2") - lit(2.0) * dotProduct(col("v"), cArr) + lit(cn2))
+        (col("__vn2") - lit(2.0) * dotProduct(col("__v1"), cExt))
           .as("dist2"),
         lit(cid).as("cent_id"))
     }
     vecs
       .withColumn("__vn2", dotProduct(col("v"), col("v")))
+      .withColumn("__v1", array_append(col("v"), lit(1.0)))
       .withColumn("best", least(dists: _*))
       .select(col("id"), col("v"),
         col("best.cent_id").as("cent_id"), col("best.dist2").as("dist2"))

@@ -141,38 +141,56 @@ object Similarity {
   }
 
   /** q53 — IVF ANN with TRAINED centroids: KMeans.fit replaces q34's
-    * lowest-id centroid stub, then the identical probe plan runs
-    * (corpus assigned to cells once, queries probe their nearest
-    * cells). No DuckDB oracle — Lloyd's isn't SQL-expressible — so the
-    * driver records rows-only; the spec asserts trained recall vs the
-    * brute-force ground truth meets or beats the stub's. */
+    * lowest-id centroid stub, then the probe runs with the trained
+    * cells as broadcast literals — corpus assignment and query probing
+    * are both map-only (see inline notes), so the probe's only shuffle
+    * is the candidate top-k. No DuckDB oracle — Lloyd's isn't
+    * SQL-expressible — so the driver records rows-only; the spec
+    * asserts trained recall vs the brute-force ground truth meets or
+    * beats the stub's. */
   def q53AnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
+    // ONE cached copy of the prepared vectors serves training AND both
+    // probe sides: without it, the corpus and query branches each
+    // re-run the parquet scan + interpreted cast-transform + repartition
+    // shuffle that vecs() performs (fit's internal cache covers only its
+    // own 2-column projection). fit is eager, so its init job also
+    // materializes this cache before the lazy probe plan executes.
+    // Bench/Verify clear session caches between executions.
+    val v = vecs(s, dir).persist()
     val model = KMeans.fit(
       v.select(col("vec_id").as("id"), col("v")), IvfCentroids, iters = 3)
-    val cents = model.centroids.map { case (cid, cv) =>
-      (cid, cv.toSeq)
-    }.toSeq
-    import s.implicits._
-    val centDf = cents.toDF("cent_id", "cv")
-      .select(col("cent_id"), col("cv"),
-        Similarity.norm(col("cv")).as("cnorm"))
+    import graft.functions.VectorMath.dotProduct
 
-    def nearestCells(side: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_c").desc, col("cent_id").asc)
-      side.join(broadcast(centDf))
-        .withColumn("cos_c",
-          dot(col("v"), col("cv")) / (col("v_norm") * col("cnorm")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= n)
-        .drop("cv", "cnorm", "cos_c", "rk")
+    // Trained cells as expression structs, scored by NEGATED cosine so
+    // `least`/ascending struct order = nearest cell, ties to the lowest
+    // cell id — the exact order the old join+window form produced.
+    val cells = model.centroids.map { case (cid, cv) =>
+      val cArr = typedLit(cv.toSeq)
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-(dotProduct(col("v"), cArr) / (col("v_norm") * lit(cn))))
+          .as("negcos"),
+        lit(cid).as("cent_id"))
     }
 
-    val corpus = nearestCells(v, 1)
-    val queries = nearestCells(v.where(col("vec_id") < 10), IvfProbes)
+    // Corpus→cell assignment is MAP-ONLY: argmin over k fused dot
+    // products against literal cells. The previous join+window form
+    // expanded every corpus row 16× and then ran a corpus-sized window
+    // shuffle just to keep rank 1 — at 100 TB that shuffle IS the
+    // probe's cost; here the corpus never leaves its partitions.
+    val corpus = v
+      .withColumn("best", least(cells: _*))
+      .select(col("vec_id"), col("v"), col("v_norm"),
+        col("best.cent_id").as("cent_id"))
+
+    // Query→probed cells: per-row sort of the k cell scores, keep the
+    // IvfProbes nearest — also map-only (array_sort on struct order =
+    // negcos asc, cell id asc), then a 10×probes-row explode.
+    val queries = v.where(col("vec_id") < 10)
+      .withColumn("probe",
+        explode(slice(array_sort(array(cells: _*)), 1, IvfProbes)))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("v_norm").as("q_norm"), col("cent_id").as("q_cent"))
+        col("v_norm").as("q_norm"), col("probe.cent_id").as("q_cent"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
