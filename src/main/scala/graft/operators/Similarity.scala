@@ -104,7 +104,8 @@ object Similarity {
     * join + window argmax (deterministic tie-break, oracle-matchable);
     * at 100 TB you'd collect the K tiny centroids and fold the argmax
     * into one codegen expression so the corpus never shuffles — same
-    * result, zero exchanges on the big side. */
+    * result, zero exchanges on the big side. [[q53AnnIvfTrained]]
+    * implements exactly that literal-cells map-only probe. */
   def q34AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     val cents = v.where(col("vec_id") < IvfCentroids)
