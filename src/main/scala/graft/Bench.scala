@@ -158,7 +158,7 @@ object Bench {
     // partition strategy that only works at test scale would show as a
     // superlinear blowup. Single attempt (not min-merged): this is a
     // smoke, and generation+run already dominate the bench tail.
-    def etl10x(): Double = {
+    def etl10x(): (Double, Double) = {
       val sp = newSession(cpus)
       try {
         val base = java.nio.file.Files
@@ -179,27 +179,35 @@ object Bench {
         }
         val wh = java.nio.file.Files
           .createTempDirectory("graft_10x_wh_").toString
-        val t = timed {
+        val tInit = timed {
           Pipeline.run(sp, Pipeline.Config(base, wh, "19920101", "20021231"))
+        }
+        // incremental leg at 10×: one year re-run, dynamic overwrite
+        // rewrites only the touched partitions (BASELINE.md publishes
+        // the same initial/incremental pair)
+        val tInc = timed {
+          Pipeline.run(sp, Pipeline.Config(base, wh, "19950101", "19951231"))
         }
         import scala.reflect.io.Directory
         new Directory(new java.io.File(wh)).deleteRecursively()
         new Directory(new java.io.File(base)).deleteRecursively()
-        t
+        (tInit, tInc)
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL etl_pipeline_10x: $e")
-          -1.0
+          (-1.0, -1.0)
       } finally {
         sp.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
       }
     }
-    val etl10xTime = if (runEtl) etl10x() else -1.0
+    val (etl10xTime, etl10xIncTime) = if (runEtl) etl10x() else (-1.0, -1.0)
 
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
-      ("etl_incremental" -> etlIncTime) :+ ("etl_pipeline_10x" -> etl10xTime)
+      ("etl_incremental" -> etlIncTime) :+
+      ("etl_pipeline_10x" -> etl10xTime) :+
+      ("etl_incremental_10x" -> etl10xIncTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
@@ -218,8 +226,10 @@ object Bench {
     // Per-round self-identifying copy: bench_result.json is overwritten
     // every run, so round-over-round comparison needs a file the next
     // run won't clobber. The round number = 1 + the highest BENCH_r{N}
-    // the driver has already published in cwd.
-    try {
+    // the driver has already published in cwd. Full runs only — a
+    // SPARK_GRAFT_ONLY dev run must not replace the round's artifact
+    // with a partial one.
+    if (only.isEmpty) try {
       val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .map(_.getName)
         .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
