@@ -466,8 +466,58 @@ object OracleSql {
              CAST(octet_length(encode(text)) % 1080 + 1 AS BIGINT)
                AS fake_height
       FROM documents
-    """
+    """,
+    "q26_simhash" -> (simhashSigCte + """
+      SELECT a.doc_id, a.simhash,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming_next
+      FROM sig a JOIN sig b ON a.doc_id + 1 = b.doc_id
+    """)
   ).map { case (k, v) => k -> v.trim }
+
+  /** The engine's 64-bit FNV-1a SimHash, reproduced exactly in DuckDB
+    * SQL — the fold that was long declared "not SQL-expressible" is a
+    * `list_reduce` over per-token code points (the corpus is ASCII, so
+    * code points ARE the UTF-8 bytes the JVM hashes) with mod-2^64
+    * arithmetic emulated in HUGEINT and the XOR-with-a-byte step
+    * rewritten as low-byte arithmetic (h - h%256 + xor(h%256, b):
+    * DuckDB's xor takes BIGINT, and only the low 8 bits can differ).
+    * Signature bits then accumulate ±1 per token per position and the
+    * HUGEINT result maps back to the JVM's signed long. Makes q26 and
+    * q140 fully hash-checked. */
+  private def simhashSigCte: String = """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents
+      ), h AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(t) + 1),
+                i -> unicode(substring(t, i, 1))::HUGEINT)),
+            (acc, b) -> ((acc - acc % 256 +
+                xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+              * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+          ) AS th
+        FROM tok
+      ), bits AS (
+        SELECT doc_id, j,
+          SUM(CASE WHEN (th // CAST(power(2, j) AS HUGEINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS c
+        FROM h CROSS JOIN range(0, 64) r(j)
+        GROUP BY doc_id, j
+      ), sig AS (
+        SELECT doc_id,
+          CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                    THEN s - 18446744073709551616::HUGEINT ELSE s END
+            AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id,
+            SUM(CASE WHEN c > 0 THEN CAST(power(2, j) AS HUGEINT)
+                     ELSE 0::HUGEINT END) AS s
+          FROM bits GROUP BY doc_id
+        )
+      )
+  """
 
   /** Oracles for the Athena-KPI-shaped queries (SURVEY §2.13). */
   val kpi: Map[String, String] = Map(
@@ -2593,6 +2643,15 @@ object OracleSql {
       FROM per_label, totals
       ORDER BY label
     """,
+    // brute-force all-pairs Hamming scan: the engine runs the banded
+    // equi-join, so a hash match against this PROVES the pigeonhole
+    // banding loses no pair on the data (q102's oracle pattern)
+    "q140_simhash_pairs" -> (simhashSigCte + """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """),
     "q141_asof_tolerance" -> """
       WITH p AS (
         SELECT event_id, user_id, ts FROM events

@@ -220,10 +220,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ rows-only check) only for the
     * ops whose seeds/sketches aren't SQL-expressible: q20/q21 (xxhash64
-    * MinHash), q26/q140 (FNV-1a SimHash), q47 (HLL registers), q53
+    * MinHash — DuckDB has no xxhash64), q47 (HLL registers), q53
     * (k-means float accumulation order); each of those has a spec
     * pinning its semantics instead, and q54/q55/q66 are the
-    * hash-checked twins of the MinHash/LSH family. q24's md5-derived
-    * planes made it fully hash-checked in round 7. */
+    * hash-checked twins of the MinHash/LSH family. Round 7 oracle-ized
+    * q24 (md5-derived planes) and q26/q140 (FNV-1a SimHash reproduced
+    * in DuckDB HUGEINT arithmetic). */
   def oracleSql: Map[String, String] = OracleSql.all
 }

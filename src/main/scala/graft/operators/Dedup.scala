@@ -208,7 +208,10 @@ object Dedup {
   }
 
   /** q26 — SimHash signatures + hamming distance between adjacent docs
-    * (custom Catalyst Expression; fingerprint-level near-dup signal). */
+    * (custom Catalyst Expression; fingerprint-level near-dup signal).
+    * Hash-checked since round 7: the FNV-1a fold is reproduced in
+    * DuckDB via a HUGEINT mod-2^64 `list_reduce` (see
+    * OracleSql.simhashSigCte). */
   def q26Simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), SimHash.simhash64(tokens(col("text"))).as("simhash"))
@@ -226,11 +229,12 @@ object Dedup {
     * while touching only band-collision candidates — the linear-ish
     * alternative to the corpus² Hamming join, same banding law as
     * MinHash-LSH (q21) but for bit fingerprints. Verification is one
-    * codegen'd `bit_count(a XOR b)` per candidate. *Rows-only* like
-    * q26 (the FNV-seeded signature isn't SQL-expressible); the spec
-    * proves the pigeonhole guarantee on-data: banding recovers
-    * EXACTLY the pairs a brute-force all-pairs Hamming scan finds at
-    * the threshold. */
+    * codegen'd `bit_count(a XOR b)` per candidate. Hash-checked since
+    * round 7 against a brute-force all-pairs Hamming oracle (DuckDB
+    * reproduces the FNV-1a signature exactly — OracleSql
+    * .simhashSigCte), so the hash match PROVES the pigeonhole banding
+    * loses no pair on the data; the spec proves the same in-Spark at
+    * sf0.001. */
   def q140SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val HammingMax = 3
     val d = Tables.load(s, dir, "documents")
