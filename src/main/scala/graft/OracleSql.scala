@@ -467,6 +467,33 @@ object OracleSql {
                AS fake_height
       FROM documents
     """,
+    "q168_incremental_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                 AS fp,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                 AS is_hist
+        FROM documents
+      ), hist AS (
+        SELECT fp, MIN(doc_id) AS hist_canonical FROM d
+        WHERE is_hist GROUP BY fp
+      ), batch AS (
+        SELECT doc_id, fp FROM d WHERE NOT is_hist
+      ), first_in_batch AS (
+        SELECT fp, MIN(doc_id) AS batch_first FROM batch GROUP BY fp
+      )
+      SELECT b.doc_id, b.fp AS fingerprint,
+             CASE WHEN h.hist_canonical IS NOT NULL THEN 'dup_of_history'
+                  WHEN f.batch_first < b.doc_id THEN 'dup_in_batch'
+                  ELSE 'novel' END AS status,
+             CASE WHEN h.hist_canonical IS NOT NULL THEN h.hist_canonical
+                  WHEN f.batch_first < b.doc_id THEN f.batch_first
+                  END AS canonical_id
+      FROM batch b
+      LEFT JOIN hist h USING (fp)
+      JOIN first_in_batch f USING (fp)
+    """,
     "q26_simhash" -> (simhashSigCte + """
       SELECT a.doc_id, a.simhash,
              bit_count(xor(a.simhash, b.simhash)) AS hamming_next

@@ -214,7 +214,9 @@ object SparkEntry {
     "q164_retail_datetime" -> (RetailQueries.q164RetailDatetime _),
     "q165_retail_ageproducts" -> (RetailQueries.q165RetailAgeProducts _),
     "q166_retail_residence" -> (RetailQueries.q166RetailResidence _),
-    "q167_retail_customer" -> (RetailQueries.q167RetailCustomer _)
+    "q167_retail_customer" -> (RetailQueries.q167RetailCustomer _),
+    // incremental ingest dedup: batch vs historical fingerprint index
+    "q168_incremental_dedup" -> (Dedup.q168IncrementalDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

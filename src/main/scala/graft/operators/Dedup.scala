@@ -373,4 +373,48 @@ object Dedup {
         round(col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
   }
+
+  /** q168 — incremental ingest dedup: tonight's BATCH deduplicated
+    * against the historical corpus and within itself — the production
+    * shape of exact dedup on a growing 100 TB lake, where q18's
+    * whole-corpus groupBy would rescan all of history for every
+    * arriving batch. Here the corpus splits deterministically
+    * (md5-prefix of doc_id, q80's convention: prefix < "80" ≈ 50% is
+    * "history") and each batch doc reports its status:
+    *   - `dup_of_history`: fingerprint already in the historical index
+    *     (canonical = the lowest history doc_id holding it);
+    *   - `dup_in_batch`: new fingerprint, but an earlier batch doc
+    *     (lower doc_id) in the SAME batch claims it first;
+    *   - `novel`: first occurrence anywhere.
+    *
+    * Scale shape: history contributes only its (fingerprint →
+    * canonical) index — at 100 TB that index is a materialized table
+    * maintained by each night's novel set, so history TEXT is never
+    * rescanned; the batch joins it fingerprint-shuffled (with q120's
+    * bloom pre-filter as the optional fast path when the batch is
+    * small relative to the index). Within-batch first-wins is one
+    * fingerprint-keyed aggregate of the batch alone. Every rule is
+    * md5-deterministic, so the full status table is hash-checked. */
+  def q168IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+          .as("is_hist"))
+    val histIndex = d.where(col("is_hist"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("hist_canonical"))
+    val batch = d.where(!col("is_hist"))
+    val batchFirst = batch
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("batch_first"))
+    batch
+      .join(histIndex, Seq("fp"), "left")
+      .join(batchFirst, Seq("fp"))
+      .select(
+        col("doc_id"), col("fp").as("fingerprint"),
+        when(col("hist_canonical").isNotNull, lit("dup_of_history"))
+          .when(col("batch_first") < col("doc_id"), lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("status"),
+        when(col("hist_canonical").isNotNull, col("hist_canonical"))
+          .when(col("batch_first") < col("doc_id"), col("batch_first"))
+          .as("canonical_id"))
+  }
 }

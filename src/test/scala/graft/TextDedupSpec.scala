@@ -136,4 +136,44 @@ class TextDedupSpec extends AnyFunSuite {
       r.getAs[Long]("doc_b"), r.getAs[Long]("shared"))).toSet
     assert(gotSet === brute, "prefix filtering must be lossless")
   }
+
+  test("q168 incremental dedup matches a driver-side recomputation and " +
+      "its statuses partition the batch correctly") {
+    import graft.functions.TextFunctions.fingerprint
+    val got = graft.operators.Dedup.q168IncrementalDedup(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fingerprint"),
+        r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("canonical_id")).map(_.toLong)))
+
+    // driver-side recomputation from raw rows
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+          .as("is_hist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val histCanon = rows.filter(_._3).groupBy(_._2)
+      .map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val batch = rows.filterNot(_._3)
+    val batchFirst = batch.groupBy(_._2)
+      .map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val want = batch.map { case (id, fp, _) =>
+      histCanon.get(fp) match {
+        case Some(c) => (id, fp, "dup_of_history", Some(c))
+        case None if batchFirst(fp) < id =>
+          (id, fp, "dup_in_batch", Some(batchFirst(fp)))
+        case None => (id, fp, "novel", None)
+      }
+    }.toSet
+    assert(got.toSet === want)
+    // the batch half must be fully accounted for, and novel docs carry
+    // fingerprints absent from history and unique among novels
+    assert(got.length === batch.length)
+    val novels = got.filter(_._3 == "novel")
+    assert(novels.map(_._2).distinct.length === novels.length)
+    novels.foreach { case (_, fp, _, c) =>
+      assert(!histCanon.contains(fp) && c.isEmpty)
+    }
+  }
 }
