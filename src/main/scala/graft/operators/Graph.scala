@@ -77,12 +77,19 @@ object Graph {
     var rank = nodes.select(col("node"),
       (lit(1.0) / nN).as(s"r"))
     for (_ <- 1 to Iterations) {
-      val contrib = edges
-        .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
-        .join(broadcast(deg), Seq("src"))
-        .select(col("dst"),
+      // floor(r/deg·1e12) is a per-SOURCE constant, so compute it on
+      // the node-sized side BEFORE touching edges: one broadcast join
+      // per iteration instead of two, and the per-edge work drops to
+      // carrying a long — at 100 TB edges, per-edge division is the
+      // term that matters. Values are bit-identical to the per-edge
+      // form (same floats, same ops, evaluated once per src).
+      val contribPerSrc = rank.withColumnRenamed("node", "src")
+        .join(deg, Seq("src"))
+        .select(col("src"),
           floor(col("r") / col("deg") * lit(1e12)).cast("bigint")
             .as("c_micro"))
+      val contrib = edges
+        .join(broadcast(contribPerSrc), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("c_micro")).as("s_micro"))
       rank = nodes
