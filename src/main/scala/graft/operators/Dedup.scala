@@ -395,8 +395,15 @@ object Dedup {
     * small relative to the index). Within-batch first-wins is one
     * fingerprint-keyed aggregate of the batch alone. Every rule is
     * md5-deterministic, so the full status table is hash-checked. */
-  def q168IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
+  def q168IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables.load(s, dir, "documents"))
+
+  /** Core of q168 over any (doc_id, text) frame — separated so specs
+    * can feed corpora with REAL duplicates (the synthetic testdata's
+    * fingerprints are all unique, which would leave the dup branches
+    * tested by nothing). */
+  def incrementalDedup(documents: DataFrame): DataFrame = {
+    val d = documents
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         (substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
           .as("is_hist"))

@@ -46,12 +46,13 @@ object KMeans {
     val shufWas = spark.conf.get(shufKey, "200")
     spark.conf.set(aqeKey, "false")
     spark.conf.set(shufKey, k.toString)
+    // The init job below (per-partition TakeOrdered over EVERY input
+    // partition) doubles as the cache materializer: after it, every
+    // Lloyd pass hits memory, never the source — no separate count()
+    // job needed. Unpersisted in the finally: a failed iteration must
+    // not leave the corpus projection pinned in storage memory.
+    val data = vecs.select(col("id"), col("v")).persist()
     try {
-      // The init job below (per-partition TakeOrdered over EVERY input
-      // partition) doubles as the cache materializer: after it, every
-      // Lloyd pass hits memory, never the source — no separate count()
-      // job needed.
-      val data = vecs.select(col("id"), col("v")).persist()
       var centroids: Array[(Int, Array[Double])] = data
         .orderBy(col("id")).limit(k)
         .select(col("id"), col("v")).as[(Long, Seq[Double])]
@@ -86,9 +87,9 @@ object KMeans {
           }
         }
       }
-      data.unpersist()
       Model(centroids, inertia)
     } finally {
+      data.unpersist()
       spark.conf.set(aqeKey, aqeWas)
       spark.conf.set(shufKey, shufWas)
     }

@@ -199,8 +199,11 @@ object PrefixSum {
         expr(s"(_rank - 1) DIV ${q + 1}") + 1)
         .otherwise(lit(rem) + expr(s"(_rank - 1 - $cut) DIV $q") + 1)
     val out = ranked.withColumn(tileCol, tile.cast("int"))
+    // rank stays LONG: this helper exists precisely for orders too big
+    // for one task, where an int rank would wrap negative past 2^31
+    // rows and silently corrupt the total order it defines
     rankCol.fold(out.drop("_one", "_rank0", "_rank")) { rc =>
-      out.withColumn(rc, col("_rank").cast("int"))
+      out.withColumn(rc, col("_rank"))
         .drop("_one", "_rank0", "_rank")
     }
   }

@@ -176,4 +176,64 @@ class TextDedupSpec extends AnyFunSuite {
       assert(!histCanon.contains(fp) && c.isEmpty)
     }
   }
+
+  test("q168 dup branches fire on a corpus with real duplicates: " +
+      "dup_of_history and dup_in_batch canonicals are correct") {
+    // The shipped testdata has all-unique fingerprints, so the dedup
+    // branches would otherwise pass vacuously — this corpus forces
+    // every status. Under the md5-prefix split of ids 0..39, ids
+    // 6/9/11/17/... are history and 0/1/2/3/... are batch; assign:
+    //  - key "H": history id 6 + batch ids 0,1  → dup_of_history
+    //  - key "B": batch ids 2,3 only            → novel + dup_in_batch
+    //  - key "N": batch id 4 only               → novel
+    //  - everything else unique
+    val docs = (0L until 40L).map { i =>
+      val text = i match {
+        case 6 | 0 | 1 => "key H"
+        case 2 | 3 => "key B"
+        case 4 => "key N"
+        case _ => s"unique $i"
+      }
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalDedup(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("canonical_id")).map(_.toLong)))
+    val statuses = got.map(_._2).toSet
+    assert(statuses === Set("dup_of_history", "dup_in_batch", "novel")
+      || statuses === Set("dup_of_history", "dup_in_batch"),
+      s"dup branches must fire, got $statuses")
+    assert(got.count(_._2 == "dup_of_history") > 0)
+    assert(got.count(_._2 == "dup_in_batch") > 0)
+
+    // driver-side ground truth
+    val isHist = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.substring(0, 2) < "80"
+    }
+    val key = (i: Long) => i match {
+      case 6 | 0 | 1 => "key H"
+      case 2 | 3 => "key B"
+      case 4 => "key N"
+      case _ => s"unique $i"
+    }
+    val all = (0L until 40L).map(i => (i, key(i), isHist(i)))
+    val histCanon = all.filter(_._3).groupBy(_._2)
+      .map { case (k, xs) => k -> xs.map(_._1).min }
+    val batch = all.filterNot(_._3)
+    val batchFirst = batch.groupBy(_._2)
+      .map { case (k, xs) => k -> xs.map(_._1).min }
+    val want = batch.map { case (id, k, _) =>
+      histCanon.get(k) match {
+        case Some(c) => (id, "dup_of_history", Some(c))
+        case None if batchFirst(k) < id => (id, "dup_in_batch",
+          Some(batchFirst(k)))
+        case None => (id, "novel", None)
+      }
+    }.toSet
+    assert(got.toSet === want)
+  }
 }
