@@ -467,6 +467,60 @@ object OracleSql {
                AS fake_height
       FROM documents
     """,
+    "q169_incremental_neardup" -> """
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                 AS is_hist
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, is_hist,
+               CASE WHEN len(toks) < 2
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                      range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))
+               END AS s
+        FROM t
+      ), lanes AS (
+        SELECT doc_id, is_hist,
+               [list_min(list_transform(s,
+                  x -> md5(i::VARCHAR || '|' || x)))
+                for i in generate_series(0, 15)] AS lanes
+        FROM sh
+      ), bands AS (
+        SELECT doc_id, is_hist, b AS band,
+               md5(array_to_string(lanes[b * 4 + 1 : b * 4 + 4], ''))
+                 AS band_key
+        FROM lanes, generate_series(0, 3) AS g(b)
+      ), hist_index AS (
+        SELECT doc_id AS hist_doc, band, band_key FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band, band_key)
+                   AS bucket_size
+          FROM bands WHERE is_hist
+        ) WHERE bucket_size <= 50
+      ), cand AS (
+        SELECT DISTINCT p.doc_id, h.hist_doc
+        FROM bands p JOIN hist_index h
+          ON p.band = h.band AND p.band_key = h.band_key
+        WHERE NOT p.is_hist
+      ), j AS (
+        SELECT c.doc_id, c.hist_doc,
+               len(list_intersect(sb.s, sh2.s)) /
+                 CAST(len(list_distinct(sb.s || sh2.s)) AS DOUBLE)
+                 AS jaccard
+        FROM cand c
+        JOIN sh sb ON sb.doc_id = c.doc_id
+        JOIN sh sh2 ON sh2.doc_id = c.hist_doc
+      )
+      SELECT doc_id,
+             MIN(CASE WHEN jaccard = mx THEN hist_doc END) AS best_match,
+             ROUND(mx, 4) AS best_jaccard,
+             COUNT(*) AS n_hist_matches
+      FROM (SELECT *, MAX(jaccard) OVER (PARTITION BY doc_id) AS mx
+            FROM j WHERE jaccard >= 0.8)
+      GROUP BY doc_id, mx
+    """,
     "q168_incremental_dedup" -> """
       WITH d AS (
         SELECT doc_id,

@@ -215,8 +215,10 @@ object SparkEntry {
     "q165_retail_ageproducts" -> (RetailQueries.q165RetailAgeProducts _),
     "q166_retail_residence" -> (RetailQueries.q166RetailResidence _),
     "q167_retail_customer" -> (RetailQueries.q167RetailCustomer _),
-    // incremental ingest dedup: batch vs historical fingerprint index
-    "q168_incremental_dedup" -> (Dedup.q168IncrementalDedup _)
+    // incremental ingest dedup: batch vs historical fingerprint index,
+    // and its fuzzy twin probing the history's LSH band index
+    "q168_incremental_dedup" -> (Dedup.q168IncrementalDedup _),
+    "q169_incremental_neardup" -> (Dedup.q169IncrementalNeardup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -398,6 +398,71 @@ object Dedup {
   def q168IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     incrementalDedup(Tables.load(s, dir, "documents"))
 
+  /** q169 — incremental NEAR-dup: q168's fuzzy twin. Tonight's batch
+    * is probed against the HISTORY's LSH band index (md5 lanes —
+    * q54/q55's engine-portable signature), candidates are verified by
+    * exact shingle Jaccard at τ=0.8, and each matched batch doc gets
+    * ONE verdict row: its best historical match (max Jaccard, ties to
+    * the lowest history doc_id) plus how many history docs it
+    * collided with — the drop-list a nightly ingest acts on.
+    *
+    * Scale shape: the band index is history-sided and capped
+    * ([[MaxBucketSize]] computed over HISTORY buckets only — the index
+    * is built once and batch probes don't resize it); the batch joins
+    * it on (band, band_key), so cost is batch-sized + collision-sized,
+    * never history-text-sized. Jaccard is one IEEE division of exact
+    * integer counts, so the whole verdict table is hash-checked. */
+  def q169IncrementalNeardup(s: SparkSession, dir: String): DataFrame =
+    incrementalNeardup(Tables.load(s, dir, "documents"))
+
+  val NeardupTau = 0.8
+
+  def incrementalNeardup(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val d = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), 2)).as("sh"),
+        md5Lanes(col("text")).as("lanes"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+          .as("is_hist"))
+      .persist()
+    val buckets = d.select(col("doc_id"), col("is_hist"), posexplode(
+        transform(sequence(lit(0), lit(OracleBands - 1)), b =>
+          md5(concat_ws("",
+            slice(col("lanes"),
+              b * lit(OracleLanes / OracleBands) + lit(1),
+              lit(OracleLanes / OracleBands)))))))
+      .toDF("doc_id", "is_hist", "band", "band_key")
+    val histIndex = buckets.where(col("is_hist"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .where(col("bucket_size") <= MaxBucketSize)
+      .select(col("doc_id").as("hist_doc"), col("band"), col("band_key"))
+    val cand = buckets.where(!col("is_hist"))
+      .join(histIndex, Seq("band", "band_key"))
+      .select(col("doc_id"), col("hist_doc"))
+      .distinct()
+    val shB = d.select(col("doc_id"), col("sh"))
+    val shH = d.select(col("doc_id").as("hist_doc"), col("sh").as("sh_h"))
+    cand.join(shB, Seq("doc_id")).join(shH, Seq("hist_doc"))
+      .select(col("doc_id"), col("hist_doc"),
+        (size(array_intersect(col("sh"), col("sh_h"))) /
+          size(array_union(col("sh"), col("sh_h"))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= NeardupTau)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(struct(col("jaccard"), (-col("hist_doc")).as("nh")))
+          .as("best"),
+        count(lit(1)).as("n_hist_matches"))
+      .select(col("doc_id"),
+        (-col("best.nh")).as("best_match"),
+        round(col("best.jaccard"), 4).as("best_jaccard"),
+        col("n_hist_matches"))
+  }
+
   /** Core of q168 over any (doc_id, text) frame — separated so specs
     * can feed corpora with REAL duplicates (the synthetic testdata's
     * fingerprints are all unique, which would leave the dup branches

@@ -236,4 +236,46 @@ class TextDedupSpec extends AnyFunSuite {
     }.toSet
     assert(got.toSet === want)
   }
+
+  test("q169 incremental near-dup: verdicts are batch-vs-history, " +
+      "jaccards are exact, and LSH recall never exceeds brute force") {
+    import graft.functions.TextFunctions
+    val got = graft.operators.Dedup.q169IncrementalNeardup(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("best_jaccard"), r.getAs[Long]("n_hist_matches")))
+    assert(got.nonEmpty, "templated corpus must have cross-split near-dups")
+
+    // driver-side shingle sets + split
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"), 2)).as("sh"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+          .as("is_hist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getBoolean(2)))
+    val hist = rows.filter(_._3).map(x => x._1 -> x._2).toMap
+    val batch = rows.filterNot(_._3).map(x => x._1 -> x._2).toMap
+    def jac(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size / a.union(b).size.toDouble
+
+    got.foreach { case (id, best, bj, n) =>
+      assert(batch.contains(id), s"$id must be a batch doc")
+      assert(hist.contains(best), s"$best must be a history doc")
+      // the reported best jaccard is the exact recomputed value
+      val exact = BigDecimal(jac(batch(id), hist(best)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(bj === exact, s"doc $id: $bj vs exact $exact")
+      assert(bj >= 0.8 - 1e-12 && n >= 1)
+      // banding is a filter, never an amplifier: matches and best
+      // score are bounded by the brute-force truth
+      val brute = hist.filter { case (_, s) => jac(batch(id), s) >= 0.8 }
+      assert(n <= brute.size)
+      if (brute.nonEmpty) {
+        val bruteBest = BigDecimal(brute.values.map(jac(batch(id), _)).max)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(bj <= bruteBest + 1e-12)
+      }
+    }
+  }
 }
