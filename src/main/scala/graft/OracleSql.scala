@@ -319,6 +319,113 @@ object OracleSql {
       )
       WHERE rank <= 5
     """,
+    // q170: q24's md5 planes give both engines identical clusters; the
+    // verdict is then plain windowed SQL over within-cluster pairs.
+    "q170_semantic_dedup" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          CASE CAST(concat('0x', substring(md5(concat('q24_',
+                 CAST(p AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1))
+               AS INT) % 4
+            WHEN 0 THEN -3.0 WHEN 1 THEN -1.0 WHEN 2 THEN 1.0
+            ELSE 3.0 END) AS pv
+        FROM range(0, 4) t(p)
+      ), b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                             THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n CROSS JOIN planes GROUP BY vec_id
+      ), nb AS (
+        SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN b USING (vec_id)
+      ), m AS (
+        SELECT d.vec_id, d.bucket, k.vec_id AS keep_id,
+               list_dot_product(d.v, k.v) / (d.nrm * k.nrm) AS cosine
+        FROM nb d JOIN nb k
+          ON d.bucket = k.bucket AND k.vec_id < d.vec_id
+        WHERE list_dot_product(d.v, k.v) / (d.nrm * k.nrm) >= 0.30
+      )
+      SELECT vec_id, bucket, keep_id AS dup_of,
+             ROUND(cosine, 6) AS best_cosine, n_lower_matches
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cosine DESC, keep_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY vec_id) AS n_lower_matches
+        FROM m
+      )
+      WHERE rk = 1
+    """,
+    // q171: codebook from md5 nibbles; encode = argmin over the 16
+    // codewords of ||w||^2 - 2*(x_s.w) (identical double trees — the
+    // dots are in-order folds over the same slices); ADC adds the 8
+    // subspace terms left-assoc, exactly Spark's reduce order.
+    "q171_pq_ann" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), cw AS (
+        SELECT s, k, list_transform(range(0, 8), i ->
+          CASE CAST(concat('0x', substring(md5(concat('pq_',
+                 CAST(s AS VARCHAR), '_', CAST(k AS VARCHAR), '_',
+                 CAST(i AS VARCHAR))), 1, 1)) AS INT) % 4
+            WHEN 0 THEN -0.3 WHEN 1 THEN -0.1 WHEN 2 THEN 0.1
+            ELSE 0.3 END) AS w
+        FROM range(0, 8) t(s) CROSS JOIN range(0, 16) u(k)
+      ), cb AS (
+        SELECT list(w ORDER BY s, k) AS cbl,
+               list(list_dot_product(w, w) ORDER BY s, k) AS wwl
+        FROM cw
+      ), enc1 AS (
+        SELECT vec_id, s, k AS code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY
+                 list_dot_product(w, w)
+                   - 2.0 * list_dot_product(v[s*8+1 : s*8+8], w) ASC,
+                 k ASC) AS rk
+        FROM n CROSS JOIN cw
+      ), codes AS (
+        SELECT vec_id, list(code ORDER BY s) AS c
+        FROM enc1 WHERE rk = 1 GROUP BY vec_id
+      ), encf AS (
+        SELECT vec_id, c,
+               wwl[c[1] + 1] + wwl[c[2] + 17] + wwl[c[3] + 33]
+                 + wwl[c[4] + 49] + wwl[c[5] + 65] + wwl[c[6] + 81]
+                 + wwl[c[7] + 97] + wwl[c[8] + 113] AS rnorm2
+        FROM codes CROSS JOIN cb
+      ), pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ( list_dot_product(q.v[1:8],   cbl[e.c[1] + 1])
+               + list_dot_product(q.v[9:16],  cbl[e.c[2] + 17])
+               + list_dot_product(q.v[17:24], cbl[e.c[3] + 33])
+               + list_dot_product(q.v[25:32], cbl[e.c[4] + 49])
+               + list_dot_product(q.v[33:40], cbl[e.c[5] + 65])
+               + list_dot_product(q.v[41:48], cbl[e.c[6] + 81])
+               + list_dot_product(q.v[49:56], cbl[e.c[7] + 97])
+               + list_dot_product(q.v[57:64], cbl[e.c[8] + 113])
+               ) / (q.nrm * sqrt(e.rnorm2)) AS adc_cosine
+        FROM encf e CROSS JOIN cb
+        JOIN n q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_cosine DESC, vec_id ASC) AS rank
+        FROM pairs
+      )
+      SELECT query_id, rank, r.vec_id AS neighbor_id,
+             ROUND(adc_cosine, 6) AS adc_cosine,
+             ROUND(list_dot_product(cv.v, qv.v) / (cv.nrm * qv.nrm), 6)
+               AS cosine_exact
+      FROM ranked r
+      JOIN n cv ON cv.vec_id = r.vec_id
+      JOIN n qv ON qv.vec_id = r.query_id
+      WHERE rank <= 5
+    """,
     "q31_cosine_neardup" -> """
       WITH n AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -218,7 +218,12 @@ object SparkEntry {
     // incremental ingest dedup: batch vs historical fingerprint index,
     // and its fuzzy twin probing the history's LSH band index
     "q168_incremental_dedup" -> (Dedup.q168IncrementalDedup _),
-    "q169_incremental_neardup" -> (Dedup.q169IncrementalNeardup _)
+    "q169_incremental_neardup" -> (Dedup.q169IncrementalNeardup _),
+    // semantic dedup (SemDeDup) + product-quantization ANN — the
+    // embedding-side scale pair: cluster-bounded cosine dedup and the
+    // 4-bit-per-dim compressed index with exact re-rank
+    "q170_semantic_dedup" -> (Similarity.q170SemanticDedup _),
+    "q171_pq_ann" -> (Similarity.q171PqAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -476,6 +476,181 @@ object Similarity {
       .select(col("label"), col("vec_id"), round(col("dist2"), 8).as("dist2"))
   }
 
+  val SemDedupTau = 0.30
+
+  /** q170 — semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, compare pairs only
+    * WITHIN a cluster, and drop every document whose embedding is
+    * within cosine τ of a lower-id survivor — the greedy
+    * keep-lowest-id rule that makes the verdict deterministic and
+    * order-free. The paper clusters with k-means; here the cluster key
+    * is the md5-derived LSH bucket ([[lshBucket]], q24's planes) so
+    * BOTH engines derive identical clusters and the verdict is fully
+    * hash-checkable — the plan shape (cluster key → within-cluster
+    * pairs → per-doc verdict) is exactly the k-means variant's.
+    *
+    * Scale: candidate pairs exist only within a bucket, so the pair
+    * count is Σ|bucket|²/2, never corpus²; with p planes the expected
+    * bucket is |corpus|/2^p — at 100 TB you raise p (and/or switch the
+    * key to trained IVF cells, q53's machinery) so buckets stay
+    * bounded, and the per-bucket work distributes on the bucket key.
+    * Here the 16-bucket build-side broadcasts (q31's reasoning: a
+    * 16-value shuffle key would cap parallelism at 16 partitions);
+    * the probe side never leaves its partitions.
+    *
+    * Output: one row per DROPPED doc — the drop list a curation run
+    * acts on — with the kept doc it duplicates (best lower-id match by
+    * cosine, ties to the lowest id), the exact cosine, and how many
+    * lower-id docs it matched. */
+  def q170SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val all = vecs(s, dir).withColumn("bucket", lshBucket(col("v"), dim))
+    val kept = all.select(col("bucket").as("k_bucket"),
+      col("vec_id").as("keep_id"), col("v").as("kv"), col("v_norm").as("kn"))
+    val matches = all.join(broadcast(kept),
+        col("bucket") === col("k_bucket") && col("keep_id") < col("vec_id"))
+      .withColumn("cosine",
+        dot(col("v"), col("kv")) / (col("v_norm") * col("kn")))
+      .where(col("cosine") >= SemDedupTau)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("keep_id").asc)
+    matches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_lower_matches",
+        count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("keep_id").as("dup_of"),
+        round(col("cosine"), 6).as("best_cosine"), col("n_lower_matches"))
+  }
+
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** md5-derived PQ codebook: component i of codeword k in subspace s
+    * comes from the first nibble of md5("pq_s_k_i"), mapped onto
+    * {-0.3, -0.1, 0.1, 0.3} (the embedding components live in roughly
+    * [-0.5, 0.5]). Deterministic-by-hash for the same reason as q66's
+    * planes: any engine reproduces the exact codebook, which is what
+    * makes a QUANTIZED index hash-checkable at all — a k-means-trained
+    * codebook (the production variant) keeps this plan shape but goes
+    * rows-only like q53. */
+  private lazy val pqCodebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
+    (0 until PqSubspaces).map { sub =>
+      (0 until PqCodes).map { k =>
+        (0 until PqSubDim).map { i =>
+          val nibble =
+            Integer.parseInt(md5Hex(s"pq_${sub}_${k}_$i").substring(0, 1), 16)
+          nibble % 4 match {
+            case 0 => -0.3
+            case 1 => -0.1
+            case 2 => 0.1
+            case _ => 0.3
+          }
+        }
+      }
+    }
+
+  /** ‖w‖² per codeword, flattened to a 128-entry lookup aligned with
+    * [[pqCodebook]] (index = s·16 + k). Left-fold sum matches DuckDB's
+    * list_dot_product(w, w) term order bit-for-bit. */
+  private lazy val pqWw: Seq[Double] =
+    pqCodebook.flatten.map(w => w.map(x => x * x).sum)
+
+  /** q171 — product-quantization ANN (the IVF-PQ compression layer,
+    * Jégou et al. 2011): each 64-dim float vector is encoded as EIGHT
+    * 4-bit codes — one per 8-dim subspace, the nearest of 16 codewords
+    * — and queries rank the corpus by asymmetric-distance computation
+    * (ADC): a per-query 128-entry lookup table of subspace dot
+    * products, so scoring a candidate costs 8 table lookups + 7 adds
+    * instead of a 64-dim dot. 512× smaller vectors (4 bits/dim → the
+    * reason an exhaustive scan of a 100 TB corpus becomes a memory-
+    * bandwidth problem you can actually pay), with the top-k re-ranked
+    * by EXACT cosine fetched for the shortlist only — the standard
+    * two-stage shape.
+    *
+    * Engine-exact end to end: the codebook derives from md5
+    * ([[pqCodebook]]); encoding argmins compare `‖w‖² − 2·(x_s·w)`
+    * where the dot is an in-order 8-term fold (identical to DuckDB's
+    * list_dot_product on the same slice) and ties break to the lowest
+    * code; ADC sums the 8 subspace terms in fixed s-order (left-assoc
+    * in both engines); reconstruction norms come from the shared
+    * [[pqWw]] table. Every comparison both engines make is over
+    * bit-identical doubles.
+    *
+    * Plan shape: encoding is MAP-ONLY (128 literal-codeword dots per
+    * row, inside codegen — the corpus never shuffles to get encoded);
+    * the encoded table materializes once (codes + rnorm², the honest
+    * PQ index payload); queries broadcast with their LUTs; the only
+    * exchange is the final per-query top-5. */
+  def q171PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+
+    // --- encode: codes[s] = argmin_k ‖x_s − w_sk‖², via the rank-
+    // equivalent ‖w‖² − 2·x_s·w (‖x_s‖² is constant across k). least()
+    // over (dist, k) structs = min dist, ties to lowest k.
+    val codeCols = (0 until PqSubspaces).map { sub =>
+      val xs = slice(col("v"), sub * PqSubDim + 1, PqSubDim)
+      val cands = (0 until PqCodes).map { k =>
+        val w = pqCodebook(sub)(k)
+        struct(
+          (lit(pqWw(sub * PqCodes + k)) -
+            lit(2.0) * dot(xs, typedLit(w))).as("dist"),
+          lit(k).as("code"))
+      }
+      least(cands: _*).getField("code")
+    }
+    val wwLit = typedLit(pqWw)
+    // reconstruction norm² = Σ_s ‖w_{s,code_s}‖², fixed s-order adds
+    val enc = v
+      .withColumn("codes", array(codeCols: _*))
+      .withColumn("rnorm2",
+        (0 until PqSubspaces).map { sub =>
+          element_at(wwLit,
+            lit(sub * PqCodes + 1) + element_at(col("codes"), sub + 1))
+        }.reduce(_ + _))
+      .select(col("vec_id"), col("codes"), col("rnorm2"))
+      // materialization barrier: the 128-dot encode must not re-run
+      // per scored pair (vecs()'s reasoning; the single-file input
+      // would also serialize the encode on one task)
+      .repartition(s.sparkContext.defaultParallelism)
+
+    // --- per-query ADC lookup table: lut[s·16+k] = q_s · w_sk
+    val lutCol = array((0 until PqSubspaces * PqCodes).map { idx =>
+      val sub = idx / PqCodes
+      val xs = slice(col("v"), sub * PqSubDim + 1, PqSubDim)
+      dot(xs, typedLit(pqCodebook(sub)(idx % PqCodes)))
+    }: _*)
+    val queries = v.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"), lutCol.as("lut"))
+
+    // --- ADC scan: approx dot = Σ_s lut[s·16+code_s], same add order
+    val adcDot = (0 until PqSubspaces).map { sub =>
+      element_at(col("lut"),
+        lit(sub * PqCodes + 1) + element_at(col("codes"), sub + 1))
+    }.reduce(_ + _)
+    val w5 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+    val short = enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("adc_cosine", adcDot / (col("q_norm") * sqrt(col("rnorm2"))))
+      .withColumn("rank", row_number().over(w5))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_cosine"), col("qv"), col("q_norm"))
+
+    // --- exact re-rank audit: fetch the ORIGINAL vectors for the 50
+    // shortlisted ids only (broadcast the shortlist; the corpus side is
+    // a map-side semi-probe, never a second full scan shape at scale)
+    broadcast(short)
+      .join(v.select(col("vec_id"), col("v"), col("v_norm")), Seq("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc_cosine"), 6).as("adc_cosine"),
+        round(dot(col("v"), col("qv")) / (col("v_norm") * col("q_norm")), 6)
+          .as("cosine_exact"))
+  }
+
   /** q139 — inverse-frequency class weights over the labeled
     * embeddings: weight_c = N / (K · n_c), the standard loss
     * reweighting for class-imbalanced training (sklearn's "balanced"
