@@ -1544,6 +1544,94 @@ object OracleSql {
              ROUND(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
       FROM counts JOIN sizes USING (cohort_week)
     """,
+    // q172: the lexical leg re-derives q83's BM25 ranking; the PRF
+    // centroid adds the top-3 vectors in rank order and divides once
+    // (identical IEEE tree to the Spark literal); RRF contributions
+    // are single divides of exact integer ranks added lex-then-sem.
+    "q172_hybrid_rrf" -> """
+      WITH stats AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        FROM documents
+      ), corpus AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM stats
+      ), tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN ('join', 'vector', 'filter') GROUP BY 1, 2
+      ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      ), sc AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl)))
+                 AS tscore
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN stats USING (doc_id), corpus
+      ), byDoc AS (
+        SELECT doc_id,
+               SUM(CASE WHEN term = 'join' THEN tscore ELSE 0.0 END)
+                 AS s_join,
+               SUM(CASE WHEN term = 'vector' THEN tscore ELSE 0.0 END)
+                 AS s_vector,
+               SUM(CASE WHEN term = 'filter' THEN tscore ELSE 0.0 END)
+                 AS s_filter
+        FROM sc GROUP BY 1
+      ), lex AS (
+        SELECT doc_id, rank AS rank_lex FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY ROUND(s_join + s_vector + s_filter, 6) DESC,
+                            doc_id ASC) AS rank
+          FROM byDoc)
+        WHERE rank <= 30
+      ), n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), cent AS (
+        SELECT list_transform(range(1, 65),
+                 j -> (v1[j] + v2[j] + v3[j]) / 3.0) AS c
+        FROM (SELECT
+          (SELECT n.v FROM lex JOIN n ON n.vec_id = lex.doc_id
+             WHERE rank_lex = 1) AS v1,
+          (SELECT n.v FROM lex JOIN n ON n.vec_id = lex.doc_id
+             WHERE rank_lex = 2) AS v2,
+          (SELECT n.v FROM lex JOIN n ON n.vec_id = lex.doc_id
+             WHERE rank_lex = 3) AS v3)
+      ), sem AS (
+        SELECT doc_id, rank_sem FROM (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY list_dot_product(v, c)
+                              / (nrm * sqrt(list_dot_product(c, c))) DESC,
+                            vec_id ASC) AS rank_sem
+          FROM n CROSS JOIN cent)
+        WHERE rank_sem <= 30
+      ), fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               rank_lex, rank_sem,
+               COALESCE(1.0 / (60 + rank_lex), 0.0)
+                 + COALESCE(1.0 / (60 + rank_sem), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+      )
+      SELECT doc_id, rank, ROUND(rrf, 9) AS rrf_score,
+             CAST(COALESCE(rank_lex, 0) AS BIGINT) AS rank_lex,
+             CAST(COALESCE(rank_sem, 0) AS BIGINT) AS rank_sem
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 ORDER BY rrf DESC, doc_id ASC) AS rank
+        FROM fused)
+      WHERE rank <= 20
+    """,
     "q84_inverted_index" -> """
       WITH td AS (
         SELECT DISTINCT doc_id,

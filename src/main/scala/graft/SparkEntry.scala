@@ -223,7 +223,10 @@ object SparkEntry {
     // embedding-side scale pair: cluster-bounded cosine dedup and the
     // 4-bit-per-dim compressed index with exact re-rank
     "q170_semantic_dedup" -> (Similarity.q170SemanticDedup _),
-    "q171_pq_ann" -> (Similarity.q171PqAnn _)
+    "q171_pq_ann" -> (Similarity.q171PqAnn _),
+    // hybrid retrieval: BM25 leg + PRF-seeded embedding leg fused by
+    // reciprocal-rank fusion — rank-based, so fully engine-exact
+    "q172_hybrid_rrf" -> (TextQueries.q172HybridRrf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

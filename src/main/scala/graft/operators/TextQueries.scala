@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -197,7 +198,17 @@ object TextQueries {
     * rounding bits between engines. Plan: one explode + per-(doc,term)
     * count against a 3-term broadcast filter, then a doc-sized
     * aggregate — corpus-linear, like q48. */
-  def q83Bm25(s: SparkSession, dir: String): DataFrame = {
+  def q83Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranking(s, dir)
+      .where(col("rank") <= 20)
+      .select(col("doc_id"), col("rank"), col("score"))
+
+  /** Full BM25 ranking over every matching doc — q83 takes its top 20,
+    * q172's lexical leg its top [[RrfLegK]]. The rank window is global
+    * but bounded: Spark 4 plans row_number+filter via WindowGroupLimit,
+    * so each partition pre-prunes to the limit before the single-
+    * partition finish (q60's plan note). */
+  private def bm25Ranking(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val stats = d.select(col("doc_id"), nTokens(col("text")).as("dl"))
     val corpus = stats.agg(
@@ -234,8 +245,79 @@ object TextQueries {
     byDoc
       .withColumn("score", round(total, 6))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 20)
-      .select(col("doc_id"), col("rank"), col("score"))
+  }
+
+  val RrfK = 60
+  val RrfLegK = 30
+  val RrfPrfDocs = 3
+  val RrfTopK = 20
+
+  /** q172 — hybrid retrieval with reciprocal-rank fusion (RRF,
+    * Cormack et al. 2009 — the fusion rule production hybrid search
+    * converged on): a LEXICAL leg (q83's BM25 ranking, top
+    * [[RrfLegK]]) and a SEMANTIC leg (embedding cosine against a
+    * pseudo-relevance-feedback query vector — the mean of the lexical
+    * top-[[RrfPrfDocs]] docs' embeddings, the classic PRF bridge from
+    * keywords into the dense space) fuse by
+    * `Σ_legs 1/(k + rank_leg)` with k = [[RrfK]]. Rank-based fusion is
+    * what makes the hybrid engine-exact: ranks are exact integers, so
+    * each contribution is ONE correctly-rounded divide and the fused
+    * score adds the two legs in fixed order — no score normalization
+    * (min-max/z-score fusion would drift in the moments) and no ln().
+    *
+    * Scale shape: each leg ends in a bounded top-K (WindowGroupLimit
+    * — per-partition pre-prune before the K-row finish), the PRF
+    * centroid is a 3-row bounded collect (q53's literal-centroid
+    * pattern), the semantic scan is map-only against centroid
+    * literals, and the fusion join is K×K-sized — nothing after the
+    * per-leg scans exceeds [[RrfLegK]] rows. Docs missing from a leg
+    * contribute 0 from it (reported rank 0 = "not retrieved"). */
+  def q172HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Ranking(s, dir).where(col("rank") <= RrfLegK)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    // embeddings prepared exactly as Similarity.vecs: float→double at
+    // scan, fused-dot norm, repartition barrier (same reasoning)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("v_norm",
+        sqrt(Similarity.dot(col("v"), col("v"))))
+      .repartition(s.sparkContext.defaultParallelism)
+    // PRF centroid: top-3 lexical docs' vectors, summed per-dimension
+    // IN RANK ORDER then divided once — the same IEEE tree the oracle
+    // builds, so the centroid literal is bit-identical.
+    val top3 = lex.where(col("rank_lex") <= RrfPrfDocs)
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("rank_lex"), col("v"))
+      .collect().sortBy(_.getAs[Int]("rank_lex"))
+      .map(_.getSeq[Double](1))
+    require(top3.length == RrfPrfDocs, s"PRF needs $RrfPrfDocs seed docs")
+    val cent: Seq[Double] = (0 until 64).map { j =>
+      (top3(0)(j) + top3(1)(j) + top3(2)(j)) / 3.0
+    }
+    val cnorm = math.sqrt(cent.map(x => x * x).sum)
+    val sem = emb
+      .withColumn("cos",
+        Similarity.dot(col("v"), typedLit(cent)) /
+          (col("v_norm") * lit(cnorm)))
+      .withColumn("rank_sem", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rank_sem") <= RrfLegK)
+      .select(col("vec_id").as("sem_doc"), col("rank_sem"))
+    val fused = lex.join(sem, col("doc_id") === col("sem_doc"), "full_outer")
+      .select(coalesce(col("doc_id"), col("sem_doc")).as("doc_id"),
+        col("rank_lex"), col("rank_sem"))
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_sem")), lit(0.0)))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .where(col("rank") <= RrfTopK)
+      .select(col("doc_id"), col("rank"),
+        round(col("rrf"), 9).as("rrf_score"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        coalesce(col("rank_sem"), lit(0)).as("rank_sem"))
   }
 
   val PostingsCap = 10
