@@ -404,6 +404,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must heap per-partition:\n$p")
   }
 
+  test("q170 semantic dedup joins within-bucket by broadcast — the " +
+      "probe side keeps its partitioning, no sort-merge on a " +
+      "16-value key") {
+    val df = graft.operators.Similarity.q170SemanticDedup(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"build side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 16-value bucket key must not drive a sort-merge exchange:\n$p")
+  }
+
+  test("q171 PQ ANN: encode and ADC scan are map-side against " +
+      "broadcast queries — no corpus sort-merge, no cartesian") {
+    val df = graft.operators.Similarity.q171PqAnn(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the encoded corpus must never sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q172 hybrid RRF: every rank limit pushes BELOW its window as a " +
+      "top-K heap — no leg is ever globally sorted") {
+    val df = graft.operators.TextQueries.q172HybridRrf(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // LimitPushDownThroughWindow (q60's shape): lexical top-30,
+    // semantic top-30, fused top-20 each become a heap under the window
+    assert(p.contains("TakeOrderedAndProject(limit=30"),
+      s"leg top-30s must heap below their windows:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"fused top-20 must heap below its window:\n$p")
+  }
+
   test("q123 merge re-groups aggregate STATES: a union of two " +
       "aggregates feeds the final merge, each two-phase") {
     val df = graft.operators.ScaleOps.q123IncrementalAgg(spark, sfDir)
