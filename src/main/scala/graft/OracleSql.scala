@@ -3543,6 +3543,23 @@ object OracleSql {
              CAST(SUM(k) AS BIGINT) AS key_sum
       FROM walk WHERE cur < 10
       GROUP BY cur ORDER BY root
+    """,
+    "q173_k_anonymity" -> """
+      WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_band,
+               COUNT(*) AS k,
+               COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   ELSE 'pos' END) AS l_div
+        FROM customer GROUP BY 1, 2, 3
+      ), total AS (SELECT COUNT(*) AS n_total FROM customer)
+      SELECT k, COUNT(*) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(k) AS BIGINT) / CAST(n_total AS DOUBLE), 6)
+               AS row_share,
+             CAST(SUM(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_homogeneous
+      FROM cls, total GROUP BY k, n_total ORDER BY k
     """
   ).map { case (k, v) => k -> v.trim }
 

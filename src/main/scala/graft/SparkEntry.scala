@@ -226,7 +226,9 @@ object SparkEntry {
     "q171_pq_ann" -> (Similarity.q171PqAnn _),
     // hybrid retrieval: BM25 leg + PRF-seeded embedding leg fused by
     // reciprocal-rank fusion — rank-based, so fully engine-exact
-    "q172_hybrid_rrf" -> (TextQueries.q172HybridRrf _)
+    "q172_hybrid_rrf" -> (TextQueries.q172HybridRrf _),
+    // privacy release gate: k-anonymity / l-diversity audit
+    "q173_k_anonymity" -> (Governance.q173KAnonymity _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -158,4 +158,47 @@ object Governance {
         col("violations"))
       .orderBy(col("split"))
   }
+
+  /** q173 — k-anonymity / l-diversity privacy audit over the customer
+    * dimension: the release gate a dataset passes BEFORE its rows feed
+    * training. Quasi-identifiers (nation, market segment, account-
+    * balance band — the attributes an attacker links from outside)
+    * partition the table into equivalence classes; a row in a class of
+    * size k is re-identifiable with probability 1/k, and a class whose
+    * SENSITIVE attribute (balance sign — "delinquent or not") is
+    * homogeneous discloses it even without re-identification
+    * (l-diversity = 1). The report is the k-histogram: for every class
+    * size, how many classes, rows, the row share, and how many of
+    * those classes are sensitive-homogeneous — what a release policy
+    * thresholds on ("suppress or generalize all classes with k < 5").
+    *
+    * Scale shape: ONE QI-keyed aggregate over the table (map-side
+    * partial; the class table is QI-cardinality-sized), then a
+    * class-sized k-rollup — the same two-level law as q65/q160.
+    * Engine-exact: k and the class counts are integers, the balance
+    * band is floor of one divide on bit-identical doubles, and the
+    * row share is one divide of exact BIGINTs. */
+  def q173KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val classes = cust
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("int").as("bal_band"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))
+          .as("sensitive"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k"),
+        count_distinct(col("sensitive")).as("l_div"))
+    val total = cust.agg(count(lit(1)).as("n_total"))
+    classes.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"),
+        sum(when(col("l_div") === 1, 1L).otherwise(0L))
+          .as("n_homogeneous"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total"), 6)
+          .as("row_share"),
+        col("n_homogeneous"))
+      .orderBy(col("k"))
+  }
 }

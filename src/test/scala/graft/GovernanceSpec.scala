@@ -104,4 +104,34 @@ class GovernanceSpec extends AnyFunSuite {
     // both sides non-trivial at this corpus size
     assert(rows.length === 2, s"expected both splits, got ${rows.toSeq}")
   }
+
+  test("q173 k-anonymity histogram equals a driver-side recomputation " +
+      "and accounts for every customer exactly once") {
+    val rows = Governance.q173KAnonymity(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Double]("row_share"),
+        r.getAs[Long]("n_homogeneous")))
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey"),
+        r.getAs[String]("c_mktsegment"), r.getAs[Double]("c_acctbal")))
+    val classes = cust
+      .groupBy { case (n, m, b) => (n, m, math.floor(b / 1000.0).toInt) }
+      .values.map { members =>
+        (members.size.toLong,
+          members.map { case (_, _, b) => b < 0 }.toSet.size)
+      }.toSeq
+    val want = classes.groupBy(_._1).toSeq.map { case (k, cs) =>
+      (k, cs.size.toLong, k * cs.size,
+        BigDecimal(k * cs.size.toDouble / cust.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        cs.count(_._2 == 1).toLong)
+    }.sortBy(_._1)
+    assert(rows.toSeq === want)
+    // the histogram partitions the table: every row in exactly one class
+    assert(rows.map(_._3).sum === cust.length.toLong)
+    // the audit has teeth on this data: singleton classes exist
+    assert(rows.exists(r => r._1 === 1L && r._2 > 0L))
+  }
 }
