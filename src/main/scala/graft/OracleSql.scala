@@ -3560,6 +3560,40 @@ object OracleSql {
              CAST(SUM(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_homogeneous
       FROM cls, total GROUP BY k, n_total ORDER BY k
+    """,
+    "q174_deletion_audit" -> """
+      WITH del AS (
+        SELECT c_custkey AS del_key FROM customer
+        WHERE substring(md5(concat('forget_',
+                CAST(c_custkey AS VARCHAR))), 1, 2) < '05'
+      ), aff AS (
+        SELECT o_orderkey, del_key FROM orders JOIN del
+          ON o_custkey = del_key
+      ), affk AS (SELECT DISTINCT o_orderkey FROM aff),
+      resid AS (
+        SELECT
+          (SELECT COUNT(*) FROM
+            (SELECT o_custkey FROM orders
+             WHERE o_custkey NOT IN (SELECT del_key FROM del)) t
+           WHERE o_custkey IN (SELECT del_key FROM del))
+          + (SELECT COUNT(*) FROM
+              (SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM affk)) t
+             WHERE l_orderkey IN (SELECT o_orderkey FROM affk))
+          AS residual_rows
+      ), stats AS (
+        SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+               COUNT(*) AS n_deleted_keys FROM del
+        UNION ALL
+        SELECT 'orders', COUNT(*), COUNT(DISTINCT del_key) FROM aff
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM affk)),
+               (SELECT COUNT(DISTINCT del_key) FROM aff)
+      )
+      SELECT tbl AS "table", n_rows, n_deleted_keys, residual_rows
+      FROM stats, resid ORDER BY tbl
     """
   ).map { case (k, v) => k -> v.trim }
 

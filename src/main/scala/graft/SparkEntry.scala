@@ -227,8 +227,10 @@ object SparkEntry {
     // hybrid retrieval: BM25 leg + PRF-seeded embedding leg fused by
     // reciprocal-rank fusion — rank-based, so fully engine-exact
     "q172_hybrid_rrf" -> (TextQueries.q172HybridRrf _),
-    // privacy release gate: k-anonymity / l-diversity audit
-    "q173_k_anonymity" -> (Governance.q173KAnonymity _)
+    // privacy release gates: k-anonymity audit + right-to-be-forgotten
+    // deletion-propagation audit
+    "q173_k_anonymity" -> (Governance.q173KAnonymity _),
+    "q174_deletion_audit" -> (Governance.q174DeletionAudit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

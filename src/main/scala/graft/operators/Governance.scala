@@ -201,4 +201,80 @@ object Governance {
         col("n_homogeneous"))
       .orderBy(col("k"))
   }
+
+  /** q174 — right-to-be-forgotten deletion-propagation audit: given a
+    * deterministic delete list of customers (md5-prefix < "05" ≈ 2% —
+    * the same engine-portable rule as q80's splits, standing in for
+    * the legal request queue), measure the BLAST RADIUS a forget run
+    * must erase and PROVE the erase leaves no residue:
+    *   - per table, rows that reference a deleted customer (orders
+    *     directly; lineitem transitively through its order) and the
+    *     distinct deleted keys actually present;
+    *   - `residual_rows`: the same count over the anti-join-cleaned
+    *     table — computed, not assumed, and must read 0 (q161's
+    *     "violations" discipline).
+    *
+    * Scale shape: the delete list is a customer-keyed aggregate
+    * (broadcast-sized at a 2% rate of a dimension; at 100 TB you'd
+    * bloom-prefilter the fact probe exactly as q120). The transitive
+    * hop collapses orders to its AFFECTED key set before touching
+    * lineitem, so the big fact joins a delete-sized key list twice
+    * (semi for the count, anti for the residue) and never shuffles
+    * itself. Pure integer counting — trivially engine-exact; what the
+    * audit buys is the PLAN, not the arithmetic. */
+  def q174DeletionAudit(s: SparkSession, dir: String): DataFrame = {
+    val delList = Tables.load(s, dir, "customer")
+      .where(substring(md5(concat(lit("forget_"),
+        col("c_custkey").cast("string"))), 1, 2) < "05")
+      .select(col("c_custkey").as("del_key"))
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val affOrders = orders
+      .join(broadcast(delList), col("o_custkey") === col("del_key"))
+    val affOrderKeys = affOrders.select(col("o_orderkey")).distinct()
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"))
+
+    val custStats = delList.agg(
+      count(lit(1)).as("n_rows"),
+      count(lit(1)).as("n_deleted_keys"))
+      .select(lit("customer").as("table"), col("n_rows"),
+        col("n_deleted_keys"))
+    val orderStats = affOrders.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("del_key")).as("n_deleted_keys"))
+      .select(lit("orders").as("table"), col("n_rows"),
+        col("n_deleted_keys"))
+    val liStats = li
+      .join(broadcast(affOrderKeys), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(affOrders.agg(
+        count_distinct(col("del_key")).as("n_deleted_keys"))))
+      .select(lit("lineitem").as("table"), col("n_rows"),
+        col("n_deleted_keys"))
+
+    // residue: re-count against the anti-join-CLEANED tables; the erase
+    // is only proven by the cleaned side reading zero
+    val cleanOrders = orders.join(broadcast(delList),
+      col("o_custkey") === col("del_key"), "left_anti")
+    val residOrders = cleanOrders
+      .join(broadcast(delList), col("o_custkey") === col("del_key"),
+        "left_semi")
+      .agg(count(lit(1)).as("residual_rows"))
+    val residLi = li
+      .join(broadcast(affOrderKeys), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .join(broadcast(affOrderKeys), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("residual_rows"))
+    val resid = residOrders.crossJoin(broadcast(residLi.select(
+        col("residual_rows").as("r2"))))
+      .select((col("residual_rows") + col("r2")).as("residual_rows"))
+
+    custStats.unionByName(orderStats).unionByName(liStats)
+      .crossJoin(broadcast(resid))
+      .select(col("table"), col("n_rows"), col("n_deleted_keys"),
+        col("residual_rows"))
+      .orderBy(col("table"))
+  }
 }

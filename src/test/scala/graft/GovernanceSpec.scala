@@ -134,4 +134,35 @@ class GovernanceSpec extends AnyFunSuite {
     // the audit has teeth on this data: singleton classes exist
     assert(rows.exists(r => r._1 === 1L && r._2 > 0L))
   }
+
+  test("q174 deletion audit: blast radius matches a driver-side " +
+      "recomputation and the cleaned tables carry zero residue") {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Governance.q174DeletionAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_deleted_keys"),
+          r.getAs[Long]("residual_rows")))).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem"))
+    rows.values.foreach { case (_, _, resid) => assert(resid === 0L) }
+
+    val delKeys = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(k => md5Hex(s"forget_$k").substring(0, 2) < "05").toSet
+    assert(delKeys.nonEmpty, "the md5 rule selected no customers")
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val affOrders = orders.filter { case (_, ck) => delKeys.contains(ck) }
+    val affKeys = affOrders.map(_._1).toSet
+    val liHit = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).collect()
+      .count(r => affKeys.contains(r.getLong(0)))
+    assert(rows("customer")._1 === delKeys.size.toLong)
+    assert(rows("orders")._1 === affOrders.length.toLong)
+    assert(rows("orders")._2 ===
+      affOrders.map(_._2).distinct.length.toLong)
+    assert(rows("lineitem")._1 === liHit.toLong)
+  }
 }
