@@ -360,6 +360,50 @@ object OracleSql {
       )
       WHERE rk = 1
     """,
+    // q175: same md5 planes as q170; history/batch split by md5 prefix;
+    // verdict = best-cosine window over within-bucket cross pairs.
+    "q175_incremental_semdedup" -> """
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          CASE CAST(concat('0x', substring(md5(concat('q24_',
+                 CAST(p AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1))
+               AS INT) % 4
+            WHEN 0 THEN -3.0 WHEN 1 THEN -1.0 WHEN 2 THEN 1.0
+            ELSE 3.0 END) AS pv
+        FROM range(0, 4) t(p)
+      ), b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                             THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n CROSS JOIN planes GROUP BY vec_id
+      ), t AS (
+        SELECT n.vec_id, n.v, n.nrm, b.bucket,
+               substring(md5(CAST(n.vec_id AS VARCHAR)), 1, 2) < '80'
+                 AS is_hist
+        FROM n JOIN b USING (vec_id)
+      ), m AS (
+        SELECT bt.vec_id, h.vec_id AS hist_id,
+               list_dot_product(bt.v, h.v) / (bt.nrm * h.nrm) AS cosine
+        FROM t bt JOIN t h
+          ON bt.bucket = h.bucket AND h.is_hist AND NOT bt.is_hist
+        WHERE list_dot_product(bt.v, h.v) / (bt.nrm * h.nrm) >= 0.30
+      )
+      SELECT vec_id, hist_id AS dup_of_hist,
+             ROUND(cosine, 6) AS best_cosine, n_collisions
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cosine DESC, hist_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY vec_id) AS n_collisions
+        FROM m
+      )
+      WHERE rk = 1
+    """,
     // q171: codebook from md5 nibbles; encode = argmin over the 16
     // codewords of ||w||^2 - 2*(x_s.w) (identical double trees — the
     // dots are in-order folds over the same slices); ADC adds the 8

@@ -230,7 +230,11 @@ object SparkEntry {
     // privacy release gates: k-anonymity audit + right-to-be-forgotten
     // deletion-propagation audit
     "q173_k_anonymity" -> (Governance.q173KAnonymity _),
-    "q174_deletion_audit" -> (Governance.q174DeletionAudit _)
+    "q174_deletion_audit" -> (Governance.q174DeletionAudit _),
+    // incremental semantic dedup: batch embeddings probe the history's
+    // LSH-bucket index — completes the dedup matrix (exact/shingle/
+    // semantic × whole-corpus/incremental)
+    "q175_incremental_semdedup" -> (Similarity.q175IncrementalSemdedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

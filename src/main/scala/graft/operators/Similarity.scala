@@ -524,6 +524,48 @@ object Similarity {
         round(col("cosine"), 6).as("best_cosine"), col("n_lower_matches"))
   }
 
+  /** q175 — INCREMENTAL semantic dedup: q170's fuzzy-embedding verdict
+    * in q168/q169's nightly-ingest shape, completing the dedup matrix
+    * (exact/shingle/semantic × whole-corpus/incremental). The corpus
+    * splits deterministically (md5-prefix of vec_id < "80" ≈ 50% is
+    * history — q80's convention); the HISTORY side is an LSH-bucketed
+    * index (q24's md5 planes, so both engines derive identical
+    * buckets), tonight's BATCH computes its own bucket map-side and
+    * probes only its bucket's history entries, and candidates verify
+    * by exact cosine at τ=[[SemDedupTau]]. Each matched batch vec
+    * emits ONE verdict row: its best historical match (max cosine,
+    * ties to the lowest history id) and its collision count — the
+    * drop list the ingest acts on.
+    *
+    * Scale shape: cost is batch-sized + collision-sized, never
+    * history-sized — history contributes only bucket-indexed vectors
+    * (at 100 TB: the materialized ANN index q171 compresses, sharded
+    * by q134's rendezvous routing), the batch never shuffles (its
+    * bucket is computed in codegen), and the per-vec verdict is a
+    * collision-keyed aggregate. */
+  def q175IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val all = vecs(s, dir)
+      .withColumn("bucket", lshBucket(col("v"), dim))
+      .withColumn("is_hist",
+        substring(md5(col("vec_id").cast("string")), 1, 2) < "80")
+    val hist = all.where(col("is_hist"))
+      .select(col("bucket").as("h_bucket"), col("vec_id").as("hist_id"),
+        col("v").as("hv"), col("v_norm").as("hn"))
+    val batch = all.where(!col("is_hist"))
+    batch.join(broadcast(hist), col("bucket") === col("h_bucket"))
+      .withColumn("cosine",
+        dot(col("v"), col("hv")) / (col("v_norm") * col("hn")))
+      .where(col("cosine") >= SemDedupTau)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("hist_id"), round(col("cosine"), 6).as("c")),
+          struct(col("cosine"), -col("hist_id"))).as("best"),
+        count(lit(1)).as("n_collisions"))
+      .select(col("vec_id"), col("best.hist_id").as("dup_of_hist"),
+        col("best.c").as("best_cosine"), col("n_collisions"))
+  }
+
   val PqSubspaces = 8
   val PqSubDim = 8
   val PqCodes = 16

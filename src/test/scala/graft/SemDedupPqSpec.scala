@@ -83,6 +83,39 @@ class SemDedupPqSpec extends AnyFunSuite {
     assert(!dropped.contains(corpus.map(_._1).min))
   }
 
+  test("q175 incremental semantic dedup equals a driver-side recompute " +
+      "and verdicts are strictly batch-vs-history") {
+    val got = graft.operators.Similarity
+      .q175IncrementalSemdedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of_hist"),
+        r.getAs[Double]("best_cosine"), r.getAs[Long]("n_collisions")))
+      .toSet
+
+    def isHist(id: Long): Boolean = md5Hex(id.toString).substring(0, 2) < "80"
+    val byBucket = corpus.groupBy { case (_, v, _) => bucket(v) }
+    val expected = byBucket.values.flatMap { vs =>
+      val hist = vs.filter { case (id, _, _) => isHist(id) }
+      vs.filterNot { case (id, _, _) => isHist(id) }.flatMap {
+        case (id, v, n) =>
+          val cols = hist.map { case (hid, hv, hn) =>
+            (hid, dot(v, hv) / (n * hn))
+          }.filter(_._2 >= graft.operators.Similarity.SemDedupTau)
+          if (cols.isEmpty) None
+          else {
+            val (bid, bc) = cols.minBy { case (hid, c) => (-c, hid) }
+            Some((id, bid,
+              BigDecimal(bc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, cols.size.toLong))
+          }
+      }
+    }.toSet
+    assert(expected.nonEmpty, "threshold produced no verdicts at this sf")
+    assert(got === expected)
+    got.foreach { case (id, hid, _, _) =>
+      assert(!isHist(id) && isHist(hid), s"verdict $id -> $hid crosses wrong")
+    }
+  }
+
   // ---- q171 --------------------------------------------------------
 
   private lazy val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
