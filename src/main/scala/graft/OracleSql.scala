@@ -2777,6 +2777,50 @@ object OracleSql {
       WHERE rk <= 20
       ORDER BY lang, rk
     """,
+    "q176_padding_audit" -> """
+      WITH lens AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS len
+        FROM documents
+      ), a AS (
+        SELECT CAST((ROW_NUMBER() OVER (ORDER BY doc_id ASC) - 1) // 32
+                 AS BIGINT) AS batch, len
+        FROM lens
+      ), ab AS (
+        SELECT batch, COUNT(*) AS n_seqs,
+               CAST(SUM(len) AS BIGINT) AS real_tokens,
+               MAX(len) AS batch_max
+        FROM a GROUP BY 1
+      ), astat AS (
+        SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+               CAST(SUM(real_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(batch_max * n_seqs - real_tokens) AS BIGINT)
+                 AS padded_tokens
+        FROM ab
+      ), b AS (
+        SELECT CAST((ROW_NUMBER() OVER (ORDER BY len ASC, doc_id ASC) - 1)
+                 // 32 AS BIGINT) AS batch, len
+        FROM lens
+      ), bb AS (
+        SELECT batch, COUNT(*) AS n_seqs,
+               CAST(SUM(len) AS BIGINT) AS real_tokens,
+               MAX(len) AS batch_max
+        FROM b GROUP BY 1
+      ), bstat AS (
+        SELECT 'length_sorted' AS strategy, COUNT(*) AS n_batches,
+               CAST(SUM(real_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(batch_max * n_seqs - real_tokens) AS BIGINT)
+                 AS padded_tokens
+        FROM bb
+      )
+      SELECT strategy, n_batches, total_tokens, padded_tokens,
+             ROUND(padded_tokens /
+               CAST(total_tokens + padded_tokens AS DOUBLE), 6)
+               AS waste_share
+      FROM (SELECT * FROM astat UNION ALL SELECT * FROM bstat)
+      ORDER BY strategy
+    """,
     "q131_session_window" -> """
       WITH ev AS (
         SELECT user_id, ts, event_id, value, epoch_us(ts) AS eu

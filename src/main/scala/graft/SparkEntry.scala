@@ -234,7 +234,10 @@ object SparkEntry {
     // incremental semantic dedup: batch embeddings probe the history's
     // LSH-bucket index — completes the dedup matrix (exact/shingle/
     // semantic × whole-corpus/incremental)
-    "q175_incremental_semdedup" -> (Similarity.q175IncrementalSemdedup _)
+    "q175_incremental_semdedup" -> (Similarity.q175IncrementalSemdedup _),
+    // GPU-efficiency audit: padding waste under arrival-order vs
+    // length-sorted batch assembly
+    "q176_padding_audit" -> (CorpusOps.q176PaddingAudit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -394,4 +394,52 @@ object CorpusOps {
         substring(md5(col("text")), 1, 12).as("pick_hash"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  val PadBatch = 32
+
+  /** q176 — padding-waste audit for length-bucketed batching: every
+    * training batch pads to its longest sequence, so batch composition
+    * decides how many GPU-step tokens are padding. The audit compares
+    * the two canonical deterministic strategies on the same corpus —
+    * `arrival` (doc_id order, the "no bucketing" baseline) vs
+    * `length_sorted` ((n_tokens, doc_id) order, the standard
+    * length-bucketing trick) — batched [[PadBatch]] at a time:
+    * per strategy, total real tokens, padded slots, and the padding
+    * share. The length-sorted wasted share collapsing (spec asserts
+    * strictly less) IS the case for bucketed batch assembly; q59's
+    * packing is the stronger sibling that eliminates padding entirely
+    * by filling fixed windows.
+    *
+    * Engine-exact: lengths, batch assignments (integer division of a
+    * rank), batch maxima, and waste sums are all integers; the share
+    * is one divide. Both rank windows run over the doc-sized length
+    * table with PrefixSum.rankNtile as the documented 100 TB swap
+    * (q63/q126's note). */
+  def q176PaddingAudit(s: SparkSession, dir: String): DataFrame = {
+    val lens = docs(s, dir)
+      .select(col("doc_id"), nTokens(col("text")).cast("long").as("len"))
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column])
+        : DataFrame = {
+      val w = Window.orderBy(order: _*)
+      lens
+        .withColumn("batch",
+          ((row_number().over(w) - 1) / PadBatch).cast("long"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("len")).as("real_tokens"),
+          max(col("len")).as("batch_max"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real_tokens")).as("total_tokens"),
+          sum(col("batch_max") * col("n_seqs") - col("real_tokens"))
+            .as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          round(col("padded_tokens").cast("double") /
+            (col("total_tokens") + col("padded_tokens")), 6)
+            .as("waste_share"))
+    }
+    strategy("arrival", Seq(col("doc_id").asc))
+      .unionByName(strategy("length_sorted",
+        Seq(col("len").asc, col("doc_id").asc)))
+      .orderBy(col("strategy"))
+  }
 }

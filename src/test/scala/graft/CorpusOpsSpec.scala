@@ -153,4 +153,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       .intersect(grams(top.getAs[String]("src_b"))).size
     assert(top.getAs[Long]("n_shared_grams") === shared.toLong)
   }
+
+  test("q176 padding audit matches a driver-side recomputation and " +
+      "length-sorting strictly reduces waste") {
+    val rows = CorpusOps.q176PaddingAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        ((r.getAs[Long]("n_batches"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Double]("waste_share"))))
+      .toMap
+    assert(rows.keySet === Set("arrival", "length_sorted"))
+    val lens = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.split("\\s+").length.toLong))
+    def recompute(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(CorpusOps.PadBatch).toSeq
+      (batches.size.toLong, ordered.sum,
+        batches.map(b => b.max * b.size - b.sum).sum)
+    }
+    val arr = recompute(lens.sortBy(_._1).map(_._2).toSeq)
+    val srt = recompute(lens.sortBy(t => (t._2, t._1)).map(_._2).toSeq)
+    assert((rows("arrival")._1, rows("arrival")._2, rows("arrival")._3)
+      === arr)
+    assert((rows("length_sorted")._1, rows("length_sorted")._2,
+      rows("length_sorted")._3) === srt)
+    // token conservation: real tokens are strategy-independent
+    assert(rows("arrival")._2 === rows("length_sorted")._2)
+    // the point of the audit: sorting strictly reduces padding here
+    assert(rows("length_sorted")._3 < rows("arrival")._3)
+  }
 }
