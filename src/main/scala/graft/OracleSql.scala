@@ -2821,6 +2821,46 @@ object OracleSql {
       FROM (SELECT * FROM astat UNION ALL SELECT * FROM bstat)
       ORDER BY strategy
     """,
+    // q177: the md5-derived luminance grid, fixed-threshold bits, and
+    // 16-bit band packing are integer-exact in both engines; the oracle
+    // verifies by BRUTE-FORCE all-pairs Hamming, so a hash match proves
+    // the Spark side's pigeonhole banding loses no pair on the data.
+    "q177_phash_neardup" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+      ), px AS (
+        SELECT media_id, v, i,
+          CASE WHEN i < 2 * v
+            THEN (CAST(concat('0x', substring(md5(concat(sha, ':',
+                   CAST(i AS VARCHAR))), 1, 2)) AS INTEGER) + 128) % 256
+            ELSE CAST(concat('0x', substring(md5(concat(sha, ':',
+                   CAST(i AS VARCHAR))), 1, 2)) AS INTEGER)
+          END AS pixel
+        FROM m, range(3) t(v), range(64) s(i)
+      ), bands AS (
+        SELECT media_id, v, i // 16 AS band,
+          CAST(SUM(CASE WHEN pixel > 128
+                        THEN CAST(power(2, i % 16) AS INTEGER)
+                        ELSE 0 END) AS INTEGER) AS bv
+        FROM px GROUP BY 1, 2, 3
+      ), fp AS (
+        SELECT media_id, v, media_id * 3 + v AS vid,
+          MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+          MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+          MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+          MAX(CASE WHEN band = 3 THEN bv END) AS b3
+        FROM bands GROUP BY 1, 2
+      )
+      SELECT a.media_id AS media_a, a.v AS variant_a,
+             b.media_id AS media_b, b.v AS variant_b,
+             bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming,
+             CAST(a.media_id = b.media_id AS INTEGER) AS same_media
+      FROM fp a JOIN fp b ON a.vid < b.vid
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+            bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
     "q131_session_window" -> """
       WITH ev AS (
         SELECT user_id, ts, event_id, value, epoch_us(ts) AS eu

@@ -237,7 +237,9 @@ object SparkEntry {
     "q175_incremental_semdedup" -> (Similarity.q175IncrementalSemdedup _),
     // GPU-efficiency audit: padding waste under arrival-order vs
     // length-sorted batch assembly
-    "q176_padding_audit" -> (CorpusOps.q176PaddingAudit _)
+    "q176_padding_audit" -> (CorpusOps.q176PaddingAudit _),
+    "q177_phash_neardup" ->
+      (graft.multimodal.Multimodal.q177PhashNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -188,4 +188,88 @@ object Multimodal {
         (col("content").isNotNull).cast("int").as("has_content"),
         (length(col("content")) % 1920 + 1).as("fake_width"),
         (length(col("content")) % 1080 + 1).as("fake_height"))
+
+  /** Variants per media row for q177: the original plus two derived
+    * renditions (thumbnail, re-encode) — the real-world source of image
+    * near-dups. */
+  val PhashVariants = 3
+  /** Pairs within this Hamming distance are near-dups; with 4 bands of
+    * 16 bits, pigeonhole guarantees every such pair agrees exactly on
+    * ≥1 band, so the band equi-join is lossless. */
+  val PhashHammingMax = 3
+
+  /** 8×8 "luminance" grid for one (media, variant): pixel i is an
+    * md5-derived byte of the content digest (the STUB decode — a real
+    * decoder would downsample the actual image here; everything after
+    * this line is the production aHash pipeline). Variant v shifts the
+    * first 2·v pixels by +128 mod 256 — the deterministic stand-in for
+    * re-encode noise, flipping ~2·v fingerprint bits. */
+  private def phashPixel(sha: Column, v: Column, i: Column): Column = {
+    val base = conv(
+      substring(md5(concat(sha, lit(":"), i.cast("string"))), 1, 2),
+      16, 10).cast("int")
+    when(i < v * 2, (base + 128) % 256).otherwise(base)
+  }
+
+  /** One 16-bit band of the 64-bit average-hash fingerprint: bit i set
+    * iff pixel i clears the fixed mid-gray threshold. Pure builtin
+    * expressions — the whole fingerprint computes inside one
+    * whole-stage-codegen pass over the scan. */
+  private def phashBand(sha: Column, v: Column, b: Int): Column =
+    aggregate(
+      sequence(lit(b * 16), lit(b * 16 + 15)), lit(0),
+      (acc: Column, i: Column) =>
+        acc + when(phashPixel(sha, v, i) > 128,
+          pow(lit(2), i % 16).cast("int")).otherwise(lit(0)))
+
+  /** q177 — image perceptual-hash near-dup detection (aHash + banded
+    * Hamming), the media twin of q140's SimHash banding: each media row
+    * spawns 3 renditions, each rendition gets a 64-bit average-hash
+    * fingerprint from the (stub-)decoded 8×8 luminance grid, and the
+    * fingerprint's four 16-bit bands equi-join to surface every pair
+    * within Hamming distance 3 — by pigeonhole, lossless, without the
+    * corpus² Hamming join. Verification is 4 codegen'd
+    * `bit_count(xor)` per candidate. At 100 TB the blob never leaves
+    * the decode stage (only 4 ints shuffle per rendition), band
+    * buckets stay collision-sized because the hash is uniform off-dup,
+    * and the same plan serves real decoders by swapping the pixel
+    * stub. Fully hash-checked: DuckDB reproduces the md5-derived grid,
+    * the threshold bits, and the band arithmetic exactly. */
+  def q177PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fps = documentsAsMedia(s, dir)
+      .select(col("media_id"), sha2(col("content"), 256).as("sha"))
+      .withColumn("v", explode(sequence(lit(0), lit(PhashVariants - 1))))
+      .select(
+        col("media_id"), col("v"),
+        (col("media_id") * PhashVariants + col("v")).as("vid"),
+        phashBand(col("sha"), col("v"), 0).as("b0"),
+        phashBand(col("sha"), col("v"), 1).as("b1"),
+        phashBand(col("sha"), col("v"), 2).as("b2"),
+        phashBand(col("sha"), col("v"), 3).as("b3"))
+
+    val banded = fps.select(col("media_id"), col("v"), col("vid"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val hamming =
+      bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
+      bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
+      bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
+      bit_count(col("a.b3").bitwiseXOR(col("b.b3")))
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vid") < col("b.vid"))
+      .where(hamming <= PhashHammingMax)
+      .select(
+        col("a.media_id").as("media_a"), col("a.v").as("variant_a"),
+        col("b.media_id").as("media_b"), col("b.v").as("variant_b"),
+        hamming.as("hamming"),
+        (col("a.media_id") === col("b.media_id")).cast("int")
+          .as("same_media"))
+      .distinct()
+  }
 }

@@ -29,6 +29,50 @@ class NewQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 banded aHash pairs equal a driver-side brute force (pigeonhole lossless)") {
+    def hex(bytes: Array[Byte]): String =
+      bytes.map(b => f"${b & 0xff}%02x").mkString
+    def digest(alg: String, s: String): String =
+      hex(java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps = for {
+      (id, text) <- docs
+      sha = digest("SHA-256", text)
+      v <- 0 until Multimodal.PhashVariants
+    } yield {
+      val bits = Array.tabulate(64) { i =>
+        val base = Integer.parseInt(digest("MD5", s"$sha:$i").substring(0, 2), 16)
+        val px = if (i < 2 * v) (base + 128) % 256 else base
+        if (px > 128) 1 else 0
+      }
+      (id, v, bits)
+    }
+    val expected = (for {
+      ((ida, va, ba), ai) <- fps.zipWithIndex
+      (idb, vb, bb) <- fps.drop(ai + 1)
+      h = ba.zip(bb).count { case (x, y) => x != y }
+      if h <= Multimodal.PhashHammingMax
+    } yield {
+      // orient by vid = media_id*3 + v, matching the query's pair order
+      if (ida * 3 + va < idb * 3 + vb)
+        (ida, va, idb, vb, h, if (ida == idb) 1 else 0)
+      else (idb, vb, ida, va, h, if (ida == idb) 1 else 0)
+    }).toSet
+    val got = Multimodal.q177PhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Int]("variant_a"),
+        r.getAs[Long]("media_b"), r.getAs[Int]("variant_b"),
+        r.getAs[Int]("hamming"), r.getAs[Int]("same_media"))).toSet
+    assert(got.nonEmpty)
+    assert(got === expected,
+      "band equi-join must recover EXACTLY the brute-force Hamming<=3 set")
+    // the variant construction actually produces near-dups to find
+    assert(got.count(_._6 == 1) >= docs.length,
+      "each media's renditions should pair up")
+  }
+
   test("q33 resize targets are aspect-bounded and never upscaled") {
     val rows = Multimodal.q33MediaPreprocess(spark, sfDir).collect()
     assert(rows.nonEmpty)
