@@ -2861,6 +2861,84 @@ object OracleSql {
       WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
             bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     """,
+    "q178_shard_plan" -> """
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS tokens,
+               md5(text) AS h
+        FROM documents
+      ), sh AS (
+        SELECT *, CAST(concat('0x', substring(h, 1, 2)) AS INTEGER) % 16
+                 AS shard
+        FROM d
+      ), per AS (
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+               COUNT(DISTINCT source) AS n_sources,
+               MIN(concat(h, '/', CAST(doc_id AS VARCHAR))) AS order_min,
+               MAX(concat(h, '/', CAST(doc_id AS VARCHAR))) AS order_max,
+               CAST(SUM(CAST(concat('0x', substring(h, 1, 8)) AS BIGINT))
+                 AS BIGINT) AS content_checksum
+        FROM sh GROUP BY 1
+      ), t AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per
+      )
+      SELECT shard, n_docs, n_tokens, n_sources,
+             ROUND(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+               6) AS token_share,
+             order_min, order_max, content_checksum
+      FROM per, t ORDER BY shard
+    """,
+    // q179: the allocation CTEs restate q159's; the fractional-epoch
+    // draw is a salted-md5 threshold, content-stable in both engines.
+    "q179_epoch_schedule" -> """
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                 AS BIGINT) AS tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+      ), w AS (
+        SELECT *, CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS w
+        FROM per
+      ), t AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(w) AS BIGINT) AS total_w
+        FROM w
+      ), a AS (
+        SELECT source, tokens,
+               CAST(LEAST(((total_tokens // 2) * w) // total_w, tokens * 4)
+                 AS BIGINT) AS alloc_tokens
+        FROM w, t
+      ), sched AS (
+        SELECT source, tokens, alloc_tokens,
+               CAST(alloc_tokens // tokens AS BIGINT) AS full_epochs,
+               CAST(((alloc_tokens % tokens) * 1000000) // tokens AS BIGINT)
+                 AS frac_ppm
+        FROM a
+      ), dt AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS dtok,
+               CAST(concat('0x', substring(md5(text || '|q179'), 1, 8))
+                 AS BIGINT) % 1000000 AS u
+        FROM documents
+      ), picks AS (
+        SELECT dt.source, COUNT(*) AS n_docs_sampled,
+               CAST(SUM(dtok) AS BIGINT) AS sampled_tokens
+        FROM dt JOIN sched ON dt.source = sched.source
+        WHERE u < frac_ppm GROUP BY 1
+      )
+      SELECT sched.source, tokens, alloc_tokens, full_epochs, frac_ppm,
+             COALESCE(n_docs_sampled, 0) AS n_docs_sampled,
+             CAST(COALESCE(sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+             CAST(full_epochs * tokens + COALESCE(sampled_tokens, 0)
+               AS BIGINT) AS scheduled_tokens
+      FROM sched LEFT JOIN picks ON sched.source = picks.source
+      ORDER BY sched.source
+    """,
     "q131_session_window" -> """
       WITH ev AS (
         SELECT user_id, ts, event_id, value, epoch_us(ts) AS eu

@@ -239,7 +239,9 @@ object SparkEntry {
     // length-sorted batch assembly
     "q176_padding_audit" -> (CorpusOps.q176PaddingAudit _),
     "q177_phash_neardup" ->
-      (graft.multimodal.Multimodal.q177PhashNearDup _)
+      (graft.multimodal.Multimodal.q177PhashNearDup _),
+    "q178_shard_plan" -> (CorpusOps.q178ShardPlan _),
+    "q179_epoch_schedule" -> (Governance.q179EpochSchedule _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -442,4 +442,46 @@ object CorpusOps {
         Seq(col("len").asc, col("doc_id").asc)))
       .orderBy(col("strategy"))
   }
+
+  val NumShards = 16
+
+  /** q178 — deterministic training-shard assignment + balance audit:
+    * the last mile of the pipeline, where the curated corpus becomes N
+    * equal-ish shard files a training job streams. Shard =
+    * content-stable md5 bucket (re-ingesting the same document always
+    * lands the same shard; no RNG, no partition-count dependence);
+    * within-shard order is (md5, doc_id) — a deterministic global
+    * shuffle that breaks source/time locality so every shard is an
+    * iid-ish sample. The audit reports per-shard doc/token/source
+    * counts, token share, the (md5, doc_id) order range, and an
+    * ORDER-INDEPENDENT content checksum (BIGINT sum of 32-bit md5
+    * prefixes — mergeable, so map-side combine applies). Production
+    * writes via `repartition(NumShards, shard).sortWithinPartitions
+    * (h, doc_id)` into the partitioned sink; the plan here is the
+    * audit that gates that write. One shuffle on the shard key,
+    * everything post-shuffle is shard-sized. Fully hash-checked. */
+  def q178ShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("source"), col("doc_id"),
+      nTokens(col("text")).cast("long").as("tokens"),
+      md5(col("text")).as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int") % NumShards)
+    val perShard = d.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tokens")).as("n_tokens"),
+      count_distinct(col("source")).as("n_sources"),
+      min(concat_ws("/", col("h"), col("doc_id"))).as("order_min"),
+      max(concat_ws("/", col("h"), col("doc_id"))).as("order_max"),
+      sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+        .as("content_checksum"))
+    val total = perShard.agg(sum(col("n_tokens")).as("total_tokens"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_sources"),
+        round(col("n_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_share"),
+        col("order_min"), col("order_max"), col("content_checksum"))
+      .orderBy(col("shard"))
+  }
 }

@@ -71,7 +71,11 @@ object Governance {
     * aggregates — the fact pass is one token-count rollup. At true
     * scale budget·w_s moves to DECIMAL(38,0); the floor/ratio shape is
     * unchanged. */
-  def q159MixPlanner(s: SparkSession, dir: String): DataFrame = {
+  /** Shared allocation chain for q159/q179: per-source token rollup,
+    * τ=2 temperature weights in integer micro-units, budget-
+    * proportional allocation with the epoch cap. Source-sized after
+    * the one corpus rollup. */
+  private def mixAlloc(s: SparkSession, dir: String): DataFrame = {
     val per = docs(s, dir)
       .groupBy(col("source"))
       .agg(sum(TextFunctions.nTokens(col("text")).cast("long"))
@@ -87,6 +91,10 @@ object Governance {
       .withColumn("alloc_raw", expr("(budget * w) DIV total_w"))
       .withColumn("alloc_capped",
         least(col("alloc_raw"), col("tokens") * MaxEpochs))
+  }
+
+  def q159MixPlanner(s: SparkSession, dir: String): DataFrame = {
+    mixAlloc(s, dir)
       .select(
         col("source"), col("tokens"), col("n_docs"),
         round(col("w").cast("double") / col("total_w").cast("double"), 6)
@@ -95,6 +103,47 @@ object Governance {
         round(col("alloc_capped").cast("double") /
           col("tokens").cast("double"), 4).as("epochs"),
         (col("alloc_raw") > col("tokens") * MaxEpochs).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  /** q179 — epoch repetition schedule: operationalizes q159's
+    * token-budget mix at document granularity. Each source's
+    * allocation splits into `full_epochs` whole passes plus a
+    * fractional epoch realized as a DETERMINISTIC per-document draw:
+    * include a doc in the partial pass iff its salted-md5 value mod
+    * 10⁶ clears the source's `frac_ppm` threshold — content-stable
+    * (the same doc is drawn in every rerun; no RNG state to
+    * coordinate across 1000 executors), and exact cross-engine. The
+    * `(rem·10⁶) DIV tokens` ppm stays in BIGINT; at >9×10¹² tokens
+    * per source, promote to DECIMAL(38,0) — same formula. Plan: one
+    * corpus rollup for the allocation (source-sized after), one
+    * map-only salted-hash filter joined against the broadcast
+    * source-level thresholds, one source-keyed count — no corpus
+    * shuffle at all. Fully hash-checked. */
+  def q179EpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val sched = mixAlloc(s, dir)
+      .withColumn("full_epochs", expr("alloc_capped DIV tokens"))
+      .withColumn("rem", expr("alloc_capped % tokens"))
+      .withColumn("frac_ppm", expr("(rem * 1000000) DIV tokens"))
+    val picks = docs(s, dir)
+      .select(col("source"),
+        TextFunctions.nTokens(col("text")).cast("long").as("dtok"),
+        (conv(substring(md5(concat(col("text"), lit("|q179"))), 1, 8),
+          16, 10).cast("long") % 1000000).as("u"))
+      .join(broadcast(sched.select(col("source"), col("frac_ppm"))),
+        Seq("source"))
+      .where(col("u") < col("frac_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_sampled"),
+        sum(col("dtok")).as("sampled_tokens"))
+    sched.join(picks, Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs_sampled", "sampled_tokens"))
+      .select(col("source"), col("tokens"),
+        col("alloc_capped").as("alloc_tokens"),
+        col("full_epochs"), col("frac_ppm"),
+        col("n_docs_sampled"), col("sampled_tokens"),
+        (col("full_epochs") * col("tokens") + col("sampled_tokens"))
+          .as("scheduled_tokens"))
       .orderBy(col("source"))
   }
 

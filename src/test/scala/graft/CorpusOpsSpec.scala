@@ -182,4 +182,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the point of the audit: sorting strictly reduces padding here
     assert(rows("length_sorted")._3 < rows("arrival")._3)
   }
+
+  test("q178 shards partition the corpus exactly and the checksum matches a driver recompute") {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = CorpusOps.q178ShardPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every doc lands in exactly one shard; counts partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    val expectedByShard = docs.groupBy { case (_, t) =>
+      Integer.parseInt(md5Hex(t).substring(0, 2), 16) % CorpusOps.NumShards
+    }
+    rows.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      val members = expectedByShard(shard)
+      assert(r.getAs[Long]("n_docs") === members.length.toLong)
+      // content checksum: order-independent sum of 32-bit md5 prefixes
+      val ck = members.map { case (_, t) =>
+        java.lang.Long.parseLong(md5Hex(t).substring(0, 8), 16)
+      }.sum
+      assert(r.getAs[Long]("content_checksum") === ck)
+      // order range witnesses the (md5, doc_id) within-shard order
+      val keys = members.map { case (id, t) => s"${md5Hex(t)}/$id" }
+      assert(r.getAs[String]("order_min") === keys.min)
+      assert(r.getAs[String]("order_max") === keys.max)
+    }
+    // shares sum to ~1
+    val shares = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+  }
 }

@@ -165,4 +165,37 @@ class GovernanceSpec extends AnyFunSuite {
       affOrders.map(_._2).distinct.length.toLong)
     assert(rows("lineitem")._1 === liHit.toLong)
   }
+
+  test("q179 schedule: epoch split is exact, the fractional draw is the " +
+      "stated md5 threshold, and the schedule respects the q159 allocation") {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val alloc = Governance.q159MixPlanner(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens"))
+      .toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = Governance.q179EpochSchedule(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (tok, a) = (r.getAs[Long]("tokens"), r.getAs[Long]("alloc_tokens"))
+      val (fe, ppm) = (r.getAs[Long]("full_epochs"), r.getAs[Long]("frac_ppm"))
+      // the schedule is q159's allocation, split exactly
+      assert(a === alloc(src))
+      assert(fe === a / tok)
+      assert(ppm === (a % tok) * 1000000L / tok && ppm >= 0 && ppm < 1000000)
+      // the fractional draw is exactly the salted-md5 threshold rule
+      val picked = docs.filter(_._1 == src).map(_._2).filter { t =>
+        java.lang.Long.parseLong(
+          md5Hex(t + "|q179").substring(0, 8), 16) % 1000000 < ppm
+      }
+      assert(r.getAs[Long]("n_docs_sampled") === picked.length.toLong)
+      val sampledTok = picked.map(_.trim.split("\\s+").length.toLong).sum
+      assert(r.getAs[Long]("sampled_tokens") === sampledTok)
+      assert(r.getAs[Long]("scheduled_tokens") === fe * tok + sampledTok)
+    }
+  }
 }
