@@ -2861,6 +2861,31 @@ object OracleSql {
       WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
             bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     """,
+    "q180_quantile_sketch" -> """
+      WITH lens AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS l
+        FROM documents
+      ), counts AS (
+        SELECT source, CAST(len(bin(l + 1)) - 1 AS INTEGER) AS bucket,
+               COUNT(*) AS cnt, MAX(l) AS bmax
+        FROM lens GROUP BY 1, 2
+      ), cum AS (
+        SELECT source, bucket, cnt, bmax,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY source) AS n,
+               CAST(power(2, bucket + 1) AS BIGINT) - 2 AS ub
+        FROM counts
+      )
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_buckets, MAX(bmax) AS max_len,
+             MIN(CASE WHEN cum * 100 >= n * 50 THEN ub END) AS p50_ub,
+             MIN(CASE WHEN cum * 100 >= n * 90 THEN ub END) AS p90_ub,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN ub END) AS p99_ub
+      FROM cum GROUP BY source ORDER BY source
+    """,
     "q178_shard_plan" -> """
       WITH d AS (
         SELECT source, doc_id,

@@ -285,4 +285,42 @@ object Profiling {
         nat, "n_nationkey"),
     ).reduce(_.unionAll(_)).orderBy(col("fk"))
   }
+
+  /** q180 — mergeable log-histogram quantile sketch over per-document
+    * token lengths, the deterministic stand-in for KLL/t-digest in the
+    * sketch family (q47 = distinct, q121 = heavy hitters, q180 =
+    * quantiles): bucket b holds lengths in [2^b − 1, 2^(b+1) − 2], so a
+    * value's bucket is `len(bin(len+1)) − 1` — pure integer/string ops,
+    * no floating log whose ulp could flip a boundary. Bucket counts are
+    * a plain two-phase aggregate, which IS the sketch's merge operator:
+    * map-side partials combine associatively, shards/epochs/streams
+    * merge by adding counts, and the state per source is ≤ 40 ints no
+    * matter how many documents feed it. The p50/p90/p99 estimates are
+    * each bucket upper bounds — within 2× of the true quantile by
+    * construction (bucket width), which is the audit-grade answer a
+    * 100 TB length scan can afford. Exact max_len rides along free.
+    * Everything integer → fully hash-checked. */
+  def q180QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val lens = t(s, dir, "documents").select(col("source"),
+      TextFunctions.nTokens(col("text")).cast("long").as("len"))
+    val counts = lens
+      .withColumn("bucket", (length(bin(col("len") + 1)) - 1).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("len")).as("bmax"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("ub", expr("CAST(power(2, bucket + 1) AS BIGINT) - 2"))
+    def est(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("ub")))
+        .as(s"p${p}_ub")
+    cum.groupBy(col("source")).agg(
+      sum(col("cnt")).as("n_docs"),
+      count(lit(1)).as("n_buckets"),
+      max(col("bmax")).as("max_len"),
+      est(50), est(90), est(99))
+      .orderBy(col("source"))
+  }
 }

@@ -511,4 +511,30 @@ class ProfilingExtrasSpec extends AnyFunSuite {
     }.max
     assert(rows.head.getAs[Long]("streak_days") === bruteMax)
   }
+
+  test("q180 sketch quantile upper bounds bracket the exact quantiles within the 2x error law") {
+    val lens = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+      .groupBy(_._1).map { case (src, xs) => src -> xs.map(_._2).sorted }
+    val rows = graft.operators.Profiling.q180QuantileSketch(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === lens.values.map(_.length.toLong).sum)
+    rows.foreach { r =>
+      val xs = lens(r.getAs[String]("source"))
+      def exact(p: Int): Long = // smallest x with rank*100 >= n*p
+        xs((((xs.length.toLong * p + 99) / 100) - 1).toInt.max(0))
+      for (p <- Seq(50, 90, 99)) {
+        val est = r.getAs[Long](s"p${p}_ub")
+        val ex = exact(p)
+        assert(est >= ex, s"p$p upper bound must dominate the exact quantile")
+        // est is the containing bucket's upper bound: <= 2*(ex+1)-2
+        assert(est <= 2 * (ex + 1) - 2, s"p$p bound must respect the bucket-width error law")
+      }
+      assert(r.getAs[Long]("p50_ub") <= r.getAs[Long]("p90_ub"))
+      assert(r.getAs[Long]("p90_ub") <= r.getAs[Long]("p99_ub"))
+      assert(r.getAs[Long]("max_len") === xs.max)
+    }
+  }
 }
