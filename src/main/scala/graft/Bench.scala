@@ -208,10 +208,52 @@ object Bench {
     }
     val (etl10xTime, etl10xIncTime) = if (runEtl) etl10x() else (-1.0, -1.0)
 
+    // 10× scale smoke for the DEDUP family: documents replicated 10×
+    // where each replica is a NEAR-dup (one prefixed version token —
+    // high-Jaccard shingle overlap, like re-crawled/re-encoded pages),
+    // then the full MinHash-LSH pipeline (q21) runs end-to-end. This is
+    // the load profile a post-crawl dedup actually faces — 10× the
+    // corpus AND a dense candidate structure — so superlinear blowup in
+    // band buckets, candidate joins, or verification would surface here
+    // long before 100 TB. Single attempt, reported per-query only.
+    def dedup10x(): Double = {
+      val sp = newSession(cpus)
+      var base: String = null
+      try {
+        base = java.nio.file.Files
+          .createTempDirectory("graft_10x_docs_").toString
+        import org.apache.spark.sql.functions.{col, concat, lit, max}
+        val docs = Tables.load(sp, sfDir, "documents")
+        val stride = docs.agg(max(col("doc_id")).cast("long"))
+          .head().getLong(0) + 1L
+        (0 until 10).map { i =>
+          val shifted = docs.withColumn("doc_id",
+            col("doc_id").cast("long") + lit(i * stride))
+          if (i == 0) shifted
+          else shifted.withColumn("text", concat(lit(s"v$i "), col("text")))
+        }.reduce(_ unionByName _)
+          .write.parquet(s"$base/documents.parquet")
+        timed { graft.operators.Dedup.q21LshPairs(sp, base).count(); () }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL dedup_10x: $e")
+          -1.0
+      } finally {
+        import scala.reflect.io.Directory
+        if (base != null)
+          new Directory(new java.io.File(base)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val dedup10xTime = if (runEtl) dedup10x() else -1.0
+
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       ("etl_pipeline_10x" -> etl10xTime) :+
-      ("etl_incremental_10x" -> etl10xIncTime)
+      ("etl_incremental_10x" -> etl10xIncTime) :+
+      ("dedup_10x" -> dedup10xTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set
