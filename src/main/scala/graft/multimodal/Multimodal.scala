@@ -198,29 +198,32 @@ object Multimodal {
     * ≥1 band, so the band equi-join is lossless. */
   val PhashHammingMax = 3
 
-  /** 8×8 "luminance" grid for one (media, variant): pixel i is an
-    * md5-derived byte of the content digest (the STUB decode — a real
-    * decoder would downsample the actual image here; everything after
-    * this line is the production aHash pipeline). Variant v shifts the
-    * first 2·v pixels by +128 mod 256 — the deterministic stand-in for
-    * re-encode noise, flipping ~2·v fingerprint bits. */
-  private def phashPixel(sha: Column, v: Column, i: Column): Column = {
-    val base = conv(
-      substring(md5(concat(sha, lit(":"), i.cast("string"))), 1, 2),
-      16, 10).cast("int")
-    when(i < v * 2, (base + 128) % 256).otherwise(base)
-  }
+  /** 8×8 "luminance" grid for one media row: pixel i is an md5-derived
+    * byte of the content digest (the STUB decode — a real decoder would
+    * downsample the actual image here; everything after this array is
+    * the production aHash pipeline). Computed ONCE per media row,
+    * BEFORE the variant explode — the generator carries the evaluated
+    * array by value, so the 64 md5s are never re-derived per variant. */
+  private def phashPixels(sha: Column): Column =
+    transform(sequence(lit(0), lit(63)), i =>
+      conv(substring(md5(concat(sha, lit(":"), i.cast("string"))), 1, 2),
+        16, 10).cast("int"))
 
-  /** One 16-bit band of the 64-bit average-hash fingerprint: bit i set
-    * iff pixel i clears the fixed mid-gray threshold. Pure builtin
-    * expressions — the whole fingerprint computes inside one
-    * whole-stage-codegen pass over the scan. */
-  private def phashBand(sha: Column, v: Column, b: Int): Column =
+  /** One 16-bit band of the 64-bit average-hash fingerprint from the
+    * precomputed pixel array: variant v shifts the first 2·v pixels by
+    * +128 mod 256 (the deterministic stand-in for re-encode noise),
+    * and bit i is set iff the pixel clears the fixed mid-gray
+    * threshold. Pure builtin array arithmetic — stays inside
+    * whole-stage codegen. */
+  private def phashBand(px: Column, v: Column, b: Int): Column =
     aggregate(
       sequence(lit(b * 16), lit(b * 16 + 15)), lit(0),
-      (acc: Column, i: Column) =>
-        acc + when(phashPixel(sha, v, i) > 128,
-          pow(lit(2), i % 16).cast("int")).otherwise(lit(0)))
+      (acc: Column, i: Column) => {
+        val base = element_at(px, i + 1)
+        val pixel = when(i < v * 2, (base + 128) % 256).otherwise(base)
+        acc + when(pixel > 128,
+          pow(lit(2), i % 16).cast("int")).otherwise(lit(0))
+      })
 
   /** q177 — image perceptual-hash near-dup detection (aHash + banded
     * Hamming), the media twin of q140's SimHash banding: each media row
@@ -237,20 +240,26 @@ object Multimodal {
     * the threshold bits, and the band arithmetic exactly. */
   def q177PhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val fps = documentsAsMedia(s, dir)
-      .select(col("media_id"), sha2(col("content"), 256).as("sha"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("media_id"),
+        phashPixels(sha2(col("content"), 256)).as("px"))
       .withColumn("v", explode(sequence(lit(0), lit(PhashVariants - 1))))
       .select(
         col("media_id"), col("v"),
         (col("media_id") * PhashVariants + col("v")).as("vid"),
-        phashBand(col("sha"), col("v"), 0).as("b0"),
-        phashBand(col("sha"), col("v"), 1).as("b1"),
-        phashBand(col("sha"), col("v"), 2).as("b2"),
-        phashBand(col("sha"), col("v"), 3).as("b3"))
+        phashBand(col("px"), col("v"), 0).as("b0"),
+        phashBand(col("px"), col("v"), 1).as("b1"),
+        phashBand(col("px"), col("v"), 2).as("b2"),
+        phashBand(col("px"), col("v"), 3).as("b3"))
 
+    // persisted: the self-join would otherwise re-derive the grid and
+    // bands on both sides (at scale: the decode stage runs once, the
+    // index is what joins)
     val banded = fps.select(col("media_id"), col("v"), col("vid"),
       col("b0"), col("b1"), col("b2"), col("b3"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+      .persist()
 
     val a = banded.as("a")
     val b = banded.as("b")
