@@ -2861,6 +2861,43 @@ object OracleSql {
       WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
             bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     """,
+    // q181: the oracle reads the PARQUET originals while Spark audits
+    // its ORC read-back — a hash match proves the cross-format round
+    // trip lost nothing.
+    "q181_orc_roundtrip" -> """
+      WITH d AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+                 coalesce(CAST(doc_id AS VARCHAR), '∅'),
+                 coalesce(md5(text), '∅'),
+                 coalesce(lang, '∅'),
+                 coalesce(source, '∅'),
+                 coalesce(CAST(n_chars AS VARCHAR), '∅'))), 1, 15))
+                 AS BIGINT) AS hv,
+               n_chars
+        FROM documents
+      ), o AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+                 coalesce(CAST(o_orderkey AS VARCHAR), '∅'),
+                 coalesce(CAST(o_custkey AS VARCHAR), '∅'),
+                 coalesce(o_orderstatus, '∅'),
+                 coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '∅'),
+                 coalesce(o_orderpriority, '∅'))), 1, 15))
+                 AS BIGINT) AS hv,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+      )
+      SELECT 'documents' AS "table", COUNT(*) AS n_rows,
+             CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR) AS sum_hash,
+             bit_xor(hv) AS xor_hash,
+             CAST(SUM(n_chars) AS BIGINT) AS value_sum
+      FROM d
+      UNION ALL
+      SELECT 'orders', COUNT(*),
+             CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR),
+             bit_xor(hv), CAST(SUM(cents) AS BIGINT)
+      FROM o
+      ORDER BY "table"
+    """,
     "q180_quantile_sketch" -> """
       WITH lens AS (
         SELECT source,

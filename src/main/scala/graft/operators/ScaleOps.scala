@@ -500,4 +500,52 @@ object ScaleOps {
     }
     (manifest.length, picked)
   }
+
+  /** q181 — ORC interchange round-trip audit: documents and orders are
+    * staged through Spark's built-in ORC source/sink (zlib) and read
+    * BACK, and the audit columns — row count, q128's order-independent
+    * sum/xor row checksum over exactly-rendered columns, and an exact
+    * integer value sum — are computed from the ORC read-back while the
+    * DuckDB oracle computes them from the parquet originals. A hash
+    * match therefore proves the full write→read cycle loses nothing:
+    * types survive (TIMESTAMP→DATE rendering, DOUBLE bits through
+    * `floor(×100)` cents), every row survives, and no value mutates.
+    * This is the cross-format interchange a heterogeneous 100 TB lake
+    * does constantly (ORC warehouse ↔ parquet lake); the audit itself
+    * is one map-side hash + a 2-row aggregate, q128's no-sort no-diff
+    * migration check. Blob-free columns only — media stays in parquet.
+    */
+  def q181OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "orc")
+    val nul = "∅"
+    def staged(name: String, df: DataFrame): DataFrame = {
+      val path = s"$scratch/$name"
+      df.write.mode("overwrite").option("compression", "zlib").orc(path)
+      s.read.orc(path)
+    }
+    def audit(name: String, back: DataFrame, keyCols: Seq[Column],
+        valueSum: Column): DataFrame = {
+      val rowStr = concat_ws("|",
+        keyCols.map(c => coalesce(c.cast("string"), lit(nul))): _*)
+      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      back.withColumn("h", h)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_hash"),
+          expr("bit_xor(h)").as("xor_hash"),
+          valueSum.cast("long").as("value_sum"))
+        .select(lit(name).as("table"), col("n_rows"), col("sum_hash"),
+          col("xor_hash"), col("value_sum"))
+    }
+    val docs = staged("documents", t(s, dir, "documents"))
+    val ords = staged("orders", t(s, dir, "orders"))
+    audit("documents", docs,
+      Seq(col("doc_id"), md5(col("text")), col("lang"), col("source"),
+        col("n_chars")),
+      sum(col("n_chars")))
+      .unionByName(audit("orders", ords,
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date"), col("o_orderpriority")),
+        sum(floor(col("o_totalprice") * 100))))
+      .orderBy(col("table"))
+  }
 }

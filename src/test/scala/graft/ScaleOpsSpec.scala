@@ -265,4 +265,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect()
     assert(got.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
   }
+
+  test("q181 ORC round-trip loses no row, column, or value") {
+    val rows = graft.operators.ScaleOps.q181OrcRoundtrip(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("table")).toSeq ===
+      Seq("documents", "orders"))
+    // Scratch.dir is stable within the session: inspect what was staged
+    val orcBase = graft.Scratch.dir(spark, "orc")
+    for ((name, audited) <- Seq("documents", "orders").zip(rows)) {
+      val back = spark.read.orc(s"$orcBase/$name")
+      val src = graft.Tables.load(spark, sfDir, name)
+      assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ===
+        src.schema.fields.map(f => f.name -> f.dataType).toSeq,
+        s"$name: ORC must preserve names and types")
+      assert(back.exceptAll(src).count() === 0)
+      assert(src.exceptAll(back).count() === 0)
+      assert(audited.getAs[Long]("n_rows") === src.count())
+    }
+  }
 }
