@@ -300,14 +300,23 @@ object Profiling {
     * construction (bucket width), which is the audit-grade answer a
     * 100 TB length scan can afford. Exact max_len rides along free.
     * Everything integer → fully hash-checked. */
-  def q180QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+  /** The sketch STATE: per-(source, bucket) counts + exact bucket max.
+    * This is what merges — shards, epochs, and micro-batches combine by
+    * `groupBy(source, bucket).agg(sum(cnt), max(bmax))` (see
+    * `EventStream.streamingQuantileSketch` for the streaming fold). */
+  def lengthBucketCounts(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val lens = t(s, dir, "documents").select(col("source"),
+    docs.select(col("source"),
       TextFunctions.nTokens(col("text")).cast("long").as("len"))
-    val counts = lens
       .withColumn("bucket", (length(bin(col("len") + 1)) - 1).cast("int"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), max(col("len")).as("bmax"))
+  }
+
+  /** The sketch FINISHER: quantile upper bounds from the bucket counts.
+    * Runs on sketch-sized state (≤40 rows per source), so batch and
+    * streaming read-side share it verbatim. */
+  def quantilesFromCounts(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(w))
@@ -323,4 +332,7 @@ object Profiling {
       est(50), est(90), est(99))
       .orderBy(col("source"))
   }
+
+  def q180QuantileSketch(s: SparkSession, dir: String): DataFrame =
+    quantilesFromCounts(lengthBucketCounts(t(s, dir, "documents")))
 }

@@ -74,4 +74,53 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(indexSet() === want, "checkpoint replay mutated the index")
     assert(counts.size === nBefore, "replay re-reported verdicts")
   }
+
+  test("streaming quantile sketch equals the batch state however chunked, " +
+      "and the finisher reads q180's quantiles off it") {
+    import graft.operators.Profiling
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("source"), col("text"))
+    val srcDir = Files.createTempDirectory("graft_sqs_src_").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def stateSet(path: String) =
+      EventStream.readQuantileSketch(spark, path).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("bmax"))).toSet
+    val want = Profiling.lengthBucketCounts(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("bmax"))).toSet
+
+    // chunked run: one file per micro-batch
+    val p1 = Files.createTempDirectory("graft_sqs_1_").toString + "/sk"
+    val ck1 = Files.createTempDirectory("graft_sqs_ck1_").toString
+    def run1(): Unit = EventStream.streamingQuantileSketch(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir), p1, Some(ck1))
+    run1()
+    assert(EventStream.appliedBatches(p1).size >= 3)
+    assert(stateSet(p1) === want,
+      "chunked streaming fold must equal the one-shot batch state")
+
+    // single-batch run commits the same state: chunking independence
+    val p2 = Files.createTempDirectory("graft_sqs_2_").toString + "/sk"
+    val ck2 = Files.createTempDirectory("graft_sqs_ck2_").toString
+    EventStream.streamingQuantileSketch(
+      spark.readStream.schema(schema).parquet(srcDir), p2, Some(ck2))
+    assert(stateSet(p2) === stateSet(p1))
+
+    // the shared finisher over the committed state = q180 on the rows
+    val got = Profiling
+      .quantilesFromCounts(EventStream.readQuantileSketch(spark, p1))
+      .collect().map(_.toSeq).toSeq
+    val batch = Profiling
+      .quantilesFromCounts(Profiling.lengthBucketCounts(docs))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch)
+
+    // checkpoint replay: ledger blocks the re-merge
+    run1()
+    assert(stateSet(p1) === want, "checkpoint replay mutated the sketch")
+  }
 }
