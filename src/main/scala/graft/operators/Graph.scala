@@ -188,15 +188,23 @@ object Graph {
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_co"))
       .where(col("n_co") >= MinSupport)
+      // persisted: the symmetrization below would otherwise run the
+      // basket pair-expansion (the expensive object) once per branch
+      .persist()
     val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"),
         col("n_co"))
       .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst"),
         col("n_co")))
-    val scored = cp.where(pmod(col("o_custkey"), lit(100)) === 7)
+    // slice first, persist once: both the scoring join and the
+    // "already bought" anti-join only ever need the slice's baskets,
+    // so neither re-runs the orders⋈lineitem incidence build
+    val cpSlice = cp.where(pmod(col("o_custkey"), lit(100)) === 7)
+      .persist()
+    val scored = cpSlice
       .join(edges, col("l_partkey") === col("src"))
       .groupBy(col("o_custkey"), col("dst"))
       .agg(sum(col("n_co")).as("score"), count(lit(1)).as("n_paths"))
-    val unseen = scored.join(cp
+    val unseen = scored.join(cpSlice
         .select(col("o_custkey").as("sc"), col("l_partkey").as("sp")),
         col("o_custkey") === col("sc") && col("dst") === col("sp"),
         "left_anti")
