@@ -2898,6 +2898,46 @@ object OracleSql {
       FROM o
       ORDER BY "table"
     """,
+    // q182: like q181, the oracle reads the PARQUET originals while
+    // Spark audits its JSON read-back — a hash match proves the
+    // JSON-lines cycle (timestamp rendering, double rendering, embedded
+    // JSON re-escaping) lost nothing.
+    "q182_json_roundtrip" -> """
+      WITH d AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+                 coalesce(CAST(doc_id AS VARCHAR), '∅'),
+                 coalesce(md5(text), '∅'),
+                 coalesce(lang, '∅'),
+                 coalesce(source, '∅'),
+                 coalesce(CAST(n_chars AS VARCHAR), '∅'))), 1, 15))
+                 AS BIGINT) AS hv,
+               n_chars
+        FROM documents
+      ), e AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+                 coalesce(CAST(event_id AS VARCHAR), '∅'),
+                 coalesce(CAST(epoch_us(ts) AS VARCHAR), '∅'),
+                 coalesce(CAST(user_id AS VARCHAR), '∅'),
+                 coalesce(event_type, '∅'),
+                 coalesce(CAST(CAST(FLOOR(value * 1000) AS BIGINT)
+                   AS VARCHAR), '∅'),
+                 coalesce(md5(props), '∅'))), 1, 15))
+                 AS BIGINT) AS hv,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS mills
+        FROM events
+      )
+      SELECT 'documents' AS "table", COUNT(*) AS n_rows,
+             CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR) AS sum_hash,
+             bit_xor(hv) AS xor_hash,
+             CAST(SUM(n_chars) AS BIGINT) AS value_sum
+      FROM d
+      UNION ALL
+      SELECT 'events', COUNT(*),
+             CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR),
+             bit_xor(hv), CAST(SUM(mills) AS BIGINT)
+      FROM e
+      ORDER BY "table"
+    """,
     "q180_quantile_sketch" -> """
       WITH lens AS (
         SELECT source,

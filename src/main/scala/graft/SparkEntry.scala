@@ -243,7 +243,8 @@ object SparkEntry {
     "q178_shard_plan" -> (CorpusOps.q178ShardPlan _),
     "q179_epoch_schedule" -> (Governance.q179EpochSchedule _),
     "q180_quantile_sketch" -> (Profiling.q180QuantileSketch _),
-    "q181_orc_roundtrip" -> (ScaleOps.q181OrcRoundtrip _)
+    "q181_orc_roundtrip" -> (ScaleOps.q181OrcRoundtrip _),
+    "q182_json_roundtrip" -> (ScaleOps.q182JsonRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -515,27 +515,34 @@ object ScaleOps {
     * is one map-side hash + a 2-row aggregate, q128's no-sort no-diff
     * migration check. Blob-free columns only — media stays in parquet.
     */
+  /** q128-style order-independent row checksum over exactly-rendered
+    * columns: row count, sum+xor of a 60-bit md5 slice, and an exact
+    * integer value sum. Shared by the interchange audits (q181 ORC,
+    * q182 JSON) — the oracle computes the same four numbers from the
+    * parquet originals, so a hash match proves a write→read cycle lost
+    * nothing. One map-side hash + a 1-row aggregate per table. */
+  private def interchangeAudit(name: String, back: DataFrame,
+      keyCols: Seq[Column], valueSum: Column): DataFrame = {
+    val rowStr = concat_ws("|",
+      keyCols.map(c => coalesce(c.cast("string"), lit("∅"))): _*)
+    val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+    back.withColumn("h", h)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"),
+        valueSum.cast("long").as("value_sum"))
+      .select(lit(name).as("table"), col("n_rows"), col("sum_hash"),
+        col("xor_hash"), col("value_sum"))
+  }
+
   def q181OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val scratch = graft.Scratch.dir(s, "orc")
-    val nul = "∅"
     def staged(name: String, df: DataFrame): DataFrame = {
       val path = s"$scratch/$name"
       df.write.mode("overwrite").option("compression", "zlib").orc(path)
       s.read.orc(path)
     }
-    def audit(name: String, back: DataFrame, keyCols: Seq[Column],
-        valueSum: Column): DataFrame = {
-      val rowStr = concat_ws("|",
-        keyCols.map(c => coalesce(c.cast("string"), lit(nul))): _*)
-      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
-      back.withColumn("h", h)
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_hash"),
-          expr("bit_xor(h)").as("xor_hash"),
-          valueSum.cast("long").as("value_sum"))
-        .select(lit(name).as("table"), col("n_rows"), col("sum_hash"),
-          col("xor_hash"), col("value_sum"))
-    }
+    def audit = interchangeAudit _
     val docs = staged("documents", t(s, dir, "documents"))
     val ords = staged("orders", t(s, dir, "orders"))
     audit("documents", docs,
@@ -546,6 +553,44 @@ object ScaleOps {
         Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderdate").cast("date"), col("o_orderpriority")),
         sum(floor(col("o_totalprice") * 100))))
+      .orderBy(col("table"))
+  }
+
+  /** q182 — JSON-lines interchange round-trip audit, the schemaless-
+    * format twin of q181: documents and events are staged through
+    * Spark's built-in JSON source/sink (gzip lines) and read BACK with
+    * a DECLARED schema (the S5 pattern — schema inference on 100 TB
+    * means a second full scan, so production JSON reads always declare),
+    * then checksummed against the parquet originals via the DuckDB
+    * oracle. JSON is the hard interchange case: timestamps become
+    * strings (pinned here to an explicit micros format on both write
+    * and read — the default format drops sub-millis), doubles must
+    * round-trip their decimal rendering, and embedded JSON (`props`)
+    * gets re-escaped. A hash match proves all of it survived. The
+    * audit reduces map-side to one row per table; the staging write is
+    * the only shuffle-free full pass. */
+  def q182JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "json")
+    // micros-precision, zone-explicit — the JSON default truncates to
+    // millis, which would corrupt every ts in the checksum
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    def staged(name: String, df: DataFrame): DataFrame = {
+      val path = s"$scratch/$name"
+      df.write.mode("overwrite")
+        .option("timestampFormat", tsFmt)
+        .option("compression", "gzip").json(path)
+      s.read.schema(df.schema).option("timestampFormat", tsFmt).json(path)
+    }
+    val docs = staged("documents", t(s, dir, "documents"))
+    val evs = staged("events", t(s, dir, "events"))
+    interchangeAudit("documents", docs,
+      Seq(col("doc_id"), md5(col("text")), col("lang"), col("source"),
+        col("n_chars")),
+      sum(col("n_chars")))
+      .unionByName(interchangeAudit("events", evs,
+        Seq(col("event_id"), unix_micros(col("ts")), col("user_id"),
+          col("event_type"), floor(col("value") * 1000), md5(col("props"))),
+        sum(floor(col("value") * 1000))))
       .orderBy(col("table"))
   }
 }

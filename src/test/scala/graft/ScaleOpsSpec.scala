@@ -284,4 +284,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(audited.getAs[Long]("n_rows") === src.count())
     }
   }
+
+  test("q182 JSON round-trip preserves rows, timestamps, and doubles") {
+    val rows = graft.operators.ScaleOps.q182JsonRoundtrip(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("table")).toSeq ===
+      Seq("documents", "events"))
+    val jsonBase = graft.Scratch.dir(spark, "json")
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    for ((name, audited) <- Seq("documents", "events").zip(rows)) {
+      val src = graft.Tables.load(spark, sfDir, name)
+      val back = spark.read.schema(src.schema)
+        .option("timestampFormat", tsFmt).json(s"$jsonBase/$name")
+      assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ===
+        src.schema.fields.map(f => f.name -> f.dataType).toSeq,
+        s"$name: declared-schema JSON read must preserve names and types")
+      assert(back.exceptAll(src).count() === 0, s"$name: rows mutated")
+      assert(src.exceptAll(back).count() === 0, s"$name: rows lost")
+      assert(audited.getAs[Long]("n_rows") === src.count())
+    }
+  }
 }
