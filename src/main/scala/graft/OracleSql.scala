@@ -2938,6 +2938,49 @@ object OracleSql {
       FROM e
       ORDER BY "table"
     """,
+    // q183: the stub PCM decode (byte → recentered sample) and the
+    // framing/energy arithmetic restated over hex(encode(text)).
+    "q183_audio_frames" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+        FROM documents
+      ), f AS (
+        SELECT media_id, n_samples,
+               CASE WHEN n_samples >= 64
+                    THEN CAST((n_samples - 64) // 32 + 1 AS INTEGER)
+                    ELSE 0 END AS n_frames,
+               hx
+        FROM m
+      ), e AS (
+        SELECT media_id, n_samples, n_frames,
+               CASE WHEN n_frames > 0 THEN
+                 list_transform(generate_series(0, n_frames - 1), fr ->
+                   CAST(list_sum(list_transform(
+                     generate_series(fr * 32, fr * 32 + 63), i ->
+                       CAST((CAST(concat('0x',
+                              substr(hx, CAST(i AS INTEGER) * 2 + 1, 2))
+                              AS INTEGER) - 128) AS BIGINT)
+                       * CAST((CAST(concat('0x',
+                              substr(hx, CAST(i AS INTEGER) * 2 + 1, 2))
+                              AS INTEGER) - 128) AS BIGINT)))
+                     AS BIGINT))
+               ELSE CAST([] AS BIGINT[]) END AS en
+        FROM f
+      )
+      SELECT media_id, n_samples, n_frames,
+             COALESCE(CAST(list_sum(en) AS BIGINT), 0) AS total_energy,
+             CASE WHEN n_frames > 0 THEN list_max(en)
+                  ELSE -1 END AS peak_energy,
+             CASE WHEN n_frames > 0
+                  THEN CAST(list_position(en, list_max(en)) - 1 AS BIGINT)
+                  ELSE -1 END AS peak_frame,
+             CASE WHEN n_frames > 0
+                  THEN len(list_filter(en, x -> x * 2 >= list_max(en)))
+                  ELSE 0 END AS n_loud
+      FROM e
+    """,
     "q180_quantile_sketch" -> """
       WITH lens AS (
         SELECT source,

@@ -244,7 +244,9 @@ object SparkEntry {
     "q179_epoch_schedule" -> (Governance.q179EpochSchedule _),
     "q180_quantile_sketch" -> (Profiling.q180QuantileSketch _),
     "q181_orc_roundtrip" -> (ScaleOps.q181OrcRoundtrip _),
-    "q182_json_roundtrip" -> (ScaleOps.q182JsonRoundtrip _)
+    "q182_json_roundtrip" -> (ScaleOps.q182JsonRoundtrip _),
+    "q183_audio_frames" ->
+      (graft.multimodal.Multimodal.q183AudioFrames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

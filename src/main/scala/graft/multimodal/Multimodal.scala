@@ -225,6 +225,65 @@ object Multimodal {
           pow(lit(2), i % 16).cast("int")).otherwise(lit(0))
       })
 
+  /** Audio framing constants: 64-sample windows, 32-sample hop — the
+    * standard overlapping short-time analysis grid, scaled down to the
+    * testdata's byte counts (a real 16 kHz pipeline uses 400/160). */
+  val AudioWin = 64
+  val AudioHop = 32
+
+  /** STUB PCM decode for one sample: byte i of the blob as an unsigned
+    * value recentered to [-128,127]. A real decoder would parse the
+    * container and emit 16-bit samples here; everything downstream
+    * (framing, energy, peak-picking) is the production audio path and
+    * is pure integer arithmetic, so DuckDB states the same formula
+    * over `hex(encode(text))`. */
+  private def audioSample(hx: Column, i: Column): Column =
+    conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("int") - 128
+
+  /** q183 — audio short-time-energy feature extraction, the audio leg
+    * of the multimodal triple (q33 image resize, q177 image near-dup,
+    * q183 audio): each media blob is (stub-)decoded to PCM samples,
+    * framed into overlapping [[AudioWin]]/[[AudioHop]] windows, and
+    * each frame's energy Σs² is computed IN-ROW via higher-order array
+    * functions — no explode, so a blob never fans out to
+    * frames×samples rows and nothing blob-sized ever shuffles (the
+    * output is 7 scalars per media row; at 100 TB that is the entire
+    * point of doing the feature extraction inside the scan stage).
+    * Peak-picking and the loud-frame count (energy ≥ half the peak)
+    * are the downstream VAD/trim primitives. Fully oracle-checked:
+    * integer arithmetic end to end. */
+  def q183AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val m = documentsAsMedia(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("media_id"), hex(col("content")).as("hx"),
+        length(col("content")).cast("long").as("n_samples"))
+      .withColumn("n_frames",
+        when(col("n_samples") >= AudioWin,
+          (floor((col("n_samples") - AudioWin) / AudioHop) + 1).cast("int"))
+          .otherwise(lit(0)))
+    val en = when(col("n_frames") > 0,
+      transform(sequence(lit(0), col("n_frames") - 1), f =>
+        aggregate(
+          sequence(f * AudioHop, f * AudioHop + (AudioWin - 1)), lit(0L),
+          (acc, i) => {
+            val v = audioSample(col("hx"), i)
+            acc + (v * v).cast("long")
+          })))
+      .otherwise(array().cast("array<long>"))
+    m.withColumn("en", en)
+      .select(col("media_id"), col("n_samples"), col("n_frames"),
+        coalesce(aggregate(col("en"), lit(0L), _ + _), lit(0L))
+          .as("total_energy"),
+        when(col("n_frames") > 0, array_max(col("en")))
+          .otherwise(lit(-1L)).as("peak_energy"),
+        when(col("n_frames") > 0,
+          array_position(col("en"), array_max(col("en"))) - 1)
+          .otherwise(lit(-1L)).as("peak_frame"),
+        when(col("n_frames") > 0,
+          size(filter(col("en"), x => x * 2 >= array_max(col("en")))))
+          .otherwise(lit(0)).as("n_loud"))
+  }
+
   /** q177 — image perceptual-hash near-dup detection (aHash + banded
     * Hamming), the media twin of q140's SimHash banding: each media row
     * spawns 3 renditions, each rendition gets a 64-bit average-hash

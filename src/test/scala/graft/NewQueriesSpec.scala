@@ -152,4 +152,35 @@ class NewQueriesSpec extends AnyFunSuite {
     // and it equals the global-sort answer
     assert(one === data.sorted.take(32))
   }
+
+  test("q183 frame energies match a driver-side short-time recomputation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val nFrames =
+        if (n >= Multimodal.AudioWin) (n - Multimodal.AudioWin) / Multimodal.AudioHop + 1
+        else 0
+      val en = Array.tabulate(nFrames) { f =>
+        (0 until Multimodal.AudioWin).map { j =>
+          val v = (bytes(f * Multimodal.AudioHop + j) & 0xff) - 128
+          v.toLong * v
+        }.sum
+      }
+      if (nFrames == 0) (id, n.toLong, 0, 0L, -1L, -1L, 0)
+      else {
+        val peak = en.max
+        (id, n.toLong, nFrames, en.sum, peak,
+          en.indexOf(peak).toLong, en.count(_ * 2 >= peak))
+      }
+    }.toSet
+    val got = Multimodal.q183AudioFrames(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_samples"),
+        r.getAs[Int]("n_frames"), r.getAs[Long]("total_energy"),
+        r.getAs[Long]("peak_energy"), r.getAs[Long]("peak_frame"),
+        r.getAs[Int]("n_loud"))).toSet
+    assert(got === expected)
+  }
 }
