@@ -2981,6 +2981,57 @@ object OracleSql {
                   ELSE 0 END AS n_loud
       FROM e
     """,
+    // q184: q39's recursive transitive closure + q15's quality formula;
+    // the canonical member falls out of a per-cluster window rank.
+    "q184_canonical_dedup" -> """
+      WITH RECURSIVE n AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30
+      ), e AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION SELECT vb, va FROM pairs
+      ), reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+      ), lab AS (
+        SELECT v.id, LEAST(v.id, MIN(r.dst)) AS cluster_id
+        FROM (SELECT DISTINCT a AS id FROM e) v
+        LEFT JOIN reach r ON r.src = v.id
+        GROUP BY v.id
+      ), mem AS (
+        SELECT l.cluster_id, d.doc_id, d.n_chars,
+               ROUND(least(len(toks) / 50.0, 1.0) *
+                     (0.5 + 0.5 * (len(list_distinct(toks)) /
+                                   CAST(len(toks) AS DOUBLE))), 4)
+                 AS quality
+        FROM lab l
+        JOIN (SELECT doc_id, n_chars,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents) d
+          ON d.doc_id = l.id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM mem
+      ), agg AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+               MIN(quality) AS min_quality
+        FROM mem GROUP BY 1
+      )
+      SELECT r.cluster_id, a.n_members, r.doc_id AS canonical_doc,
+             r.quality AS canonical_quality, a.bytes_total,
+             a.bytes_total - r.n_chars AS bytes_saved, a.min_quality
+      FROM ranked r JOIN agg a USING (cluster_id)
+      WHERE r.rn = 1
+    """,
     "q180_quantile_sketch" -> """
       WITH lens AS (
         SELECT source,

@@ -246,7 +246,8 @@ object SparkEntry {
     "q181_orc_roundtrip" -> (ScaleOps.q181OrcRoundtrip _),
     "q182_json_roundtrip" -> (ScaleOps.q182JsonRoundtrip _),
     "q183_audio_frames" ->
-      (graft.multimodal.Multimodal.q183AudioFrames _)
+      (graft.multimodal.Multimodal.q183AudioFrames _),
+    "q184_canonical_dedup" -> (Cluster.q184CanonicalDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -147,4 +147,42 @@ object Cluster {
       .select(col("id").as("vec_id"), col("label").as("cluster_id"),
         col("cluster_size"))
   }
+
+  /** q184 — quality-weighted canonical selection per near-dup cluster,
+    * the decision step after q39's clustering: instead of blindly
+    * keeping the min-id member, each cluster keeps its HIGHEST-QUALITY
+    * document (q15's quality score; doc_id tie-break) and the rest is
+    * the dedup's byte savings. One equi-join (cluster members ×
+    * documents — member-sized, orders below corpus) and one aggregate
+    * whose arg-max rides a struct max (quality, -doc_id), so there is
+    * no per-cluster window and no second shuffle; q39's CC dominates.
+    * This is the curation pipeline's actual drop-list semantics: near
+    * duplicates differ in boilerplate/truncation, and keeping the best
+    * rendition instead of an arbitrary one is measurably better
+    * training data. Oracle: q39's recursive closure + q15's quality
+    * formula + a window rank in DuckDB. */
+  def q184CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val members = q39DedupClusters(s, dir)
+      .join(graft.Tables.load(s, dir, "documents"),
+        col("vec_id") === col("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+        qualityScore(col("text")).as("quality"))
+    members
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("bytes_total"),
+        min(col("quality")).as("min_quality"),
+        // (quality, -doc_id) is unique per member, so appending the
+        // payload field n_chars can't affect which struct wins
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"),
+          col("n_chars").as("best_chars"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).as("canonical_doc"),
+        col("best.quality").as("canonical_quality"),
+        col("bytes_total"),
+        (col("bytes_total") - col("best.best_chars")).as("bytes_saved"),
+        col("min_quality"))
+  }
 }

@@ -118,6 +118,32 @@ class Round2Spec extends AnyFunSuite {
     assert(rows === 0L)
   }
 
+  test("q184 canonical is the max-quality (min doc_id tie-break) member " +
+      "and savings are bytes_total minus the canonical's bytes") {
+    import graft.functions.TextFunctions.qualityScore
+    val members = Cluster.q39DedupClusters(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "documents"),
+        col("vec_id") === col("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+        qualityScore(col("text")).as("quality"))
+      .collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    val got = Cluster.q184CanonicalDedup(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length === members.size)
+    got.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val m = members(cid)
+      val best = m.minBy(x =>
+        (-x.getAs[Double]("quality"), x.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("canonical_doc") === best.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_members") === m.length.toLong)
+      val total = m.map(_.getAs[Long]("n_chars")).sum
+      assert(r.getAs[Long]("bytes_total") === total)
+      assert(r.getAs[Long]("bytes_saved") ===
+        total - best.getAs[Long]("n_chars"))
+    }
+  }
+
   // ---- Sessionization ----------------------------------------------------
 
   test("sessionize splits strictly above the 30-min gap, not at it") {
