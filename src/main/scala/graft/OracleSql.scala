@@ -2981,6 +2981,19 @@ object OracleSql {
                   ELSE 0 END AS n_loud
       FROM e
     """,
+    // q185: the oracle restates which rows each writer generation
+    // holds; a hash match proves the mergeSchema read misaligned
+    // nothing and surfaced the missing column as NULL exactly where
+    // the old writer ran.
+    "q185_schema_evolution" -> """
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS batch,
+             CASE WHEN doc_id % 2 = 0 THEN '∅'
+                  ELSE coalesce(lang, '∅') END AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY 1, 2
+    """,
     // q184: q39's recursive transitive closure + q15's quality formula;
     // the canonical member falls out of a per-cluster window rank.
     "q184_canonical_dedup" -> """

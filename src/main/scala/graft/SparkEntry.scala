@@ -247,7 +247,8 @@ object SparkEntry {
     "q182_json_roundtrip" -> (ScaleOps.q182JsonRoundtrip _),
     "q183_audio_frames" ->
       (graft.multimodal.Multimodal.q183AudioFrames _),
-    "q184_canonical_dedup" -> (Cluster.q184CanonicalDedup _)
+    "q184_canonical_dedup" -> (Cluster.q184CanonicalDedup _),
+    "q185_schema_evolution" -> (ScaleOps.q185SchemaEvolution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

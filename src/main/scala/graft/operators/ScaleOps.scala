@@ -593,4 +593,34 @@ object ScaleOps {
         sum(floor(col("value") * 1000))))
       .orderBy(col("table"))
   }
+
+  /** q185 — schema-evolution read across writer generations: an "old
+    * writer" batch (no `lang` column) and a "new writer" batch land
+    * under one table root as `batch=old` / `batch=new` directories, and
+    * a single `mergeSchema` read reconstructs the union schema —
+    * partition-column discovery types `batch`, the old files surface
+    * `lang` as NULL, and nothing is dropped or misaligned. This is the
+    * third ingestion-robustness leg next to q182 (format) and the NTZ
+    * timestamp canonicalization (types): a 100 TB lake ALWAYS contains
+    * several writer generations of the same table, and a reader that
+    * needs all files rewritten first is not an engine. The audit
+    * aggregate is evolution-sensitive (per batch × effective lang) so
+    * any column misalignment flips the hash. Note mergeSchema costs a
+    * footer read per file — at scale you set it once in the table's
+    * catalog schema instead; the per-read flag here keeps the operator
+    * self-contained. */
+  def q185SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "evo")
+    val docs = t(s, dir, "documents")
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$scratch/batch=old")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$scratch/batch=new")
+    s.read.option("mergeSchema", "true").parquet(scratch)
+      .groupBy(col("batch"), coalesce(col("lang"), lit("∅")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
 }

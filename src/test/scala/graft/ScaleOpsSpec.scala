@@ -304,4 +304,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(audited.getAs[Long]("n_rows") === src.count())
     }
   }
+
+  test("q185 mergeSchema read unions writer generations without loss") {
+    graft.operators.ScaleOps.q185SchemaEvolution(spark, sfDir).count()
+    val evo = graft.Scratch.dir(spark, "evo")
+    val merged = spark.read.option("mergeSchema", "true").parquet(evo)
+    val src = graft.Tables.load(spark, sfDir, "documents")
+    // union schema: lang present (from the new writer), batch discovered
+    assert(merged.columns.toSet ===
+      Set("doc_id", "text", "lang", "source", "n_chars", "batch"))
+    assert(merged.count() === src.count())
+    // lang is NULL exactly on the old-writer rows
+    assert(merged.where($"batch" === "old" && $"lang".isNotNull).count() === 0)
+    assert(merged.where($"batch" === "new" && $"lang".isNull).count() ===
+      src.where($"doc_id" % 2 === 1 && $"lang".isNull).count())
+  }
 }
