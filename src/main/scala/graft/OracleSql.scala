@@ -2981,6 +2981,40 @@ object OracleSql {
                   ELSE 0 END AS n_loud
       FROM e
     """,
+    // q186: integer micro-unit TF-IDF weights make every aggregate
+    // exact, so the inverted-index join reproduces bit-identically.
+    "q186_allpairs_tfidf" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      ), nn AS (SELECT COUNT(*) AS n FROM documents),
+      w AS (
+        SELECT t.doc_id, t.term,
+               CAST(FLOOR(t.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1)
+                 * 1000000) AS BIGINT) AS wi
+        FROM tf t JOIN df d USING (term), nn
+        WHERE d.df * 4 <= nn.n
+      ), nrm AS (
+        SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS sn
+        FROM w GROUP BY 1
+      ), dt AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.wi * b.wi) AS BIGINT) AS dp
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b,
+             ROUND(dp / (sqrt(na.sn) * sqrt(nb.sn)), 6) AS cosine
+      FROM dt
+      JOIN nrm na ON doc_a = na.doc_id
+      JOIN nrm nb ON doc_b = nb.doc_id
+      WHERE dp / (sqrt(na.sn) * sqrt(nb.sn)) >= 0.5
+    """,
     // q185: the oracle restates which rows each writer generation
     // holds; a hash match proves the mergeSchema read misaligned
     // nothing and surfaced the missing column as NULL exactly where

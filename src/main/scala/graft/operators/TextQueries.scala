@@ -456,4 +456,53 @@ object TextQueries {
           .as("avg_neg_log_prob"))
       .orderBy(col("doc_id"))
   }
+
+  /** q186 — all-pairs TF-IDF cosine similarity via an inverted-index
+    * join (Bayardo-style all-pairs, the sparse-vector twin of q31's
+    * dense-embedding near-dup): per-doc term weights tf·idf are scaled
+    * to INTEGER micro-units (floor ×10⁶, the q151/q159 house pattern)
+    * so every sum — norms and pair dot products — is an integer
+    * aggregate, deterministic under any shuffle order and therefore
+    * bit-identical to the DuckDB oracle; the only float ops are the two
+    * final sqrt/divide, one fixed expression per pair. Terms in more
+    * than a quarter of the corpus are dropped from the vector space
+    * (the sklearn `max_df` convention): they carry near-zero idf but
+    * would dominate the index join's bucket sizes. At 100 TB the
+    * candidate join shuffles on term with buckets capped by max_df;
+    * beyond that, q102's prefix-filter applies to this family
+    * unchanged (sort terms by rarity, index only each vector's
+    * τ-prefix). Output: pairs with cosine ≥ 0.5 — on the testdata
+    * exactly the planted near-dup structure. */
+  def q186AllPairsTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = d.agg(count(lit(1)).as("n"))
+    val idf = log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+    val w = tf.join(dfc, "term").crossJoin(broadcast(total))
+      .where(col("df") * 4 <= col("n"))
+      .select(col("doc_id"), col("term"),
+        floor(col("tf") * idf * lit(1000000)).cast("long").as("wi"))
+      .persist()
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sum(col("wi") * col("wi")).as("sn"))
+    val dot = w.select(col("doc_id").as("doc_a"), col("term"),
+        col("wi").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term"),
+        col("wi").as("wb")), "term")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dp"))
+    dot
+      .join(nrm.select(col("doc_id").as("doc_a"), col("sn").as("sna")),
+        "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("sn").as("snb")),
+        "doc_b")
+      .withColumn("cosine",
+        col("dp") / (sqrt(col("sna")) * sqrt(col("snb"))))
+      .where(col("cosine") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

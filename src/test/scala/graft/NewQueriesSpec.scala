@@ -153,6 +153,33 @@ class NewQueriesSpec extends AnyFunSuite {
     assert(one === data.sorted.take(32))
   }
 
+  test("q186 all-pairs TF-IDF: ordered pairs, cosine in (0,1], and every " +
+      "identical-text pair surfaces at cosine 1") {
+    val rows = TextQueries.q186AllPairsTfidf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0)
+    }
+    val got = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // identical normalized token streams => identical vectors => cos 1
+    val dups = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", md5($"text").as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.toSeq.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).toSeq
+        for { a <- ids; b <- ids if a < b } yield (a, b)
+      }.toSet
+    assert(dups.subsetOf(got),
+      s"missing exact-dup pairs: ${(dups -- got).take(5)}")
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b")) -> r.getAs[Double]("cosine")).toMap
+    dups.foreach(p => assert(byPair(p) === 1.0))
+  }
+
   test("q183 frame energies match a driver-side short-time recomputation") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text").collect()
