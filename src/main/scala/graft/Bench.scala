@@ -254,18 +254,56 @@ object Bench {
     }
     val dedup10xTime = if (runEtl) dedup10x() else -1.0
 
+    // 50× scale smoke for the ANN family: embeddings replicated 50×
+    // (sf0.1 → 100 K vectors) and the IVF index + probe path (q34)
+    // runs end-to-end. IVF cell buckets grow 50× uniformly here, so a
+    // probe whose cost is secretly corpus-shaped (instead of
+    // probed-cells-shaped) would blow up superlinearly in this leg.
+    // Replicas are exact copies (vec_id-shifted): the smoke measures
+    // plan scaling, not recall.
+    def ann50x(): Double = {
+      val sp = newSession(cpus)
+      var base: String = null
+      try {
+        base = java.nio.file.Files
+          .createTempDirectory("graft_50x_emb_").toString
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val emb = Tables.load(sp, sfDir, "embeddings")
+        val stride = emb.agg(max(col("vec_id")).cast("long"))
+          .head().getLong(0) + 1L
+        (0 until 50).map(i => emb.withColumn("vec_id",
+            col("vec_id").cast("long") + lit(i * stride)))
+          .reduce(_ unionByName _)
+          .write.parquet(s"$base/embeddings.parquet")
+        timed { graft.operators.Similarity.q34AnnIvf(sp, base).count(); () }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL ann_50x: $e")
+          -1.0
+      } finally {
+        import scala.reflect.io.Directory
+        if (base != null)
+          new Directory(new java.io.File(base)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val ann50xTime = if (runEtl) ann50x() else -1.0
+
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       ("etl_pipeline_10x" -> etl10xTime) :+
       ("etl_incremental_10x" -> etl10xIncTime) :+
-      ("dedup_10x" -> dedup10xTime)
+      ("dedup_10x" -> dedup10xTime) :+
+      ("ann_50x" -> ann50xTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set
     // + the 1x etl pair) so round-over-round totals stay comparable;
     // the 10x smoke legs are reported per-query only
     val total = all
-      .filterNot { case (k, _) => k.endsWith("_10x") }
+      .filterNot { case (k, _) => k.endsWith("_10x") || k == "ann_50x" }
       .map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()
     val line =

@@ -253,8 +253,10 @@ object Multimodal {
     * are the downstream VAD/trim primitives. Fully oracle-checked:
     * integer arithmetic end to end. */
   def q183AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    // no repartition: a pre-decode repartition would ship the BLOB
+    // through an exchange. Scan splits (maxPartitionBytes) already
+    // parallelize a 100 TB media table; the plan below is exchange-free.
     val m = documentsAsMedia(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("media_id"), hex(col("content")).as("hx"),
         length(col("content")).cast("long").as("n_samples"))
       .withColumn("n_frames",

@@ -455,4 +455,32 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("GreaterThanOrEqual(o_orderdate"),
       s"date split must push to the scans:\n$p")
   }
+
+  test("q183 audio features stay in-row: no Generate fan-out, no join, " +
+      "and the blob never transits an exchange") {
+    val df = graft.multimodal.Multimodal.q183AudioFrames(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Generate"),
+      s"framing must be in-row arrays, not explode:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"single-table map path:\n$p")
+    // exchange-free: the blob is decoded inside the scan stage, so
+    // nothing blob-sized ever shuffles
+    assert(!p.contains("Exchange"), s"expected an exchange-free plan:\n$p")
+  }
+
+  test("q186 all-pairs: no cartesian product — candidates come from the " +
+      "term-keyed index join; the 1-row corpus total broadcasts") {
+    val df = graft.operators.TextQueries.q186AllPairsTfidf(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must ride the inverted index:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the corpus-total scalar must broadcast:\n$p")
+    // both the doc_a<doc_b candidate filter and the threshold must sit
+    // in the plan (not silently optimized away)
+    assert(p.contains("doc_a") && p.contains("doc_b"), s"got:\n$p")
+  }
 }
