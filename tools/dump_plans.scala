@@ -120,6 +120,14 @@ section("q141 as-of tolerance -- same single-shuffle union+window as q37",
   "The staleness bound is a residual projection-level CASE, not a join condition: one hash exchange on user_id, one window pass, no range join.",
   graft.operators.AsofJoin.q141AsofTolerance(spark, dir),
   Seq("Exchange hashpartitioning", "Window", "SortMergeJoin", "RunningWindowFunction"))
+section("q183 audio features -- exchange-free: decode inside the scan stage",
+  "No Generate, no join, no Exchange anywhere: framing and per-frame energy evaluate as higher-order array expressions inside the scan's projection, so the media blob never leaves its input split and only 7 scalars per row exit the stage.",
+  graft.multimodal.Multimodal.q183AudioFrames(spark, dir),
+  Seq("FileScan", "Project", "Exchange", "Generate"))
+section("q186 all-pairs TF-IDF -- candidates ride the term-keyed index join",
+  "No CartesianProduct: pair generation is the inverted-index self-join on term (max_df-capped buckets), the 1-row corpus total is a broadcast, and both the dot-product and norm aggregates are two-phase integer sums.",
+  graft.operators.TextQueries.q186AllPairsTfidf(spark, dir),
+  Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "HashAggregate", "partial_sum", "CartesianProduct"))
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
