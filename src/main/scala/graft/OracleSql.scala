@@ -2981,6 +2981,19 @@ object OracleSql {
                   ELSE 0 END AS n_loud
       FROM e
     """,
+    // q187: the oracle aggregates the parquet originals — a hash match
+    // proves the per-generation declared reads + cast + union lost no
+    // row or value to the type conflict.
+    "q187_resolve_choice" -> """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_mills,
+             CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_value
+      FROM events
+      GROUP BY 1
+    """,
     // q186: integer micro-unit TF-IDF weights make every aggregate
     // exact, so the inverted-index join reproduces bit-identically.
     "q186_allpairs_tfidf" -> """

@@ -249,7 +249,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.q183AudioFrames _),
     "q184_canonical_dedup" -> (Cluster.q184CanonicalDedup _),
     "q185_schema_evolution" -> (ScaleOps.q185SchemaEvolution _),
-    "q186_allpairs_tfidf" -> (TextQueries.q186AllPairsTfidf _)
+    "q186_allpairs_tfidf" -> (TextQueries.q186AllPairsTfidf _),
+    "q187_resolve_choice" -> (ScaleOps.q187ResolveChoice _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

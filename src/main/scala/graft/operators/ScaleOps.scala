@@ -623,4 +623,35 @@ object ScaleOps {
       .groupBy(col("batch"), coalesce(col("lang"), lit("∅")).as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
+
+  /** q187 — type-conflict resolution across writer generations (the
+    * Glue `DynamicFrame.resolveChoice` semantics, re-expressed
+    * Spark-first): generation A wrote `value` as DOUBLE, generation B
+    * as STRING — the drift `mergeSchema` can NOT fix (it throws on
+    * conflicting leaf types; the spec pins that). The engine's answer
+    * is per-generation declared reads + an explicit cast to the chosen
+    * type + `unionByName` — the cast is codegen'd and map-side, the
+    * union adds no exchange, and the audit aggregate proves no row or
+    * value was lost to the conflict. Doubles survive the string
+    * generation exactly because Spark renders shortest-round-trip
+    * representations. This completes the ingestion-robustness set:
+    * q182 format, q185 missing columns, NTZ canonicalization, q187
+    * conflicting types. */
+  def q187ResolveChoice(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "choice")
+    val ev = t(s, dir, "events")
+    ev.where(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$scratch/gen=a")
+    ev.where(col("event_id") % 2 === 1)
+      .withColumn("value", col("value").cast("string"))
+      .write.mode("overwrite").parquet(s"$scratch/gen=b")
+    val a = s.read.parquet(s"$scratch/gen=a")
+    val b = s.read.parquet(s"$scratch/gen=b")
+      .withColumn("value", col("value").cast("double"))
+    a.unionByName(b)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000)).as("sum_mills"),
+        count(when(col("value").isNull, 1)).as("n_null_value"))
+  }
 }

@@ -319,4 +319,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.where($"batch" === "new" && $"lang".isNull).count() ===
       src.where($"doc_id" % 2 === 1 && $"lang".isNull).count())
   }
+
+  test("q187 type conflict: mergeSchema refuses, resolveChoice recovers " +
+      "every row and value") {
+    val out = graft.operators.ScaleOps.q187ResolveChoice(spark, sfDir)
+    val src = graft.Tables.load(spark, sfDir, "events")
+    assert(out.agg(sum($"n_events")).head.getLong(0) === src.count())
+    // the conflicting-leaf read is NOT silently coerced — it throws
+    val choice = graft.Scratch.dir(spark, "choice")
+    val ex = intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(choice).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("merg") ||
+      ex.getMessage.toLowerCase.contains("schema"),
+      s"expected a schema-merge failure, got: ${ex.getMessage.take(200)}")
+    // doubles round-trip the string generation exactly
+    val mills = src.agg(sum(floor($"value" * 1000))).head.getLong(0)
+    assert(out.agg(sum($"sum_mills")).head.getLong(0) === mills)
+  }
 }
