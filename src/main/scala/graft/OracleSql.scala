@@ -1589,9 +1589,11 @@ object OracleSql {
       FROM counts JOIN sizes USING (cohort_week)
     """,
     // q172: the lexical leg re-derives q83's BM25 ranking; the PRF
-    // centroid adds the top-3 vectors in rank order and divides once
-    // (identical IEEE tree to the Spark literal); RRF contributions
-    // are single divides of exact integer ranks added lex-then-sem.
+    // centroid adds the 3 lowest-rank lexical vectors WITH embeddings
+    // in rank order and divides once (identical IEEE tree to the Spark
+    // literal — and the same with-embeddings seed rule, which matters
+    // when embedding coverage is partial); RRF contributions are
+    // single divides of exact integer ranks added lex-then-sem.
     "q172_hybrid_rrf" -> """
       WITH stats AS (
         SELECT doc_id,
@@ -1641,16 +1643,17 @@ object OracleSql {
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+      ), seedv AS (
+        SELECT n.v,
+               ROW_NUMBER() OVER (ORDER BY rank_lex ASC) AS sr
+        FROM lex JOIN n ON n.vec_id = lex.doc_id
       ), cent AS (
         SELECT list_transform(range(1, 65),
                  j -> (v1[j] + v2[j] + v3[j]) / 3.0) AS c
         FROM (SELECT
-          (SELECT n.v FROM lex JOIN n ON n.vec_id = lex.doc_id
-             WHERE rank_lex = 1) AS v1,
-          (SELECT n.v FROM lex JOIN n ON n.vec_id = lex.doc_id
-             WHERE rank_lex = 2) AS v2,
-          (SELECT n.v FROM lex JOIN n ON n.vec_id = lex.doc_id
-             WHERE rank_lex = 3) AS v3)
+          (SELECT v FROM seedv WHERE sr = 1) AS v1,
+          (SELECT v FROM seedv WHERE sr = 2) AS v2,
+          (SELECT v FROM seedv WHERE sr = 3) AS v3)
       ), sem AS (
         SELECT doc_id, rank_sem FROM (
           SELECT vec_id AS doc_id,

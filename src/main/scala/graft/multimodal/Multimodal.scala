@@ -231,48 +231,35 @@ object Multimodal {
   val AudioWin = 64
   val AudioHop = 32
 
-  /** STUB PCM decode for one sample: byte i of the blob as an unsigned
-    * value recentered to [-128,127]. A real decoder would parse the
-    * container and emit 16-bit samples here; everything downstream
-    * (framing, energy, peak-picking) is the production audio path and
-    * is pure integer arithmetic, so DuckDB states the same formula
-    * over `hex(encode(text))`. */
-  private def audioSample(hx: Column, i: Column): Column =
-    conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("int") - 128
-
   /** q183 — audio short-time-energy feature extraction, the audio leg
     * of the multimodal triple (q33 image resize, q177 image near-dup,
-    * q183 audio): each media blob is (stub-)decoded to PCM samples,
-    * framed into overlapping [[AudioWin]]/[[AudioHop]] windows, and
-    * each frame's energy Σs² is computed IN-ROW via higher-order array
-    * functions — no explode, so a blob never fans out to
-    * frames×samples rows and nothing blob-sized ever shuffles (the
-    * output is 7 scalars per media row; at 100 TB that is the entire
-    * point of doing the feature extraction inside the scan stage).
-    * Peak-picking and the loud-frame count (energy ≥ half the peak)
-    * are the downstream VAD/trim primitives. Fully oracle-checked:
-    * integer arithmetic end to end. */
+    * q183 audio): each media blob is (stub-)decoded to PCM samples
+    * (byte → unsigned value recentered to [-128,127]; a real decoder
+    * would parse the container and emit 16-bit samples), framed into
+    * overlapping [[AudioWin]]/[[AudioHop]] windows, and each frame's
+    * energy Σs² is computed IN-ROW by the native
+    * [[graft.functions.FrameEnergies]] Catalyst expression — a
+    * rolling-sum loop over the raw bytes inside whole-stage codegen
+    * (the builtin-composition form paid two string allocations per
+    * byte and O(win) work per sample; the expression is O(n) with one
+    * output allocation). No explode, so a blob never fans out to
+    * frames×samples rows, and nothing blob-sized ever shuffles: the
+    * plan is exchange-free and 7 scalars per row leave the scan stage,
+    * which at 100 TB is the entire point of feature extraction inside
+    * the scan. Peak-picking and the loud-frame count (energy ≥ half
+    * the peak) are the downstream VAD/trim primitives. Fully
+    * oracle-checked: DuckDB states the identical arithmetic over
+    * hex(encode(text)). */
   def q183AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AudioFrames.frameEnergies
     // no repartition: a pre-decode repartition would ship the BLOB
     // through an exchange. Scan splits (maxPartitionBytes) already
     // parallelize a 100 TB media table; the plan below is exchange-free.
-    val m = documentsAsMedia(s, dir)
-      .select(col("media_id"), hex(col("content")).as("hx"),
-        length(col("content")).cast("long").as("n_samples"))
-      .withColumn("n_frames",
-        when(col("n_samples") >= AudioWin,
-          (floor((col("n_samples") - AudioWin) / AudioHop) + 1).cast("int"))
-          .otherwise(lit(0)))
-    val en = when(col("n_frames") > 0,
-      transform(sequence(lit(0), col("n_frames") - 1), f =>
-        aggregate(
-          sequence(f * AudioHop, f * AudioHop + (AudioWin - 1)), lit(0L),
-          (acc, i) => {
-            val v = audioSample(col("hx"), i)
-            acc + (v * v).cast("long")
-          })))
-      .otherwise(array().cast("array<long>"))
-    m.withColumn("en", en)
+    documentsAsMedia(s, dir)
+      .select(col("media_id"),
+        length(col("content")).cast("long").as("n_samples"),
+        frameEnergies(col("content"), AudioWin, AudioHop).as("en"))
+      .withColumn("n_frames", size(col("en")))
       .select(col("media_id"), col("n_samples"), col("n_frames"),
         coalesce(aggregate(col("en"), lit(0L), _ + _), lit(0L))
           .as("total_energy"),

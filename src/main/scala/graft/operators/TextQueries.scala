@@ -283,11 +283,17 @@ object TextQueries {
       .withColumn("v_norm",
         sqrt(Similarity.dot(col("v"), col("v"))))
       .repartition(s.sparkContext.defaultParallelism)
-    // PRF centroid: top-3 lexical docs' vectors, summed per-dimension
-    // IN RANK ORDER then divided once — the same IEEE tree the oracle
-    // builds, so the centroid literal is bit-identical.
-    val top3 = lex.where(col("rank_lex") <= RrfPrfDocs)
+    // PRF centroid: the [[RrfPrfDocs]] LOWEST-RANK lexical docs that
+    // HAVE embeddings (not "rank ≤ 3": when the embedding table covers
+    // only part of the corpus — as at sf0.1 and on any real lake where
+    // embedding backfill trails ingest — the raw top-3 can lack vectors
+    // entirely). Vectors summed per-dimension IN RANK ORDER then
+    // divided once — the same IEEE tree the oracle builds, so the
+    // centroid literal is bit-identical. The collect is 3 rows.
+    val top3 = lex
       .join(emb, col("doc_id") === col("vec_id"))
+      .orderBy(col("rank_lex").asc)
+      .limit(RrfPrfDocs)
       .select(col("rank_lex"), col("v"))
       .collect().sortBy(_.getAs[Int]("rank_lex"))
       .map(_.getSeq[Double](1))
