@@ -2984,6 +2984,23 @@ object OracleSql {
                   ELSE 0 END AS n_loud
       FROM e
     """,
+    // q188: same null injection + left join stated directly; the
+    // NULL-nation row is the bypassed anonymous traffic.
+    "q188_null_skew_join" -> """
+      WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_custkey END AS cust_fk,
+               o_totalprice
+        FROM orders
+      )
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM o LEFT JOIN customer ON cust_fk = c_custkey
+      GROUP BY 1
+    """,
     // q187: the oracle aggregates the parquet originals — a hash match
     // proves the per-generation declared reads + cast + union lost no
     // row or value to the type conflict.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
   Dedup, Governance, Graph, JdbcQueries, KpiQueries, Profiling, RangeJoin,
-  RetailQueries, ScaleOps, Similarity, Stats, TextQueries}
+  RetailQueries, ScaleOps, Similarity, Skew, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -250,7 +250,8 @@ object SparkEntry {
     "q184_canonical_dedup" -> (Cluster.q184CanonicalDedup _),
     "q185_schema_evolution" -> (ScaleOps.q185SchemaEvolution _),
     "q186_allpairs_tfidf" -> (TextQueries.q186AllPairsTfidf _),
-    "q187_resolve_choice" -> (ScaleOps.q187ResolveChoice _)
+    "q187_resolve_choice" -> (ScaleOps.q187ResolveChoice _),
+    "q188_null_skew_join" -> (Skew.q188NullSkewJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -74,4 +74,34 @@ class ExtensionSpec extends AnyFunSuite {
     val approx = r.getLong(1).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("q188 null-bypass join equals the plain left join, and the " +
+      "bypass branch never shuffles the null-key rows") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("cust_fk",
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+      .select(col("o_orderkey"), col("cust_fk"), col("o_totalprice"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val bypass = Skew.nullBypassLeftJoin(orders, cust, "cust_fk", "c_custkey")
+    val plain = orders.join(cust,
+      col("cust_fk") === col("c_custkey"), "left")
+    assert(bypass.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(bypass).count() === 0)
+    // plan: the matchable branch sort-merge-joins; the null branch is a
+    // filter+project with NO exchange between its scan and the union
+    bypass.collect()
+    val p = bypass.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"hinted SMJ missing:\n$p")
+    assert(p.contains("Union"), s"bypass union missing:\n$p")
+    val unionIdx = p.indexOf("Union")
+    val tail = p.substring(unionIdx)
+    // the second union child (the bypass branch) = isnull filter over
+    // the scan; assert no Exchange appears below it
+    val branch = tail.substring(tail.lastIndexOf("isnull"))
+    assert(!branch.contains("Exchange"),
+      s"null-key rows must not shuffle:\n$branch")
+  }
 }
