@@ -166,6 +166,15 @@ object OracleSql {
              COUNT(event_id) AS n_events,
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY 1, 2
+    """,
+    // q189: identical rows to q19 — the point is that the SPARK side
+    // produced them through a real Structured Streaming execution.
+    "q189_streaming_hourly" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             COUNT(event_id) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      FROM events GROUP BY 1, 2
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -251,7 +251,12 @@ object SparkEntry {
     "q185_schema_evolution" -> (ScaleOps.q185SchemaEvolution _),
     "q186_allpairs_tfidf" -> (TextQueries.q186AllPairsTfidf _),
     "q187_resolve_choice" -> (ScaleOps.q187ResolveChoice _),
-    "q188_null_skew_join" -> (Skew.q188NullSkewJoin _)
+    "q188_null_skew_join" -> (Skew.q188NullSkewJoin _),
+    // the streaming engine inside the correctness gate: a real
+    // Structured Streaming run whose output is hash-checked against
+    // the batch oracle (same rows as q19)
+    "q189_streaming_hourly" ->
+      (graft.streaming.EventStream.q189StreamingHourly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -490,4 +490,29 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** q189 — the streaming engine INSIDE the hash-checked correctness
+    * gate: the watermarked hourly window aggregation runs as a real
+    * Structured Streaming query (file-stream source → event-time
+    * window state → memory sink, `AvailableNow` draining the backlog),
+    * and its materialized output is oracle-compared against the batch
+    * SQL — the same rows q19 produces. This pins batch/stream parity
+    * with a DuckDB hash, not just a spec: the value sum rides the
+    * decimal-accumulator pattern so streaming state-merge order can't
+    * drift a cent. On a live feed the identical query runs with a
+    * processing-time trigger and an append parquet sink
+    * ([[runToParquet]]); AvailableNow is the scheduled-batch mode. */
+  def q189StreamingHourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = readEventStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(col("event_id")).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+    // memory-sink names are session-global: keep each run's unique
+    runToCompletion(agg, s"q189_hourly_${System.nanoTime}")
+  }
 }

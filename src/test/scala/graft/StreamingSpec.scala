@@ -9,6 +9,14 @@ import graft.operators.CoreQueries
 class StreamingSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
+  test("q189 registry entry: the streamed hourly rows equal q19's batch " +
+      "rows exactly") {
+    val got = EventStream.q189StreamingHourly(spark, sfDir)
+    val batch = CoreQueries.q19HourlyEvents(spark, sfDir)
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
   test("streaming hourly aggregation equals the batch query") {
     val stream = EventStream.readEventStream(spark, sfDir)
     val got = EventStream
