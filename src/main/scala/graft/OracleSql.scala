@@ -175,6 +175,58 @@ object OracleSql {
              COUNT(event_id) AS n_events,
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY 1, 2
+    """,
+    // q190: the stub video decode (48-byte non-overlapping frames, energy
+    // as luma proxy), the |Δluma|*4 >= peak cut predicate, and the
+    // shot-length recurrence restated over hex(encode(text)). Frame
+    // positions are 1-indexed to match Spark's element_at.
+    "q190_video_shots" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      ), f AS (
+        SELECT media_id, hx,
+               CAST(CASE WHEN n_bytes >= 48 THEN (n_bytes - 48) // 48 + 1
+                         ELSE 0 END AS INTEGER) AS n_frames
+        FROM m
+      ), e AS (
+        SELECT media_id, n_frames,
+               CASE WHEN n_frames > 0 THEN
+                 list_transform(generate_series(0, n_frames - 1), fr ->
+                   CAST(list_sum(list_transform(
+                     generate_series(fr * 48, fr * 48 + 47), i ->
+                       CAST((CAST(concat('0x',
+                              substr(hx, CAST(i AS INTEGER) * 2 + 1, 2))
+                              AS INTEGER) - 128) AS BIGINT)
+                       * CAST((CAST(concat('0x',
+                              substr(hx, CAST(i AS INTEGER) * 2 + 1, 2))
+                              AS INTEGER) - 128) AS BIGINT)))
+                     AS BIGINT))
+               ELSE CAST([] AS BIGINT[]) END AS en
+        FROM f
+      ), s AS (
+        SELECT media_id, n_frames, en,
+               CASE WHEN n_frames > 1 THEN
+                 list_concat([CAST(1 AS BIGINT)],
+                   list_filter(generate_series(2, CAST(n_frames AS BIGINT)),
+                     k -> abs(en[k] - en[k-1]) * 4 >= list_max(en)))
+               WHEN n_frames = 1 THEN [CAST(1 AS BIGINT)]
+               ELSE CAST([] AS BIGINT[]) END AS starts
+        FROM e
+      )
+      SELECT media_id, n_frames,
+             CAST(len(starts) AS INTEGER) AS n_shots,
+             CAST(CASE WHEN len(starts) > 1 THEN starts[2]
+                       ELSE -1 END AS INTEGER) AS first_cut,
+             CAST(COALESCE(list_sum(list_transform(starts, k -> en[k])), 0)
+                  AS BIGINT) AS sampled_energy,
+             CAST(CASE WHEN n_frames > 0 THEN
+               list_max(list_transform(generate_series(1, len(starts)), j ->
+                 (CASE WHEN j = len(starts) THEN n_frames + 1
+                       ELSE starts[j+1] END) - starts[j]))
+             ELSE -1 END AS INTEGER) AS longest_shot
+      FROM s
     """
   ).map { case (k, v) => k -> v.trim }
 

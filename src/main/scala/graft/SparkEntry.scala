@@ -256,7 +256,8 @@ object SparkEntry {
     // Structured Streaming run whose output is hash-checked against
     // the batch oracle (same rows as q19)
     "q189_streaming_hourly" ->
-      (graft.streaming.EventStream.q189StreamingHourly _)
+      (graft.streaming.EventStream.q189StreamingHourly _),
+    "q190_video_shots" -> (graft.multimodal.Multimodal.q190VideoShots _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

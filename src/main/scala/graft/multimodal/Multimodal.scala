@@ -329,4 +329,62 @@ object Multimodal {
           .as("same_media"))
       .distinct()
   }
+
+  /** Video frame length in bytes for the stub decode: each
+    * non-overlapping [[VideoFrame]]-byte slice of the blob is one frame
+    * and its energy the luma proxy (a real decoder emits per-frame luma
+    * planes; the arithmetic downstream is identical). */
+  val VideoFrame = 48
+
+  /** q190 — video shot-boundary detection + keyframe sampling, the
+    * frame-sample leg that completes the multimodal matrix (q33 image
+    * resize, q177 image near-dup, q183 audio features, q190 video):
+    * the blob is (stub-)decoded to non-overlapping [[VideoFrame]]-byte
+    * frames whose energies are per-frame luma proxies — computed by the
+    * same native [[graft.functions.FrameEnergies]] codegen expression
+    * as q183, with win=hop so the rolling sum degenerates to one pass —
+    * and a shot boundary is declared wherever adjacent frames' luma
+    * jumps by ≥ peak/4 (relative threshold, integer-exact in both
+    * engines). The sampled keyframes are each shot's first frame — the
+    * standard one-frame-per-shot sampling a vision pipeline feeds its
+    * encoder — and the audit emits per-video shot counts, the first cut,
+    * the sampled frames' energy total, and the longest shot. Everything
+    * is IN-ROW via higher-order array functions: no explode, no join,
+    * and the plan is exchange-free, so a 100 TB video table never fans
+    * out to frames×videos rows and no blob transits a shuffle. Fully
+    * hash-checked: DuckDB restates the framing, the cut predicate, and
+    * the shot-length recurrence over hex(encode(text)). */
+  def q190VideoShots(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AudioFrames.frameEnergies
+    // frame positions are 1-indexed throughout (element_at / DuckDB
+    // list semantics), so `starts` begins at 1 and frame k's energy is
+    // element_at(en, k)
+    val cutsFrom2 = filter(sequence(lit(2), col("n_frames")),
+      k => abs(element_at(col("en"), k) - element_at(col("en"), k - 1))
+        * 4 >= col("peak"))
+    val shotEnds = concat(
+      slice(col("starts"), lit(2), size(col("starts")) - 1),
+      array(col("n_frames") + 1))
+    documentsAsMedia(s, dir)
+      .select(col("media_id"),
+        frameEnergies(col("content"), VideoFrame, VideoFrame).as("en"))
+      .withColumn("n_frames", size(col("en")))
+      .withColumn("peak",
+        when(col("n_frames") > 0, array_max(col("en"))).otherwise(lit(0L)))
+      .withColumn("starts",
+        when(col("n_frames") > 1, concat(array(lit(1)), cutsFrom2))
+          .when(col("n_frames") === 1, array(lit(1)))
+          .otherwise(array().cast("array<int>")))
+      .select(
+        col("media_id"), col("n_frames"),
+        size(col("starts")).as("n_shots"),
+        when(size(col("starts")) > 1, element_at(col("starts"), 2))
+          .otherwise(lit(-1)).as("first_cut"),
+        coalesce(aggregate(col("starts"), lit(0L),
+          (acc, k) => acc + element_at(col("en"), k)), lit(0L))
+          .as("sampled_energy"),
+        when(col("n_frames") > 0,
+          array_max(zip_with(col("starts"), shotEnds, (a, b) => b - a)))
+          .otherwise(lit(-1)).as("longest_shot"))
+  }
 }

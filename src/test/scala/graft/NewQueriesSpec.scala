@@ -210,4 +210,42 @@ class NewQueriesSpec extends AnyFunSuite {
         r.getAs[Int]("n_loud"))).toSet
     assert(got === expected)
   }
+
+  test("q190 shot boundaries and keyframe sample match a driver-side " +
+      "recomputation") {
+    val fl = Multimodal.VideoFrame
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = bytes.length / fl
+      val en = Array.tabulate(nFrames) { f =>
+        (0 until fl).map { j =>
+          val v = (bytes(f * fl + j) & 0xff) - 128; v.toLong * v
+        }.sum
+      }
+      if (nFrames == 0) (id, 0, 0, -1, 0L, -1)
+      else {
+        val peak = en.max
+        // 1-indexed frame positions, matching the query's convention
+        val starts = 1 +: (2 to nFrames).filter(k =>
+          math.abs(en(k - 1) - en(k - 2)) * 4 >= peak)
+        val ends = starts.drop(1) :+ (nFrames + 1)
+        (id, nFrames, starts.size,
+          if (starts.size > 1) starts(1) else -1,
+          starts.map(k => en(k - 1)).sum,
+          starts.zip(ends).map { case (a, b) => b - a }.max)
+      }
+    }.toSet
+    val got = Multimodal.q190VideoShots(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("n_frames"),
+        r.getAs[Int]("n_shots"), r.getAs[Int]("first_cut"),
+        r.getAs[Long]("sampled_energy"), r.getAs[Int]("longest_shot")))
+      .toSet
+    assert(got === expected)
+    // at least one real multi-shot video in the corpus, or the cut
+    // predicate is vacuous at this sf
+    assert(got.exists(_._3 > 1))
+  }
 }

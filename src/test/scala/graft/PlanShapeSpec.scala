@@ -469,6 +469,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"expected an exchange-free plan:\n$p")
   }
 
+  test("q190 video shots stay in-row: no Generate fan-out, no join, " +
+      "and the blob never transits an exchange") {
+    val df = graft.multimodal.Multimodal.q190VideoShots(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Generate"),
+      s"framing must be in-row arrays, not explode:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"single-table map path:\n$p")
+    assert(!p.contains("Exchange"), s"expected an exchange-free plan:\n$p")
+  }
+
   test("q186 all-pairs: no cartesian product — candidates come from the " +
       "term-keyed index join; the 1-row corpus total broadcasts") {
     val df = graft.operators.TextQueries.q186AllPairsTfidf(spark, sfDir)
