@@ -227,6 +227,40 @@ object OracleSql {
                        ELSE starts[j+1] END) - starts[j]))
              ELSE -1 END AS INTEGER) AS longest_shot
       FROM s
+    """,
+    // q191: the md5-lane HLL — bucket/rank/register/denominator all
+    // integer-exact; the estimate divides the same precomputed double
+    // literal by the same BIGINT, so the IEEE result is identical.
+    "q191_hll_md5" -> """
+      WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+      ), h AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(concat('q191_',
+                 CAST(user_id AS VARCHAR))), 1, 2)) AS INTEGER) % 64
+                 AS bucket,
+               CAST(concat('0x', substr(md5(concat('q191_',
+                 CAST(user_id AS VARCHAR))), 3, 13)) AS BIGINT) AS w
+        FROM d
+      ), b AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN w = 0 THEN 53
+                        ELSE 53 - length(bin(w)) END) AS m_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM h GROUP BY 1, 2
+      ), g AS (
+        SELECT event_type,
+               CAST(SUM(n_users) AS BIGINT) AS exact_users,
+               CAST(COUNT(*) AS BIGINT) AS nonempty,
+               CAST(SUM(1::BIGINT << (53 - m_b)) AS BIGINT) AS d_ne
+        FROM b GROUP BY 1
+      )
+      SELECT event_type, exact_users, nonempty,
+             d_ne + (64 - nonempty) * (1::BIGINT << 53) AS denom_scaled,
+             ROUND(2.6157483096520143e19 /
+               CAST(d_ne + (64 - nonempty) * (1::BIGINT << 53) AS DOUBLE),
+               2) AS hll_est
+      FROM g
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -257,7 +257,8 @@ object SparkEntry {
     // the batch oracle (same rows as q19)
     "q189_streaming_hourly" ->
       (graft.streaming.EventStream.q189StreamingHourly _),
-    "q190_video_shots" -> (graft.multimodal.Multimodal.q190VideoShots _)
+    "q190_video_shots" -> (graft.multimodal.Multimodal.q190VideoShots _),
+    "q191_hll_md5" -> (Analytics.q191HllMd5 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

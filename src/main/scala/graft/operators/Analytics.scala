@@ -253,7 +253,9 @@ object Analytics {
     * is a few KB per group and merges associatively — this query is the
     * accuracy report that justifies the swap. No DuckDB oracle (HLL
     * registers are implementation-specific): driver records a rows-only
-    * check; the spec asserts rel_err < 5%. */
+    * check; the spec asserts rel_err < 5%. [[q191HllMd5]] is the
+    * hash-CHECKED twin — same sketch idea, md5-derived registers both
+    * engines reproduce exactly. */
   def q47ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
@@ -264,6 +266,54 @@ object Analytics {
         col("event_type"), col("exact_users"), col("approx_users"),
         round(abs(col("approx_users") - col("exact_users")) /
           col("exact_users"), 4).as("rel_err"))
+
+  /** q191 — the hash-CHECKABLE HyperLogLog twin of q47 (the md5-lane
+    * pattern q54 is to q20): a 64-register HLL built from md5-derived
+    * bits with integer-exact register arithmetic, so DuckDB reproduces
+    * every register and the sketch denominator bit-for-bit. Bucket =
+    * first md5 byte mod 64; rank ρ = leading-zero count of the next
+    * 52 hash bits + 1 via `53 - length(bin(w))` (string-length of the
+    * minimal binary form — integer-exact in both engines, no log2
+    * float). The denominator Σ 2^(−M_b) is reported SCALED by 2^53 so
+    * it is an exact BIGINT; the estimate divides one precomputed
+    * double literal by that integer, so both engines perform the
+    * identical IEEE operation. The groupBy(grp, bucket).agg(max) IS
+    * the mergeable sketch — map-side partial max is register merge, so
+    * registers, not values, cross the shuffle. The exact count rides
+    * the same distinct frame only because this query is the accuracy
+    * REPORT; production drops the distinct and keeps the sketch. Raw
+    * HLL is calibrated above ~2.5m distincts; below that a production
+    * sketch switches to linear counting (m·ln(m/V)) — deliberately NOT
+    * emitted here because ln is the one step two engines' libm may
+    * round differently, and this query's contract is bit-equality. */
+  def q191HllMd5(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val h = md5(concat(lit("q191_"), col("user_id").cast("string")))
+    val w = conv(substring(h, 3, 13), 16, 10).cast("long")
+    val perBucket = d
+      .select(col("event_type"),
+        (conv(substring(h, 1, 2), 16, 10).cast("int") % 64).as("bucket"),
+        when(w === 0, lit(53))
+          .otherwise(lit(53) - length(bin(w))).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_b"), count(lit(1)).as("n_users"))
+    val dNe = col("d_ne") + (lit(64L) - col("nonempty")) * lit(1L << 53)
+    perBucket
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_users")).as("exact_users"),
+        count(lit(1)).as("nonempty"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - m_b as int))"))
+          .as("d_ne"))
+      .select(
+        col("event_type"), col("exact_users"), col("nonempty"),
+        dNe.as("denom_scaled"),
+        // alpha_64 * 64^2 * 2^53 precomputed as ONE double literal so
+        // neither engine's constant folding can reorder the arithmetic
+        round(lit(2.6157483096520143e19) / dNe.cast("double"), 2)
+          .as("hll_est"))
+  }
 
   /** q71 — UNPIVOT (melt): the per-returnflag measure matrix turned
     * into (flag, measure, value) long form via the native

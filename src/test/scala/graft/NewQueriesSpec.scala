@@ -211,6 +211,43 @@ class NewQueriesSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q191 md5-HLL registers and estimate match a driver-side sketch") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val pairs = Tables.load(spark, sfDir, "events")
+      .select($"event_type", $"user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = pairs.groupBy(_._1).map { case (et, rows) =>
+      val regs = new Array[Int](64)
+      rows.map(_._2).distinct.foreach { u =>
+        val h = md5hex(s"q191_$u")
+        val bucket = Integer.parseInt(h.substring(0, 2), 16) % 64
+        val w = java.lang.Long.parseLong(h.substring(2, 15), 16)
+        val rho =
+          if (w == 0L) 53 else 53 - java.lang.Long.toBinaryString(w).length
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      val denom = regs.map(m => 1L << (53 - m)).sum
+      (et, rows.map(_._2).distinct.length.toLong,
+        regs.count(_ > 0).toLong, denom,
+        BigDecimal(2.6157483096520143e19 / denom.toDouble)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.operators.Analytics.q191HllMd5(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("exact_users"),
+        r.getAs[Long]("nonempty"), r.getAs[Long]("denom_scaled"),
+        r.getAs[Double]("hll_est"))).toSet
+    assert(got === expected)
+    // raw HLL is only calibrated above ~2.5m distincts (below that a
+    // production sketch switches to linear counting); assert accuracy
+    // in the calibrated regime and the known overestimate bias below it
+    got.foreach { case (_, exact, _, _, est) =>
+      if (exact >= 160) assert(math.abs(est - exact) / exact.toDouble < 0.25)
+      else assert(est >= exact.toDouble * 0.75)
+    }
+  }
+
   test("q190 shot boundaries and keyframe sample match a driver-side " +
       "recomputation") {
     val fl = Multimodal.VideoFrame
