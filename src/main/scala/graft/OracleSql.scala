@@ -261,6 +261,50 @@ object OracleSql {
                CAST(d_ne + (64 - nonempty) * (1::BIGINT << 53) AS DOUBLE),
                2) AS hll_est
       FROM g
+    """,
+    // q192: gaps-and-islands reconstruction of session_window's
+    // half-open-interval rule — a NEW session starts at diff >= 1800 s
+    // (q41's batch rule is the strict >; the two differ only at an
+    // exact-gap boundary and each matches its own engine).
+    "q192_streaming_sessions" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+      ), s AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts) >= 1800
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq
+        FROM g
+      )
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS session_value
+      FROM s GROUP BY user_id, session_seq
+    """,
+    // q193: the plain join+agg — AQE's skew split changes scheduling,
+    // never results, so the oracle is skew-oblivious.
+    "q193_aqe_skew_join" -> """
+      WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1
+                    ELSE l_suppkey END AS skew_key,
+               l_extendedprice
+        FROM lineitem
+      )
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM fact JOIN supplier ON skew_key = s_suppkey
+      GROUP BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -258,7 +258,10 @@ object SparkEntry {
     "q189_streaming_hourly" ->
       (graft.streaming.EventStream.q189StreamingHourly _),
     "q190_video_shots" -> (graft.multimodal.Multimodal.q190VideoShots _),
-    "q191_hll_md5" -> (Analytics.q191HllMd5 _)
+    "q191_hll_md5" -> (Analytics.q191HllMd5 _),
+    "q192_streaming_sessions" ->
+      (graft.streaming.EventStream.q192StreamingSessions _),
+    "q193_aqe_skew_join" -> (Skew.q193AqeSkewJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -96,4 +96,85 @@ object Skew {
         round(sum(col("o_totalprice").cast("decimal(18,4)"))
           .cast("double"), 2).as("revenue"))
   }
+
+  /** Session confs that make AQE's runtime skew split observable at
+    * test scale, scoped around an eager materialization and restored.
+    * Production keeps the 256 MB default threshold — these exist so the
+    * same MECHANISM fires on KB-sized test shuffles. Broadcast is
+    * disabled because skew splitting only applies to shuffle joins. */
+  def withSkewConfs[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8kb",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8kb",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The q193 join frame, unmaterialized: 80% of lineitem rows collapse
+    * onto supplier key 1 (the hot-entity pattern — one power user, one
+    * default SKU), and the enrichment equi-join is a shuffle sort-merge
+    * join (broadcast disabled by [[withSkewConfs]]) whose hot partition
+    * AQE splits at runtime.
+    *
+    * `mappers` exists because AQE splits a skewed REDUCE partition
+    * along MAP-output boundaries — with the single map task a KB-sized
+    * test file produces, there is nothing to split and
+    * OptimizeSkewedJoin correctly reports zero skewed partitions (we
+    * verified this empirically: 52 KB hot partition, 2 KB median,
+    * rule logs `skewed partitions: left 0`). A 100 TB scan has
+    * thousands of mappers, so the production plan needs no such knob;
+    * the round-robin repartition reproduces that map topology at test
+    * scale. Also note the dim must reach the join as a bare
+    * scan→exchange→sort: the rule's pattern requires Sort directly
+    * over the shuffle stage on BOTH sides, so a dim built by an inline
+    * aggregate (Sort over HashAggregate) silently disqualifies the
+    * join — at scale, enrich from materialized dim TABLES, not inline
+    * rollups, if you want runtime skew handling. */
+  private[graft] def q193Frame(s: org.apache.spark.sql.SparkSession,
+      dir: String, mappers: Int): DataFrame = {
+    val fact = graft.Tables.load(s, dir, "lineitem")
+      .select(
+        when(col("l_orderkey") % 10 < 8, lit(1L))
+          .otherwise(col("l_suppkey")).as("skew_key"),
+        col("l_extendedprice"))
+    val factM = if (mappers > 0) fact.repartition(mappers) else fact
+    val dim = graft.Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    factM.join(dim, col("skew_key") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+  }
+
+  /** q193 — AQE runtime skew-join: the FIRST line of defense the
+    * object scaladoc names, demonstrated rather than assumed. The hot
+    * key is only discoverable at runtime (it depends on data, not
+    * schema), which is exactly what AQE's OptimizeSkewedJoin handles:
+    * after the map stage it sees one partition at ~80% of the shuffle,
+    * splits it into advisory-sized slices along map-output boundaries,
+    * and replicates the matching dim partition per slice — the runtime
+    * equivalent of [[saltedJoin]] with the salt count chosen from
+    * observed sizes. ExtensionSpec pins `skew=true` in the executed
+    * plan; the result is materialized under the scoped confs (AQE acts
+    * at execution, so returning a lazy frame would escape them) and is
+    * byte-identical to the plain-join oracle — the split changes
+    * scheduling, never results. */
+  def q193AqeSkewJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "q193")
+    withSkewConfs(s) {
+      q193Frame(s, dir, mappers = 16).write.mode("overwrite")
+        .parquet(scratch)
+    }
+    s.read.parquet(scratch)
+  }
 }

@@ -515,4 +515,34 @@ object EventStream {
     // memory-sink names are session-global: keep each run's unique
     runToCompletion(agg, s"q189_hourly_${System.nanoTime}")
   }
+
+  /** q192 — SESSIONIZATION through the streaming engine inside the
+    * hash-checked gate, the stateful-merging companion to q189's fixed
+    * windows: `session_window` grows/merges per-user session state as
+    * events arrive (gap 30 min; a new session starts at diff ≥ gap,
+    * the [start, last+gap) half-open-interval rule), the watermark
+    * bounds that state, and the drained output is oracle-compared to a
+    * DuckDB gaps-and-islands reconstruction keyed by (user,
+    * session_start). Fixed windows only need a hash key per bucket;
+    * session windows need RANGE-MERGE state — this query pins that the
+    * harder state machine produces byte-identical sessions to the
+    * batch SQL, money on the decimal accumulator, durations on
+    * unix-second arithmetic. */
+  def q192StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    val agg = readEventStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(col("event_id")).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("session_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("duration_sec"), col("session_value"))
+    runToCompletion(agg, s"q192_sessions_${System.nanoTime}")
+  }
 }

@@ -104,4 +104,33 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!branch.contains("Exchange"),
       s"null-key rows must not shuffle:\n$branch")
   }
+
+  test("q193 AQE splits the skewed join partition at runtime " +
+      "(skew=true in the executed plan) without changing results") {
+    import org.apache.spark.sql.functions._
+    val (p, gotRows) = Skew.withSkewConfs(spark) {
+      val df = Skew.q193Frame(spark, sfDir, mappers = 16)
+      val rows = df.collect()
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    assert(p.contains("skew=true"),
+      s"AQE's OptimizeSkewedJoin must fire on the hot key:\n$p")
+    // results are identical to a broadcast-joined, skew-oblivious plan
+    val fact = Tables.load(spark, sfDir, "lineitem")
+      .select(
+        when(col("l_orderkey") % 10 < 8, lit(1L))
+          .otherwise(col("l_suppkey")).as("skew_key"),
+        col("l_extendedprice"))
+    val dim = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val want = fact.join(broadcast(dim), col("skew_key") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .collect()
+    assert(gotRows.map(_.toString).sorted.toSeq ===
+      want.map(_.toString).sorted.toSeq)
+  }
 }

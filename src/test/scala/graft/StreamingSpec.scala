@@ -9,6 +9,33 @@ import graft.operators.CoreQueries
 class StreamingSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
+  test("q192 registry entry: streamed session windows equal the batch " +
+      "gaps-and-islands reconstruction") {
+    val got = EventStream.q192StreamingSessions(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val want = Tables.load(spark, sfDir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >= 1800)
+          .cast("int"))
+      .withColumn("seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count("event_id").as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("session_value"))
+      .select("user_id", "session_start", "n_events", "duration_sec",
+        "session_value")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("q189 registry entry: the streamed hourly rows equal q19's batch " +
       "rows exactly") {
     val got = EventStream.q189StreamingHourly(spark, sfDir)
