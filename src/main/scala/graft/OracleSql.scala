@@ -305,6 +305,40 @@ object OracleSql {
                AS DOUBLE), 2) AS revenue
       FROM fact JOIN supplier ON skew_key = s_suppkey
       GROUP BY 1
+    """,
+    // q194: the rebalance split moves bytes between files, never rows —
+    // the oracle states the same skewed-date rollup over the source.
+    "q194_rebalance_write" -> """
+      SELECT CASE WHEN day(ts) <= 24 THEN '2024-01-01'
+                  ELSE strftime(ts, '%Y-%m-%d') END AS dt,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1
+    """,
+    // q195: the duplicated feed collapses back to the original table
+    // when streaming dedup is exact — same rows as q19/q189.
+    "q195_streaming_dedup" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             COUNT(event_id) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    """,
+    // q196: the stream-static broadcast enrich stated as a plain batch
+    // left join against the per-user order rollup.
+    "q196_stream_static_join" -> """
+      WITH dim AS (
+        SELECT o_custkey AS user_key, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+      )
+      SELECT event_type,
+             (user_key IS NOT NULL) AS known_user,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events LEFT JOIN dim ON user_id = user_key
+      GROUP BY 1, 2
     """
   ).map { case (k, v) => k -> v.trim }
 

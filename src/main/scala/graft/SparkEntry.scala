@@ -261,7 +261,12 @@ object SparkEntry {
     "q191_hll_md5" -> (Analytics.q191HllMd5 _),
     "q192_streaming_sessions" ->
       (graft.streaming.EventStream.q192StreamingSessions _),
-    "q193_aqe_skew_join" -> (Skew.q193AqeSkewJoin _)
+    "q193_aqe_skew_join" -> (Skew.q193AqeSkewJoin _),
+    "q194_rebalance_write" -> (Skew.q194RebalanceWrite _),
+    "q195_streaming_dedup" ->
+      (graft.streaming.EventStream.q195StreamingDedup _),
+    "q196_stream_static_join" ->
+      (graft.streaming.EventStream.q196StreamStaticJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -177,4 +177,65 @@ object Skew {
     }
     s.read.parquet(scratch)
   }
+
+  /** The skewed projection q194 writes: 80% of January lands on one
+    * partition date — the hot-day pattern every event lake has. */
+  private[graft] def q194Events(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Tables.load(s, dir, "events")
+      .select(
+        when(dayofmonth(col("ts")) <= 24, lit("2024-01-01"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd")).as("dt"),
+        col("event_id"), col("user_id"), col("value"))
+
+  /** q194 — write-side skew: REBALANCE before a partitioned sink, the
+    * WRITE twin of q193's join split. `partitionBy(dt)` with a plain
+    * hash shuffle sends the whole hot day to ONE task, which then
+    * writes one giant file while the rest of the cluster idles — the
+    * classic lake-compaction pathology, created at write time. The
+    * rebalance hint's shuffle carries the REBALANCE origin, which lets
+    * AQE's OptimizeSkewInRebalancePartitions split oversized reduce
+    * partitions along map-output boundaries (and merge undersized
+    * ones), so the hot day is written by several advisory-sized tasks
+    * → several bounded files. SkewSpec counts the files: the hot
+    * partition directory holds >1, a cold day exactly 1. Same
+    * test-scale notes as q193: the mapper knob simulates scan
+    * parallelism, and the advisory size is lowered so KB-scale data
+    * exhibits the mechanism. The registry output re-reads the written
+    * table and aggregates it — hash-equality with the source-stated
+    * oracle proves the skew split moved bytes, never changed them. */
+  private[graft] def q194Write(s: org.apache.spark.sql.SparkSession,
+      dir: String, advisory: String): String = {
+    val scratch = graft.Scratch.dir(s, s"q194_$advisory")
+    val scoped = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory)
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      q194Events(s, dir)
+        // simulate the multi-mapper scan a real lake has; the eager
+        // localCheckpoint is the lineage barrier that keeps
+        // CollapseRepartition from folding this shuffle INTO the
+        // rebalance (adjacent repartition-like operators merge, and a
+        // merged plan is back to the scan's single test-scale mapper —
+        // with one map task there are no map-output boundaries to
+        // split along, found empirically via per-map stats n=1)
+        .repartition(16).localCheckpoint()
+        .hint("rebalance", col("dt"))
+        .write.partitionBy("dt").mode("overwrite").parquet(scratch)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+    scratch
+  }
+
+  def q194RebalanceWrite(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    s.read.parquet(q194Write(s, dir, "8kb"))
+      .groupBy(col("dt").cast("string").as("dt"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+  }
 }

@@ -545,4 +545,53 @@ object EventStream {
         col("n_events"), col("duration_sec"), col("session_value"))
     runToCompletion(agg, s"q192_sessions_${System.nanoTime}")
   }
+
+  /** q195 — streaming DEDUPLICATION inside the hash-checked gate: the
+    * event feed is read TWICE and unioned (every event arrives
+    * duplicated — the at-least-once delivery every real feed exhibits),
+    * `dropDuplicatesWithinWatermark` collapses the dups with
+    * watermark-bounded state (unbounded dropDuplicates state would OOM
+    * on an infinite feed), and the downstream hourly aggregation is
+    * hash-compared to the batch oracle over the ORIGINAL table — the
+    * output is correct only if every duplicate was dropped and no
+    * original lost. Also exercises chained stateful operators
+    * (dedup → windowed agg) in one streaming query. */
+  def q195StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val twice = readEventStream(s, dir)
+      .unionByName(readEventStream(s, dir))
+    val agg = twice
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(col("event_id")).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+    runToCompletion(agg, s"q195_dedup_${System.nanoTime}")
+  }
+
+  /** q196 — the stream-static enrich join inside the hash-checked gate:
+    * the event stream takes a per-user lifetime-order dimension (batch
+    * aggregate of `orders`) through [[enrichedEvents]]'s broadcast
+    * left join — planned once, no stream-side shuffle, no state store —
+    * and the known-vs-anonymous revenue split is hash-compared to the
+    * batch SQL. This is the streaming twin of the batch pipeline's
+    * dimension enrichment: at 100 TB/day the feed takes the dim without
+    * buffering a single stream row. */
+  def q196StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val userDim = graft.Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("lifetime_value"))
+    val agg = enrichedEvents(readEventStream(s, dir), userDim)
+      .groupBy(col("event_type"),
+        col("n_orders").isNotNull.as("known_user"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+    runToCompletion(agg, s"q196_enrich_${System.nanoTime}")
+  }
 }

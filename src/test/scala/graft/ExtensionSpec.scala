@@ -133,4 +133,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(gotRows.map(_.toString).sorted.toSeq ===
       want.map(_.toString).sorted.toSeq)
   }
+
+  test("q194 rebalance write splits the hot day across several bounded " +
+      "files instead of one giant one") {
+    // 1kb advisory: sf0.001's hot day is only a few KB of shuffle bytes
+    val scratch = new java.io.File(Skew.q194Write(spark, sfDir, "1kb"))
+    def files(d: String): Array[java.io.File] = {
+      val fs = new java.io.File(scratch, d).listFiles()
+      if (fs == null) Array.empty
+      else fs.filter(_.getName.endsWith(".parquet"))
+    }
+    val hot = files("dt=2024-01-01")
+    assert(hot.length > 1,
+      s"the hot day must be written by several rebalanced tasks, " +
+        s"got ${hot.length}")
+    // and the split is real: no single file holds most of the hot day
+    val total = hot.map(_.length).sum.toDouble
+    assert(hot.map(_.length).max < 0.6 * total,
+      s"hot-day bytes still concentrated: ${hot.map(_.length).toSeq}")
+    // cold days may legitimately be multi-file when they share a hash
+    // bucket with a split partition (a file per task×dt is how
+    // partitioned sinks work); the bound that matters is that the
+    // total file count stays task-shaped, not row-shaped
+    val all = scratch.listFiles().filter(_.getName.startsWith("dt="))
+      .map(d => files(d.getName).length)
+    assert(all.sum < 80, s"file explosion: ${all.toSeq}")
+  }
 }

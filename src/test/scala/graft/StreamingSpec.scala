@@ -44,6 +44,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() === 0)
   }
 
+  test("q195 registry entry: a duplicated feed through streaming dedup " +
+      "collapses back to q19's batch rows") {
+    val got = EventStream.q195StreamingDedup(spark, sfDir)
+    val batch = CoreQueries.q19HourlyEvents(spark, sfDir)
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
+  test("q196 registry entry: the stream-static enrich equals the batch " +
+      "left join, and no event ever matches more than one dim row") {
+    val got = EventStream.q196StreamStaticJoin(spark, sfDir)
+    // total event count is preserved by the left join (key uniqueness)
+    val total = got.agg(sum("n_events")).head().getLong(0)
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    assert(total === nEvents)
+    val dim = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("user_key"))
+      .agg(count(lit(1)).as("n_orders"))
+    val want = Tables.load(spark, sfDir, "events")
+      .join(dim, col("user_id") === col("user_key"), "left")
+      .groupBy(col("event_type"), col("n_orders").isNotNull.as("known_user"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("streaming hourly aggregation equals the batch query") {
     val stream = EventStream.readEventStream(spark, sfDir)
     val got = EventStream
