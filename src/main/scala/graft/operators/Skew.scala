@@ -137,7 +137,7 @@ object Skew {
     * aggregate (Sort over HashAggregate) silently disqualifies the
     * join — at scale, enrich from materialized dim TABLES, not inline
     * rollups, if you want runtime skew handling. */
-  private[graft] def q193Frame(s: org.apache.spark.sql.SparkSession,
+  def q193Frame(s: org.apache.spark.sql.SparkSession,
       dir: String, mappers: Int): DataFrame = {
     val fact = graft.Tables.load(s, dir, "lineitem")
       .select(

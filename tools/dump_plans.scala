@@ -128,6 +128,22 @@ section("q186 all-pairs TF-IDF -- candidates ride the term-keyed index join",
   "No CartesianProduct: pair generation is the inverted-index self-join on term (max_df-capped buckets), the 1-row corpus total is a broadcast, and both the dot-product and norm aggregates are two-phase integer sums.",
   graft.operators.TextQueries.q186AllPairsTfidf(spark, dir),
   Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "HashAggregate", "partial_sum", "CartesianProduct"))
+section("q190 video shots -- exchange-free like q183, same in-row discipline",
+  "No Generate, no join, no Exchange: framing, the cut predicate, keyframe selection and shot-length stats all evaluate as higher-order array expressions inside the scan's projection.",
+  graft.multimodal.Multimodal.q190VideoShots(spark, dir),
+  Seq("FileScan", "Project", "Exchange", "Generate"))
+{
+  // q193 runs under the scoped skew confs so the runtime split is visible
+  val df = graft.operators.Skew.withSkewConfs(spark) {
+    val d = graft.operators.Skew.q193Frame(spark, dir, mappers = 16)
+    d.collect()
+    d
+  }
+  section("q193 AQE skew join -- the hot partition splits at runtime (skew=true)",
+    "OptimizeSkewedJoin sees one reduce partition at ~80% of the shuffle after the map stage and rewrites the SortMergeJoin to skew=true with map-range reader slices; the skew-oblivious oracle hash proves the split changes scheduling, never results.",
+    df,
+    Seq("SortMergeJoin", "skew=true", "AQEShuffleRead"))
+}
 out.close()
 println("PLANS_DONE")
 sys.exit(0)
