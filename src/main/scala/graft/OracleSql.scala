@@ -339,6 +339,40 @@ object OracleSql {
                AS total_value
       FROM events LEFT JOIN dim ON user_id = user_key
       GROUP BY 1, 2
+    """,
+    // q197: gaps-and-islands at MILLISECOND precision (the engine's
+    // state machine compares ms-truncated event times), minus the
+    // sessions still open when the final watermark (max ts − 10 min,
+    // ms-truncated) fires the event-time timeouts.
+    "q197_custom_state_sessions" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+      ), s AS (
+        SELECT user_id, ts,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq
+        FROM g
+      ), agg AS (
+        SELECT user_id,
+               MIN(ts) AS st, MAX(ts) AS en,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_seq
+      ), wm AS (
+        SELECT MAX(epoch_ms(ts)) - 600000 AS w FROM events
+      )
+      SELECT user_id,
+             strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+             n_events,
+             date_diff('second', st, en) AS duration_sec
+      FROM agg, wm
+      WHERE epoch_ms(en) + 1800000 < w
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -266,7 +266,9 @@ object SparkEntry {
     "q195_streaming_dedup" ->
       (graft.streaming.EventStream.q195StreamingDedup _),
     "q196_stream_static_join" ->
-      (graft.streaming.EventStream.q196StreamStaticJoin _)
+      (graft.streaming.EventStream.q196StreamStaticJoin _),
+    "q197_custom_state_sessions" ->
+      (graft.streaming.EventStream.q197CustomStateSessions _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -594,4 +594,83 @@ object EventStream {
           .as("total_value"))
     runToCompletion(agg, s"q196_enrich_${System.nanoTime}")
   }
+
+  // ---- q197: custom event-time session state with timeouts -----------
+
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: String,
+    n_events: Long, duration_sec: Long)
+
+  private val SessionGapMs = 30L * 60 * 1000
+  private val SessionFmt = new java.text.SimpleDateFormat(
+    "yyyy-MM-dd HH:mm:ss") { setTimeZone(java.util.TimeZone.getTimeZone("UTC")) }
+
+  private def fmtUs(us: Long): String = SessionFmt.synchronized {
+    SessionFmt.format(new java.util.Date(us / 1000))
+  }
+
+  private def closed(userId: Long, st: SessionState): ClosedSession =
+    ClosedSession(userId, fmtUs(st.startUs), st.n,
+      st.lastUs / 1000000 - st.startUs / 1000000)
+
+  private def sessionize(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // the watermark passed last_event + gap: the open session is over
+      val out = state.getOption.map(closed(userId, _)).iterator
+      state.remove()
+      out
+    } else {
+      // within a batch the iterator is UNORDERED — sort by event time
+      // (bounded per user per batch; the state itself stays O(1))
+      val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(st) if us / 1000 - st.lastUs / 1000 >= SessionGapMs =>
+            out += closed(userId, st)
+            cur = Some(SessionState(us, us, 1))
+          case Some(st) =>
+            cur = Some(SessionState(st.startUs, math.max(st.lastUs, us),
+              st.n + 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + SessionGapMs)
+      }
+      out.iterator
+    }
+  }
+
+  /** q197 — CUSTOM event-time state through the hash-checked gate:
+    * sessions built by hand in `flatMapGroupsWithState` (O(1) state per
+    * user: start/last/count), closed sessions emitted as soon as the
+    * in-batch gap exceeds 30 minutes, and the final OPEN session per
+    * user closed by an EVENT-TIME TIMEOUT — the no-data micro-batch
+    * that AvailableNow runs after draining advances the watermark to
+    * max(ts) − 10 min and fires every timeout whose last_event + gap
+    * lies behind it. The oracle states the full gaps-and-islands
+    * sessionization MINUS the sessions still open at that watermark —
+    * so the hash pins the timeout semantics themselves (which sessions
+    * a timeout closes, at millisecond watermark precision), not just
+    * the session arithmetic. Value sums are deliberately absent: this
+    * query isolates the state machine; money rides q192. */
+  def q197CustomStateSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = readEventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionize)
+    runToCompletion(out.toDF(), s"q197_sessions_${System.nanoTime}",
+      OutputMode.Append())
+  }
 }

@@ -52,6 +52,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() === 0)
   }
 
+  test("q197 registry entry: custom-state sessions equal the batch " +
+      "reconstruction minus the sessions the final watermark leaves open") {
+    val got = EventStream.q197CustomStateSessions(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // exact millisecond truncation (integer div — Column./ is float)
+    def msOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / lit(1000L)).cast("long")
+    val sessions = ev
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          msOf(col("ts")) - msOf(col("prev_ts")) >= 1800000L).cast("int"))
+      .withColumn("seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(min("ts").as("st"), max("ts").as("en"),
+        count(lit(1)).as("n_events"))
+    val wmMs = ev.agg(max(msOf(col("ts")))).head().getLong(0) - 600000L
+    val want = sessions
+      .where(msOf(col("en")) + 1800000L < wmMs)
+      .select(col("user_id"),
+        date_format(col("st"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"),
+        (unix_timestamp(col("en")) - unix_timestamp(col("st")))
+          .as("duration_sec"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // the filter is real: some sessions ARE still open at the watermark
+    assert(sessions.count() > want.count())
+  }
+
   test("q196 registry entry: the stream-static enrich equals the batch " +
       "left join, and no event ever matches more than one dim row") {
     val got = EventStream.q196StreamStaticJoin(spark, sfDir)
