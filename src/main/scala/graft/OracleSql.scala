@@ -373,6 +373,17 @@ object OracleSql {
              date_diff('second', st, en) AS duration_sec
       FROM agg, wm
       WHERE epoch_ms(en) + 1800000 < w
+    """,
+    // q198: the v2-connector round-trip is lossless, so the oracle is
+    // the same audit stated over the original parquet table.
+    "q198_eventlog_source" -> """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(event_id) AS min_event,
+             MAX(epoch_us(ts)) AS max_ts_us,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -268,7 +268,8 @@ object SparkEntry {
     "q196_stream_static_join" ->
       (graft.streaming.EventStream.q196StreamStaticJoin _),
     "q197_custom_state_sessions" ->
-      (graft.streaming.EventStream.q197CustomStateSessions _)
+      (graft.streaming.EventStream.q197CustomStateSessions _),
+    "q198_eventlog_source" -> (ScaleOps.q198EventlogSource _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

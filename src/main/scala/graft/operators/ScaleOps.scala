@@ -654,4 +654,34 @@ object ScaleOps {
         sum(floor(col("value") * 1000)).as("sum_mills"),
         count(when(col("value").isNull, 1)).as("n_null_value"))
   }
+
+  /** q198 — a custom DataSource V2 connector in the gate: the events
+    * table staged as pipe-delimited "legacy log" lines (4 files), read
+    * back through [[graft.sources.EventLogSource]] — a full v2
+    * TableProvider with one InputPartition per file and column pruning
+    * pushed into the reader — and aggregated to an audit that
+    * hash-matches the SQL stated over the ORIGINAL parquet. Timestamps
+    * ride as raw micros into TimestampType's internal representation
+    * (no string round-trip); the double survives via
+    * Double.toString/parseDouble, exact by construction. The v2 scan's
+    * pruned ReadSchema is pinned in EventLogSourceSpec. */
+  def q198EventlogSource(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "q198")
+    val marker = new java.io.File(scratch, "_STAGED")
+    if (!marker.exists()) {
+      graft.sources.EventLogSource.toLines(t(s, dir, "events"))
+        .repartition(4)
+        .write.mode("overwrite").text(scratch)
+      marker.createNewFile()
+    }
+    s.read.format(classOf[graft.sources.EventLogSource].getName)
+      .option("path", scratch).load()
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        max(unix_micros(col("ts"))).as("max_ts_us"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+  }
 }
