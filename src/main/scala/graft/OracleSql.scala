@@ -340,6 +340,41 @@ object OracleSql {
       FROM events LEFT JOIN dim ON user_id = user_key
       GROUP BY 1, 2
     """,
+    // q199: the cogroup is semantically the full outer join of the two
+    // per-user rollups; the in-group exact median is DuckDB's MEDIAN
+    // (middle value, or the mean of the two middles).
+    "q199_cogroup_align" -> """
+      WITH e AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MEDIAN(value) AS median_value
+        FROM events GROUP BY 1
+      ), o AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 2) AS total_spend
+        FROM orders GROUP BY 1
+      )
+      SELECT COALESCE(user_id, o_custkey) AS user_id,
+             COALESCE(n_events, 0) AS n_events,
+             median_value,
+             COALESCE(n_orders, 0) AS n_orders,
+             COALESCE(total_spend, 0.0) AS total_spend
+      FROM e FULL OUTER JOIN o ON user_id = o_custkey
+    """,
+    // q200: join order changes plans, never results — the oracle is
+    // the same chain stated naturally.
+    "q200_cbo_reorder" -> """
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1
+    """,
     // q197: gaps-and-islands at MILLISECOND precision (the engine's
     // state machine compares ms-truncated event times), minus the
     // sessions still open when the final watermark (max ts − 10 min,

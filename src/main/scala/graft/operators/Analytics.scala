@@ -315,6 +315,58 @@ object Analytics {
           .as("hll_est"))
   }
 
+  private case class CogroupRow(user_id: Long, n_events: Long,
+    median_raw: Option[Double], n_orders: Long, spend4: Long)
+
+  /** q199 — typed COGROUP: each user's event stream and order stream
+    * meet in ONE per-key function without materializing a join —
+    * `KeyValueGroupedDataset.cogroup` shuffles each side once on the
+    * key and hands the pair of iterators to arbitrary logic, the
+    * primitive for per-entity merge algorithms a join + window cannot
+    * express cleanly (here: an exact in-group median computed from the
+    * sorted group, which SQL needs a full sort-based window for, next
+    * to order rollups from the other side, including users present on
+    * only one side — full-outer semantics for free). Money rides a
+    * scaled-long 4-decimal accumulator (each value via the same
+    * shortest-repr rounding Spark's double→decimal cast uses), so the
+    * driver-side arithmetic is bit-compatible with the oracle's
+    * DECIMAL(18,4) sum. Per-group memory is one sorted value array —
+    * bounded by the largest single key, the same contract every
+    * mapGroups pipeline has. */
+  def q199CogroupAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+    val or = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      .groupByKey(_._1)
+    ev.cogroup(or) { (k, evs, ors) =>
+      val vals = evs.map(_._2).toArray.sorted
+      val median =
+        if (vals.isEmpty) None
+        else if (vals.length % 2 == 1) Some(vals(vals.length / 2))
+        else Some((vals(vals.length / 2 - 1) + vals(vals.length / 2)) / 2)
+      var n = 0L
+      var spend4 = 0L
+      ors.foreach { o =>
+        n += 1
+        spend4 += java.math.BigDecimal.valueOf(o._2)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }
+      Iterator(CogroupRow(k, vals.length.toLong, median, n, spend4))
+    }.toDF()
+      .select(
+        col("user_id"), col("n_events"),
+        // raw IEEE median: (a+b)/2 of the same two doubles is
+        // bit-identical in both engines, while ROUND on a half-cent
+        // boundary is where double-rounding conventions diverge
+        col("median_raw").as("median_value"),
+        col("n_orders"),
+        round((col("spend4") / lit(10000.0)), 2).as("total_spend"))
+  }
+
   /** q71 — UNPIVOT (melt): the per-returnflag measure matrix turned
     * into (flag, measure, value) long form via the native
     * Dataset.unpivot (Expand under the hood — ×3 on the already

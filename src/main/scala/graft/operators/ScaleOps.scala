@@ -684,4 +684,67 @@ object ScaleOps {
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
           .as("total_value"))
   }
+
+  /** Scoped CBO confs + catalog tables + ANALYZE, shared by q200 and
+    * its spec. Registers `graft_cbo.{lineitem,supplier,nation}` once
+    * per (session, sf) and computes row/column statistics — the
+    * catalog metadata the cost-based optimizer runs on. */
+  def withCboTables[T](s: SparkSession, dir: String)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_cbo")
+      val tag = math.abs(dir.hashCode).toString
+      Seq("lineitem", "supplier", "nation").foreach { t0 =>
+        val tbl = s"graft_cbo.${t0}_$tag"
+        if (!s.catalog.tableExists(tbl)) {
+          t(s, dir, t0).write.mode("overwrite").saveAsTable(tbl)
+          s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+      }
+      body
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The q200 join chain, written in the WORST order on purpose:
+    * lineitem ⋈ supplier first (a fact-sized intermediate), the
+    * supplier ⋈ nation reduction last. With row/column statistics from
+    * ANALYZE and `spark.sql.cbo.joinReorder.enabled`,
+    * CostBasedJoinReorder rewrites it to join the two dimension tables
+    * first — the spec pins that the innermost join no longer touches
+    * lineitem. */
+  def q200Frame(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    s.sql(s"""
+      SELECT n.n_name,
+             COUNT(*) AS n_items,
+             ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM graft_cbo.lineitem_$tag l
+      JOIN graft_cbo.supplier_$tag s ON l.l_suppkey = s.s_suppkey
+      JOIN graft_cbo.nation_$tag n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name""")
+  }
+
+  /** q200 — the COST-BASED optimizer in the gate: catalog statistics
+    * (ANALYZE TABLE ... FOR ALL COLUMNS) drive CostBasedJoinReorder to
+    * rewrite a badly-ordered join chain; the result is materialized
+    * under the scoped confs and hash-matches the order-oblivious
+    * oracle. At 100 TB, statistics are how the optimizer knows a
+    * dimension is broadcastable and which join to run first without a
+    * human hand-ordering every query — this query pins that the engine
+    * actually wires stats → reorder, not just that the conf exists. */
+  def q200CboReorder(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "q200")
+    withCboTables(s, dir) {
+      q200Frame(s, dir).write.mode("overwrite").parquet(scratch)
+    }
+    s.read.parquet(scratch)
+  }
 }

@@ -159,4 +159,56 @@ class ExtensionSpec extends AnyFunSuite {
       .map(d => files(d.getName).length)
     assert(all.sum < 80, s"file explosion: ${all.toSeq}")
   }
+
+  test("q199 cogroup equals the full-outer join of the two rollups") {
+    val got = graft.operators.Analytics.q199CogroupAlign(spark, sfDir)
+    val e = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id").as("ek"))
+      .agg(count(lit(1)).as("n_events"),
+        round(percentile_approx(col("value"), lit(0.5), lit(1000000)), 2)
+          .as("median_approx"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("ok"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_spend"))
+    val want = e.join(o, col("ek") === col("ok"), "full_outer")
+      .select(
+        coalesce(col("ek"), col("ok")).as("user_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+    val gotCmp = got.select("user_id", "n_events", "n_orders", "total_spend")
+    assert(gotCmp.exceptAll(want).count() === 0)
+    assert(want.exceptAll(gotCmp).count() === 0)
+    // the one-sided population is really present (event users are a
+    // strict subset of order custkeys in the testdata, so the
+    // order-only side is the one that exists)
+    val rows = got.collect()
+    assert(rows.exists(r => r.getAs[Long]("n_events") == 0L))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_events") > 0L || r.isNullAt(r.fieldIndex("median_value"))))
+  }
+
+  test("q200: ANALYZE statistics drive CostBasedJoinReorder — the " +
+      "innermost join stops touching lineitem") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.operators.ScaleOps
+    def innermostTouchesLineitem(df: org.apache.spark.sql.DataFrame)
+        : Boolean = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: Join => j
+      }
+      assert(joins.size === 2, s"expected a 2-join chain:\n$joins")
+      // collect is pre-order, so the last Join is the innermost
+      joins.last.output.exists(_.name.startsWith("l_"))
+    }
+    ScaleOps.withCboTables(spark, sfDir) {
+      assert(!innermostTouchesLineitem(ScaleOps.q200Frame(spark, sfDir)),
+        "with stats + CBO the dimension tables must join first")
+    }
+    // without CBO the written (worst) order stands
+    assert(innermostTouchesLineitem(ScaleOps.q200Frame(spark, sfDir)),
+      "without CBO the as-written order was expected to survive")
+  }
 }
