@@ -698,10 +698,16 @@ object ScaleOps {
     try {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_cbo")
       val tag = math.abs(dir.hashCode).toString
+      // EXTERNAL tables in the session scratch dir: a managed table's
+      // warehouse location outlives the in-memory catalog (a second
+      // JVM would hit LOCATION_ALREADY_EXISTS on the leftover dir),
+      // while the scratch path is unique per session and reaped at exit
+      val base = graft.Scratch.dir(s, s"cbo_$tag")
       Seq("lineitem", "supplier", "nation").foreach { t0 =>
         val tbl = s"graft_cbo.${t0}_$tag"
         if (!s.catalog.tableExists(tbl)) {
-          t(s, dir, t0).write.mode("overwrite").saveAsTable(tbl)
+          t(s, dir, t0).write.mode("overwrite")
+            .option("path", s"$base/$t0").saveAsTable(tbl)
           s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
         }
       }
