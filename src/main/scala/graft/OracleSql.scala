@@ -263,9 +263,11 @@ object OracleSql {
       FROM g
     """,
     // q192: gaps-and-islands reconstruction of session_window's
-    // half-open-interval rule — a NEW session starts at diff >= 1800 s
-    // (q41's batch rule is the strict >; the two differ only at an
-    // exact-gap boundary and each matches its own engine).
+    // half-open-interval rule — a NEW session starts at raw diff
+    // >= 30 min at MICROSECOND precision (session_window compares raw
+    // event times; a second-truncated rule splits one boundary pair at
+    // sf0.1 that the engine merges). q41's batch rule is the strict >
+    // on truncated seconds; each matches its own engine.
     "q192_streaming_sessions" -> """
       WITH g AS (
         SELECT user_id, ts, event_id, value,
@@ -275,7 +277,8 @@ object OracleSql {
       ), s AS (
         SELECT user_id, ts, value,
                CAST(SUM(CASE WHEN prev_ts IS NULL
-                              OR date_diff('second', prev_ts, ts) >= 1800
+                              OR epoch_us(ts) - epoch_us(prev_ts)
+                                 >= 1800000000
                              THEN 1 ELSE 0 END)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
@@ -374,6 +377,15 @@ object OracleSql {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       GROUP BY 1
+    """,
+    // q201: the streaming-connector path reproduces q19's rows — the
+    // hash holds only if offset bookkeeping loses and dups nothing.
+    "q201_streaming_connector" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             COUNT(event_id) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      FROM events GROUP BY 1, 2
     """,
     // q197: gaps-and-islands at MILLISECOND precision (the engine's
     // state machine compares ms-truncated event times), minus the

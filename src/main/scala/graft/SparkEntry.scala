@@ -271,7 +271,9 @@ object SparkEntry {
       (graft.streaming.EventStream.q197CustomStateSessions _),
     "q198_eventlog_source" -> (ScaleOps.q198EventlogSource _),
     "q199_cogroup_align" -> (Analytics.q199CogroupAlign _),
-    "q200_cbo_reorder" -> (ScaleOps.q200CboReorder _)
+    "q200_cbo_reorder" -> (ScaleOps.q200CboReorder _),
+    "q201_streaming_connector" ->
+      (graft.streaming.EventStream.q201StreamingConnector _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -665,7 +665,9 @@ object ScaleOps {
     * (no string round-trip); the double survives via
     * Double.toString/parseDouble, exact by construction. The v2 scan's
     * pruned ReadSchema is pinned in EventLogSourceSpec. */
-  def q198EventlogSource(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the events table as eventlog lines (4 files) once per
+    * session; shared by q198 (batch read) and q201 (streaming read). */
+  def stageEventlog(s: SparkSession, dir: String): String = {
     val scratch = graft.Scratch.dir(s, "q198")
     val marker = new java.io.File(scratch, "_STAGED")
     if (!marker.exists()) {
@@ -674,6 +676,11 @@ object ScaleOps {
         .write.mode("overwrite").text(scratch)
       marker.createNewFile()
     }
+    scratch
+  }
+
+  def q198EventlogSource(s: SparkSession, dir: String): DataFrame = {
+    val scratch = stageEventlog(s, dir)
     s.read.format(classOf[graft.sources.EventLogSource].getName)
       .option("path", scratch).load()
       .groupBy(col("event_type"))

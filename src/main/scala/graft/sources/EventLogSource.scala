@@ -65,7 +65,7 @@ class EventLogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"eventlog($path)"
   override def schema(): StructType = EventLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new EventLogScanBuilder(path)
 }
@@ -90,19 +90,72 @@ class EventLogScan(path: String, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    EventLogScan.listFiles(path).map(f =>
+      EventLogPartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EventLogScan.factory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventLogMicroBatchStream(path, required)
+}
+
+object EventLogScan {
+  def listFiles(path: String): Array[String] = {
     val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_")
         && !f.getName.startsWith("."))
       .map(_.getAbsolutePath).sorted
-    files.map(f => EventLogPartition(f): InputPartition)
+  }
+
+  def factory(required: StructType): PartitionReaderFactory =
+    new EventLogReaderFactory(
+      required.fieldNames.map(n => EventLogSource.schema.fieldIndex(n)))
+}
+
+/** The STREAMING half of the connector: the sorted file list is the
+  * log, an offset is "how many files have been consumed", and each
+  * micro-batch plans exactly the files that appeared between two
+  * offsets — the tailing-directory source every ingest pipeline starts
+  * with, expressed through the v2 MicroBatchStream contract
+  * (initialOffset → latestOffset → planInputPartitions(start, end) →
+  * commit). Readers are the SAME per-file readers the batch side uses;
+  * only offset bookkeeping is new. */
+case class EventLogOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = s"""{"n":$n}"""
+}
+
+class EventLogMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = EventLogOffset(0)
+
+  override def latestOffset(): Offset =
+    EventLogOffset(EventLogScan.listFiles(path).length)
+
+  override def deserializeOffset(json: String): Offset =
+    EventLogOffset("\"n\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(sys.error(s"bad eventlog offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[EventLogOffset].n
+    val e0 = end.asInstanceOf[EventLogOffset].n
+    EventLogScan.listFiles(path).slice(s0, e0)
+      .map(f => EventLogPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(
-      required.fieldNames.map(n =>
-        EventLogSource.schema.fieldIndex(n)))
+    EventLogScan.factory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class EventLogPartition(file: String) extends InputPartition

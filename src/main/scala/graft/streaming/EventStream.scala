@@ -673,4 +673,33 @@ object EventStream {
     runToCompletion(out.toDF(), s"q197_sessions_${System.nanoTime}",
       OutputMode.Append())
   }
+
+  /** q201 — the STREAMING half of the custom v2 connector in the gate:
+    * the eventlog directory is consumed through
+    * [[graft.sources.EventLogMicroBatchStream]] — sorted file list as
+    * the log, "files consumed" as the offset, per-batch partitions
+    * planned between offsets, the same per-file readers as the batch
+    * scan — and the hourly aggregation over it is hash-compared to the
+    * batch oracle over the ORIGINAL parquet (the q19 rows again: the
+    * hash holds only if offset bookkeeping loses and duplicates
+    * nothing). This closes the connector demonstration from both ends:
+    * q198 proves the batch scan, q201 proves the streaming contract
+    * (initialOffset → latestOffset → plan → commit) on the same
+    * format. */
+  def q201StreamingConnector(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.operators.ScaleOps.stageEventlog(s, dir)
+    val stream = s.readStream
+      .format(classOf[graft.sources.EventLogSource].getName)
+      .option("path", scratch).load()
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(col("event_id")).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+    runToCompletion(agg, s"q201_connector_${System.nanoTime}")
+  }
 }

@@ -16,10 +16,11 @@ class StreamingSpec extends AnyFunSuite {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val want = Tables.load(spark, sfDir, "events")
       .withColumn("prev_ts", lag("ts", 1).over(w))
+      // session_window compares RAW event times: micros, not seconds
       .withColumn("new_sess",
         (col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") >= 1800)
-          .cast("int"))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            >= 1800000000L).cast("int"))
       .withColumn("seq", sum("new_sess").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "seq")
