@@ -431,6 +431,16 @@ object OracleSql {
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS total_value
       FROM events GROUP BY 1
+    """,
+    // q202: the observed write-path metrics restated as a direct scan
+    // aggregate — the whole point is the Spark side never ran one.
+    "q202_observed_audit" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value,
+             MAX(value) AS max_value,
+             MIN(event_id) AS min_event
+      FROM events
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -273,7 +273,8 @@ object SparkEntry {
     "q199_cogroup_align" -> (Analytics.q199CogroupAlign _),
     "q200_cbo_reorder" -> (ScaleOps.q200CboReorder _),
     "q201_streaming_connector" ->
-      (graft.streaming.EventStream.q201StreamingConnector _)
+      (graft.streaming.EventStream.q201StreamingConnector _),
+    "q202_observed_audit" -> (ScaleOps.q202ObservedAudit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

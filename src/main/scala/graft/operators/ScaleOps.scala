@@ -745,6 +745,39 @@ object ScaleOps {
       GROUP BY n.n_name""")
   }
 
+  /** q202 — in-pass observed metrics: `Dataset.observe` plants a
+    * CollectMetrics node on the WRITE path, so the audit aggregates
+    * (row count, exact DECIMAL value sum, value max, id min) are
+    * computed DURING the sink pass — zero extra jobs, zero extra
+    * scans, which at 100 TB is the difference between "audited" and
+    * "audited for the price of a second read of the lake". The write
+    * lands in scratch (the real pipeline's bronze write); the metrics
+    * row is the query output and hash-matches the SQL stated over the
+    * source. This is also the mechanism streaming audits ride
+    * (StreamingQueryProgress.observedMetrics) — one API, both
+    * execution modes. */
+  def q202ObservedAudit(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "q202")
+    val obs = org.apache.spark.sql.Observation(s"q202_${System.nanoTime}")
+    t(s, dir, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,4)")).as("value4"),
+        max(col("value")).as("max_value"),
+        min(col("event_id")).as("min_event"))
+      .write.mode("overwrite").parquet(scratch)
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      BigDecimal(m("value4").asInstanceOf[java.math.BigDecimal]),
+      m("max_value").asInstanceOf[Double],
+      m("min_event").asInstanceOf[Long]))
+      .toDF("n_rows", "value4", "max_value", "min_event")
+      .select(col("n_rows"),
+        round(col("value4").cast("double"), 2).as("total_value"),
+        col("max_value"), col("min_event"))
+  }
+
   /** q200 — the COST-BASED optimizer in the gate: catalog statistics
     * (ANALYZE TABLE ... FOR ALL COLUMNS) drive CostBasedJoinReorder to
     * rewrite a badly-ordered join chain; the result is materialized

@@ -190,6 +190,28 @@ class ExtensionSpec extends AnyFunSuite {
       r.getAs[Long]("n_events") > 0L || r.isNullAt(r.fieldIndex("median_value"))))
   }
 
+  test("q202: observed metrics ride the write pass (CollectMetrics in " +
+      "the plan) and equal a direct aggregate") {
+    val obs = org.apache.spark.sql.Observation("q202_spec")
+    val ev = Tables.load(spark, sfDir, "events")
+    val observed = ev.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast("decimal(18,4)")).as("value4"))
+    val scratch = Scratch.dir(spark, "q202_spec")
+    observed.write.mode("overwrite").parquet(scratch)
+    assert(observed.queryExecution.executedPlan.toString
+      .contains("CollectMetrics"))
+    val want = ev.agg(count(lit(1)), sum(col("value")
+      .cast("decimal(18,4)"))).head()
+    assert(obs.get("n_rows") === want.getLong(0))
+    assert(obs.get("value4").asInstanceOf[java.math.BigDecimal]
+      .compareTo(want.getDecimal(1)) === 0)
+    // the registry entry returns the same single audit row
+    val row = graft.operators.ScaleOps
+      .q202ObservedAudit(spark, sfDir).head()
+    assert(row.getAs[Long]("n_rows") === want.getLong(0))
+  }
+
   test("q200: ANALYZE statistics drive CostBasedJoinReorder — the " +
       "innermost join stops touching lineitem") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
