@@ -441,6 +441,23 @@ object OracleSql {
              MAX(value) AS max_value,
              MIN(event_id) AS min_event
       FROM events
+    """,
+    // q203: DuckDB's own JSON parser restates the variant extraction —
+    // two independent JSON implementations agreeing on every value.
+    "q203_variant_extract" -> """
+      WITH k AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+        FROM events
+      )
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k,
+             MAX(k) AS max_k,
+             CAST(COUNT(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_even
+      FROM k WHERE k IS NOT NULL GROUP BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -274,7 +274,8 @@ object SparkEntry {
     "q200_cbo_reorder" -> (ScaleOps.q200CboReorder _),
     "q201_streaming_connector" ->
       (graft.streaming.EventStream.q201StreamingConnector _),
-    "q202_observed_audit" -> (ScaleOps.q202ObservedAudit _)
+    "q202_observed_audit" -> (ScaleOps.q202ObservedAudit _),
+    "q203_variant_extract" -> (CoreQueries.q203VariantExtract _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

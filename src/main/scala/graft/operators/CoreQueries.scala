@@ -277,6 +277,32 @@ object CoreQueries {
         sum(col("k")).as("sum_k"),
         round(avg(col("k")), 4).as("avg_k"))
 
+  /** q203 — the VARIANT lane for semi-structured data (Spark 4's
+    * native answer to schema-on-read JSON, q12's modern twin):
+    * `parse_json` converts the payload ONCE into the binary variant
+    * encoding, `variant_get` then extracts typed fields without
+    * re-parsing text per access — at 100 TB, re-tokenizing JSON
+    * strings per extraction is a real CPU line item, and variant's
+    * shredded binary form is also what lets parquet readers push
+    * subfield access down in the open-table formats adopting it. The
+    * audit extracts, filters on, and aggregates a typed subfield;
+    * DuckDB restates it over its own JSON parser — two independent
+    * JSON implementations agreeing on every extracted value. */
+  def q203VariantExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") % 2 === 0, 1)).as("n_even"))
+
   /** q13 — set-op/anti-join surface (SURVEY §2.7 notes set ops absent in
     * the reference; left_anti is the scalable NOT EXISTS). Customers with
     * no completed ('F') orders. */

@@ -211,6 +211,18 @@ class NewQueriesSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q203 variant extraction agrees with the string-JSON lane (q12)") {
+    val variant = graft.operators.CoreQueries
+      .q203VariantExtract(spark, sfDir)
+      .select($"event_type", $"n_events", $"sum_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stringLane = graft.operators.CoreQueries
+      .q12JsonExtract(spark, sfDir)
+      .select($"event_type", $"n_events", $"sum_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(variant === stringLane)
+  }
+
   test("q191 md5-HLL registers and estimate match a driver-side sketch") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
