@@ -458,6 +458,15 @@ object OracleSql {
              CAST(COUNT(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT)
                AS n_even
       FROM k WHERE k IS NOT NULL GROUP BY 1
+    """,
+    // q204: the exactly-once incremental view equals the batch
+    // aggregate of everything ingested — that equality IS the query.
+    "q204_incremental_view" -> """
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -275,7 +275,9 @@ object SparkEntry {
     "q201_streaming_connector" ->
       (graft.streaming.EventStream.q201StreamingConnector _),
     "q202_observed_audit" -> (ScaleOps.q202ObservedAudit _),
-    "q203_variant_extract" -> (CoreQueries.q203VariantExtract _)
+    "q203_variant_extract" -> (CoreQueries.q203VariantExtract _),
+    "q204_incremental_view" ->
+      (graft.streaming.EventStream.q204IncrementalView _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -674,6 +674,24 @@ object EventStream {
       OutputMode.Append())
   }
 
+  /** q204 — the EXACTLY-ONCE incremental view in the gate: the event
+    * stream folds per-user partial aggregates into
+    * [[incrementalUserView]]'s parquet view (immutable version dirs,
+    * one atomic pointer rename committing both the live version and
+    * the applied-batch set), and the committed view is hash-compared
+    * to the batch aggregate over everything ingested. The merge
+    * machinery — replay-skip ledger, version swap, DECIMAL state
+    * addition — was previously only spec-tested; the gate now pins
+    * that the view IS the aggregate, bit for bit. A fresh scratch
+    * path per run keeps the fold deterministic. */
+  def q204IncrementalView(s: SparkSession, dir: String): DataFrame = {
+    val view = s"${graft.Scratch.dir(s, "q204")}/userview_${System.nanoTime}"
+    incrementalUserView(readEventStream(s, dir), view)
+    readUserView(s, view)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value").cast("double"), 2).as("total_value"))
+  }
+
   /** q201 — the STREAMING half of the custom v2 connector in the gate:
     * the eventlog directory is consumed through
     * [[graft.sources.EventLogMicroBatchStream]] — sorted file list as
