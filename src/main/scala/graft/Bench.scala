@@ -50,6 +50,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Quiet-host protocol: ambient load distorts timings up to 8×
+    // (round 7's closing artifact ran at loadavg 3 → 24 and buried a
+    // 28.8 s number under 238 s). Wait up to SPARK_GRAFT_LOAD_WAIT
+    // seconds (default 120) for the 1-minute loadavg to fall below
+    // SPARK_GRAFT_MAX_LOAD (default 4.0) before measuring; proceed
+    // regardless once the budget is spent (refusing would cost the
+    // round its artifact entirely), but stamp `load_ok` in the JSON so
+    // a loaded-host run is discountable at a glance.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "120").toInt
+    def load1m(): Double =
+      try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    val loadDeadline = System.nanoTime() + loadWaitSec * 1000000000L
+    while (load1m() > maxLoad && System.nanoTime() < loadDeadline) {
+      System.err.println(
+        f"BENCH WAIT: 1m loadavg ${load1m()}%.2f > $maxLoad%.1f, sleeping 10s")
+      Thread.sleep(10000)
+    }
+    val loadOk = load1m() <= maxLoad
     val loadStart = loadavg()
     val spark = newSession(cpus)
 
@@ -200,7 +219,7 @@ object Bench {
         (tInit, tInc)
       } catch {
         case e: Throwable =>
-          System.err.println(s"BENCH FAIL etl_pipeline_10x: $e")
+          System.err.println(s"BENCH FAIL etl_pipeline_${etlX}x: $e")
           (-1.0, -1.0)
       } finally {
         import scala.reflect.io.Directory
@@ -291,23 +310,29 @@ object Bench {
     }
     val ann50xTime = if (runEtl) ann50x() else -1.0
 
+    // Scale-smoke legs carry their TRUE factor in the key (a 48× run
+    // used to report under _10x) and are excluded from the headline by
+    // this explicit list — never by suffix matching.
+    val scaleSmokeKeys = Seq(
+      s"etl_pipeline_${etlX}x", s"etl_incremental_${etlX}x",
+      "dedup_10x", "ann_50x")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
-      ("etl_pipeline_10x" -> etl10xTime) :+
-      ("etl_incremental_10x" -> etl10xIncTime) :+
+      (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
+      (s"etl_incremental_${etlX}x" -> etl10xIncTime) :+
       ("dedup_10x" -> dedup10xTime) :+
       ("ann_50x" -> ann50xTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set
     // + the 1x etl pair) so round-over-round totals stay comparable;
-    // the 10x smoke legs are reported per-query only
+    // the scale-smoke legs are reported per-query only
     val total = all
-      .filterNot { case (k, _) => k.endsWith("_10x") || k == "ann_50x" }
+      .filterNot { case (k, _) => scaleSmokeKeys.contains(k) }
       .map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     println(line)
     // Also persist the result line: stdout tails can truncate mid-stream
     // (sbt log interleaving), which loses the headline number from the

@@ -388,9 +388,12 @@ object OracleSql {
       FROM events GROUP BY 1, 2
     """,
     // q197: gaps-and-islands at MILLISECOND precision (the engine's
-    // state machine compares ms-truncated event times), minus the
-    // sessions still open when the final watermark (max ts − 10 min,
-    // ms-truncated) fires the event-time timeouts.
+    // state machine compares ms-truncated event times). A session with
+    // a SUCCESSOR event is closed in-batch and emitted regardless of
+    // the watermark, so the exclusion applies only to each user's LAST
+    // session (truly open at end-of-stream): dropped iff its event-time
+    // timeout (last + gap) never falls strictly behind the final
+    // watermark (max ts − 10 min, ms-truncated).
     "q197_custom_state_sessions" -> """
       WITH g AS (
         SELECT user_id, ts, event_id,
@@ -407,10 +410,14 @@ object OracleSql {
                  AS session_seq
         FROM g
       ), agg AS (
-        SELECT user_id,
+        SELECT user_id, session_seq,
                MIN(ts) AS st, MAX(ts) AS en,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_seq
+      ), lastq AS (
+        SELECT *, MAX(session_seq) OVER (PARTITION BY user_id)
+                 AS last_seq
+        FROM agg
       ), wm AS (
         SELECT MAX(epoch_ms(ts)) - 600000 AS w FROM events
       )
@@ -418,8 +425,8 @@ object OracleSql {
              strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
              n_events,
              date_diff('second', st, en) AS duration_sec
-      FROM agg, wm
-      WHERE epoch_ms(en) + 1800000 < w
+      FROM lastq, wm
+      WHERE session_seq < last_seq OR epoch_ms(en) + 1800000 < w
     """,
     // q198: the v2-connector round-trip is lossless, so the oracle is
     // the same audit stated over the original parquet table.
@@ -3315,8 +3322,10 @@ object OracleSql {
       FROM events
       GROUP BY 1
     """,
-    // q186: integer micro-unit TF-IDF weights make every aggregate
-    // exact, so the inverted-index join reproduces bit-identically.
+    // q186: integer micro-unit TF-IDF weights (ratio-idf — no ln, so
+    // the float path into FLOOR is pure IEEE and engine-exact) make
+    // every aggregate exact; the inverted-index join reproduces
+    // bit-identically.
     "q186_allpairs_tfidf" -> """
       WITH tok AS (
         SELECT doc_id,
@@ -3329,7 +3338,7 @@ object OracleSql {
       ), nn AS (SELECT COUNT(*) AS n FROM documents),
       w AS (
         SELECT t.doc_id, t.term,
-               CAST(FLOOR(t.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1)
+               CAST(FLOOR(t.tf * ((nn.n + 1.0) / (d.df + 1.0))
                  * 1000000) AS BIGINT) AS wi
         FROM tf t JOIN df d USING (term), nn
         WHERE d.df * 4 <= nn.n

@@ -48,13 +48,35 @@ object Pipeline {
   val factPartitions: Seq[String] = Seq("l_returnflag", "ship_year", "ship_month")
 
   /** The windowed fact with derived partition columns (S2→P1→X1) —
-    * the dataset T0 writes to bronze. */
-  private def windowedFact(spark: SparkSession, cfg: Config): DataFrame =
+    * the dataset T0 writes to bronze.
+    *
+    * The window is expressed as a NATIVE timestamp range on
+    * `l_shipdate`, not on the derived `date_format(...,'yyyyMMdd')`
+    * string: `date_format` is monotone per day, so
+    * `ship_ymd BETWEEN from AND to` ≡
+    * `l_shipdate ∈ [midnight(from), midnight(to)+1d)` — and the native
+    * predicate reaches the parquet reader (`PushedFilters`, pinned in
+    * PlanShapeSpec), enabling row-group min/max skipping. At 100 TB the
+    * incremental load's whole point is reading only the window; a
+    * post-scan filter on a derived string would full-scan the fact
+    * (the reference pushes its window into the JDBC source the same
+    * way, jb_de_enhancement_t0_fact_d2s.py:72-82). The derived string
+    * columns survive for partitioning only. */
+  private def windowedFact(spark: SparkSession, cfg: Config): DataFrame = {
+    val lo = to_date(lit(cfg.fromDate), "yyyyMMdd").cast("timestamp")
+    val hi = date_add(to_date(lit(cfg.toDate), "yyyyMMdd"), 1).cast("timestamp")
     Tables.load(spark, cfg.sourceDir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .withColumn("ship_ymd", date_format(col("l_shipdate"), "yyyyMMdd"))
-      .where(col("ship_ymd").between(cfg.fromDate, cfg.toDate))
       .withColumn("ship_year", substring(col("ship_ymd"), 1, 4))
       .withColumn("ship_month", substring(col("ship_ymd"), 5, 2))
+  }
+
+  /** Exposed for plan-shape pinning: the T0 ingest dataset before the
+    * sink (PlanShapeSpec asserts its scan carries PushedFilters on
+    * l_shipdate). */
+  private[graft] def t0FactPlan(spark: SparkSession, cfg: Config): DataFrame =
+    windowedFact(spark, cfg)
 
   // ---- T0: bronze ---------------------------------------------------
 

@@ -58,13 +58,18 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val cIdx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { rows =>
-      // per-partition decoder init would go here (STUB: none needed)
+      // per-partition decoder init would go here (ImageIO/AudioSystem
+      // are static; a model-backed decoder loads once per partition)
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes =
           if (r.isNullAt(cIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](cIdx)
-        val m = decodeStub(bytes)
+        // REAL branch first: blobs whose magic bytes name a container
+        // the JDK decodes (PNG/JPEG/GIF/BMP/WAV) get actual
+        // dimensions/frame counts via MediaDecode; everything else
+        // keeps the deterministic stub (the oracle-checked path).
+        val m = MediaDecode.decodeMeta(bytes).getOrElse(decodeStub(bytes))
         (id, m.n_bytes, m.format, m.width, m.height, m.n_frames)
       }
     }.toDF(idCol, "n_bytes", "format", "width", "height", "n_frames")
@@ -328,6 +333,34 @@ object Multimodal {
         (col("a.media_id") === col("b.media_id")).cast("int")
           .as("same_media"))
       .distinct()
+  }
+
+  /** REAL-image fingerprints: decode each blob with
+    * [[MediaDecode.luminanceGrid]] (actual pixels, average-pooled 8×8)
+    * and push the grid through the SAME 4×16-bit aHash band pipeline
+    * q177 runs on the stub grid — so swapping stub→real moves one
+    * mapPartitions stage and zero downstream operators (the banded
+    * Hamming join, verification, and shuffle shape are untouched).
+    * Non-decodable rows are dropped (an image near-dup pass only wants
+    * images); the blob dies in the scan stage, 4 ints per row leave. */
+  def realPhashFingerprints(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val px = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(cIdx)) None
+        else MediaDecode.luminanceGrid(r.getAs[Array[Byte]](cIdx))
+          .map(g => (r.getLong(idIdx), g))
+      }
+    }.toDF(idCol, "px")
+    px.select(col(idCol),
+      phashBand(col("px"), lit(0), 0).as("b0"),
+      phashBand(col("px"), lit(0), 1).as("b1"),
+      phashBand(col("px"), lit(0), 2).as("b2"),
+      phashBand(col("px"), lit(0), 3).as("b3"))
   }
 
   /** Video frame length in bytes for the stub decode: each

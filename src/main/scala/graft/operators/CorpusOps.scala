@@ -412,18 +412,21 @@ object CorpusOps {
     *
     * Engine-exact: lengths, batch assignments (integer division of a
     * rank), batch maxima, and waste sums are all integers; the share
-    * is one divide. Both rank windows run over the doc-sized length
-    * table with PrefixSum.rankNtile as the documented 100 TB swap
-    * (q63/q126's note). */
+    * is one divide. Both ranks run distributed via
+    * [[PrefixSum.rankNtile]] (bucketed prefix-count, bit-identical to
+    * ROW_NUMBER) — NOT a single-partition global window: at billions
+    * of docs the corpus must never sort through one task
+    * (PlanShapeSpec pins no `Exchange SinglePartition`). */
   def q176PaddingAudit(s: SparkSession, dir: String): DataFrame = {
     val lens = docs(s, dir)
       .select(col("doc_id"), nTokens(col("text")).cast("long").as("len"))
     def strategy(name: String, order: Seq[org.apache.spark.sql.Column])
         : DataFrame = {
-      val w = Window.orderBy(order: _*)
-      lens
-        .withColumn("batch",
-          ((row_number().over(w) - 1) / PadBatch).cast("long"))
+      PrefixSum.rankNtile(lens, order, k = 1,
+          rankCol = Some("_rk"), tileCol = "_tile")
+        // integer DIV on the long rank — double division would lose
+        // exactness past 2^53 rows
+        .withColumn("batch", expr(s"(_rk - 1) DIV $PadBatch"))
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("n_seqs"), sum(col("len")).as("real_tokens"),
           max(col("len")).as("batch_max"))
@@ -437,9 +440,10 @@ object CorpusOps {
             (col("total_tokens") + col("padded_tokens")), 6)
             .as("waste_share"))
     }
-    strategy("arrival", Seq(col("doc_id").asc))
+    // rankNtile keys are ascending by contract (DESC would be negated)
+    strategy("arrival", Seq(col("doc_id")))
       .unionByName(strategy("length_sorted",
-        Seq(col("len").asc, col("doc_id").asc)))
+        Seq(col("len"), col("doc_id"))))
       .orderBy(col("strategy"))
   }
 

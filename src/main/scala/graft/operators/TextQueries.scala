@@ -469,8 +469,11 @@ object TextQueries {
     * to INTEGER micro-units (floor ×10⁶, the q151/q159 house pattern)
     * so every sum — norms and pair dot products — is an integer
     * aggregate, deterministic under any shuffle order and therefore
-    * bit-identical to the DuckDB oracle; the only float ops are the two
-    * final sqrt/divide, one fixed expression per pair. Terms in more
+    * bit-identical to the DuckDB oracle; the idf is the RATIO form
+    * (q48/q83's pattern) so the float path into the floor is pure
+    * IEEE +,/,× — no ln() whose last ulp differs per math library —
+    * and the only remaining float ops are the two final sqrt/divide,
+    * one fixed expression per pair. Terms in more
     * than a quarter of the corpus are dropped from the vector space
     * (the sklearn `max_df` convention): they carry near-zero idf but
     * would dominate the index join's bucket sizes. At 100 TB the
@@ -486,7 +489,12 @@ object TextQueries {
       .persist()
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = d.agg(count(lit(1)).as("n"))
-    val idf = log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+    // ratio-IDF ((n+1)/(df+1), q48/q83's house pattern): divide and
+    // multiply are IEEE-correctly-rounded identically in both engines,
+    // where ln() is implementation-defined per math library and a
+    // 1-ulp divergence next to the ×10⁶ floor boundary would flip a
+    // weight and the hash gate with it.
+    val idf = (col("n") + lit(1.0)) / (col("df") + lit(1.0))
     val w = tf.join(dfc, "term").crossJoin(broadcast(total))
       .where(col("df") * 4 <= col("n"))
       .select(col("doc_id"), col("term"),

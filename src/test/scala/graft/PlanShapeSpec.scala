@@ -61,6 +61,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shipdate range must reach PushedFilters:\n$p")
   }
 
+  test("T0 fact ingest pushes its date window into the parquet scan " +
+      "(native timestamp range, not the derived yyyyMMdd string)") {
+    val cfg = graft.etl.Pipeline.Config(sfDir, "/tmp/graft_unused_wh",
+      "19940101", "19941231")
+    val p = plan(graft.etl.Pipeline.t0FactPlan(spark, cfg))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"T0 window lower bound must reach PushedFilters:\n$p")
+    assert(p.contains("LessThan(l_shipdate"),
+      s"T0 window upper bound must reach PushedFilters:\n$p")
+  }
+
   test("q31 near-dup join broadcasts its build side (no block-key " +
       "exchange on the probe side)") {
     val df = graft.operators.Similarity.q31CosineNearDup(spark, sfDir)
@@ -247,6 +258,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // prefix-count pass, never a vocabulary-sized single-partition sort
     assert(!p.contains("Exchange SinglePartition"),
       s"token rank must not gather the vocabulary to one task:\n$p")
+  }
+
+  test("q176 padding-audit ranks come from the bucketed prefix-count " +
+      "pass, never a corpus-sized single-partition sort") {
+    val df = graft.operators.CorpusOps.q176PaddingAudit(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the old shape: row_number() over a partition-less window — the
+    // corpus through one task. The fixed shape ranks inside bucket-
+    // partitioned windows only; the surviving SinglePartition
+    // exchanges carry batch-count aggregate rows, not docs.
+    assert(!p.contains("row_number"),
+      s"q176 rank must be the bucketed prefix-count, not row_number:\n$p")
+    assert(p.contains("windowspecdefinition(_bkt"),
+      s"expected bucket-partitioned windows:\n$p")
   }
 
   test("q107 triples expand map-side: three chained generates, " +
