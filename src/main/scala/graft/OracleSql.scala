@@ -474,6 +474,50 @@ object OracleSql {
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS total_value
       FROM events GROUP BY 1
+    """,
+    // q205-q208: the GraftTable format queries — each oracle states
+    // the result over the ORIGINAL table, so a hash match proves the
+    // manifest/snapshot/pruning/COW machinery lost and invented
+    // nothing relative to plain parquet.
+    "q205_format_snapshot" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q206: version 1 is, by construction, the pre-1997 commit.
+    "q206_time_travel" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+    """,
+    // q207: file skipping is a superset guarantee; the range filter is
+    // the whole query, so the hash pins losslessness.
+    "q207_pruned_read" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey BETWEEN 1000 AND 5000
+      ORDER BY o_orderkey
+    """,
+    // q208: the COW delete must leave exactly the non-'R' rows of the
+    // 1996 window.
+    "q208_cow_delete" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag <> 'R'
+      GROUP BY 1, 2 ORDER BY 1, 2
     """
   ).map { case (k, v) => k -> v.trim }
 

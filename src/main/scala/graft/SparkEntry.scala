@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, Governance, Graph, JdbcQueries, KpiQueries, Profiling, RangeJoin,
-  RetailQueries, ScaleOps, Similarity, Skew, Stats, TextQueries}
+  Dedup, FormatQueries, Governance, Graph, JdbcQueries, KpiQueries, Profiling,
+  RangeJoin, RetailQueries, ScaleOps, Similarity, Skew, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -277,7 +277,12 @@ object SparkEntry {
     "q202_observed_audit" -> (ScaleOps.q202ObservedAudit _),
     "q203_variant_extract" -> (CoreQueries.q203VariantExtract _),
     "q204_incremental_view" ->
-      (graft.streaming.EventStream.q204IncrementalView _)
+      (graft.streaming.EventStream.q204IncrementalView _),
+    // table-format layer (manifest + snapshot + zone maps + COW)
+    "q205_format_snapshot" -> (FormatQueries.q205FormatSnapshot _),
+    "q206_time_travel" -> (FormatQueries.q206TimeTravel _),
+    "q207_pruned_read" -> (FormatQueries.q207PrunedRead _),
+    "q208_cow_delete" -> (FormatQueries.q208CowDelete _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

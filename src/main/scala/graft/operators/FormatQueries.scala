@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.format.GraftTable
+
+/** Gate queries for the [[graft.format.GraftTable]] table-format
+  * layer: each builds a real table in scratch from the testdata,
+  * exercises one format capability (multi-commit append, time travel,
+  * zone-map file skipping, copy-on-write delete), and returns a
+  * result the DuckDB oracle states directly over the ORIGINAL parquet
+  * — so the hash gate proves the format machinery (manifests,
+  * snapshot resolution, stats pruning, COW rewrite) loses and invents
+  * nothing. File layout is never part of the result, so the
+  * UUID-named commit dirs don't break determinism.
+  */
+object FormatQueries {
+
+  /** One orders-backed table, built in three date-sliced commits —
+    * shared by q205/q206/q207 (built once per (session, sf dir)). */
+  private val built =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def ordersTable(s: SparkSession, dir: String): GraftTable = {
+    val root = built.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val r = s"${graft.Scratch.dir(s, "gtable")}/orders"
+        val o = Tables.load(s, dir, "orders")
+        // range-cluster every commit on the prune key (numFiles = 0
+        // preserves it through the write) so per-file envelopes are
+        // disjoint and q207's zone maps actually skip
+        def slice(d: DataFrame) =
+          d.repartitionByRange(4, col("o_orderkey"))
+        // slice boundaries sit inside the testdata's actual 1995–2001
+        // o_orderdate range so every commit is non-empty
+        val t = GraftTable.create(s, r,
+          slice(o.where(col("o_orderdate") < "1997-01-01")),
+          statsCols = Seq("o_orderkey", "o_orderdate"), numFiles = 0)
+        t.append(slice(o.where(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1999-01-01")), numFiles = 0)
+        t.append(slice(o.where(col("o_orderdate") >= "1999-01-01")),
+          numFiles = 0)
+        r
+      })
+    GraftTable.forPath(s, root)
+  }
+
+  /** q205 — multi-commit append + snapshot read: three date-sliced
+    * commits, then the CURRENT snapshot aggregated per order year.
+    * Hash-equal to the same aggregate over the original table ⟺ the
+    * manifest union carried every file of every commit exactly once. */
+  def q205FormatSnapshot(s: SparkSession, dir: String): DataFrame =
+    ordersTable(s, dir).read()
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
+
+  /** q206 — TIME TRAVEL: the same table read at VERSION 1, which by
+    * construction holds exactly the pre-1997 slice. Hash-equal to a
+    * date-filtered aggregate over the original ⟺ old manifests stay
+    * immutable and resolvable after later commits. */
+  def q206TimeTravel(s: SparkSession, dir: String): DataFrame =
+    ordersTable(s, dir).read(version = 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q207 — ZONE-MAP pruned read: a key-range scan that opens only
+    * files whose min/max envelope intersects the range (spec pins the
+    * skip actually happens; the files are range-clustered per commit
+    * only to the extent repartition gave them disjoint envelopes —
+    * the GUARANTEE under test is losslessness, which is what the hash
+    * checks). */
+  def q207PrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val (rows, _, _) = ordersTable(s, dir)
+      .prunedRead("o_orderkey", lit(1000), lit(5000))
+    rows.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q208 — COPY-ON-WRITE delete: a lineitem-window table, rows with
+    * `l_returnflag = 'R'` deleted (no-hit files carried forward by
+    * reference, mixed files rewritten without their matches), then a
+    * flag/status rollup of the survivors. Hash-equal to `WHERE
+    * l_returnflag <> 'R'` over the original window ⟺ the COW rewrite
+    * dropped exactly the matching rows and nothing else. */
+  def q208CowDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/lineitem_cow"
+    if (!new java.io.File(s"$root/_log").isDirectory) {
+      val li = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus")
+      val t = GraftTable.create(s, root, li, statsCols = Seq("l_orderkey"))
+      t.deleteWhere(col("l_returnflag") === "R")
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+}
