@@ -518,6 +518,28 @@ object OracleSql {
         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         AND l_returnflag <> 'R'
       GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    // q209: the merged table must equal base-with-updates-applied plus
+    // inserts — stated as one CASE over the original (×2 is IEEE-exact).
+    "q209_merge_upsert" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(CASE
+               WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderkey % 10 = 0
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q210: exactly-once streaming append — the replayed batch 0 must
+    // be swallowed by the snapshot ledger, so the table equals a plain
+    // aggregate of the source.
+    "q210_streaming_table_sink" -> """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -282,7 +282,10 @@ object SparkEntry {
     "q205_format_snapshot" -> (FormatQueries.q205FormatSnapshot _),
     "q206_time_travel" -> (FormatQueries.q206TimeTravel _),
     "q207_pruned_read" -> (FormatQueries.q207PrunedRead _),
-    "q208_cow_delete" -> (FormatQueries.q208CowDelete _)
+    "q208_cow_delete" -> (FormatQueries.q208CowDelete _),
+    "q209_merge_upsert" -> (FormatQueries.q209MergeUpsert _),
+    "q210_streaming_table_sink" ->
+      (FormatQueries.q210StreamingTableSink _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -75,8 +75,16 @@ final class GraftTable private (
       val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
     }.toMap
     Snapshot(v, kv("op"), kv("parent").toLong, kv("manifest"),
-      kv("n_files").toLong, kv("n_rows").toLong)
+      kv("n_files").toLong, kv("n_rows").toLong,
+      kv.get("applied").filter(_.nonEmpty)
+        .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty))
   }
+
+  /** Streaming-batch ids already folded into the current snapshot —
+    * the table-format twin of q204's applied-batch ledger, carried in
+    * the same atomic commit record as the data it describes. */
+  def appliedBatches: Set[Long] =
+    if (currentVersion == 0) Set.empty else snapshot(currentVersion).applied
 
   /** The manifest DataFrame of a version: one row per live data file
     * (`path` relative to root, `row_count`, typed `min_<c>`/`max_<c>`
@@ -166,6 +174,57 @@ final class GraftTable private (
           numFiles))
     }
 
+  /** EXACTLY-ONCE streaming append: `foreachBatch` is at-least-once
+    * under retries, so each micro-batch commits its id into the
+    * snapshot's applied-batch ledger IN the same atomic put-if-absent
+    * as the data — a replayed batch is skipped, a commit-race loser
+    * re-checks the ledger after rebasing. q204's recipe, generalized
+    * from one view to the table format itself. */
+  def appendIfAbsent(df: DataFrame, batchId: Long,
+      numFiles: Int = 4): Long = {
+    if (appliedBatches.contains(batchId)) return currentVersion
+    val stats = writeData(df, numFiles)
+    commitWithRetry("append", batchLedger = Some(batchId)) { parent =>
+      if (parent == 0) stats
+      else manifest(parent).unionByName(stats)
+    }
+  }
+
+  /** MERGE (upsert) on `keyCols`, whole-row-replace semantics,
+    * file-granular copy-on-write: files holding ≥1 matched key are
+    * rewritten with their matched rows replaced by the update rows;
+    * untouched files carry forward by reference; update keys present
+    * nowhere become inserts. One key-probe audit + one rewrite of
+    * only the touched files — the updates never fan out over the
+    * table, and at scale the probe join broadcasts when the update
+    * set is small (Catalyst's size-based choice). */
+  def merge(updates: DataFrame, keyCols: Seq[String],
+      numFiles: Int = 4): Long = {
+    val keyed = updates.select(keyCols.map(col): _*).distinct()
+    commitWithRetry("merge") { parent =>
+      val paths = filePaths(parent)
+      // stamp the file name IN the scan project, before the join —
+      // input_file_name() is single-source-only, and the update side
+      // is usually a file source too
+      val current = spark.read.parquet(paths: _*)
+        .withColumn("_f", input_file_name())
+      val hits = current
+        .join(keyed, keyCols, "left_semi")
+        .groupBy(col("_f"))
+        .agg(count(lit(1)).as("hits"))
+        .collect().map(r => normalize(r.getString(0))).toSet
+      val untouched = manifest(parent)
+        .where(!col("path").isin(hits.toSeq: _*))
+      val touchedPaths = hits.toSeq.map(rel => s"$root/$rel")
+      val survivors =
+        if (touchedPaths.isEmpty) updates
+        else spark.read.parquet(touchedPaths: _*)
+          .join(keyed, keyCols, "left_anti")
+          .unionByName(updates)
+      untouched.unionByName(writeData(survivors, numFiles))
+    }
+  }
+
   /** Rewrite the live file set into `numFiles` bin-packed files
     * (OPTIMIZE/compaction): content-identical snapshot, new layout. */
   def compact(numFiles: Int = 1): Long =
@@ -200,13 +259,20 @@ final class GraftTable private (
     * parent, write it, then atomically create `snapshot-v<N>.txt` —
     * put-if-absent. A loser rebuilds against the winner's version and
     * tries N+1; its already-written data files are reused as-is. */
-  private def commitWithRetry(op: String)
+  private def commitWithRetry(op: String,
+      batchLedger: Option[Long] = None)
       (buildManifest: Long => DataFrame): Long = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       attempts += 1
       val parent = currentVersion
       val next = parent + 1
+      val parentApplied =
+        if (parent == 0) Set.empty[Long] else snapshot(parent).applied
+      // a rebasing loser re-checks the ledger: the winner may have
+      // been a retry of the very batch this commit carries
+      if (batchLedger.exists(parentApplied.contains)) return parent
+      val applied = parentApplied ++ batchLedger
       val m = buildManifest(parent)
         .select(("path" +: "row_count" +:
           statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
@@ -221,7 +287,8 @@ final class GraftTable private (
         (t.getLong(0), t.getLong(1))
       }
       val content = Seq(s"op=$op", s"parent=$parent",
-        s"manifest=$manifestDir", s"n_files=$nFiles", s"n_rows=$nRows")
+        s"manifest=$manifestDir", s"n_files=$nFiles", s"n_rows=$nRows",
+        s"applied=${applied.toSeq.sorted.mkString(",")}")
         .mkString("", "\n", "\n")
       try {
         val p = java.nio.file.Paths
@@ -246,7 +313,8 @@ object GraftTable {
     extends RuntimeException(msg)
 
   private case class Snapshot(version: Long, op: String, parent: Long,
-    manifestDir: String, nFiles: Long, nRows: Long)
+    manifestDir: String, nFiles: Long, nRows: Long,
+    applied: Set[Long] = Set.empty)
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
 
@@ -268,6 +336,15 @@ object GraftTable {
     val t = new GraftTable(spark, root, statsCols)
     t.append(df, numFiles)
     t
+  }
+
+  /** Open a table that may not have its first commit yet (streaming
+    * sinks start empty); declares the stats columns for writes. */
+  def openOrCreate(spark: SparkSession, root: String,
+      statsCols: Seq[String]): GraftTable = {
+    java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(logDir(root)))
+    new GraftTable(spark, root, statsCols)
   }
 
   /** Open an existing table (stats columns read off the manifest). */

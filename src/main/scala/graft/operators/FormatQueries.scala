@@ -110,4 +110,51 @@ object FormatQueries {
           .as("total_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** q209 — MERGE (upsert) into the table format: base = pre-1999
+    * orders; the merge carries UPDATES (every pre-1999 order with
+    * `o_orderkey % 10 = 0`, total price doubled — ×2 is IEEE-exact)
+    * and INSERTS (all 1999+ orders) in one call. Hash-equal to a CASE
+    * expression over the original table ⟺ the COW merge replaced
+    * exactly the matched rows, inserted exactly the new keys, and
+    * carried every untouched file forward intact. */
+  def q209MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_merge"
+    if (!new java.io.File(s"$root/_log").isDirectory) {
+      val o = Tables.load(s, dir, "orders")
+      val t = GraftTable.create(s, root,
+        o.where(col("o_orderdate") < "1999-01-01"),
+        statsCols = Seq("o_orderkey"))
+      val upd = o.where(col("o_orderdate") < "1999-01-01" &&
+          col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.where(col("o_orderdate") >= "1999-01-01"))
+      t.merge(upd, keyCols = Seq("o_orderkey"))
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
+    * event stream lands via `foreachBatch` → [[GraftTable
+    * .appendIfAbsent]], the batch id riding the same atomic
+    * put-if-absent snapshot as the data (q204's ledger, generalized
+    * to the format layer), and batch 0 is deliberately REPLAYED after
+    * the run — the ledger must skip it. Hash-equal to a plain
+    * aggregate over events ⟺ no batch was lost or double-applied. */
+  def q210StreamingTableSink(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/events_stream" +
+      s"_${System.nanoTime}"
+    graft.streaming.EventStream.streamIntoTable(s, dir, root)
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -692,6 +692,37 @@ object EventStream {
         round(col("total_value").cast("double"), 2).as("total_value"))
   }
 
+  /** Stream the event backlog into a [[graft.format.GraftTable]] with
+    * exactly-once semantics: each micro-batch appends through
+    * `appendIfAbsent`, whose batch-id ledger rides the format's own
+    * atomic put-if-absent snapshot commit (q204's versioned-view
+    * recipe generalized to the table layer). After the drain, batch 0
+    * is deliberately REPLAYED — the at-least-once delivery a real
+    * foreachBatch retry produces — and the ledger must swallow it.
+    * Used by q210; the replay makes the hash gate pin exactly-once,
+    * not just at-least-once. */
+  def streamIntoTable(s: SparkSession, dir: String,
+      tableRoot: String): Unit = {
+    val t = graft.format.GraftTable.openOrCreate(s, tableRoot,
+      statsCols = Seq("ts"))
+    var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
+    val q = readEventStream(s, dir).writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0) firstBatch = Some(batch.persist())
+        t.appendIfAbsent(batch, id, numFiles = 2)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // simulate the retry: re-deliver batch 0 verbatim
+    firstBatch.foreach { b =>
+      t.appendIfAbsent(b, 0L, numFiles = 2)
+      b.unpersist()
+    }
+  }
+
   /** q201 — the STREAMING half of the custom v2 connector in the gate:
     * the eventlog directory is consumed through
     * [[graft.sources.EventLogMicroBatchStream]] — sorted file list as

@@ -85,6 +85,52 @@ class GraftTableSpec extends AnyFunSuite {
       (1L, "append", 0L)))
   }
 
+  test("merge replaces matched keys, inserts new ones, and carries " +
+      "unmatched files forward by reference") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k * 10)).toDF("k", "v"),
+      Seq("k"), numFiles = 1)                       // file A: untouched
+    t.append((101L to 200L).map(k => (k, k * 10)).toDF("k", "v"),
+      numFiles = 1)                                 // file B: matched
+    val before = t.manifest().select("path").as[String].collect().toSet
+    // update 150-160 (in file B), insert 201-210
+    t.merge(((150L to 160L) ++ (201L to 210L))
+      .map(k => (k, -k)).toDF("k", "v"), keyCols = Seq("k"))
+    val after = t.manifest().select("path").as[String].collect().toSet
+    assert(before.intersect(after).size == 1,
+      "the untouched file must carry forward by reference")
+    assert(t.read().count() == 210)
+    assert(t.read().where(col("v") < 0).count() == 21)
+    assert(t.read().where(col("k") === 155).select("v").head().getLong(0)
+      == -155, "matched row must be replaced")
+    assert(t.read().where(col("k") === 55).select("v").head().getLong(0)
+      == 550, "unmatched row must be untouched")
+  }
+
+  test("merge with only-new keys is a pure insert (empty hit set)") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 50L).map(k => (k, k)).toDF("k", "v"), Seq("k"), numFiles = 1)
+    t.merge((51L to 60L).map(k => (k, k)).toDF("k", "v"), Seq("k"))
+    assert(t.read().count() == 60)
+  }
+
+  test("appendIfAbsent applies a batch id once: the replay is " +
+      "swallowed by the snapshot ledger, even through a reopened handle") {
+    val root = tmp()
+    val t = GraftTable.openOrCreate(spark, root, Seq("k"))
+    val b0 = (1L to 100L).toDF("k")
+    assert(t.appendIfAbsent(b0, batchId = 0L) == 1)
+    assert(t.appendIfAbsent((101L to 200L).toDF("k"), batchId = 1L) == 2)
+    // at-least-once retry of batch 0, same handle and a fresh one
+    assert(t.appendIfAbsent(b0, batchId = 0L) == 2, "replay must no-op")
+    assert(GraftTable.forPath(spark, root)
+      .appendIfAbsent(b0, batchId = 0L) == 2)
+    assert(t.read().count() == 200)
+    assert(t.appliedBatches == Set(0L, 1L))
+  }
+
   test("two writers racing the same parent both land: put-if-absent " +
       "picks one winner, the loser rebases onto it, no rows lost") {
     import scala.concurrent.{Await, Future}
