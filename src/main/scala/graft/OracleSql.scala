@@ -540,6 +540,35 @@ object OracleSql {
              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS total_value
       FROM events GROUP BY 1 ORDER BY 1
+    """,
+    // q211: z-order changes the layout, never the answer — the hash
+    // pins losslessness of the custkey-range scan over zone maps.
+    "q211_zorder_prune" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 200
+      ORDER BY o_orderkey
+    """,
+    // q212: the v1→v3 file diff is, by construction, the 1997+ commits.
+    "q212_incremental_changes" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+    """,
+    // q213: the old-writer half (even doc_id) must surface n_chars as
+    // NULL after the merged read; count(n_chars) pins the placement.
+    "q213_schema_evolution_fmt" -> """
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+               AS BIGINT) AS n_with_chars,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+               AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

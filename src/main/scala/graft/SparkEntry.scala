@@ -285,7 +285,12 @@ object SparkEntry {
     "q208_cow_delete" -> (FormatQueries.q208CowDelete _),
     "q209_merge_upsert" -> (FormatQueries.q209MergeUpsert _),
     "q210_streaming_table_sink" ->
-      (FormatQueries.q210StreamingTableSink _)
+      (FormatQueries.q210StreamingTableSink _),
+    "q211_zorder_prune" -> (FormatQueries.q211ZorderPrune _),
+    "q212_incremental_changes" ->
+      (FormatQueries.q212IncrementalChanges _),
+    "q213_schema_evolution_fmt" ->
+      (FormatQueries.q213SchemaEvolution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

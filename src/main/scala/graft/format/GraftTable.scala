@@ -127,12 +127,80 @@ final class GraftTable private (
       live.length.toLong, total)
   }
 
-  /** Commit history, newest first: one row per snapshot. */
+  /** The table with schemas MERGED across commits (schema evolution:
+    * files written before a column existed surface it as null —
+    * q185's mergeSchema mechanics, owned by the format layer). */
+  def readMerged(version: Long = currentVersion): DataFrame = {
+    val paths = filePaths(version)
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** CDC-style incremental read: the rows of files ADDED between two
+    * snapshots (exactly the appended rows under append-only history;
+    * under COW rewrites, the post-image of rewritten files). This is
+    * what lets a downstream consumer maintain a derived table without
+    * rescanning — Delta's change-data-feed restated at file
+    * granularity. The file-set diff is manifest-sized. */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val added = manifest(toVersion).select("path")
+      .except(manifest(fromVersion).select("path"))
+      .collect().map(r => s"$root/${r.getString(0)}")
+    if (added.isEmpty) read(toVersion).limit(0)
+    else spark.read.parquet(added.toSeq: _*)
+  }
+
+  /** Physically delete everything the last `retainLast` snapshots no
+    * longer reference: older snapshot records, their manifests, and
+    * any data file only they pointed at. Time travel behind the
+    * horizon is gone afterwards — that is the deal vacuum offers.
+    * Returns the number of data files deleted. Driver work is
+    * file-list-sized, IO is unreferenced-files-sized. */
+  def vacuum(retainLast: Int = 1): Int = {
+    val cur = currentVersion
+    val keepFrom = math.max(1L, cur - retainLast + 1)
+    val live = (keepFrom to cur).flatMap(v =>
+      manifest(v).select("path").collect().map(_.getString(0))).toSet
+    val dataDir = new java.io.File(s"$root/data")
+    var deleted = 0
+    val commitDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
+    commitDirs.foreach { cd =>
+      Option(cd.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val rel = s"data/${cd.getName}/${f.getName}"
+        if (f.getName.endsWith(".parquet") && !live.contains(rel)) {
+          if (f.delete()) deleted += 1
+        }
+      }
+      val left = Option(cd.listFiles()).getOrElse(Array.empty)
+      if (left.forall(f => !f.getName.endsWith(".parquet")))
+        { left.foreach(_.delete()); cd.delete() }
+    }
+    (1L until keepFrom).foreach { v =>
+      val s = snapshot(v)
+      deleteRecursively(
+        new java.io.File(s"${logDir(root)}/${s.manifestDir}"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
+    }
+    deleted
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Commit history, newest first: one row per snapshot still on
+    * disk (vacuum removes records behind its horizon). */
   def history(): DataFrame = {
     import spark.implicits._
-    (1L to currentVersion).map { v =>
-      val s = snapshot(v)
-      (s.version, s.op, s.parent, s.nFiles, s.nRows)
+    (1L to currentVersion).flatMap { v =>
+      try {
+        val s = snapshot(v)
+        Some((s.version, s.op, s.parent, s.nFiles, s.nRows))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     }.toDF("version", "op", "parent", "n_files", "n_rows")
       .orderBy(col("version").desc)
   }

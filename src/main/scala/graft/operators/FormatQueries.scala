@@ -139,6 +139,65 @@ object FormatQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q211 — Z-ORDER + zone maps: one commit clustered on the z-curve
+    * of (o_custkey, o_orderkey), so every file covers a compact rectangle
+    * in BOTH dimensions and a range on EITHER column skips files
+    * (plain range-clustering buys pruning on one column only). The
+    * hash gates losslessness of the custkey-range scan;
+    * GraftTableSpec pins the two-dimensional skip rates. */
+  def q211ZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_zorder"
+    if (!new java.io.File(s"$root/_log").isDirectory) {
+      val o = Tables.load(s, dir, "orders")
+      val staged = graft.etl.ZOrder
+        .zValue(o, "o_custkey", "o_orderkey")
+        .repartitionByRange(8, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+      GraftTable.create(s, root, staged,
+        statsCols = Seq("o_custkey", "o_orderkey"), numFiles = 0)
+    }
+    val (rows, _, _) = GraftTable.forPath(s, root)
+      .prunedRead("o_custkey", lit(100), lit(200))
+    rows.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q212 — CDC incremental read: the file-set diff between snapshot
+    * 1 and snapshot 3 of the shared orders table is, by construction,
+    * exactly the 1997+ commits — the rows a downstream consumer folds
+    * in WITHOUT rescanning history. Hash-equal to the date-filtered
+    * original ⟺ the manifest diff is precisely the appended data. */
+  def q212IncrementalChanges(s: SparkSession, dir: String): DataFrame =
+    ordersTable(s, dir).readChanges(fromVersion = 1, toVersion = 3)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q213 — SCHEMA EVOLUTION owned by the format: an old-writer
+    * commit without `n_chars`, a new-writer commit with it, one
+    * merged read where the old half surfaces the column as NULL.
+    * count(n_chars) pins the nulls landed exactly on the old half. */
+  def q213SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/docs_evo"
+    if (!new java.io.File(s"$root/_log").isDirectory) {
+      val d = Tables.load(s, dir, "documents")
+      val t = GraftTable.create(s, root,
+        d.where(col("doc_id") % 2 === 0).select("doc_id", "lang"),
+        statsCols = Seq("doc_id"))
+      t.append(d.where(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars"))
+    }
+    GraftTable.forPath(s, root).readMerged()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

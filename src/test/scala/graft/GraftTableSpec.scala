@@ -131,6 +131,56 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.appliedBatches == Set(0L, 1L))
   }
 
+  test("z-order clustered commit skips files on BOTH dimensions") {
+    val root = tmp()
+    val staged = graft.etl.ZOrder
+      .zValue(orders, "o_custkey", "o_orderkey")
+      .repartitionByRange(8, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    val t = GraftTable.create(spark, root, staged,
+      Seq("o_custkey", "o_orderkey"), numFiles = 0)
+    val (byCust, openedC, totalC) =
+      t.prunedRead("o_custkey", lit(1), lit(15))
+    val (byKey, openedK, totalK) =
+      t.prunedRead("o_orderkey", lit(1), lit(150))
+    assert(totalC >= 8 && totalK >= 8)
+    assert(openedC < totalC, s"custkey dim must skip: $openedC/$totalC")
+    assert(openedK < totalK, s"orderkey dim must skip: $openedK/$totalK")
+    assert(byCust.count() ==
+      orders.where(col("o_custkey").between(1, 15)).count())
+    assert(byKey.count() ==
+      orders.where(col("o_orderkey").between(1, 150)).count())
+  }
+
+  test("readChanges returns exactly the rows of files added between " +
+      "two snapshots") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 2)
+    t.append((101L to 180L).toDF("k"), numFiles = 2)
+    t.append((181L to 220L).toDF("k"), numFiles = 2)
+    val ch = t.readChanges(1, 3)
+    assert(ch.count() == 120)
+    assert(ch.agg(min(col("k")), max(col("k"))).head().toSeq
+      == Seq(101L, 220L))
+    assert(t.readChanges(2, 2).count() == 0)
+  }
+
+  test("vacuum deletes only what the retained snapshots no longer " +
+      "reference; current reads survive, expired time travel is gone") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 400L).toDF("k"), Seq("k"), numFiles = 4)
+    t.append((401L to 500L).toDF("k"), numFiles = 2)
+    t.compact(numFiles = 1) // v3: all data in 1 file; v1/v2 files dead
+    val deleted = t.vacuum(retainLast = 1)
+    assert(deleted == 6, s"expected the 6 pre-compact files, got $deleted")
+    assert(t.read().count() == 500, "current snapshot must be intact")
+    intercept[java.nio.file.NoSuchFileException](t.read(1).count())
+    assert(t.history().collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("two writers racing the same parent both land: put-if-absent " +
       "picks one winner, the loser rebases onto it, no rows lost") {
     import scala.concurrent.{Await, Future}
