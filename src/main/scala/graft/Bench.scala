@@ -310,18 +310,69 @@ object Bench {
     }
     val ann50xTime = if (runEtl) ann50x() else -1.0
 
+    // 10× scale smoke for the TABLE FORMAT: orders replicated 10×,
+    // then one timed pass of the format's whole write/maintain/read
+    // surface — range-clustered create, a RANGE-LOCAL merge (updates
+    // confined to the low tenth of the key space, so COW rewrites
+    // only the files it must — the file-granularity claim under
+    // load), and a zone-map pruned read. Superlinear blowup in the
+    // audit join, manifest handling, or pruning would surface here.
+    def gtable10x(): Double = {
+      val sp = newSession(cpus)
+      var root: String = null
+      try {
+        root = java.nio.file.Files
+          .createTempDirectory("graft_10x_gtable_").toString + "/t"
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val ord = Tables.load(sp, sfDir, "orders")
+        val stride = ord.agg(max(col("o_orderkey")).cast("long"))
+          .head().getLong(0) + 1L
+        val big = (0 until 10).map(i =>
+            ord.withColumn("o_orderkey",
+              col("o_orderkey").cast("long") + lit(i * stride)))
+          .reduce(_ unionByName _)
+        timed {
+          val t = graft.format.GraftTable.create(sp, root,
+            big.repartitionByRange(32, col("o_orderkey")),
+            statsCols = Seq("o_orderkey"), numFiles = 0)
+          t.merge(big.where(col("o_orderkey") < stride &&
+              col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+            keyCols = Seq("o_orderkey"), numFiles = 4)
+          val (rows, _, _) = graft.format.GraftTable.forPath(sp, root)
+            .prunedRead("o_orderkey", lit(0), lit(stride / 10))
+          rows.count()
+          ()
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL gtable_10x: $e")
+          -1.0
+      } finally {
+        import scala.reflect.io.Directory
+        if (root != null)
+          new Directory(new java.io.File(root).getParentFile)
+            .deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val gtable10xTime = if (runEtl) gtable10x() else -1.0
+
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
     // used to report under _10x) and are excluded from the headline by
     // this explicit list — never by suffix matching.
     val scaleSmokeKeys = Seq(
       s"etl_pipeline_${etlX}x", s"etl_incremental_${etlX}x",
-      "dedup_10x", "ann_50x")
+      "dedup_10x", "ann_50x", "gtable_10x")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
       (s"etl_incremental_${etlX}x" -> etl10xIncTime) :+
       ("dedup_10x" -> dedup10xTime) :+
-      ("ann_50x" -> ann50xTime)
+      ("ann_50x" -> ann50xTime) :+
+      ("gtable_10x" -> gtable10xTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set

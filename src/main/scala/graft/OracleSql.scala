@@ -569,6 +569,15 @@ object OracleSql {
              CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
                AS BIGINT) AS sum_chars
       FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    // q214: the CDC-maintained view must equal the full recompute —
+    // the oracle IS the full recompute, stated over the original.
+    "q214_cdc_maintained_view" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -290,7 +290,9 @@ object SparkEntry {
     "q212_incremental_changes" ->
       (FormatQueries.q212IncrementalChanges _),
     "q213_schema_evolution_fmt" ->
-      (FormatQueries.q213SchemaEvolution _)
+      (FormatQueries.q213SchemaEvolution _),
+    "q214_cdc_maintained_view" ->
+      (FormatQueries.q214CdcMaintainedView _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

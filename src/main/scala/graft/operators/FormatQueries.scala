@@ -198,6 +198,36 @@ object FormatQueries {
       .orderBy(col("lang"))
   }
 
+  /** q214 — CDC-MAINTAINED VIEW: a per-status aggregate view seeded
+    * from snapshot 1 and then maintained by folding each version's
+    * [[GraftTable.readChanges]] delta — never rescanning history
+    * (q123's partial-state merge, fed by the format's own change
+    * feed). State merges associatively (counts add, DECIMAL sums
+    * add), so the maintained view is bit-identical to a full
+    * recompute — which is exactly what the oracle states over the
+    * original table. At 100 TB this is the consumer pattern the
+    * change feed exists for: per-version work ∝ delta size. */
+  def q214CdcMaintainedView(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersTable(s, dir)
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(28,4)").as("rev"))
+    val seeded = agg(t.read(version = 1))
+    val maintained = (2L to t.currentVersion).foldLeft(seeded) {
+      (view, v) =>
+        view.unionByName(agg(t.readChanges(v - 1, v)))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("rev")).cast("decimal(28,4)").as("rev"))
+    }
+    maintained.select(col("o_orderstatus"),
+      col("n_orders").cast("long").as("n_orders"),
+      round(col("rev").cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic
