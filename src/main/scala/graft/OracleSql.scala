@@ -578,6 +578,16 @@ object OracleSql {
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                AS DOUBLE), 2) AS revenue
       FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q215: zone-map skipping under a composite predicate is pure
+    // optimization — the answer must equal the plain WHERE.
+    "q215_predicate_pruned_scan" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE (o_orderkey BETWEEN 1000 AND 3000
+             OR o_orderkey BETWEEN 9000 AND 11000)
+        AND o_orderstatus = 'F'
+      ORDER BY o_orderkey
     """
   ).map { case (k, v) => k -> v.trim }
 

@@ -292,7 +292,9 @@ object SparkEntry {
     "q213_schema_evolution_fmt" ->
       (FormatQueries.q213SchemaEvolution _),
     "q214_cdc_maintained_view" ->
-      (FormatQueries.q214CdcMaintainedView _)
+      (FormatQueries.q214CdcMaintainedView _),
+    "q215_predicate_pruned_scan" ->
+      (FormatQueries.q215PredicatePrunedScan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

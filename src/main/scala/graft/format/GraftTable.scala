@@ -127,6 +127,94 @@ final class GraftTable private (
       live.length.toLong, total)
   }
 
+  /** GENERAL predicate-driven zone maps: translate an arbitrary data
+    * predicate into a manifest-stats predicate — each comparison on a
+    * stats column becomes an interval test against that file's
+    * [min,max] envelope, And/Or recurse, and anything the translation
+    * doesn't understand (other columns, functions, NOT) becomes
+    * `true` (keep the file) — so skipping is always CONSERVATIVE and
+    * the row-level filter re-applied on the survivors makes the
+    * result exact regardless. This is the Delta/Iceberg data-skipping
+    * contract: pruning is an optimization, never a semantics change.
+    * Returns (rows, filesOpened, filesTotal). */
+  def prunedWhere(cond: Column): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // Resolve through the analyzer against the table's own schema:
+    // Spark 4 Columns carry lazy ColumnNodes, and only analysis turns
+    // them into the And/Or/comparison tree (with literals cast to the
+    // column type) this translation walks.
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if statsCols.contains(a.name) =>
+        Some(a.name)
+      case _ => None // incl. Cast(attr): a cast can break monotonicity
+    }
+    def value(e: Expression): Option[Column] = e match {
+      case l: Literal => Some(ColumnBridge.column(l))
+      case c if c.foldable => // analyzer-inserted Cast over a literal
+        Some(ColumnBridge.column(Literal.create(c.eval(null), c.dataType)))
+      case _ => None
+    }
+    def keep(e: Expression): Column = e match {
+      case And(l, r) => keep(l) && keep(r)
+      case Or(l, r) => keep(l) || keep(r)
+      case EqualTo(a, v) => (attr(a), value(v)) match {
+        case (Some(c), Some(lv)) =>
+          col(s"min_$c") <= lv && col(s"max_$c") >= lv
+        case _ => (attr(v), value(a)) match { // literal on the left
+          case (Some(c), Some(lv)) =>
+            col(s"min_$c") <= lv && col(s"max_$c") >= lv
+          case _ => lit(true)
+        }
+      }
+      case GreaterThan(a, v) => (attr(a), value(v), attr(v), value(a)) match {
+        case (Some(c), Some(lv), _, _) => col(s"max_$c") > lv   // c > v
+        case (_, _, Some(c), Some(lv)) => col(s"min_$c") < lv   // v > c
+        case _ => lit(true)
+      }
+      case GreaterThanOrEqual(a, v) =>
+        (attr(a), value(v), attr(v), value(a)) match {
+          case (Some(c), Some(lv), _, _) => col(s"max_$c") >= lv
+          case (_, _, Some(c), Some(lv)) => col(s"min_$c") <= lv
+          case _ => lit(true)
+        }
+      case LessThan(a, v) => (attr(a), value(v), attr(v), value(a)) match {
+        case (Some(c), Some(lv), _, _) => col(s"min_$c") < lv
+        case (_, _, Some(c), Some(lv)) => col(s"max_$c") > lv
+        case _ => lit(true)
+      }
+      case LessThanOrEqual(a, v) =>
+        (attr(a), value(v), attr(v), value(a)) match {
+          case (Some(c), Some(lv), _, _) => col(s"min_$c") <= lv
+          case (_, _, Some(c), Some(lv)) => col(s"max_$c") >= lv
+          case _ => lit(true)
+        }
+      case In(a, vs) if attr(a).isDefined && vs.forall(value(_).isDefined) =>
+        val c = attr(a).get
+        vs.map(v => col(s"min_$c") <= value(v).get &&
+          col(s"max_$c") >= value(v).get)
+          .reduce(_ || _)
+      case _ => lit(true) // NOT, functions, other columns: keep
+    }
+    val resolved = ColumnBridge
+      .analyzed(read().where(cond))
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"predicate did not analyze to a Filter: $cond"))
+    val m = manifest().cache()
+    val total = m.count()
+    val live = m.where(keep(resolved))
+      .select("path").collect().map(r => s"$root/${r.getString(0)}")
+    m.unpersist()
+    val df =
+      if (live.isEmpty) read().limit(0)
+      else spark.read.parquet(live.toSeq: _*)
+    (df.where(cond), live.length.toLong, total)
+  }
+
   /** The table with schemas MERGED across commits (schema evolution:
     * files written before a column existed surface it as null —
     * q185's mergeSchema mechanics, owned by the format layer). */

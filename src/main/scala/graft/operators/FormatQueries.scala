@@ -198,6 +198,23 @@ object FormatQueries {
       .orderBy(col("lang"))
   }
 
+  /** q215 — PREDICATE-driven zone maps: an arbitrary Column predicate
+    * (two OR'd key ranges AND an equality on a non-stats column) is
+    * translated into a manifest-stats test — comparisons on stats
+    * columns become interval checks, the status equality becomes
+    * "keep" — so only envelope-intersecting files open and the
+    * row-level filter makes the survivors exact. Hash-equal to the
+    * same WHERE over the original ⟺ skipping stayed conservative. */
+  def q215PredicatePrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val (rows, _, _) = ordersTable(s, dir).prunedWhere(
+      (col("o_orderkey").between(1000, 3000) ||
+        col("o_orderkey").between(9000, 11000)) &&
+        col("o_orderstatus") === "F")
+    rows.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q214 — CDC-MAINTAINED VIEW: a per-status aggregate view seeded
     * from snapshot 1 and then maintained by folding each version's
     * [[GraftTable.readChanges]] delta — never rescanning history

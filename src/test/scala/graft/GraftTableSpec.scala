@@ -153,6 +153,31 @@ class GraftTableSpec extends AnyFunSuite {
       orders.where(col("o_orderkey").between(1, 150)).count())
   }
 
+  test("prunedWhere: an OR of two key ranges skips files; a predicate " +
+      "the translation can't use keeps them all; both stay exact") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"), numFiles = 0)
+    val cond = (col("o_orderkey").between(1, 60) ||
+      col("o_orderkey").between(1400, 1500)) &&
+      col("o_orderstatus") === "F"
+    val (rows, opened, total) = t.prunedWhere(cond)
+    assert(total >= 8)
+    assert(opened < total, s"OR-range must skip: $opened/$total")
+    assert(rows.count() == orders.where(cond).count())
+    // non-stats-column predicate: conservative — all files open, but
+    // the result is still exact
+    val unsup = col("o_orderstatus") === "F"
+    val (rows2, opened2, total2) = t.prunedWhere(unsup)
+    assert(opened2 == total2)
+    assert(rows2.count() == orders.where(unsup).count())
+    // NOT is conservative too (never unsound)
+    val neg = !col("o_orderkey").between(1, 60)
+    val (rows3, _, _) = t.prunedWhere(neg)
+    assert(rows3.count() == orders.where(neg).count())
+  }
+
   test("readChanges returns exactly the rows of files added between " +
       "two snapshots") {
     val root = tmp()
