@@ -588,6 +588,28 @@ object OracleSql {
              OR o_orderkey BETWEEN 9000 AND 11000)
         AND o_orderstatus = 'F'
       ORDER BY o_orderkey
+    """,
+    // q216: the manifest's counts and envelopes must equal the direct
+    // aggregates — no data file is read on the Spark side.
+    "q216_metadata_agg" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(o_orderkey) AS min_o_orderkey,
+             MAX(o_orderkey) AS max_o_orderkey,
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+             strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+      FROM orders
+    """,
+    // q217: replace-where rebuilt 1997-1998 with doubled prices in one
+    // snapshot; everything else must be untouched.
+    "q217_replace_where" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(CASE
+               WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
     """
   ).map { case (k, v) => k -> v.trim }
 

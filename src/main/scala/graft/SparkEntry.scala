@@ -294,7 +294,9 @@ object SparkEntry {
     "q214_cdc_maintained_view" ->
       (FormatQueries.q214CdcMaintainedView _),
     "q215_predicate_pruned_scan" ->
-      (FormatQueries.q215PredicatePrunedScan _)
+      (FormatQueries.q215PredicatePrunedScan _),
+    "q216_metadata_agg" -> (FormatQueries.q216MetadataAgg _),
+    "q217_replace_where" -> (FormatQueries.q217ReplaceWhere _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -330,6 +330,50 @@ final class GraftTable private (
           numFiles))
     }
 
+  /** METADATA-ONLY aggregates: COUNT(*) and per-stats-column MIN/MAX
+    * answered from the manifest alone — zero data files opened (row
+    * counts sum, envelopes fold), the Iceberg/Delta trick that makes
+    * `SELECT count(*)` on a petabyte table a manifest scan. Exact
+    * because commits record exact per-file counts and typed min/max.
+    * Returns one row: n_rows, then min_<c>/max_<c> per stats col. */
+  def metadataAggregates(version: Long = currentVersion): DataFrame = {
+    val aggs = coalesce(sum(col("row_count")), lit(0L)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    manifest(version).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Atomic REPLACE-WHERE (Delta's `replaceWhere`): delete every row
+    * matching `cond` and insert `df`, as ONE snapshot — the
+    * incremental-load primitive (rebuild a window in place, readers
+    * never see the gap between delete and insert). File-granular like
+    * [[deleteWhere]]: no-hit files carry forward by reference. */
+  def replaceWhere(cond: Column, df: DataFrame,
+      numFiles: Int = 4): Long = {
+    val replacement = writeData(df, numFiles)
+    commitWithRetry("replace") { parent =>
+      val paths = filePaths(parent)
+      val audit = spark.read.parquet(paths: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("total"),
+          count(when(cond, lit(1))).as("hits"))
+        .collect()
+        .map(r => (normalize(r.getString(0)), r.getLong(1), r.getLong(2)))
+      val untouched = audit.filter(_._3 == 0).map(_._1).toSet
+      val mixed = audit.filter(a => a._3 > 0 && a._3 < a._2)
+        .map(a => s"$root/${a._1}")
+      val kept = manifest(parent)
+        .where(col("path").isin(untouched.toSeq: _*))
+      val rewritten =
+        if (mixed.isEmpty) kept
+        else kept.unionByName(
+          writeData(spark.read.parquet(mixed.toSeq: _*).where(!cond),
+            numFiles))
+      rewritten.unionByName(replacement)
+    }
+  }
+
   /** EXACTLY-ONCE streaming append: `foreachBatch` is at-least-once
     * under retries, so each micro-batch commits its id into the
     * snapshot's applied-batch ledger IN the same atomic put-if-absent

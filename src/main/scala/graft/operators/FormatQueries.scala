@@ -215,6 +215,43 @@ object FormatQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q216 — METADATA-ONLY aggregates: count(*) and the o_orderkey /
+    * o_orderdate envelopes answered from the manifest alone — no data
+    * file opened (spec proves it by deleting the data files first).
+    * Hash-equal to the direct aggregates over the original ⟺ every
+    * commit recorded exact counts and envelopes. */
+  def q216MetadataAgg(s: SparkSession, dir: String): DataFrame =
+    ordersTable(s, dir).metadataAggregates()
+      .select(col("n_rows"),
+        col("min_o_orderkey"), col("max_o_orderkey"),
+        date_format(col("min_o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("min_date"),
+        date_format(col("max_o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("max_date"))
+
+  /** q217 — atomic REPLACE-WHERE: the 1997–1998 window is rebuilt in
+    * place with doubled prices in ONE snapshot (delete + insert with
+    * no visible gap — the incremental-load primitive the reference's
+    * dynamic partition overwrite approximates at directory level).
+    * Hash-equal to a CASE restatement over the original. */
+  def q217ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_replace"
+    if (!new java.io.File(s"$root/_log").isDirectory) {
+      val o = Tables.load(s, dir, "orders")
+      val window = col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01"
+      val t = GraftTable.create(s, root, o, statsCols = Seq("o_orderkey"))
+      t.replaceWhere(window,
+        o.where(window).withColumn("o_totalprice", col("o_totalprice") * 2))
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
+  }
+
   /** q214 — CDC-MAINTAINED VIEW: a per-status aggregate view seeded
     * from snapshot 1 and then maintained by folding each version's
     * [[GraftTable.readChanges]] delta — never rescanning history

@@ -206,6 +206,42 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.history().collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("metadataAggregates answers count/min/max from the manifest " +
+      "alone — even after every data file is deleted") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 300L).toDF("k"), Seq("k"), numFiles = 3)
+    t.append((301L to 500L).toDF("k"), numFiles = 2)
+    // destroy the data; only the log remains
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/data")).deleteRecursively()
+    val r = t.metadataAggregates().head()
+    assert(r.getLong(0) == 500)
+    assert(r.getLong(1) == 1 && r.getLong(2) == 500)
+  }
+
+  test("replaceWhere rebuilds exactly the matching window in ONE " +
+      "snapshot; non-matching files carry forward by reference") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      numFiles = 1)                                    // no hits
+    t.append((101L to 200L).map(k => (k, k)).toDF("k", "v"),
+      numFiles = 1)                                    // all hits
+    val before = t.manifest().select("path").as[String].collect().toSet
+    val vBefore = t.currentVersion
+    t.replaceWhere(col("k") > 100,
+      (101L to 150L).map(k => (k, -k)).toDF("k", "v"), numFiles = 1)
+    assert(t.currentVersion == vBefore + 1, "one atomic snapshot")
+    val after = t.manifest().select("path").as[String].collect().toSet
+    assert(before.intersect(after).size == 1,
+      "the no-hit file must carry forward by reference")
+    assert(t.read().count() == 150)
+    assert(t.read().where(col("v") < 0).count() == 50)
+    assert(t.read().where(col("k") > 150).count() == 0,
+      "deleted window rows not re-inserted must be gone")
+  }
+
   test("two writers racing the same parent both land: put-if-absent " +
       "picks one winner, the loser rebases onto it, no rows lost") {
     import scala.concurrent.{Await, Future}
