@@ -599,6 +599,23 @@ object OracleSql {
              strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
       FROM orders
     """,
+    // q218: the silver join through the lakehouse bronze must equal
+    // the flat left-join chain over the originals; COUNT(r_name) pins
+    // the nullability the left joins thread through.
+    "q218_lakehouse_silver" -> """
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue,
+             CAST(COUNT(r_name) AS BIGINT) AS n_with_region
+      FROM lineitem
+      LEFT JOIN orders   ON l_orderkey  = o_orderkey
+      LEFT JOIN part     ON l_partkey   = p_partkey
+      LEFT JOIN customer ON o_custkey   = c_custkey
+      LEFT JOIN nation   ON c_nationkey = n_nationkey
+      LEFT JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1 ORDER BY 1
+    """,
     // q217: replace-where rebuilt 1997-1998 with doubled prices in one
     // snapshot; everything else must be untouched.
     "q217_replace_where" -> """

@@ -296,7 +296,8 @@ object SparkEntry {
     "q215_predicate_pruned_scan" ->
       (FormatQueries.q215PredicatePrunedScan _),
     "q216_metadata_agg" -> (FormatQueries.q216MetadataAgg _),
-    "q217_replace_where" -> (FormatQueries.q217ReplaceWhere _)
+    "q217_replace_where" -> (FormatQueries.q217ReplaceWhere _),
+    "q218_lakehouse_silver" -> (FormatQueries.q218LakehouseSilver _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

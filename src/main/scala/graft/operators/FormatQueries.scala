@@ -252,6 +252,31 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q218 — the T1 SILVER JOIN through the LAKEHOUSE BRONZE: the fact
+    * lands in a GraftTable (one atomic snapshot), T1 reads it back
+    * through predicate-driven zone maps, and the reference's 3-way
+    * left-join denormalization runs unchanged on top. Hash-equal to
+    * the flat join chain over the originals ⟺ the storage contract
+    * swap (directories → manifests) changed nothing semantically.
+    * count(r_name) pins the left-join nullability through the chain. */
+  def q218LakehouseSilver(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "lakewh")
+    val cfg = graft.etl.Pipeline.Config(dir, wh, "19920101", "20021231")
+    if (!new java.io.File(
+        s"${graft.etl.LakehousePipeline.bronzePath(wh)}/_log")
+        .isDirectory) {
+      graft.etl.Pipeline.t0Dimensions(s, cfg)
+      graft.etl.LakehousePipeline.t0FactLake(s, cfg)
+    }
+    graft.etl.LakehousePipeline.silverLake(s, cfg)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"),
+        count(col("r_name")).as("n_with_region"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q214 — CDC-MAINTAINED VIEW: a per-status aggregate view seeded
     * from snapshot 1 and then maintained by folding each version's
     * [[GraftTable.readChanges]] delta — never rescanning history
