@@ -432,6 +432,26 @@ final class GraftTable private (
       writeData(read(parent), numFiles)
     }
 
+  /** OPTIMIZE ZORDER: rewrite the live file set clustered on the
+    * z-curve of two stats columns — content-identical snapshot whose
+    * per-file envelopes become compact rectangles in BOTH dimensions,
+    * so [[prunedRead]]/[[prunedWhere]] skip on either column from now
+    * on. The retro-clustering half of q211 (which z-orders at write
+    * time): a table that accreted under append order gets its zone
+    * maps sharpened in one commit. */
+  def optimizeZorder(colX: String, colY: String,
+      numFiles: Int = 8): Long = {
+    require(statsCols.contains(colX) && statsCols.contains(colY),
+      s"z-order columns must carry stats: $statsCols")
+    commitWithRetry("zorder") { parent =>
+      val staged = graft.etl.ZOrder.zValue(read(parent), colX, colY)
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+      writeData(staged, numFiles = 0)
+    }
+  }
+
   /** Write `df` into a fresh immutable commit dir and return its
     * manifest entries — ONE aggregate job collects per-file row counts
     * and typed min/max for every stats column. `numFiles = 0` keeps

@@ -178,6 +178,33 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows3.count() == orders.where(neg).count())
   }
 
+  test("optimizeZorder re-clusters an append-ordered table in place: " +
+      "content identical, and zone maps start skipping on both " +
+      "dimensions where before they couldn't") {
+    val root = tmp()
+    // append-ordered: custkey-sorted commits → orderkey smeared
+    val t = GraftTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_custkey")),
+      Seq("o_custkey", "o_orderkey"), numFiles = 0)
+    val (_, openedBefore, totalBefore) =
+      t.prunedRead("o_orderkey", lit(1), lit(150))
+    assert(openedBefore == totalBefore,
+      "custkey-clustered layout cannot skip on orderkey")
+    val before = t.read().select(sum(col("o_orderkey")),
+      count(lit(1))).head()
+    t.optimizeZorder("o_custkey", "o_orderkey")
+    assert(t.read().select(sum(col("o_orderkey")),
+      count(lit(1))).head() == before, "content must not change")
+    val (rk, openedK, totalK) = t.prunedRead("o_orderkey", lit(1), lit(150))
+    val (rc, openedC, totalC) = t.prunedRead("o_custkey", lit(1), lit(15))
+    assert(openedK < totalK, s"orderkey now skips: $openedK/$totalK")
+    assert(openedC < totalC, s"custkey still skips: $openedC/$totalC")
+    assert(rk.count() ==
+      orders.where(col("o_orderkey").between(1, 150)).count())
+    assert(rc.count() ==
+      orders.where(col("o_custkey").between(1, 15)).count())
+  }
+
   test("readChanges returns exactly the rows of files added between " +
       "two snapshots") {
     val root = tmp()
