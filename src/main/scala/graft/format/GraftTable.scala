@@ -56,6 +56,21 @@ final class GraftTable private (
 
   import GraftTable._
 
+  /** `input_file_name()` URI → path relative to THIS table's root
+    * (anchored on the known root prefix, so a root that itself
+    * contains `/data/c…` can't mis-relativize; the tail-search is
+    * only a fallback for exotic URI schemes). */
+  private def normalize(uri: String): String = {
+    val p = java.net.URI.create(uri).getPath
+    val rootAbs = new java.io.File(root).getAbsolutePath
+      .stripSuffix("/")
+    if (p.startsWith(rootAbs + "/")) p.substring(rootAbs.length + 1)
+    else {
+      val i = p.lastIndexOf("/data/c")
+      p.substring(i + 1)
+    }
+  }
+
   // ---- version / snapshot resolution --------------------------------
 
   /** Highest committed version (max over snapshot files), 0 = none. */
@@ -138,6 +153,23 @@ final class GraftTable private (
     * contract: pruning is an optimization, never a semantics change.
     * Returns (rows, filesOpened, filesTotal). */
   def prunedWhere(cond: Column): (DataFrame, Long, Long) = {
+    val m = manifest().cache()
+    val total = m.count()
+    val live = m.where(statsKeep(cond, currentVersion))
+      .select("path").collect().map(r => s"$root/${r.getString(0)}")
+    m.unpersist()
+    val df =
+      if (live.isEmpty) read().limit(0)
+      else spark.read.parquet(live.toSeq: _*)
+    (df.where(cond), live.length.toLong, total)
+  }
+
+  /** The manifest-level KEEP predicate for `cond` against `version`'s
+    * schema — the envelope translation [[prunedWhere]] scans with,
+    * shared by the COW mutation paths so their candidate audits read
+    * only stats-intersecting files (a file this predicate drops
+    * provably holds no cond-TRUE row). */
+  private def statsKeep(cond: Column, version: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.graft.ColumnBridge
     // Resolve through the analyzer against the table's own schema:
@@ -197,22 +229,14 @@ final class GraftTable private (
       case _ => lit(true) // NOT, functions, other columns: keep
     }
     val resolved = ColumnBridge
-      .analyzed(read().where(cond))
+      .analyzed(read(version).where(cond))
       .collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
       }
       .getOrElse(throw new IllegalArgumentException(
         s"predicate did not analyze to a Filter: $cond"))
-    val m = manifest().cache()
-    val total = m.count()
-    val live = m.where(keep(resolved))
-      .select("path").collect().map(r => s"$root/${r.getString(0)}")
-    m.unpersist()
-    val df =
-      if (live.isEmpty) read().limit(0)
-      else spark.read.parquet(live.toSeq: _*)
-    (df.where(cond), live.length.toLong, total)
+    keep(resolved)
   }
 
   /** The table with schemas MERGED across commits (schema evolution:
@@ -241,21 +265,44 @@ final class GraftTable private (
   /** Physically delete everything the last `retainLast` snapshots no
     * longer reference: older snapshot records, their manifests, and
     * any data file only they pointed at. Time travel behind the
-    * horizon is gone afterwards — that is the deal vacuum offers.
+    * horizon is gone afterwards — that is the deal vacuum offers; the
+    * horizon is visible in [[history]], and readers must stay inside
+    * it (Delta's RETAIN contract — vacuum cannot see a remote
+    * reader's plan, so the retention window IS the guard).
+    *
+    * Files referenced by NO snapshot at all are either crash orphans
+    * or an IN-FLIGHT concurrent writer's not-yet-committed data
+    * (writeData runs before the atomic snapshot create): those are
+    * deleted only when older than `minOrphanAgeMs` (Delta's
+    * retention-hours pattern), so vacuum never races a live commit.
+    * Pass 0 to force-collect known-dead orphans (crash recovery).
+    *
     * Returns the number of data files deleted. Driver work is
     * file-list-sized, IO is unreferenced-files-sized. */
-  def vacuum(retainLast: Int = 1): Int = {
+  def vacuum(retainLast: Int = 1,
+      minOrphanAgeMs: Long = DefaultOrphanRetentionMs): Int = {
+    require(retainLast >= 1,
+      "vacuum must retain at least the current snapshot")
     val cur = currentVersion
     val keepFrom = math.max(1L, cur - retainLast + 1)
     val live = (keepFrom to cur).flatMap(v =>
       manifest(v).select("path").collect().map(_.getString(0))).toSet
+    // referenced by ANY committed snapshot ⇒ deleting it is reclaiming
+    // expired history; referenced by none ⇒ orphan, age-guarded
+    val referencedEver = (1L to cur).flatMap { v =>
+      try manifest(v).select("path").collect().map(_.getString(0))
+      catch { case _: java.nio.file.NoSuchFileException => Array.empty[String] }
+    }.toSet
+    val orphanCutoff = System.currentTimeMillis() - minOrphanAgeMs
     val dataDir = new java.io.File(s"$root/data")
     var deleted = 0
     val commitDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
     commitDirs.foreach { cd =>
       Option(cd.listFiles()).getOrElse(Array.empty).foreach { f =>
         val rel = s"data/${cd.getName}/${f.getName}"
-        if (f.getName.endsWith(".parquet") && !live.contains(rel)) {
+        val collectable = !live.contains(rel) &&
+          (referencedEver.contains(rel) || f.lastModified() < orphanCutoff)
+        if (f.getName.endsWith(".parquet") && collectable) {
           if (f.delete()) deleted += 1
         }
       }
@@ -270,6 +317,18 @@ final class GraftTable private (
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
     }
+    // orphaned manifest dirs (written by a commit that never created
+    // its snapshot file) — same age guard as orphan data
+    val namedManifests = (1L to currentVersion).flatMap { v =>
+      try Some(snapshot(v).manifestDir)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }.toSet
+    Option(new java.io.File(logDir(root)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("manifest-v") &&
+        !namedManifests.contains(d.getName) &&
+        d.lastModified() < orphanCutoff)
+      .foreach(deleteRecursively)
     deleted
   }
 
@@ -306,29 +365,63 @@ final class GraftTable private (
     }
   }
 
-  /** Copy-on-write delete of rows matching `cond`: files with no hits
-    * carry forward BY REFERENCE (no rewrite), all-hit files drop from
-    * the manifest, mixed files rewrite without their matching rows.
-    * One audit aggregate + one rewrite of only the mixed files. */
+  /** (candidate files the last COW audit actually read, live files at
+    * that commit) — spec hooks pinning that the mutation-path audit is
+    * stats-pruned (reads ≤ envelope-intersecting files), not O(table). */
+  @volatile private[graft] var lastAuditScanned: Long = -1L
+  @volatile private[graft] var lastAuditTotal: Long = -1L
+
+  /** The shared COW survivor manifest for [[deleteWhere]] /
+    * [[replaceWhere]]: files whose stats envelope can't intersect
+    * `cond` carry forward by reference WITHOUT BEING READ (the audit
+    * is stats-pruned through [[statsKeep]] — at 100 TB a windowed
+    * delete reads only the window's files, not the table); candidate
+    * files get one hit-count audit; all-hit files drop, mixed files
+    * rewrite. DELETE semantics are Delta/Iceberg's: only rows where
+    * `cond` IS TRUE go — a NULL-evaluating row is not a hit and is
+    * kept by audit and rewrite alike (`coalesce(cond, false)` on both
+    * sides, so the outcome never depends on file layout). */
+  private def cowSurvivors(parent: Long, cond: Column,
+      numFiles: Int): DataFrame = {
+    import spark.implicits._
+    val all = manifest(parent)
+    val allPaths = all.select("path").as[String].collect()
+    lastAuditTotal = allPaths.length.toLong
+    if (allPaths.isEmpty) { lastAuditScanned = 0L; return all }
+    val candidates = all.where(statsKeep(cond, parent))
+      .select("path").as[String].collect()
+    lastAuditScanned = candidates.length.toLong
+    if (candidates.isEmpty) return all
+    val hit = coalesce(cond, lit(false))
+    val audit = spark.read
+      .parquet(candidates.map(p => s"$root/$p").toSeq: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("total"),
+        count(when(hit, lit(1))).as("hits"))
+      .collect()
+      .map(r => (normalize(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val touched = audit.filter(_._3 > 0)
+    val mixed = touched.filter(a => a._3 < a._2).map(a => s"$root/${a._1}")
+    // hit files are the SMALL side: drop them from the manifest with a
+    // broadcast anti-join, never a driver-built In-list over the table
+    val kept =
+      if (touched.isEmpty) all
+      else all.join(broadcast(touched.map(_._1).toSeq.toDF("path")),
+        Seq("path"), "left_anti")
+    if (mixed.isEmpty) kept
+    else kept.unionByName(
+      writeData(spark.read.parquet(mixed.toSeq: _*).where(!hit),
+        numFiles))
+  }
+
+  /** Copy-on-write delete of rows where `cond` IS TRUE: files with no
+    * hits carry forward BY REFERENCE (stats-pruned — non-intersecting
+    * files aren't even read), all-hit files drop from the manifest,
+    * mixed files rewrite. One audit aggregate + one rewrite of only
+    * the mixed files; NULL-evaluating rows are kept (see
+    * [[cowSurvivors]]). */
   def deleteWhere(cond: Column, numFiles: Int = 4): Long =
-    commitWithRetry("delete") { parent =>
-      val paths = filePaths(parent)
-      val audit = spark.read.parquet(paths: _*)
-        .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("total"),
-          count(when(cond, lit(1))).as("hits"))
-        .collect()
-        .map(r => (normalize(r.getString(0)), r.getLong(1), r.getLong(2)))
-      val untouched = audit.filter(_._3 == 0).map(_._1).toSet
-      val mixed = audit.filter(a => a._3 > 0 && a._3 < a._2)
-        .map(a => s"$root/${a._1}")
-      val kept = manifest(parent)
-        .where(col("path").isin(untouched.toSeq: _*))
-      if (mixed.isEmpty) kept
-      else kept.unionByName(
-        writeData(spark.read.parquet(mixed.toSeq: _*).where(!cond),
-          numFiles))
-    }
+    commitWithRetry("delete")(parent => cowSurvivors(parent, cond, numFiles))
 
   /** METADATA-ONLY aggregates: COUNT(*) and per-stats-column MIN/MAX
     * answered from the manifest alone — zero data files opened (row
@@ -353,24 +446,7 @@ final class GraftTable private (
       numFiles: Int = 4): Long = {
     val replacement = writeData(df, numFiles)
     commitWithRetry("replace") { parent =>
-      val paths = filePaths(parent)
-      val audit = spark.read.parquet(paths: _*)
-        .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("total"),
-          count(when(cond, lit(1))).as("hits"))
-        .collect()
-        .map(r => (normalize(r.getString(0)), r.getLong(1), r.getLong(2)))
-      val untouched = audit.filter(_._3 == 0).map(_._1).toSet
-      val mixed = audit.filter(a => a._3 > 0 && a._3 < a._2)
-        .map(a => s"$root/${a._1}")
-      val kept = manifest(parent)
-        .where(col("path").isin(untouched.toSeq: _*))
-      val rewritten =
-        if (mixed.isEmpty) kept
-        else kept.unionByName(
-          writeData(spark.read.parquet(mixed.toSeq: _*).where(!cond),
-            numFiles))
-      rewritten.unionByName(replacement)
+      cowSurvivors(parent, cond, numFiles).unionByName(replacement)
     }
   }
 
@@ -400,28 +476,64 @@ final class GraftTable private (
     * set is small (Catalyst's size-based choice). */
   def merge(updates: DataFrame, keyCols: Seq[String],
       numFiles: Int = 4): Long = {
+    import spark.implicits._
     val keyed = updates.select(keyCols.map(col): _*).distinct()
+    // Envelope of the update keys on stats-carrying key columns — ONE
+    // small aggregate over the update side, then the key probe reads
+    // only manifest files whose [min,max] intersects it. A range-local
+    // merge (the incremental-upsert shape) therefore probes O(touched
+    // window) files, never O(table). NULL update keys never join
+    // (three-valued equality), so null-ignoring min/max stay sound.
+    val statKeys = keyCols.filter(statsCols.contains)
+    val keyBounds: Map[String, (Any, Any)] =
+      if (statKeys.isEmpty) Map.empty
+      else {
+        val aggs = statKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+        val r = keyed.agg(aggs.head, aggs.tail: _*).head()
+        statKeys.zipWithIndex.map { case (k, i) =>
+          k -> ((r.get(2 * i), r.get(2 * i + 1)))
+        }.toMap
+      }
     commitWithRetry("merge") { parent =>
-      val paths = filePaths(parent)
-      // stamp the file name IN the scan project, before the join —
-      // input_file_name() is single-source-only, and the update side
-      // is usually a file source too
-      val current = spark.read.parquet(paths: _*)
-        .withColumn("_f", input_file_name())
-      val hits = current
-        .join(keyed, keyCols, "left_semi")
-        .groupBy(col("_f"))
-        .agg(count(lit(1)).as("hits"))
-        .collect().map(r => normalize(r.getString(0))).toSet
-      val untouched = manifest(parent)
-        .where(!col("path").isin(hits.toSeq: _*))
-      val touchedPaths = hits.toSeq.map(rel => s"$root/$rel")
-      val survivors =
-        if (touchedPaths.isEmpty) updates
-        else spark.read.parquet(touchedPaths: _*)
-          .join(keyed, keyCols, "left_anti")
-          .unionByName(updates)
-      untouched.unionByName(writeData(survivors, numFiles))
+      val all = manifest(parent)
+      lastAuditTotal = all.count()
+      val candPred = statKeys.map { k =>
+        val (lo, hi) = keyBounds(k)
+        // all-NULL update keys ⇒ nothing can match ⇒ prune every file
+        if (lo == null) lit(false)
+        else col(s"min_$k") <= lit(hi) && col(s"max_$k") >= lit(lo)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      val candidates = all.where(candPred)
+        .select("path").as[String].collect()
+      lastAuditScanned = candidates.length.toLong
+      if (candidates.isEmpty) {
+        // no live file can hold a matched key: pure insert
+        all.unionByName(writeData(updates, numFiles))
+      } else {
+        // stamp the file name IN the scan project, before the join —
+        // input_file_name() is single-source-only, and the update side
+        // is usually a file source too
+        val current = spark.read
+          .parquet(candidates.map(p => s"$root/$p").toSeq: _*)
+          .withColumn("_f", input_file_name())
+        val hits = current
+          .join(keyed, keyCols, "left_semi")
+          .groupBy(col("_f"))
+          .agg(count(lit(1)).as("hits"))
+          .collect().map(r => normalize(r.getString(0))).toSet
+        val untouched =
+          if (hits.isEmpty) all
+          else all.join(broadcast(hits.toSeq.toDF("path")),
+            Seq("path"), "left_anti")
+        val touchedPaths = hits.toSeq.map(rel => s"$root/$rel")
+        val survivors =
+          if (touchedPaths.isEmpty) updates
+          else spark.read.parquet(touchedPaths: _*)
+            .join(keyed, keyCols, "left_anti")
+            .unionByName(updates)
+        untouched.unionByName(writeData(survivors, numFiles))
+      }
     }
   }
 
@@ -479,6 +591,11 @@ final class GraftTable private (
     * parent, write it, then atomically create `snapshot-v<N>.txt` —
     * put-if-absent. A loser rebuilds against the winner's version and
     * tries N+1; its already-written data files are reused as-is. */
+  /** Test hook: invoked after data + manifest are written, immediately
+    * before the atomic snapshot create — lets GraftTableSpec inject a
+    * writer crash mid-commit and prove readers/vacuum behavior. */
+  @volatile private[graft] var beforeSnapshotCreate: () => Unit = () => ()
+
   private def commitWithRetry(op: String,
       batchLedger: Option[Long] = None)
       (buildManifest: Long => DataFrame): Long = {
@@ -510,6 +627,7 @@ final class GraftTable private (
         s"manifest=$manifestDir", s"n_files=$nFiles", s"n_rows=$nRows",
         s"applied=${applied.toSeq.sorted.mkString(",")}")
         .mkString("", "\n", "\n")
+      beforeSnapshotCreate()
       try {
         val p = java.nio.file.Paths
           .get(logDir(root), s"snapshot-v$next.txt")
@@ -529,6 +647,12 @@ object GraftTable {
 
   val MaxCommitAttempts = 10
 
+  /** Orphan (never-committed) files younger than this survive vacuum:
+    * they may belong to an in-flight concurrent writer whose atomic
+    * snapshot create hasn't happened yet. 15 min covers any realistic
+    * write+commit gap; crash recovery passes `minOrphanAgeMs = 0`. */
+  val DefaultOrphanRetentionMs: Long = 15L * 60 * 1000
+
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
@@ -540,20 +664,18 @@ object GraftTable {
 
   private def logDir(root: String) = s"$root/_log"
 
-  /** `input_file_name()` URI → path relative to the table root's
-    * parent-insensitive tail: `data/c<uuid>/part-...`. */
-  private def normalize(uri: String): String = {
-    val p = java.net.URI.create(uri).getPath
-    val i = p.lastIndexOf("/data/c")
-    p.substring(i + 1)
-  }
-
-  /** Create a new table at `root` with `df` as snapshot v1. */
+  /** Create a new table at `root` with `df` as snapshot v1. Fails if
+    * the root already holds commits — silently appending onto an
+    * existing table masked half-built scratch reuse (ADVICE r8). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], numFiles: Int = 4): GraftTable = {
     java.nio.file.Files
       .createDirectories(java.nio.file.Paths.get(logDir(root)))
     val t = new GraftTable(spark, root, statsCols)
+    if (t.currentVersion != 0)
+      throw new IllegalStateException(
+        s"GraftTable.create: $root already has commits " +
+          s"(v${t.currentVersion}); use forPath/openOrCreate")
     t.append(df, numFiles)
     t
   }

@@ -17,6 +17,29 @@ import graft.format.GraftTable
   */
 object FormatQueries {
 
+  /** Multi-step scratch tables are memoized by a COMPLETION MARKER
+    * written only after the last build step, never by mere existence
+    * of `_log`: a crash between steps leaves no marker, so the next
+    * call wipes the half-built root and rebuilds (and
+    * [[GraftTable.create]] now refuses a non-empty root, so silent
+    * append-onto-partial can't happen either). */
+  private def buildOnce(root: String)(build: => Unit): Unit = {
+    val marker = new java.io.File(s"$root/_log/_COMPLETE")
+    if (marker.isFile) return
+    val dir = new java.io.File(root)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    build
+    marker.createNewFile()
+    ()
+  }
+
   /** One orders-backed table, built in three date-sliced commits —
     * shared by q205/q206/q207 (built once per (session, sf dir)). */
   private val built =
@@ -26,21 +49,23 @@ object FormatQueries {
     val root = built.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val r = s"${graft.Scratch.dir(s, "gtable")}/orders"
-        val o = Tables.load(s, dir, "orders")
-        // range-cluster every commit on the prune key (numFiles = 0
-        // preserves it through the write) so per-file envelopes are
-        // disjoint and q207's zone maps actually skip
-        def slice(d: DataFrame) =
-          d.repartitionByRange(4, col("o_orderkey"))
-        // slice boundaries sit inside the testdata's actual 1995–2001
-        // o_orderdate range so every commit is non-empty
-        val t = GraftTable.create(s, r,
-          slice(o.where(col("o_orderdate") < "1997-01-01")),
-          statsCols = Seq("o_orderkey", "o_orderdate"), numFiles = 0)
-        t.append(slice(o.where(col("o_orderdate") >= "1997-01-01" &&
-          col("o_orderdate") < "1999-01-01")), numFiles = 0)
-        t.append(slice(o.where(col("o_orderdate") >= "1999-01-01")),
-          numFiles = 0)
+        buildOnce(r) {
+          val o = Tables.load(s, dir, "orders")
+          // range-cluster every commit on the prune key (numFiles = 0
+          // preserves it through the write) so per-file envelopes are
+          // disjoint and q207's zone maps actually skip
+          def slice(d: DataFrame) =
+            d.repartitionByRange(4, col("o_orderkey"))
+          // slice boundaries sit inside the testdata's actual 1995–2001
+          // o_orderdate range so every commit is non-empty
+          val t = GraftTable.create(s, r,
+            slice(o.where(col("o_orderdate") < "1997-01-01")),
+            statsCols = Seq("o_orderkey", "o_orderdate"), numFiles = 0)
+          t.append(slice(o.where(col("o_orderdate") >= "1997-01-01" &&
+            col("o_orderdate") < "1999-01-01")), numFiles = 0)
+          t.append(slice(o.where(col("o_orderdate") >= "1999-01-01")),
+            numFiles = 0)
+        }
         r
       })
     GraftTable.forPath(s, root)
@@ -92,7 +117,7 @@ object FormatQueries {
     * dropped exactly the matching rows and nothing else. */
   def q208CowDelete(s: SparkSession, dir: String): DataFrame = {
     val root = s"${graft.Scratch.dir(s, "gtable")}/lineitem_cow"
-    if (!new java.io.File(s"$root/_log").isDirectory) {
+    buildOnce(root) {
       val li = Tables.load(s, dir, "lineitem")
         .where(col("l_shipdate") >= "1996-01-01" &&
           col("l_shipdate") < "1997-01-01")
@@ -120,7 +145,7 @@ object FormatQueries {
     * carried every untouched file forward intact. */
   def q209MergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val root = s"${graft.Scratch.dir(s, "gtable")}/orders_merge"
-    if (!new java.io.File(s"$root/_log").isDirectory) {
+    buildOnce(root) {
       val o = Tables.load(s, dir, "orders")
       val t = GraftTable.create(s, root,
         o.where(col("o_orderdate") < "1999-01-01"),
@@ -147,7 +172,7 @@ object FormatQueries {
     * GraftTableSpec pins the two-dimensional skip rates. */
   def q211ZorderPrune(s: SparkSession, dir: String): DataFrame = {
     val root = s"${graft.Scratch.dir(s, "gtable")}/orders_zorder"
-    if (!new java.io.File(s"$root/_log").isDirectory) {
+    buildOnce(root) {
       val o = Tables.load(s, dir, "orders")
       val staged = graft.etl.ZOrder
         .zValue(o, "o_custkey", "o_orderkey")
@@ -156,6 +181,7 @@ object FormatQueries {
         .drop("_z")
       GraftTable.create(s, root, staged,
         statsCols = Seq("o_custkey", "o_orderkey"), numFiles = 0)
+      ()
     }
     val (rows, _, _) = GraftTable.forPath(s, root)
       .prunedRead("o_custkey", lit(100), lit(200))
@@ -182,7 +208,7 @@ object FormatQueries {
     * count(n_chars) pins the nulls landed exactly on the old half. */
   def q213SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val root = s"${graft.Scratch.dir(s, "gtable")}/docs_evo"
-    if (!new java.io.File(s"$root/_log").isDirectory) {
+    buildOnce(root) {
       val d = Tables.load(s, dir, "documents")
       val t = GraftTable.create(s, root,
         d.where(col("doc_id") % 2 === 0).select("doc_id", "lang"),
@@ -236,7 +262,7 @@ object FormatQueries {
     * Hash-equal to a CASE restatement over the original. */
   def q217ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
     val root = s"${graft.Scratch.dir(s, "gtable")}/orders_replace"
-    if (!new java.io.File(s"$root/_log").isDirectory) {
+    buildOnce(root) {
       val o = Tables.load(s, dir, "orders")
       val window = col("o_orderdate") >= "1997-01-01" &&
         col("o_orderdate") < "1999-01-01"
@@ -262,9 +288,7 @@ object FormatQueries {
   def q218LakehouseSilver(s: SparkSession, dir: String): DataFrame = {
     val wh = graft.Scratch.dir(s, "lakewh")
     val cfg = graft.etl.Pipeline.Config(dir, wh, "19920101", "20021231")
-    if (!new java.io.File(
-        s"${graft.etl.LakehousePipeline.bronzePath(wh)}/_log")
-        .isDirectory) {
+    buildOnce(graft.etl.LakehousePipeline.bronzePath(wh)) {
       graft.etl.Pipeline.t0Dimensions(s, cfg)
       graft.etl.LakehousePipeline.t0FactLake(s, cfg)
     }
@@ -305,6 +329,26 @@ object FormatQueries {
       col("n_orders").cast("long").as("n_orders"),
       round(col("rev").cast("double"), 2).as("revenue"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** q219 — the table format as a FIRST-CLASS SOURCE: the shared
+    * orders table read through the `gtable` DataSource V2 connector
+    * ([[graft.sources.GraftTableSource]] — manifest-planned
+    * partitions, filter-driven file pruning, column projection into
+    * the parquet readers) instead of the Scala API. Hash-equal to
+    * q205's aggregate over the original ⟺ the connector's per-file
+    * readers reproduce the native read bit-for-bit; GtableSourceSpec
+    * pins that a key-range filter plans fewer partitions than the
+    * file total. */
+  def q219ConnectorRead(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersTable(s, dir)
+    s.read.format(classOf[graft.sources.GraftTableSource].getName)
+      .load(t.root)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
   }
 
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the

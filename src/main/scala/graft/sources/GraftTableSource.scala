@@ -1,0 +1,299 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 READ PATH for [[graft.format.GraftTable]] — the
+  * format becomes a first-class `spark.read.format(...)` source
+  * instead of an API-only layer (VERDICT r8 #3):
+  *
+  * {{{
+  * spark.read.format("graft.sources.gtable")
+  *   .option("versionAsOf", 2)      // time travel (default: current)
+  *   .load(root)
+  * }}}
+  *
+  * The connector owns three engine-level behaviors:
+  *  - **Manifest-pruned planning**: pushed filters are translated
+  *    against the manifest's per-file [min,max] stats (the same
+  *    conservative envelope test as [[graft.format.GraftTable
+  *    .prunedWhere]], restated over `sources.Filter`), so
+  *    `planInputPartitions` lists ONLY stats-intersecting files — a
+  *    key-range scan on a clustered 100 TB table plans the window's
+  *    files, not the table's. Every filter is also returned for
+  *    re-evaluation (pruning is a superset guarantee, Spark applies
+  *    the exact predicate row-level).
+  *  - **Column pruning**: the required schema reaches the parquet
+  *    readers, which project at the page level (a 2-column read of a
+  *    16-column table decodes 2 columns).
+  *  - **Stats reporting**: `estimateStatistics` answers row counts
+  *    from the manifest alone (metadata-only, feeds the CBO/AQE the
+  *    same way a catalog table's stats would).
+  *
+  * One InputPartition PER LIVE FILE — scan parallelism = file count,
+  * executors read independently. Readers use parquet-hadoop's Group
+  * API (per-file footers, so SCHEMA EVOLUTION works: a column missing
+  * from an old file surfaces as null, matching [[graft.format
+  * .GraftTable.readMerged]]). The reference has no table format at
+  * all (raw S3 parquet + crawler, SURVEY §1.2) — extension tier;
+  * q198's eventlog connector is the in-repo template this follows. */
+class GraftTableSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSource.resolve(options)._3
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (root, version, _) = GraftTableSource.resolve(opts)
+    new GraftTableV2(root, version, schema)
+  }
+}
+
+object GraftTableSource {
+
+  /** Short alias usable as `format("gtable")` via fully-qualified
+    * class name in tests; kept here for docs. */
+  val Name = "graft.sources.gtable"
+
+  /** (planned files, live files at the planned version) of the most
+    * recent scan planning in this JVM — spec hook pinning that pushed
+    * key-range filters shrink `planInputPartitions` below the file
+    * total. */
+  @volatile var lastPlannedFiles: Long = -1L
+  @volatile var lastLiveFiles: Long = -1L
+
+  private[sources] def resolve(options: CaseInsensitiveStringMap)
+      : (String, Long, StructType) = {
+    val root = Option(options.get("path")).getOrElse(
+      sys.error("gtable source requires .load(<table root>)"))
+    val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+    val version = Option(options.get("versionAsOf"))
+      .map(_.toLong).getOrElse(t.currentVersion)
+    // merged across commits: files written before a column existed
+    // must still surface it (as null) through the connector
+    (root, version, t.readMerged(version).schema)
+  }
+}
+
+class GraftTableV2(root: String, version: Long, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"gtable($root@v$version)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftTableScanBuilder(root, version, schema0)
+}
+
+class GraftTableScanBuilder(root: String, version: Long,
+    full: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var filters: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.filter(f => keep.contains(f.name)))
+  }
+
+  /** Accept every filter for PLANNING (manifest prune) but return all
+    * of them as residuals: envelope skipping is a conservative
+    * superset, the exact row-level predicate must re-apply. */
+  override def pushFilters(fs: Array[sources.Filter])
+      : Array[sources.Filter] = { filters = fs; fs }
+
+  override def pushedFilters(): Array[sources.Filter] = filters
+
+  override def build(): Scan =
+    new GraftTableScan(root, version, required, filters)
+}
+
+class GraftTableScan(root: String, version: Long, required: StructType,
+    filters: Array[sources.Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"gtable($root@v$version) filters=[${filters.mkString(", ")}]"
+
+  /** Translate a pushed filter into a manifest-stats KEEP test —
+    * interval intersection on stats columns, `true` (keep) for
+    * anything else. Same contract as GraftTable.prunedWhere: pruning
+    * never changes semantics, only skips provably-empty files. */
+  private def keep(statsCols: Set[String])
+      (f: sources.Filter): org.apache.spark.sql.Column = f match {
+    case sources.EqualTo(c, v) if statsCols(c) =>
+      col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+    case sources.GreaterThan(c, v) if statsCols(c) => col(s"max_$c") > lit(v)
+    case sources.GreaterThanOrEqual(c, v) if statsCols(c) =>
+      col(s"max_$c") >= lit(v)
+    case sources.LessThan(c, v) if statsCols(c) => col(s"min_$c") < lit(v)
+    case sources.LessThanOrEqual(c, v) if statsCols(c) =>
+      col(s"min_$c") <= lit(v)
+    case sources.In(c, vs) if statsCols(c) && vs.nonEmpty =>
+      vs.map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
+        .reduce(_ || _)
+    case sources.And(l, r) => keep(statsCols)(l) && keep(statsCols)(r)
+    case sources.Or(l, r) => keep(statsCols)(l) || keep(statsCols)(r)
+    case _ => lit(true) // Not / IsNull / functions: conservative keep
+  }
+
+  private lazy val plannedFiles: Array[String] = {
+    val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+    val m = t.manifest(version).cache()
+    val live = m.count()
+    val pred = filters.map(keep(t.statsCols.toSet))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val paths = m.where(pred).select("path").collect()
+      .map(r => s"$root/${r.getString(0)}")
+    m.unpersist()
+    GraftTableSource.lastPlannedFiles = paths.length.toLong
+    GraftTableSource.lastLiveFiles = live
+    paths
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedFiles.map(f => GraftTableFilePartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableReaderFactory(required)
+
+  /** Metadata-only stats: exact row count from the manifest (post-
+    * prune the planned subset's counts would need the same scan, so
+    * report the version's total — still a far better CBO input than
+    * "unknown"). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val t =
+      graft.format.GraftTable.forPath(SparkSession.active, root)
+    private val rows =
+      t.metadataAggregates(version).select("n_rows").head().getLong(0)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      util.OptionalLong.of(rows)
+  }
+}
+
+case class GraftTableFilePartition(file: String) extends InputPartition
+
+/** Per-file parquet reader on parquet-hadoop's Group API: reads THIS
+  * file's footer (projection = required ∩ file schema, so old files
+  * surface later-added columns as null), decodes only the projected
+  * pages, and converts to Spark internal values. Scalar types only —
+  * the format layer's tables are relational (SURVEY §1.3); nested
+  * columns would route through the main parquet source. */
+class GraftTableReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftTableFilePartition].file
+    new PartitionReader[InternalRow] {
+      import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.example.data.Group
+      import org.apache.parquet.schema.MessageType
+
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val hPath = new org.apache.hadoop.fs.Path(file)
+
+      // projection: required columns present in THIS file's schema
+      private val fileSchema: MessageType = {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      private val present = required.fields
+        .map(f => fileSchema.containsField(f.name))
+      private val projected = new MessageType("spark_schema",
+        required.fields.iterator.zip(present.iterator)
+          .collect { case (f, true) =>
+            fileSchema.getType(fileSchema.getFieldIndex(f.name)) }
+          .toSeq.asJava: java.util.List[org.apache.parquet.schema.Type])
+      locally {
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport
+          .PARQUET_READ_SCHEMA, projected.toString)
+      }
+      private val reader: ParquetReader[Group] = ParquetReader
+        .builder(new GroupReadSupport(), hPath).withConf(conf).build()
+
+      private var row: InternalRow = _
+
+      private def convert(g: Group, name: String, dt: DataType): Any = {
+        val idx = g.getType.getFieldIndex(name)
+        if (g.getFieldRepetitionCount(idx) == 0) return null
+        dt match {
+          case LongType => g.getLong(idx, 0)
+          case IntegerType => g.getInteger(idx, 0)
+          case DoubleType => g.getDouble(idx, 0)
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType =>
+            UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case DateType => g.getInteger(idx, 0) // parquet DATE = days
+          case ShortType => g.getInteger(idx, 0).toShort
+          case ByteType => g.getInteger(idx, 0).toByte
+          case BinaryType => g.getBinary(idx, 0).getBytes
+          case TimestampType | TimestampNTZType =>
+            val prim = g.getType.getType(idx).asPrimitiveType()
+            prim.getPrimitiveTypeName match {
+              case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT96 =>
+                // 12 bytes: nanos-of-day (LE int64) + julian day (LE int32)
+                val b = java.nio.ByteBuffer
+                  .wrap(g.getInt96(idx, 0).getBytes)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                val nanos = b.getLong; val julian = b.getInt
+                (julian - 2440588L) * 86400000000L + nanos / 1000L
+              case _ =>
+                val unit = prim.getLogicalTypeAnnotation match {
+                  case ts: org.apache.parquet.schema
+                      .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    => ts.getUnit
+                  case _ => org.apache.parquet.schema
+                      .LogicalTypeAnnotation.TimeUnit.MICROS
+                }
+                val v = g.getLong(idx, 0)
+                unit match {
+                  case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.MILLIS => v * 1000L
+                  case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.NANOS => v / 1000L
+                  case _ => v
+                }
+            }
+          case other => sys.error(
+            s"gtable v2 reader: unsupported type $other for $name " +
+              "(scalar relational tables only)")
+        }
+      }
+
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) return false
+        val values = required.fields.iterator.zip(present.iterator).map {
+          case (f, true) => convert(g, f.name, f.dataType)
+          case (_, false) => null // schema evolution: pre-column file
+        }.toIndexedSeq
+        row = InternalRow.fromSeq(values)
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -705,21 +705,25 @@ object EventStream {
       tableRoot: String): Unit = {
     val t = graft.format.GraftTable.openOrCreate(s, tableRoot,
       statsCols = Seq("ts"))
-    var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
+    // The replay copy of batch 0 is MATERIALIZED inside foreachBatch (a
+    // micro-batch DataFrame is only defined within its invocation —
+    // re-running it after the query terminates would recompute against
+    // a dead source if cached blocks were evicted).
+    val replayDir = s"$tableRoot/_replay_batch0"
     val q = readEventStream(s, dir).writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (id == 0) firstBatch = Some(batch.persist())
+        if (id == 0) batch.write.mode("overwrite").parquet(replayDir)
         t.appendIfAbsent(batch, id, numFiles = 2)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // simulate the retry: re-deliver batch 0 verbatim
-    firstBatch.foreach { b =>
-      t.appendIfAbsent(b, 0L, numFiles = 2)
-      b.unpersist()
+    // simulate the retry: re-deliver batch 0 verbatim from the copy
+    if (new java.io.File(replayDir).isDirectory) {
+      t.appendIfAbsent(s.read.parquet(replayDir), 0L, numFiles = 2)
+      ()
     }
   }
 

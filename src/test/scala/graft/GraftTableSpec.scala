@@ -269,6 +269,127 @@ class GraftTableSpec extends AnyFunSuite {
       "deleted window rows not re-inserted must be gone")
   }
 
+  test("deleteWhere keeps NULL-evaluating rows — in mixed files and " +
+      "zero-hit files alike (Delta DELETE semantics, layout-independent)") {
+    val root = tmp()
+    // file A: no hits, NULLs present; file B: mixed — 5 hits + 5 NULLs
+    val fileA = (1L to 10L)
+      .map(k => (k, if (k % 2 == 0) None else Some(1L)))
+      .toDF("k", "x")
+    val fileB = (11L to 20L)
+      .map(k => (k, if (k > 15) Some(100L) else None))
+      .toDF("k", "x")
+    val t = GraftTable.create(spark, root, fileA, Seq("x"), numFiles = 1)
+    t.append(fileB, numFiles = 1)
+    val before = t.manifest().select("path").as[String].collect().toSet
+    t.deleteWhere(col("x") > 5)
+    // only rows where x > 5 IS TRUE go: 15 survive, all 10 NULLs stay
+    assert(t.read().count() == 15)
+    assert(t.read().where(col("x").isNull).count() == 10,
+      "NULL-evaluating rows must be kept in mixed AND zero-hit files")
+    assert(t.read().where(col("x") > 5).count() == 0)
+    // file A (envelope [1,1] can't intersect x>5) carried by reference
+    // without even being read by the audit
+    val after = t.manifest().select("path").as[String].collect().toSet
+    assert(before.intersect(after).size == 1)
+    assert(t.lastAuditScanned == 1 && t.lastAuditTotal == 2,
+      s"audit must be stats-pruned: read ${t.lastAuditScanned} of " +
+        s"${t.lastAuditTotal}")
+  }
+
+  test("replaceWhere keeps NULL-evaluating rows outside the window") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 20L).map(k =>
+        (k, if (k % 4 == 0) None else Some(k))).toDF("k", "x"),
+      Seq("x"), numFiles = 1)
+    // window x > 10: true for x in 11..20 (non-null), NULL for k%4==0
+    t.replaceWhere(col("x") > 10,
+      Seq((100L, Some(999L))).toDF("k", "x"), numFiles = 1)
+    // survivors: x<=10 non-null (1,2,3,5,6,7,9,10 → x in 1..10 minus
+    // multiples of 4 → 8 rows) + 5 NULLs + 1 replacement row
+    assert(t.read().where(col("x").isNull).count() == 5,
+      "NULL rows are not in the window and must survive")
+    assert(t.read().count() == 8 + 5 + 1)
+    assert(t.read().where(col("x") === 999).count() == 1)
+  }
+
+  test("the COW audit is stats-pruned: a windowed delete on a " +
+      "range-clustered table reads only envelope-intersecting files") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"), numFiles = 0)
+    val before = t.manifest().select("path").as[String].collect().toSet
+    val lo = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    t.deleteWhere(col("o_orderkey").between(lo, lo + 50))
+    assert(t.lastAuditTotal >= 8)
+    assert(t.lastAuditScanned * 2 <= t.lastAuditTotal,
+      s"windowed delete must not scan the table: " +
+        s"${t.lastAuditScanned}/${t.lastAuditTotal}")
+    val after = t.manifest().select("path").as[String].collect().toSet
+    assert(before.intersect(after).size >= t.lastAuditTotal - t.lastAuditScanned,
+      "non-intersecting files must carry forward by reference")
+    assert(t.read().count() ==
+      orders.where(!col("o_orderkey").between(lo, lo + 50)).count())
+  }
+
+  test("the merge key-probe is envelope-pruned: a range-local update " +
+      "set probes only the files its key bounds intersect") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"), numFiles = 0)
+    val lo = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val upd = orders.where(col("o_orderkey").between(lo, lo + 100))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.merge(upd, keyCols = Seq("o_orderkey"))
+    assert(t.lastAuditTotal >= 8)
+    assert(t.lastAuditScanned * 2 <= t.lastAuditTotal,
+      s"range-local merge must not probe the table: " +
+        s"${t.lastAuditScanned}/${t.lastAuditTotal}")
+    assert(t.read().count() == orders.count(), "whole-row upsert keeps count")
+  }
+
+  test("a writer crashing between data write and snapshot create is " +
+      "invisible: readers see the parent, history is gapless, and " +
+      "vacuum collects the orphans (age guard protects live writers)") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 1)
+    t.beforeSnapshotCreate =
+      () => throw new RuntimeException("injected crash")
+    intercept[RuntimeException](t.append((101L to 200L).toDF("k"),
+      numFiles = 1))
+    t.beforeSnapshotCreate = () => ()
+    // the torn commit is invisible to every reader
+    assert(t.currentVersion == 1)
+    assert(t.read().count() == 100)
+    assert(t.history().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // default vacuum spares the fresh orphans — they could belong to a
+    // live writer that hasn't created its snapshot yet
+    assert(t.vacuum(retainLast = 1) == 0,
+      "age guard must protect a possibly-in-flight commit")
+    // crash recovery: force-collect, then the table keeps working
+    assert(t.vacuum(retainLast = 1, minOrphanAgeMs = 0L) == 1,
+      "the orphaned data file must be collected")
+    val manifests = new java.io.File(s"$root/_log").listFiles()
+      .map(_.getName).filter(_.startsWith("manifest-v")).toSeq
+    assert(manifests.size == 1, s"orphan manifest dir must go: $manifests")
+    assert(t.append((101L to 200L).toDF("k"), numFiles = 1) == 2)
+    assert(t.read().count() == 200)
+  }
+
+  test("vacuum refuses retainLast = 0 and create refuses a root that " +
+      "already has commits") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 10L).toDF("k"), Seq("k"), numFiles = 1)
+    intercept[IllegalArgumentException](t.vacuum(retainLast = 0))
+    intercept[IllegalStateException](
+      GraftTable.create(spark, root, (1L to 10L).toDF("k"), Seq("k")))
+  }
+
   test("two writers racing the same parent both land: put-if-absent " +
       "picks one winner, the loser rebases onto it, no rows lost") {
     import scala.concurrent.{Await, Future}
