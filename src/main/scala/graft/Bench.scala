@@ -76,6 +76,25 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-leg load accounting (VERDICT r8 #5): the closing artifact once
+    // misstated dedup_10x by 4× because load was sampled only at pack
+    // start. Every big leg now (a) re-waits for a quiet host with a
+    // smaller per-leg budget, and (b) stamps the 1-minute loadavg it
+    // actually started under, so each number is individually
+    // discountable.
+    val legLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val legWaitSec = sys.env.getOrElse("SPARK_GRAFT_LEG_LOAD_WAIT", "60").toInt
+    def quietLeg[T](name: String)(f: => T): T = {
+      val deadline = System.nanoTime() + legWaitSec * 1000000000L
+      while (load1m() > maxLoad && System.nanoTime() < deadline) {
+        System.err.println(
+          f"BENCH LEG WAIT [$name]: loadavg ${load1m()}%.2f > $maxLoad%.1f")
+        Thread.sleep(5000)
+      }
+      legLoads(name) = load1m()
+      f
+    }
+
     // Optional dev filter: SPARK_GRAFT_ONLY=q101_pagerank,q21_lsh_pairs
     // restricts the measured set (and skips the etl pair) so a single
     // query's warm time can be iterated on without the full suite.
@@ -165,7 +184,8 @@ object Bench {
     val runEtl = only.forall(_.contains("etl_pipeline"))
     val (e1, e2) =
       if (!runEtl) ((-1.0, -1.0), (-1.0, -1.0))
-      else (etlPair(), etlPair())
+      else (quietLeg("etl_pipeline_a")(etlPair()),
+        quietLeg("etl_pipeline_b")(etlPair()))
     def minPos(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
     val etlTime = minPos(e1._1, e2._1)
@@ -230,7 +250,9 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val (etl10xTime, etl10xIncTime) = if (runEtl) etl10x() else (-1.0, -1.0)
+    val (etl10xTime, etl10xIncTime) =
+      if (runEtl) quietLeg(s"etl_pipeline_${etlX}x")(etl10x())
+      else (-1.0, -1.0)
 
     // 10× scale smoke for the DEDUP family: documents replicated 10×
     // where each replica is a NEAR-dup (one prefixed version token —
@@ -271,7 +293,8 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val dedup10xTime = if (runEtl) dedup10x() else -1.0
+    val dedup10xTime =
+      if (runEtl) quietLeg("dedup_10x")(dedup10x()) else -1.0
 
     // 50× scale smoke for the ANN family: embeddings replicated 50×
     // (sf0.1 → 100 K vectors) and the IVF index + probe path (q34)
@@ -308,7 +331,7 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val ann50xTime = if (runEtl) ann50x() else -1.0
+    val ann50xTime = if (runEtl) quietLeg("ann_50x")(ann50x()) else -1.0
 
     // 10× scale smoke for the TABLE FORMAT: orders replicated 10×,
     // then one timed pass of the format's whole write/maintain/read
@@ -334,7 +357,7 @@ object Bench {
         timed {
           val t = graft.format.GraftTable.create(sp, root,
             big.repartitionByRange(32, col("o_orderkey")),
-            statsCols = Seq("o_orderkey"), numFiles = 0)
+            statsCols = Seq("o_orderkey", "o_custkey"), numFiles = 0)
           t.merge(big.where(col("o_orderkey") < stride &&
               col("o_orderkey") % 10 === 0)
             .withColumn("o_totalprice", col("o_totalprice") * 2),
@@ -342,6 +365,13 @@ object Bench {
           val (rows, _, _) = graft.format.GraftTable.forPath(sp, root)
             .prunedRead("o_orderkey", lit(0), lit(stride / 10))
           rows.count()
+          // retro-clustering cost under load: one OPTIMIZE ZORDER
+          // commit over the accreted table, then a pruned read on the
+          // SECOND dimension that only the z-layout can skip for
+          t.optimizeZorder("o_custkey", "o_orderkey", numFiles = 32)
+          val (rows2, _, _) = graft.format.GraftTable.forPath(sp, root)
+            .prunedRead("o_custkey", lit(0), lit(100))
+          rows2.count()
           ()
         }
       } catch {
@@ -358,21 +388,66 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val gtable10xTime = if (runEtl) gtable10x() else -1.0
+    val gtable10xTime =
+      if (runEtl) quietLeg("gtable_10x")(gtable10x()) else -1.0
+
+    // FULL-SCALE RETAIL PARITY (VERDICT r7 #6 / r8 #4): the reference's
+    // OWN schema at the reference's OWN volume — RetailPipeline (seed
+    // CSVs + the deterministic FIXTURES A.4 fact generator) at
+    // 28,593,030 purchase rows, initial full DAG then the monthly
+    // incremental re-run (one month's partitions dynamic-overwritten).
+    // This is the leg BASELINE.md's ≈20 min / ≈10 min numbers describe;
+    // single attempt, reported per-query only.
+    val retailRows =
+      sys.env.getOrElse("SPARK_GRAFT_RETAIL_ROWS", "28593030").toLong
+    def retailFullscale(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var wh: String = null
+      try {
+        wh = java.nio.file.Files
+          .createTempDirectory("graft_retail_full_").toString
+        val dataDir = graft.operators.RetailQueries.DataDir
+        val tInit = timed {
+          graft.etl.RetailPipeline.run(sp, dataDir, wh, retailRows)
+        }
+        val tInc = timed {
+          graft.etl.RetailPipeline.runIncremental(
+            sp, dataDir, wh, retailRows, "2014", "11")
+        }
+        (tInit, tInc)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL retail_fullscale: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (wh != null)
+          new Directory(new java.io.File(wh)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val (retailFullTime, retailIncTime) =
+      if (runEtl) quietLeg("retail_fullscale")(retailFullscale())
+      else (-1.0, -1.0)
 
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
     // used to report under _10x) and are excluded from the headline by
     // this explicit list — never by suffix matching.
     val scaleSmokeKeys = Seq(
       s"etl_pipeline_${etlX}x", s"etl_incremental_${etlX}x",
-      "dedup_10x", "ann_50x", "gtable_10x")
+      "dedup_10x", "ann_50x", "gtable_10x",
+      "retail_fullscale", "retail_incremental_fullscale")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
       (s"etl_incremental_${etlX}x" -> etl10xIncTime) :+
       ("dedup_10x" -> dedup10xTime) :+
       ("ann_50x" -> ann50xTime) :+
-      ("gtable_10x" -> gtable10xTime)
+      ("gtable_10x" -> gtable10xTime) :+
+      ("retail_fullscale" -> retailFullTime) :+
+      ("retail_incremental_fullscale" -> retailIncTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set
@@ -382,8 +457,11 @@ object Bench {
       .filterNot { case (k, _) => scaleSmokeKeys.contains(k) }
       .map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()
+    val legLoadJson = legLoads
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson}"""
     println(line)
     // Also persist the result line: stdout tails can truncate mid-stream
     // (sbt log interleaving), which loses the headline number from the

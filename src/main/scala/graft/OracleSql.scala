@@ -625,6 +625,25 @@ object OracleSql {
       LEFT JOIN region   ON n_regionkey = r_regionkey
       GROUP BY 1 ORDER BY 1
     """,
+    // q220: the sales_by_region gold mart, maintained as a GraftTable
+    // through an initial load + an idempotent 1996 replaceWhere
+    // re-run, must equal the mart restated flat over the originals.
+    "q220_lakehouse_gold" -> """
+      SELECT l_returnflag,
+             strftime(l_shipdate, '%Y') AS ship_year,
+             strftime(l_shipdate, '%m') AS ship_month,
+             r_name, n_name,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_purchase_amount,
+             CAST(COUNT(l_quantity) AS BIGINT) AS count_of_purchase
+      FROM lineitem
+      LEFT JOIN orders   ON l_orderkey  = o_orderkey
+      LEFT JOIN part     ON l_partkey   = p_partkey
+      LEFT JOIN customer ON o_custkey   = c_custkey
+      LEFT JOIN nation   ON c_nationkey = n_nationkey
+      LEFT JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5
+    """,
     // q217: replace-where rebuilt 1997-1998 with doubled prices in one
     // snapshot; everything else must be untouched.
     "q217_replace_where" -> """

@@ -298,7 +298,8 @@ object SparkEntry {
     "q216_metadata_agg" -> (FormatQueries.q216MetadataAgg _),
     "q217_replace_where" -> (FormatQueries.q217ReplaceWhere _),
     "q218_lakehouse_silver" -> (FormatQueries.q218LakehouseSilver _),
-    "q219_connector_read" -> (FormatQueries.q219ConnectorRead _)
+    "q219_connector_read" -> (FormatQueries.q219ConnectorRead _),
+    "q220_lakehouse_gold" -> (FormatQueries.q220LakehouseGold _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

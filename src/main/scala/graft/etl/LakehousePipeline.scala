@@ -65,4 +65,51 @@ object LakehousePipeline {
     * classic pipeline, different storage contract underneath. */
   def silverLake(spark: SparkSession, cfg: Pipeline.Config): DataFrame =
     Pipeline.silverJoin(spark, cfg, windowedBronze(spark, cfg))
+
+  def goldPath(warehouseDir: String, martName: String): String =
+    s"$warehouseDir/gold_lake/$martName"
+
+  /** T2 gold THROUGH the format — the medallion DAG is lakehouse
+    * END-TO-END: each of the reference's four marts is itself a
+    * GraftTable, and a windowed run lands as ONE atomic snapshot per
+    * mart (append on first load, [[GraftTable.replaceWhere]] on the
+    * year/month window after — every mart groups by
+    * ship_year/ship_month, so mart content is window-local and the
+    * window swap is exact, the same property the classic pipeline's
+    * dynamic partition overwrite exploits at directory level). Mart
+    * commits are range-clustered on (ship_year, ship_month) with
+    * stats on both, so the replaceWhere audit stats-prunes to the
+    * window's files and a downstream month-range read skips the
+    * rest. Readers never see a half-replaced mart — the gap the
+    * reference's directory overwrite leaves between delete and
+    * rename does not exist here. Returns mart → committed version. */
+  def t2MartsLake(spark: SparkSession, cfg: Pipeline.Config)
+      : Map[String, Long] = {
+    val silver = silverLake(spark, cfg).cache()
+    try {
+      silver.count() // materialize once before the four mart consumers
+      val fy = cfg.fromDate.substring(0, 4)
+      val fm = cfg.fromDate.substring(4, 6)
+      val ty = cfg.toDate.substring(0, 4)
+      val tm = cfg.toDate.substring(4, 6)
+      // (year, month) window as And/Or of plain comparisons — exactly
+      // the shape the manifest-stats translation prunes with
+      val windowCond =
+        (col("ship_year") > fy ||
+          (col("ship_year") === fy && col("ship_month") >= fm)) &&
+        (col("ship_year") < ty ||
+          (col("ship_year") === ty && col("ship_month") <= tm))
+      Pipeline.t2Marts(spark, cfg, silver).map { case (name, df) =>
+        val staged = df.repartitionByRange(2,
+          col("ship_year"), col("ship_month"))
+        val t = GraftTable.openOrCreate(spark,
+          goldPath(cfg.warehouseDir, name),
+          statsCols = Seq("ship_year", "ship_month"))
+        val v =
+          if (t.currentVersion == 0) t.append(staged, numFiles = 0)
+          else t.replaceWhere(windowCond, staged, numFiles = 0)
+        name -> v
+      }
+    } finally { silver.unpersist(); () }
+  }
 }

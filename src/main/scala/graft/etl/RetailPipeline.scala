@@ -208,6 +208,49 @@ object RetailPipeline {
         .drop(custZip("customer_id"))
     })
 
+  /** The reference's MONTHLY INCREMENTAL job shape over its own
+    * schema: re-ingest ONE month of the fact, dynamic-overwrite only
+    * that month's bronze/silver/gold partitions, recompute the marts
+    * for the window alone (their grouping keys all carry
+    * year/month, so a window recompute IS the mart delta — the same
+    * property Pipeline's incremental leg exploits). Reads back
+    * through partition-pruned scans; untouched months are never
+    * rewritten or read. Mirrors the reference's EventBridge monthly
+    * re-run (document/eventbridge.md:12, stepfunction.json DAG).
+    * Returns per-mart window row counts. */
+  def runIncremental(spark: SparkSession, dataDir: String,
+      warehouseDir: String, nPurchaseRows: Long,
+      year: String, month: String): Map[String, Long] = {
+    val window = col("purchase_year") === year &&
+      col("purchase_month") === month
+    val products = productsInfo(spark, dataDir)
+    // T0: the month's slice of the (deterministic) fact — in the
+    // reference this is the JDBC pushdown query's date window
+    val purchase = synthPurchase(spark, products, nPurchaseRows)
+      .where(window)
+    Sinks.writePartitioned(purchase, s"$warehouseDir/bronze/purchase",
+      Seq("affiliate", "purchase_year", "purchase_month"))
+
+    val custZip = customerWithZipcode(
+      customer(spark, dataDir), zipcode(spark, dataDir))
+    // partition-pruned read-back of exactly the reloaded month
+    val fact = spark.read.parquet(s"$warehouseDir/bronze/purchase")
+      .where(window)
+    val silverDf = silver(fact, products, custZip)
+    Sinks.writePartitioned(silverDf,
+      s"$warehouseDir/silver/purchase_all_info",
+      Seq("affiliate", "purchase_year", "purchase_month"))
+
+    val silverBack = spark.read
+      .parquet(s"$warehouseDir/silver/purchase_all_info")
+      .where(window)
+    marts(fact, silverBack, custZip).map { case (name, df) =>
+      Sinks.writePartitioned(df, s"$warehouseDir/gold/$name",
+        Seq("affiliate", "purchase_year", "purchase_month"))
+      name -> df.count()
+    }
+  }
+
   /** Full golden DAG into a warehouse dir: bronze fact (partitioned,
     * dynamic overwrite) → silver purchase_all_info → four gold marts,
     * each registered. Returns mart row counts. */

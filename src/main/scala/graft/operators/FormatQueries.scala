@@ -36,6 +36,7 @@ object FormatQueries {
       rm(dir)
     }
     build
+    marker.getParentFile.mkdirs()
     marker.createNewFile()
     ()
   }
@@ -299,6 +300,44 @@ object FormatQueries {
           .cast("double"), 2).as("revenue"),
         count(col("r_name")).as("n_with_region"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** q220 — the medallion DAG lakehouse END-TO-END: bronze fact in a
+    * GraftTable (q218's build), T1 silver through zone-map pruned
+    * reads, and the four T2 gold marts THEMSELVES GraftTables —
+    * first load as one atomic append each, then a 1996 window
+    * re-run lands as one atomic [[graft.format.GraftTable
+    * .replaceWhere]] snapshot per mart (the incremental-mart
+    * primitive; idempotent by construction, so the hash pins that
+    * the window swap neither lost nor duplicated a single mart
+    * row). The gate result is the full `sales_by_region` mart read
+    * back from its table, compared to a DuckDB restatement of the
+    * whole chain over the ORIGINAL parquet. */
+  def q220LakehouseGold(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "lakewh")
+    val cfgFull = graft.etl.Pipeline.Config(dir, wh, "19920101", "20021231")
+    buildOnce(graft.etl.LakehousePipeline.bronzePath(wh)) {
+      graft.etl.Pipeline.t0Dimensions(s, cfgFull)
+      graft.etl.LakehousePipeline.t0FactLake(s, cfgFull)
+    }
+    buildOnce(s"$wh/gold_lake") {
+      graft.etl.LakehousePipeline.t2MartsLake(s, cfgFull)
+      // incremental month-window re-run: bronze replaceWhere + one
+      // replaceWhere snapshot per mart (same source rows → the marts
+      // must come out bit-identical to the initial load)
+      val cfg1996 = graft.etl.Pipeline.Config(dir, wh,
+        "19960101", "19961231")
+      graft.etl.LakehousePipeline.t0FactLake(s, cfg1996)
+      graft.etl.LakehousePipeline.t2MartsLake(s, cfg1996)
+    }
+    GraftTable.forPath(s,
+        graft.etl.LakehousePipeline.goldPath(wh, "sales_by_region"))
+      .read()
+      .select(col("l_returnflag"), col("ship_year"), col("ship_month"),
+        col("r_name"), col("n_name"), col("total_purchase_amount"),
+        col("count_of_purchase"))
+      .orderBy(col("l_returnflag"), col("ship_year"), col("ship_month"),
+        col("r_name"), col("n_name"))
   }
 
   /** q214 — CDC-MAINTAINED VIEW: a per-status aggregate view seeded

@@ -123,12 +123,35 @@ class GraftTableScanBuilder(root: String, version: Long,
 
 class GraftTableScan(root: String, version: Long, required: StructType,
     filters: Array[sources.Filter]) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"gtable($root@v$version) filters=[${filters.mkString(", ")}]"
+
+  // ---- runtime filtering (DPP for the format) ----------------------
+  // A broadcast join whose build side resolves to an IN-set over a
+  // stats column re-plans this scan at runtime: Spark hands the set
+  // to `filter(...)` and the NEXT planInputPartitions prunes the
+  // manifest with it — dynamic FILE pruning, the v2 twin of dynamic
+  // partition pruning, with no directory scheme required. At 100 TB a
+  // fact⋈dim join on a clustered key reads only the dim-selected
+  // files.
+  private var runtimeFilters: Array[sources.Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    statsCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+
+  override def filter(fs: Array[sources.Filter]): Unit = {
+    runtimeFilters = fs
+  }
+
+  private lazy val statsCols: Seq[String] =
+    graft.format.GraftTable.forPath(SparkSession.active, root).statsCols
 
   /** Translate a pushed filter into a manifest-stats KEEP test —
     * interval intersection on stats columns, `true` (keep) for
@@ -152,11 +175,15 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     case _ => lit(true) // Not / IsNull / functions: conservative keep
   }
 
-  private lazy val plannedFiles: Array[String] = {
+  /** Recomputed per planning pass (NOT cached): runtime filters can
+    * arrive between an initial plan and an AQE re-plan, and each pass
+    * must see the tightest file set. The manifest scan is
+    * metadata-sized. */
+  private def plannedFiles: Array[String] = {
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val m = t.manifest(version).cache()
     val live = m.count()
-    val pred = filters.map(keep(t.statsCols.toSet))
+    val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
     val paths = m.where(pred).select("path").collect()
       .map(r => s"$root/${r.getString(0)}")

@@ -97,6 +97,37 @@ class GtableSourceSpec extends AnyFunSuite {
       (51L to 80L).map(_ * 2).sum)
   }
 
+  test("runtime filtering: a broadcast join against a narrow dim " +
+      "re-plans the scan with the dim's key set — dynamic FILE " +
+      "pruning below the live file total") {
+    val root = tmp()
+    GraftTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"), numFiles = 0)
+    val lo = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    // small build side confined to the low key range. It must be a
+    // FILTERED FILE SOURCE: DPP's "selective build side" heuristic
+    // keys on a surviving Filter node — a local relation folds its
+    // filter away and disqualifies the join.
+    val dim = orders.where(col("o_orderkey") <= lo + 30L)
+      .select("o_orderkey").distinct()
+    val fact = spark.read.format(fmt).load(root)
+    val joined = fact.join(broadcast(dim), Seq("o_orderkey"))
+    val expected = orders
+      .join(broadcast(dim), Seq("o_orderkey")).count()
+    GraftTableSource.lastPlannedFiles = -1
+    assert(joined.count() == expected, "runtime pruning must be lossless")
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"),
+      "the scan must receive a runtime filter from the join")
+    assert(GraftTableSource.lastLiveFiles >= 8)
+    assert(GraftTableSource.lastPlannedFiles <
+      GraftTableSource.lastLiveFiles,
+      s"the join's key set must prune file planning: " +
+        s"${GraftTableSource.lastPlannedFiles}/" +
+        s"${GraftTableSource.lastLiveFiles}")
+  }
+
   test("the connector decodes every scalar type in the testdata " +
       "tables (date, timestamp, string, numerics) identically to " +
       "the native parquet read") {

@@ -74,6 +74,54 @@ class RetailGoldenSpec extends AnyFunSuite {
     ()
   }
 
+  test("monthly incremental re-run rebuilds exactly the window's " +
+      "partitions — idempotent results, untouched months' files " +
+      "never rewritten") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_retail_inc_").toString
+    try {
+      RetailPipeline.run(spark, dataDir, wh, NPurchase)
+      def monthRows(name: String): Seq[String] =
+        spark.read.parquet(s"$wh/gold/$name")
+          .where(col("purchase_year") === "2014" &&
+            col("purchase_month") === "11")
+          .collect().map(_.toString).sorted.toSeq
+      def filesOfOtherMonths(): Set[String] = {
+        def walk(f: java.io.File): Iterator[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).iterator.flatten.flatMap(walk)
+          else Iterator(f)
+        walk(new java.io.File(wh))
+          .map(_.getPath)
+          .filter(p => p.contains("purchase_year=") &&
+            !p.contains("purchase_year=2014/purchase_month=11"))
+          .toSet
+      }
+      val beforeTime = monthRows("mart_salesbydatetime")
+      val beforeCust = monthRows("mart_salesbycustomer")
+      val beforeTotal =
+        spark.read.parquet(s"$wh/silver/purchase_all_info").count()
+      val untouchedBefore = filesOfOtherMonths()
+      assert(beforeTime.nonEmpty && untouchedBefore.nonEmpty)
+
+      RetailPipeline.runIncremental(spark, dataDir, wh, NPurchase,
+        "2014", "11")
+      // the window rebuild reproduces the full run bit-for-bit …
+      assert(monthRows("mart_salesbydatetime") === beforeTime)
+      assert(monthRows("mart_salesbycustomer") === beforeCust)
+      assert(spark.read.parquet(s"$wh/silver/purchase_all_info")
+        .count() === beforeTotal)
+      // … and every file outside the month survives by identity:
+      // dynamic overwrite must not have touched other partitions
+      assert(filesOfOtherMonths() === untouchedBefore,
+        "files outside the reloaded month must not be rewritten")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(wh)).deleteRecursively()
+      ()
+    }
+  }
+
   test("full DAG writes the four marts with the reference's shapes " +
       "and the weekday UDF's exact naming") {
     val wh = java.nio.file.Files
