@@ -486,6 +486,15 @@ object OracleSql {
                AS DOUBLE), 2) AS revenue
       FROM orders GROUP BY 1 ORDER BY 1
     """,
+    // q221: the same statement as q205 — a table built purely through
+    // the connector's write path must read back bit-identical.
+    "q221_connector_write" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
     // q219: the same statement as q205 — the connector read must be
     // bit-identical to the native-API read of the same table.
     "q219_connector_read" -> """

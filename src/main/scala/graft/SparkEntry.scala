@@ -299,7 +299,8 @@ object SparkEntry {
     "q217_replace_where" -> (FormatQueries.q217ReplaceWhere _),
     "q218_lakehouse_silver" -> (FormatQueries.q218LakehouseSilver _),
     "q219_connector_read" -> (FormatQueries.q219ConnectorRead _),
-    "q220_lakehouse_gold" -> (FormatQueries.q220LakehouseGold _)
+    "q220_lakehouse_gold" -> (FormatQueries.q220LakehouseGold _),
+    "q221_connector_write" -> (FormatQueries.q221ConnectorWrite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

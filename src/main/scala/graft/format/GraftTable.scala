@@ -414,6 +414,15 @@ final class GraftTable private (
         numFiles))
   }
 
+  /** Replace the ENTIRE table content with `df` in one atomic
+    * snapshot (the TRUNCATE+INSERT a `SaveMode.Overwrite` through the
+    * v2 connector maps to). Old files become unreferenced history —
+    * still time-travelable until vacuum. */
+  def overwrite(df: DataFrame, numFiles: Int = 4): Long = {
+    val stats = writeData(df, numFiles)
+    commitWithRetry("overwrite")(_ => stats)
+  }
+
   /** Copy-on-write delete of rows where `cond` IS TRUE: files with no
     * hits carry forward BY REFERENCE (stats-pruned — non-intersecting
     * files aren't even read), all-hit files drop from the manifest,

@@ -390,6 +390,33 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q221 — the table format WRITTEN through the connector: the table
+    * is built purely with `df.write.format(...).mode("append")
+    * .save(root)` (two commits — stats columns declared via option on
+    * the first), then read back through the same connector. Each save
+    * is one atomic snapshot through the format's put-if-absent commit
+    * protocol. Hash-equal to q205's aggregate over the original ⟺
+    * the v2 write path loses and invents nothing. */
+  def q221ConnectorWrite(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_v2write"
+    val fmt = classOf[graft.sources.GraftTableSource].getName
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      o.where(col("o_orderdate") < "1999-01-01")
+        .write.format(fmt)
+        .option("statsCols", "o_orderkey,o_orderdate")
+        .mode("append").save(root)
+      o.where(col("o_orderdate") >= "1999-01-01")
+        .write.format(fmt).mode("append").save(root)
+    }
+    s.read.format(fmt).load(root)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -53,11 +53,15 @@ class GraftTableSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTableSource.resolve(options)._3
 
+  /** Writes carry the incoming DataFrame's schema (a brand-new table
+    * root has nothing to infer from). */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, version, _) = GraftTableSource.resolve(opts)
-    new GraftTableV2(root, version, schema)
+    new GraftTableV2(root, version, schema, opts)
   }
 }
 
@@ -77,7 +81,12 @@ object GraftTableSource {
   private[sources] def resolve(options: CaseInsensitiveStringMap)
       : (String, Long, StructType) = {
     val root = Option(options.get("path")).getOrElse(
-      sys.error("gtable source requires .load(<table root>)"))
+      sys.error("gtable source requires .load/.save(<table root>)"))
+    val probe = graft.format.GraftTable
+      .openOrCreate(SparkSession.active, root, Nil)
+    if (probe.currentVersion == 0)
+      // a brand-new root (write target): schema comes from the write
+      return (root, 0L, new StructType())
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val version = Option(options.get("versionAsOf"))
       .map(_.toLong).getOrElse(t.currentVersion)
@@ -87,14 +96,63 @@ object GraftTableSource {
   }
 }
 
-class GraftTableV2(root: String, version: Long, schema0: StructType)
-    extends Table with SupportsRead {
+class GraftTableV2(root: String, version: Long, schema0: StructType,
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
   override def name(): String = s"gtable($root@v$version)"
   override def schema(): StructType = schema0
+  // BATCH_WRITE gates DataFrameWriter's v2 routing; V1_BATCH_WRITE
+  // routes the physical plan to the V1 fallback exec that understands
+  // the InsertableRelation this table's Write produces.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftTableScanBuilder(root, version, schema0)
+
+  /** The WRITE path rides the format's own commit protocol: append =
+    * one atomic snapshot, overwrite (SupportsTruncate) = one atomic
+    * whole-table replace — `df.write.format(...).mode(...).save(root)`
+    * gives a user the exact semantics of the Scala API. Stats columns
+    * for a NEW table come from `.option("statsCols", "a,b")`; an
+    * existing table keeps the columns its manifest already carries.
+    * Executed as a V1Write (driver-orchestrated InsertableRelation):
+    * the heavy lifting — distributed file write + the one-aggregate
+    * stats collection — is the same Spark job the API path runs, and
+    * the commit stays the one put-if-absent snapshot create. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val statsCols = {
+                val existing = graft.format.GraftTable
+                  .openOrCreate(SparkSession.active, root, Nil)
+                if (existing.currentVersion > 0)
+                  graft.format.GraftTable
+                    .forPath(SparkSession.active, root).statsCols
+                else Option(options.get("statsCols")).toSeq
+                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+              }
+              val t = graft.format.GraftTable
+                .openOrCreate(SparkSession.active, root, statsCols)
+              val numFiles = Option(options.get("numFiles"))
+                .map(_.toInt).getOrElse(4)
+              if (doTruncate || overwrite) t.overwrite(data, numFiles)
+              else t.append(data, numFiles)
+              ()
+            }
+          }
+      }
+    }
 }
 
 class GraftTableScanBuilder(root: String, version: Long,

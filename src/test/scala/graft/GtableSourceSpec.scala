@@ -128,6 +128,33 @@ class GtableSourceSpec extends AnyFunSuite {
         s"${GraftTableSource.lastLiveFiles}")
   }
 
+  test("v2 write path: append creates atomic snapshots with the " +
+      "declared stats columns, overwrite replaces content in one " +
+      "commit, and history stays time-travelable") {
+    val root = tmp()
+    val slice1 = orders.where(col("o_orderkey") <= 2000)
+    val slice2 = orders.where(col("o_orderkey") > 2000)
+    slice1.write.format(fmt)
+      .option("statsCols", "o_orderkey").mode("append").save(root)
+    slice2.write.format(fmt).mode("append").save(root)
+    val t = GraftTable.forPath(spark, root)
+    assert(t.currentVersion == 2)
+    assert(t.statsCols == Seq("o_orderkey"),
+      "the option-declared stats columns must stick across appends")
+    assert(t.read().count() == orders.count())
+    // overwrite = one atomic whole-table replace; old versions remain
+    // time-travelable until vacuum
+    slice1.write.format(fmt).mode("overwrite").save(root)
+    assert(t.currentVersion == 3)
+    assert(t.read().count() == slice1.count())
+    assert(t.read(2).count() == orders.count(),
+      "pre-overwrite history must stay resolvable")
+    // the overwritten table still zone-map-prunes on its stats column
+    val (_, opened, total) = GraftTable.forPath(spark, root)
+      .prunedRead("o_orderkey", lit(1), lit(10))
+    assert(opened <= total)
+  }
+
   test("the connector decodes every scalar type in the testdata " +
       "tables (date, timestamp, string, numerics) identically to " +
       "the native parquet read") {
