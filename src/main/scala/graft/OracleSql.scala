@@ -486,6 +486,16 @@ object OracleSql {
                AS DOUBLE), 2) AS revenue
       FROM orders GROUP BY 1 ORDER BY 1
     """,
+    // q222: q216's statement — the SQL-level aggregate pushdown must
+    // answer exactly what the manifest recorded.
+    "q222_metadata_agg_sql" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(o_orderkey) AS min_o_orderkey,
+             MAX(o_orderkey) AS max_o_orderkey,
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+             strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+      FROM orders
+    """,
     // q221: the same statement as q205 — a table built purely through
     // the connector's write path must read back bit-identical.
     "q221_connector_write" -> """

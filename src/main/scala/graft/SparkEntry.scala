@@ -300,7 +300,8 @@ object SparkEntry {
     "q218_lakehouse_silver" -> (FormatQueries.q218LakehouseSilver _),
     "q219_connector_read" -> (FormatQueries.q219ConnectorRead _),
     "q220_lakehouse_gold" -> (FormatQueries.q220LakehouseGold _),
-    "q221_connector_write" -> (FormatQueries.q221ConnectorWrite _)
+    "q221_connector_write" -> (FormatQueries.q221ConnectorWrite _),
+    "q222_metadata_agg_sql" -> (FormatQueries.q222MetadataAggSql _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -92,8 +92,22 @@ final class GraftTable private (
     Snapshot(v, kv("op"), kv("parent").toLong, kv("manifest"),
       kv("n_files").toLong, kv("n_rows").toLong,
       kv.get("applied").filter(_.nonEmpty)
-        .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty))
+        .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty),
+      kv.get("schema").filter(_.nonEmpty))
   }
+
+  /** The table schema RECORDED AT COMMIT TIME (Delta's metadata
+    * action restated): appends/merges union new columns onto the
+    * parent's schema, overwrite replaces it, content-preserving ops
+    * (delete/compact/zorder) carry it forward. Lets the connector
+    * resolve a schema without opening a single data-file footer —
+    * at 100 TB, one remote footer read per query planning is a real
+    * cost. None only for tables committed before schema recording. */
+  def recordedSchema(version: Long = currentVersion)
+      : Option[org.apache.spark.sql.types.StructType] =
+    snapshot(version).schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Streaming-batch ids already folded into the current snapshot —
     * the table-format twin of q204's applied-batch ledger, carried in
@@ -359,7 +373,7 @@ final class GraftTable private (
     * step retries under a concurrent-writer conflict. */
   def append(df: DataFrame, numFiles: Int = 4): Long = {
     val stats = writeData(df, numFiles)
-    commitWithRetry("append") { parent =>
+    commitWithRetry("append", newSchema = Some(df.schema)) { parent =>
       if (parent == 0) stats
       else manifest(parent).unionByName(stats)
     }
@@ -420,7 +434,7 @@ final class GraftTable private (
     * still time-travelable until vacuum. */
   def overwrite(df: DataFrame, numFiles: Int = 4): Long = {
     val stats = writeData(df, numFiles)
-    commitWithRetry("overwrite")(_ => stats)
+    commitWithRetry("overwrite", newSchema = Some(df.schema))(_ => stats)
   }
 
   /** Copy-on-write delete of rows where `cond` IS TRUE: files with no
@@ -454,7 +468,7 @@ final class GraftTable private (
   def replaceWhere(cond: Column, df: DataFrame,
       numFiles: Int = 4): Long = {
     val replacement = writeData(df, numFiles)
-    commitWithRetry("replace") { parent =>
+    commitWithRetry("replace", newSchema = Some(df.schema)) { parent =>
       cowSurvivors(parent, cond, numFiles).unionByName(replacement)
     }
   }
@@ -469,7 +483,8 @@ final class GraftTable private (
       numFiles: Int = 4): Long = {
     if (appliedBatches.contains(batchId)) return currentVersion
     val stats = writeData(df, numFiles)
-    commitWithRetry("append", batchLedger = Some(batchId)) { parent =>
+    commitWithRetry("append", batchLedger = Some(batchId),
+        newSchema = Some(df.schema)) { parent =>
       if (parent == 0) stats
       else manifest(parent).unionByName(stats)
     }
@@ -504,7 +519,7 @@ final class GraftTable private (
           k -> ((r.get(2 * i), r.get(2 * i + 1)))
         }.toMap
       }
-    commitWithRetry("merge") { parent =>
+    commitWithRetry("merge", newSchema = Some(updates.schema)) { parent =>
       val all = manifest(parent)
       lastAuditTotal = all.count()
       val candPred = statKeys.map { k =>
@@ -606,7 +621,8 @@ final class GraftTable private (
   @volatile private[graft] var beforeSnapshotCreate: () => Unit = () => ()
 
   private def commitWithRetry(op: String,
-      batchLedger: Option[Long] = None)
+      batchLedger: Option[Long] = None,
+      newSchema: Option[org.apache.spark.sql.types.StructType] = None)
       (buildManifest: Long => DataFrame): Long = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
@@ -632,9 +648,28 @@ final class GraftTable private (
           .head()
         (t.getLong(0), t.getLong(1))
       }
-      val content = Seq(s"op=$op", s"parent=$parent",
+      // schema evolution at the LOG level: append-like ops union new
+      // columns onto the parent's recorded schema, overwrite replaces
+      // it, content-preserving ops inherit it (StructType.json is one
+      // line, so the k=v record format holds)
+      val parentSchemaJson =
+        if (parent == 0) None else snapshot(parent).schemaJson
+      val schemaJson: Option[String] =
+        if (op == "overwrite") newSchema.map(_.json).orElse(parentSchemaJson)
+        else (parentSchemaJson, newSchema) match {
+          case (Some(pj), Some(ns)) =>
+            val ps = org.apache.spark.sql.types.DataType.fromJson(pj)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            val names = ps.fieldNames.toSet
+            Some(org.apache.spark.sql.types.StructType(
+              ps.fields ++ ns.fields.filterNot(f => names(f.name))).json)
+          case (None, Some(ns)) => Some(ns.json)
+          case (pj, None) => pj
+        }
+      val content = (Seq(s"op=$op", s"parent=$parent",
         s"manifest=$manifestDir", s"n_files=$nFiles", s"n_rows=$nRows",
-        s"applied=${applied.toSeq.sorted.mkString(",")}")
+        s"applied=${applied.toSeq.sorted.mkString(",")}") ++
+        schemaJson.map(j => s"schema=$j"))
         .mkString("", "\n", "\n")
       beforeSnapshotCreate()
       try {
@@ -667,7 +702,8 @@ object GraftTable {
 
   private case class Snapshot(version: Long, op: String, parent: Long,
     manifestDir: String, nFiles: Long, nRows: Long,
-    applied: Set[Long] = Set.empty)
+    applied: Set[Long] = Set.empty,
+    schemaJson: Option[String] = None)
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
 

@@ -417,6 +417,27 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q222 — METADATA-ONLY AGGREGATES through SQL: the connector's
+    * `SupportsPushDownAggregates` answers an ungrouped COUNT(*) /
+    * MIN / MAX over stats columns from the manifest fold alone —
+    * zero data files planned (GtableSourceSpec proves it by deleting
+    * them); q216's API-level trick surfaced at the
+    * `spark.read.format(...).agg(...)` level, which is how a SQL user
+    * actually asks. Hash-equal to the direct aggregates over the
+    * original ⟺ every commit recorded exact counts and envelopes. */
+  def q222MetadataAggSql(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersTable(s, dir)
+    s.read.format(classOf[graft.sources.GraftTableSource].getName)
+      .load(t.root)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_o_orderkey"),
+        max(col("o_orderkey")).as("max_o_orderkey"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("max_date"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -90,9 +90,17 @@ object GraftTableSource {
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val version = Option(options.get("versionAsOf"))
       .map(_.toLong).getOrElse(t.currentVersion)
-    // merged across commits: files written before a column existed
-    // must still surface it (as null) through the connector
-    (root, version, t.readMerged(version).schema)
+    // the snapshot's recorded schema (log-level evolution: appends
+    // union new columns) — no data-file footer is opened to plan a
+    // query. Footer-merge fallback only for pre-schema-record tables.
+    // ALL-NULLABLE on read: files committed before a column existed
+    // surface it as null, so a writer-side nullable=false must not
+    // let Catalyst fold IsNull away (same contract as spark.read
+    // .parquet, which treats every column as nullable).
+    val schema = t.recordedSchema(version)
+      .getOrElse(t.readMerged(version).schema)
+    (root, version,
+      StructType(schema.fields.map(_.copy(nullable = true))))
   }
 }
 
@@ -157,10 +165,15 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
 
 class GraftTableScanBuilder(root: String, version: Long,
     full: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var required: StructType = full
   private var filters: Array[sources.Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val keep = requiredSchema.fieldNames.toSet
@@ -175,8 +188,123 @@ class GraftTableScanBuilder(root: String, version: Long,
 
   override def pushedFilters(): Array[sources.Filter] = filters
 
-  override def build(): Scan =
-    new GraftTableScan(root, version, required, filters)
+  /** METADATA-ONLY AGGREGATES through SQL: an ungrouped, unfiltered
+    * COUNT(*) / MIN / MAX over stats columns is answered from the
+    * manifest alone — the commit protocol records exact per-file row
+    * counts and typed envelopes, so the fold is exact (the
+    * Delta/Iceberg `SELECT count(*)` petabyte trick, surfaced through
+    * `SupportsPushDownAggregates`). Anything else is declined and
+    * scans normally. Exactness caveat honored: MIN/MAX envelopes are
+    * exact because writeData computes them from the written rows —
+    * this is not a parquet-footer approximation. */
+  private def answerable(agg: Aggregation): Boolean = {
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case f: NamedReference => f.fieldNames.length == 1 &&
+        statsColsOf.contains(f.fieldNames.head)
+      case _ => false
+    }
+    filters.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => statsCol(m.column)
+        case m: Max => statsCol(m.column)
+        case _ => false
+      }
+  }
+
+  private lazy val statsColsOf: Set[String] =
+    graft.format.GraftTable.forPath(SparkSession.active, root)
+      .statsCols.toSet
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!answerable(agg)) false
+    else { pushedAgg = Some(agg); true }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new GraftTableAggScan(root, version, agg, full)
+    case None => new GraftTableScan(root, version, required, filters)
+  }
+}
+
+/** The manifest-only scan a completely-pushed aggregate builds: ONE
+  * partition, ONE row, ZERO data files opened — counts sum and
+  * envelopes fold over the manifest (GtableSourceSpec proves it by
+  * deleting every data file first). */
+class GraftTableAggScan(root: String, version: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    full: StructType) extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def colName(
+      e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames.head
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"count_$i", LongType, nullable = false)
+      case (m: Min, i) => StructField(s"min_$i",
+        full(colName(m.column)).dataType)
+      case (m: Max, i) => StructField(s"max_$i",
+        full(colName(m.column)).dataType)
+      case (other, _) => sys.error(s"unreachable: $other")
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"gtable($root@v$version) METADATA-ONLY agg=[${
+      agg.aggregateExpressions.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // fold the manifest on the driver (metadata-sized) and ship the
+    // one result row inside the partition
+    val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+    val m = t.metadataAggregates(version).head()
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => m.getAs[Any]("n_rows")
+      case mi: Min => m.getAs[Any](s"min_${colName(mi.column)}")
+      case ma: Max => m.getAs[Any](s"max_${colName(ma.column)}")
+      case other => sys.error(s"unreachable: $other")
+    }
+    // external → Catalyst internal representation (Date → days, …)
+    val internal = values.zip(readSchema().fields).map { case (v, f) =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v) match {
+        case x => x
+      }
+    }
+    GraftTableSource.lastPlannedFiles = 0L
+    GraftTableSource.lastLiveFiles =
+      t.manifest(version).count()
+    Array(GraftTableAggPartition(internal))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableAggReaderFactory
+}
+
+case class GraftTableAggPartition(values: Array[Any])
+    extends InputPartition
+
+class GraftTableAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[GraftTableAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(vs.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GraftTableScan(root: String, version: Long, required: StructType,
@@ -298,9 +426,10 @@ class GraftTableReaderFactory(required: StructType)
       private val hPath = new org.apache.hadoop.fs.Path(file)
 
       // projection: required columns present in THIS file's schema
-      private val fileSchema: MessageType = {
+      private val (fileSchema: MessageType, fileRowCount: Long) = {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-        try r.getFooter.getFileMetaData.getSchema finally r.close()
+        try (r.getFooter.getFileMetaData.getSchema, r.getRecordCount)
+        finally r.close()
       }
       private val present = required.fields
         .map(f => fileSchema.containsField(f.name))
@@ -313,8 +442,20 @@ class GraftTableReaderFactory(required: StructType)
         conf.set(org.apache.parquet.hadoop.api.ReadSupport
           .PARQUET_READ_SCHEMA, projected.toString)
       }
-      private val reader: ParquetReader[Group] = ParquetReader
-        .builder(new GroupReadSupport(), hPath).withConf(conf).build()
+      // If the file holds NONE of the required columns (projection
+      // empty — a pure count, or every requested column post-dates
+      // this file), parquet would return zero rows for an empty
+      // read schema. The correct answer is the file's ROW COUNT many
+      // all-null rows — taken from the footer, no pages decoded.
+      private val emptyProjection = projected.getFieldCount == 0
+      private var nullRowsLeft: Long = if (emptyProjection) fileRowCount else 0L
+      private val nullRow: InternalRow =
+        InternalRow.fromSeq(required.fields.toIndexedSeq.map(_ => null))
+
+      private val reader: ParquetReader[Group] =
+        if (emptyProjection) null
+        else ParquetReader
+          .builder(new GroupReadSupport(), hPath).withConf(conf).build()
 
       private var row: InternalRow = _
 
@@ -368,6 +509,12 @@ class GraftTableReaderFactory(required: StructType)
       }
 
       override def next(): Boolean = {
+        if (emptyProjection) {
+          if (nullRowsLeft == 0) return false
+          nullRowsLeft -= 1
+          row = nullRow
+          return true
+        }
         val g = reader.read()
         if (g == null) return false
         val values = required.fields.iterator.zip(present.iterator).map {
@@ -378,7 +525,7 @@ class GraftTableReaderFactory(required: StructType)
         true
       }
       override def get(): InternalRow = row
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

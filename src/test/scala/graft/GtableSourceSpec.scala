@@ -59,8 +59,10 @@ class GtableSourceSpec extends AnyFunSuite {
       s"range filter must prune planning: " +
         s"${GraftTableSource.lastPlannedFiles}/" +
         s"${GraftTableSource.lastLiveFiles}")
-    // an unconstrained read plans every live file
-    spark.read.format(fmt).load(root).count()
+    // an unconstrained SCAN plans every live file (a non-stats
+    // aggregate so the metadata-only pushdown doesn't intercept it)
+    spark.read.format(fmt).load(root)
+      .agg(sum(col("o_totalprice"))).collect()
     assert(GraftTableSource.lastPlannedFiles ==
       GraftTableSource.lastLiveFiles)
   }
@@ -153,6 +155,33 @@ class GtableSourceSpec extends AnyFunSuite {
     val (_, opened, total) = GraftTable.forPath(spark, root)
       .prunedRead("o_orderkey", lit(1), lit(10))
     assert(opened <= total)
+  }
+
+  test("aggregate pushdown: ungrouped COUNT(*)/MIN/MAX on stats " +
+      "columns is answered from the manifest — zero data files " +
+      "opened, proven by deleting them first") {
+    val root = tmp()
+    GraftTable.create(spark, root, orders, Seq("o_orderkey"),
+      numFiles = 4)
+    val expected = orders.agg(count(lit(1)), min(col("o_orderkey")),
+      max(col("o_orderkey"))).head()
+    // destroy the data; only the log remains
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/data")).deleteRecursively()
+    val df = spark.read.format(fmt).load(root)
+      .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("METADATA-ONLY"),
+      s"the scan must be the manifest fold:\n${df.queryExecution}")
+    assert(df.head() == expected)
+    assert(GraftTableSource.lastPlannedFiles == 0,
+      "no data file may be planned")
+    // a grouped aggregate is NOT answerable and must scan (and here
+    // fail, since the data is gone) — the decline path is honest
+    intercept[Throwable] {
+      spark.read.format(fmt).load(root)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1))).collect()
+    }
   }
 
   test("the connector decodes every scalar type in the testdata " +
