@@ -587,6 +587,26 @@ object OracleSql {
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1 ORDER BY 1
     """,
+    // q223: q212's statement — the connector's readChangesFrom option
+    // must plan exactly the 1997+ commits' files.
+    "q223_connector_changes" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+    """,
+    // q224: q205's statement — the streaming read over version offsets
+    // must deliver every commit exactly once.
+    "q224_streaming_read" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
     // q213: the old-writer half (even doc_id) must surface n_chars as
     // NULL after the merged read; count(n_chars) pins the placement.
     "q213_schema_evolution_fmt" -> """

@@ -301,7 +301,9 @@ object SparkEntry {
     "q219_connector_read" -> (FormatQueries.q219ConnectorRead _),
     "q220_lakehouse_gold" -> (FormatQueries.q220LakehouseGold _),
     "q221_connector_write" -> (FormatQueries.q221ConnectorWrite _),
-    "q222_metadata_agg_sql" -> (FormatQueries.q222MetadataAggSql _)
+    "q222_metadata_agg_sql" -> (FormatQueries.q222MetadataAggSql _),
+    "q223_connector_changes" -> (FormatQueries.q223ConnectorChanges _),
+    "q224_streaming_read" -> (FormatQueries.q224StreamingRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

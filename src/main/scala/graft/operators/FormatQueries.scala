@@ -438,6 +438,50 @@ object FormatQueries {
           .as("max_date"))
   }
 
+  /** q223 — CDC THROUGH the connector: `readChangesFrom = 1` over the
+    * shared orders table plans exactly the files of the 1997+ commits
+    * (the same manifest diff q212 takes through the Scala API —
+    * GtableSourceSpec pins the planned-file count). Hash-equal to the
+    * date-filtered original ⟺ the option surface loses nothing. */
+  def q223ConnectorChanges(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersTable(s, dir)
+    s.read.format(classOf[graft.sources.GraftTableSource].getName)
+      .option("readChangesFrom", "1")
+      .load(t.root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q224 — the table format as a STREAMING SOURCE: committed
+    * versions are the log (`readStream.format(...).load(root)` —
+    * Delta's streaming-source contract restated on the manifest
+    * diff), drained with AvailableNow into a memory sink and
+    * aggregated. Hash-equal to q205's aggregate over the original ⟺
+    * the version-offset planning delivered every commit exactly
+    * once. GtableSourceSpec additionally pins checkpoint-resumed
+    * incremental delivery. */
+  def q224StreamingRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = ordersTable(s, dir)
+    val qName = s"q224_sink_${System.nanoTime}"
+    val q = s.readStream
+      .format(classOf[graft.sources.GraftTableSource].getName)
+      .load(t.root)
+      .writeStream.format("memory").queryName(qName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qName)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

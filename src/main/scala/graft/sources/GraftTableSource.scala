@@ -78,6 +78,19 @@ object GraftTableSource {
   @volatile var lastPlannedFiles: Long = -1L
   @volatile var lastLiveFiles: Long = -1L
 
+  /** Files ADDED between two snapshots (fromV exclusive, toV
+    * inclusive; 0 = before the first commit) — absolute paths.
+    * Manifest-sized work; shared by the CDC batch scan and the
+    * streaming source. */
+  private[sources] def addedFiles(t: graft.format.GraftTable,
+      fromV: Long, toV: Long): Array[String] = {
+    if (toV <= 0) return Array.empty
+    val cur = t.manifest(toV).select("path")
+    val diff =
+      if (fromV <= 0) cur else cur.except(t.manifest(fromV).select("path"))
+    diff.collect().map(r => s"${t.root}/${r.getString(0)}")
+  }
+
   private[sources] def resolve(options: CaseInsensitiveStringMap)
       : (String, Long, StructType) = {
     val root = Option(options.get("path")).getOrElse(
@@ -116,10 +129,21 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
   // routes the physical plan to the V1 fallback exec that understands
   // the InsertableRelation this table's Write produces.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftTableScanBuilder(root, version, schema0)
+      : ScanBuilder =
+    Option(options.get("readChangesFrom")) match {
+      case Some(fromV) =>
+        val toV = Option(options.get("readChangesTo"))
+          .map(_.toLong).getOrElse(version)
+        new GraftTableChangesScanBuilder(root, fromV.toLong, toV, schema0)
+      case None =>
+        val startingVersion = Option(options.get("startingVersion"))
+          .map(_.toLong).getOrElse(0L)
+        new GraftTableScanBuilder(root, version, schema0, startingVersion)
+    }
 
   /** The WRITE path rides the format's own commit protocol: append =
     * one atomic snapshot, overwrite (SupportsTruncate) = one atomic
@@ -163,8 +187,39 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
     }
 }
 
-class GraftTableScanBuilder(root: String, version: Long,
+/** CDC batch read: `option("readChangesFrom", v1)` (exclusive) +
+  * optional `readChangesTo` (inclusive, default current) restricts the
+  * scan to files ADDED between the two snapshots — the connector twin
+  * of [[graft.format.GraftTable.readChanges]], so an incremental
+  * consumer reads only the delta through plain
+  * `spark.read.format(...)`. The file-set diff is manifest-sized. */
+class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
     full: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.filter(f => keep.contains(f.name)))
+  }
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"gtable($root) CHANGES v$fromV→v$toV"
+    override def planInputPartitions(): Array[InputPartition] = {
+      val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+      val added = GraftTableSource.addedFiles(t, fromV, toV)
+      GraftTableSource.lastPlannedFiles = added.length.toLong
+      GraftTableSource.lastLiveFiles = t.manifest(toV).count()
+      added.map(f => GraftTableFilePartition(f): InputPartition)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftTableReaderFactory(required)
+  }
+}
+
+class GraftTableScanBuilder(root: String, version: Long,
+    full: StructType, startingVersion: Long = 0L) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -227,7 +282,8 @@ class GraftTableScanBuilder(root: String, version: Long,
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GraftTableAggScan(root, version, agg, full)
-    case None => new GraftTableScan(root, version, required, filters)
+    case None =>
+      new GraftTableScan(root, version, required, filters, startingVersion)
   }
 }
 
@@ -308,7 +364,8 @@ class GraftTableAggReaderFactory extends PartitionReaderFactory {
 }
 
 class GraftTableScan(root: String, version: Long, required: StructType,
-    filters: Array[sources.Filter]) extends Scan with Batch
+    filters: Array[sources.Filter], startingVersion: Long = 0L)
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -385,6 +442,20 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTableReaderFactory(required)
 
+  /** The STREAMING half: committed VERSIONS are the log. An offset is
+    * "versions consumed so far"; each micro-batch plans exactly the
+    * files added between two snapshots (the same manifest diff
+    * [[graft.format.GraftTable.readChanges]] exposes) — so a
+    * downstream pipeline `readStream`s a table and incrementally
+    * folds every commit as it lands, Delta's streaming-source
+    * contract restated. Exactly-once for the source side falls out of
+    * offset checkpointing; per-version work is delta-sized. Under COW
+    * rewrites the post-image files replay (documented readChanges
+    * caveat — stream from append-only tables). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableMicroBatchStream(root, required, startingVersion)
+
   /** Metadata-only stats: exact row count from the manifest (post-
     * prune the planned subset's counts would need the same scan, so
     * report the version's total — still a far better CBO input than
@@ -402,6 +473,44 @@ class GraftTableScan(root: String, version: Long, required: StructType,
 }
 
 case class GraftTableFilePartition(file: String) extends InputPartition
+
+case class GraftTableOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+class GraftTableMicroBatchStream(root: String, required: StructType,
+    startingVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def table =
+    graft.format.GraftTable.forPath(SparkSession.active, root)
+
+  override def initialOffset(): Offset = GraftTableOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    GraftTableOffset(table.currentVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftTableOffset("\"version\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad gtable offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftTableOffset].version
+    val e0 = end.asInstanceOf[GraftTableOffset].version
+    GraftTableSource.addedFiles(table, s0, e0)
+      .map(f => GraftTableFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Per-file parquet reader on parquet-hadoop's Group API: reads THIS
   * file's footer (projection = required ∩ file schema, so old files
