@@ -32,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered by CLASS NAME: `spark.read.format("graft.sources.eventlog")`
   * resolves via the DataSourceRegister service loader is not used here —
   * q198 loads it as `.format(classOf[EventLogSource].getName)`. */
-class EventLogSource extends TableProvider {
+class EventLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  /** Service-loader registration (round 9): `format("eventlog")` now
+    * works alongside the class-name form q198 documents. */
+  override def shortName(): String = "eventlog"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     EventLogSource.schema

@@ -48,7 +48,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * .GraftTable.readMerged]]). The reference has no table format at
   * all (raw S3 parquet + crawler, SURVEY §1.2) — extension tier;
   * q198's eventlog connector is the in-repo template this follows. */
-class GraftTableSource extends TableProvider {
+class GraftTableSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  /** Service-loader registration: `spark.read.format("gtable")` and
+    * SQL's ``gtable.`/path` `` both resolve here. */
+  override def shortName(): String = "gtable"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTableSource.resolve(options)._3

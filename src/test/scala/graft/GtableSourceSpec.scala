@@ -240,6 +240,19 @@ class GtableSourceSpec extends AnyFunSuite {
       "a resumed stream must deliver exactly the new commit")
   }
 
+  test("short-name registration: format(\"gtable\") resolves through " +
+      "the service loader, for reads and writes") {
+    val root = tmp()
+    GraftTable.create(spark, root,
+      (1L to 40L).toDF("k"), Seq("k"), numFiles = 1)
+    assert(spark.read.format("gtable").load(root).count() == 40)
+    (41L to 50L).toDF("k").write.format("gtable")
+      .mode("append").save(root)
+    assert(spark.read.format("gtable").load(root).count() == 50)
+    // (SQL-on-files `gtable.`path`` is a V1-FileFormat-only surface in
+    // Spark — v2 TableProviders go through read.format, by design.)
+  }
+
   test("the connector decodes every scalar type in the testdata " +
       "tables (date, timestamp, string, numerics) identically to " +
       "the native parquet read") {
