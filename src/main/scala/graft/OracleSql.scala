@@ -598,6 +598,15 @@ object OracleSql {
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1 ORDER BY 1
     """,
+    // q225: q205's statement — name-based resolution through the
+    // TableCatalog plugin must read exactly the table.
+    "q225_catalog_read" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
     // q224: q205's statement — the streaming read over version offsets
     // must deliver every commit exactly once.
     "q224_streaming_read" -> """

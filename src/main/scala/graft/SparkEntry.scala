@@ -303,7 +303,8 @@ object SparkEntry {
     "q221_connector_write" -> (FormatQueries.q221ConnectorWrite _),
     "q222_metadata_agg_sql" -> (FormatQueries.q222MetadataAggSql _),
     "q223_connector_changes" -> (FormatQueries.q223ConnectorChanges _),
-    "q224_streaming_read" -> (FormatQueries.q224StreamingRead _)
+    "q224_streaming_read" -> (FormatQueries.q224StreamingRead _),
+    "q225_catalog_read" -> (FormatQueries.q225CatalogRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

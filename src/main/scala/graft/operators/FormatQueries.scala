@@ -482,6 +482,30 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q225 — the table format BY NAME through the `GraftCatalog`
+    * TableCatalog plugin: the shared orders table resolves as
+    * `glake.orders` and the aggregate runs as plain SQL over the
+    * identifier — the reference's crawler-then-query-by-name story
+    * (`document/glue_t0.md:95-117`) with the filesystem as the
+    * catalog. Hash-equal to q205's aggregate ⟺ identifier resolution
+    * reads exactly the table. GraftCatalogSpec covers INSERT
+    * INTO/OVERWRITE, CTAS with statsCols TBLPROPERTIES, VERSION AS
+    * OF, namespaces, DROP. */
+  def q225CatalogRead(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersTable(s, dir)
+    val wh = new java.io.File(t.root).getParent
+    s.conf.set("spark.sql.catalog.glake",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.glake.warehouse", wh)
+    s.sql("""
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM glake.orders GROUP BY 1 ORDER BY 1
+    """)
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

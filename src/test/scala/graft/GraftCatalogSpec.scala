@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.format.GraftTable
+
+/** The NAME half of the lakehouse: a `TableCatalog` plugin resolving
+  * GraftTables by identifier — `spark.table("lake.t")`, SQL reads,
+  * INSERT INTO / INSERT OVERWRITE riding the atomic commit write
+  * path, CTAS with statsCols TBLPROPERTIES, VERSION AS OF time
+  * travel, DROP/RENAME/list. The catalog state IS the warehouse
+  * directory — no metastore process. */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_catalog_wh_").toString
+    spark.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lake.warehouse", wh)
+    wh
+  }
+
+  private def orders = Tables.load(spark, sfDir, "orders")
+
+  test("a table written by the Scala API resolves BY NAME: " +
+      "spark.table, SQL aggregate, and SQL VERSION AS OF time travel") {
+    val t = GraftTable.create(spark, s"$warehouse/orders_api",
+      orders.where(col("o_orderkey") <= 2000), Seq("o_orderkey"))
+    t.append(orders.where(col("o_orderkey") > 2000))
+    assert(spark.table("lake.orders_api").count() == orders.count())
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.orders_api").head().getLong(0) ==
+      orders.count())
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.orders_api VERSION AS OF 1")
+      .head().getLong(0) ==
+      orders.where(col("o_orderkey") <= 2000).count())
+  }
+
+  test("INSERT INTO appends one atomic snapshot; INSERT OVERWRITE " +
+      "replaces content; both visible by name immediately") {
+    GraftTable.create(spark, s"$warehouse/kv",
+      (1L to 50L).map(k => (k, k * 2)).toDF("k", "v"), Seq("k"),
+      numFiles = 1)
+    spark.sql("INSERT INTO lake.kv SELECT id AS k, id * 2 AS v " +
+      "FROM range(51, 101)")
+    assert(spark.table("lake.kv").count() == 100)
+    assert(GraftTable.forPath(spark, s"$warehouse/kv")
+      .currentVersion == 2, "one INSERT = one snapshot")
+    spark.sql("INSERT OVERWRITE lake.kv SELECT id AS k, id AS v " +
+      "FROM range(1, 11)")
+    assert(spark.table("lake.kv").count() == 10)
+    // overwrite is a new snapshot, not a wipe: v2 stays readable
+    assert(GraftTable.forPath(spark, s"$warehouse/kv")
+      .read(2).count() == 100)
+  }
+
+  test("CREATE TABLE AS SELECT with statsCols TBLPROPERTIES builds a " +
+      "zone-mapped table; DROP removes it; listTables sees it") {
+    spark.sql("CREATE TABLE lake.ctas TBLPROPERTIES " +
+      "('statsCols'='o_orderkey') AS SELECT o_orderkey, o_totalprice " +
+      "FROM parquet.`" + sfDir + "/orders.parquet` " +
+      "WHERE o_orderkey <= 3000")
+    val expected = orders.where(col("o_orderkey") <= 3000).count()
+    assert(spark.table("lake.ctas").count() == expected)
+    val t = GraftTable.forPath(spark, s"$warehouse/ctas")
+    assert(t.statsCols == Seq("o_orderkey"),
+      "TBLPROPERTIES statsCols must reach the manifest")
+    assert(spark.sql("SHOW TABLES IN lake").collect()
+      .map(_.getString(1)).contains("ctas"))
+    spark.sql("DROP TABLE lake.ctas")
+    assert(!new java.io.File(s"$warehouse/ctas").exists())
+  }
+
+  test("namespaced tables map to directories: create, insert, read " +
+      "by lake.db.t") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+    spark.sql("CREATE TABLE lake.db.t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    spark.sql("INSERT INTO lake.db.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table("lake.db.t").count() == 2)
+    assert(new java.io.File(s"$warehouse/db/t/_log").isDirectory)
+    assert(GraftTable.forPath(spark, s"$warehouse/db/t")
+      .statsCols == Seq("k"))
+  }
+}
