@@ -125,8 +125,55 @@ object GraftTableSource {
 class GraftTableV2(root: String, version: Long, schema0: StructType,
     options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.write._
+
+  /** SQL `DELETE FROM lake.t WHERE …` (and `TRUNCATE TABLE`, which
+    * rides `SupportsDeleteV2`'s default): pushed filters translate to
+    * a Column predicate and run through [[graft.format.GraftTable
+    * .deleteWhere]] — the NULL-safe, stats-pruned, file-granular COW
+    * path, committed as one atomic snapshot. Untranslatable filters
+    * make `canDeleteWhere` false and Spark raises the standard
+    * cannot-delete error instead of corrupting anything. */
+  private def deleteCond(f: sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col => c, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(c(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(c(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(c(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case sources.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(c(a).isNull)
+      case sources.IsNotNull(a) => Some(c(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(c(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- deleteCond(l); rc <- deleteCond(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- deleteCond(l); rc <- deleteCond(r)) yield lc || rc
+      case sources.Not(x) => deleteCond(x).map(not)
+      case _: sources.AlwaysTrue => Some(lit(true))
+      case _: sources.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    version > 0 && filters.forall(deleteCond(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.flatMap(deleteCond(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    graft.format.GraftTable.forPath(SparkSession.active, root)
+      .deleteWhere(cond)
+    ()
+  }
 
   override def name(): String = s"gtable($root@v$version)"
   override def schema(): StructType = schema0

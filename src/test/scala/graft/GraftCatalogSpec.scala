@@ -75,6 +75,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$warehouse/ctas").exists())
   }
 
+  test("SQL DELETE runs the NULL-safe stats-pruned COW path as one " +
+      "atomic snapshot; TRUNCATE TABLE empties the table; history " +
+      "stays time-travelable") {
+    GraftTable.create(spark, s"$warehouse/delsql",
+      (1L to 100L).map(k =>
+        (k, if (k % 10 == 0) None else Some(k))).toDF("k", "x"),
+      Seq("k"), numFiles = 2)
+    spark.sql("DELETE FROM lake.delsql WHERE x > 50")
+    val t = GraftTable.forPath(spark, s"$warehouse/delsql")
+    assert(t.currentVersion == 2, "one DELETE = one snapshot")
+    // rows where x IS TRUE-ly > 50 go; the 10 NULL-x rows all stay
+    assert(spark.table("lake.delsql").count() == 100 - 45)
+    assert(spark.table("lake.delsql")
+      .where(col("x").isNull).count() == 10)
+    spark.sql("TRUNCATE TABLE lake.delsql")
+    assert(spark.table("lake.delsql").count() == 0)
+    assert(t.read(2).count() == 55, "pre-truncate history survives")
+  }
+
   test("namespaced tables map to directories: create, insert, read " +
       "by lake.db.t") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
