@@ -50,8 +50,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.kv").count() == 100)
     assert(GraftTable.forPath(spark, s"$warehouse/kv")
       .currentVersion == 2, "one INSERT = one snapshot")
-    spark.sql("INSERT OVERWRITE lake.kv SELECT id AS k, id AS v " +
-      "FROM range(1, 11)")
+    // INSERT OVERWRITE must work in BOTH partition-overwrite modes:
+    // sessions running the classic pipeline leave the shared session
+    // in dynamic mode, which re-plans the statement through
+    // SupportsDynamicOverwrite (an unpartitioned gtable treats it as
+    // the same atomic truncate overwrite)
+    val prevMode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE lake.kv SELECT id AS k, id AS v " +
+        "FROM range(1, 11)")
+    } finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     assert(spark.table("lake.kv").count() == 10)
     // overwrite is a new snapshot, not a wipe: v2 stays readable
     assert(GraftTable.forPath(spark, s"$warehouse/kv")
