@@ -208,16 +208,9 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
     * stats collection — is the same Spark job the API path runs, and
     * the commit stays the one put-if-absent snapshot create. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      // gtables carry no directory partitions — a dynamic partition
-      // overwrite of the whole (unpartitioned) table IS a truncate
-      // overwrite (sessions running the classic pipeline set
-      // partitionOverwriteMode=dynamic, which re-plans INSERT
-      // OVERWRITE through this hook)
-      override def overwriteDynamicPartitions(): WriteBuilder =
-        { doTruncate = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation
             : org.apache.spark.sql.sources.InsertableRelation =

@@ -50,15 +50,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.kv").count() == 100)
     assert(GraftTable.forPath(spark, s"$warehouse/kv")
       .currentVersion == 2, "one INSERT = one snapshot")
-    // INSERT OVERWRITE must work in BOTH partition-overwrite modes:
-    // sessions running the classic pipeline leave the shared session
-    // in dynamic mode, which re-plans the statement through
-    // SupportsDynamicOverwrite (an unpartitioned gtable treats it as
-    // the same atomic truncate overwrite)
+    // INSERT OVERWRITE semantics depend on the session's
+    // partition-overwrite mode: STATIC (Spark's default) routes
+    // through the atomic truncate overwrite; DYNAMIC plans
+    // OverwritePartitionsDynamic, which has no V1 exec — the
+    // connector declines it with Spark's standard clean error rather
+    // than guessing (gtables carry no directory partitions, so
+    // dynamic mode buys nothing here anyway). Pin both, explicitly —
+    // other suites leave the shared session in dynamic mode.
     val prevMode = spark.conf
       .getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT OVERWRITE lake.kv SELECT id AS k, id AS v " +
+          "FROM range(1, 11)")
+      }
+      assert(e.getMessage.contains("dynamic overwrite"),
+        s"dynamic mode must decline cleanly: ${e.getMessage}")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
       spark.sql("INSERT OVERWRITE lake.kv SELECT id AS k, id AS v " +
         "FROM range(1, 11)")
     } finally prevMode match {
