@@ -598,6 +598,21 @@ object OracleSql {
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1 ORDER BY 1
     """,
+    // q226: q208's statement — SQL DELETE through the catalog must
+    // produce the same table the API-level COW delete does.
+    "q226_sql_delete" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag <> 'R'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     // q225: q205's statement — name-based resolution through the
     // TableCatalog plugin must read exactly the table.
     "q225_catalog_read" -> """

@@ -304,7 +304,8 @@ object SparkEntry {
     "q222_metadata_agg_sql" -> (FormatQueries.q222MetadataAggSql _),
     "q223_connector_changes" -> (FormatQueries.q223ConnectorChanges _),
     "q224_streaming_read" -> (FormatQueries.q224StreamingRead _),
-    "q225_catalog_read" -> (FormatQueries.q225CatalogRead _)
+    "q225_catalog_read" -> (FormatQueries.q225CatalogRead _),
+    "q226_sql_delete" -> (FormatQueries.q226SqlDelete _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -506,6 +506,38 @@ object FormatQueries {
     """)
   }
 
+  /** q226 — SQL DML against the catalog: `DELETE FROM gcat.t WHERE
+    * l_returnflag = 'R'` runs the NULL-safe stats-pruned COW path as
+    * one atomic snapshot, through nothing but SQL and an identifier.
+    * Same construction and oracle as q208 (the API-level delete), so
+    * the hash pins that the SQL surface and the Scala API produce
+    * bit-identical tables. */
+  def q226SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_sqldel"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus")
+      GraftTable.create(s, root, li, statsCols = Seq("l_orderkey"))
+      s.sql("DELETE FROM gcat.lineitem_sqldel WHERE l_returnflag = 'R'")
+      ()
+    }
+    s.table("gcat.lineitem_sqldel")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic
