@@ -74,13 +74,7 @@ final class GraftTable private (
   // ---- version / snapshot resolution --------------------------------
 
   /** Highest committed version (max over snapshot files), 0 = none. */
-  def currentVersion: Long = {
-    val files = new java.io.File(logDir(root)).listFiles()
-    if (files == null) 0L
-    else files.iterator.map(_.getName).collect {
-      case SnapshotName(v) => v.toLong
-    }.foldLeft(0L)(math.max)
-  }
+  def currentVersion: Long = GraftTable.versionAt(root)
 
   private def snapshot(v: Long): Snapshot = {
     val p = java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt")
@@ -660,9 +654,17 @@ final class GraftTable private (
           case (Some(pj), Some(ns)) =>
             val ps = org.apache.spark.sql.types.DataType.fromJson(pj)
               .asInstanceOf[org.apache.spark.sql.types.StructType]
-            val names = ps.fieldNames.toSet
+            // honor spark.sql.caseSensitive: under the (default)
+            // case-insensitive resolution, appending column "X" onto a
+            // table recorded with "x" must NOT store both fields — a
+            // duplicate pair would make every connector read ambiguous
+            // (ADVICE r9)
+            def key(n: String): String =
+              if (spark.sessionState.conf.caseSensitiveAnalysis) n
+              else n.toLowerCase(java.util.Locale.ROOT)
+            val names = ps.fieldNames.map(key).toSet
             Some(org.apache.spark.sql.types.StructType(
-              ps.fields ++ ns.fields.filterNot(f => names(f.name))).json)
+              ps.fields ++ ns.fields.filterNot(f => names(key(f.name)))).json)
           case (None, Some(ns)) => Some(ns.json)
           case (pj, None) => pj
         }
@@ -693,9 +695,25 @@ object GraftTable {
 
   /** Orphan (never-committed) files younger than this survive vacuum:
     * they may belong to an in-flight concurrent writer whose atomic
-    * snapshot create hasn't happened yet. 15 min covers any realistic
-    * write+commit gap; crash recovery passes `minOrphanAgeMs = 0`. */
-  val DefaultOrphanRetentionMs: Long = 15L * 60 * 1000
+    * snapshot create hasn't happened yet. 7 DAYS (Delta's retention
+    * default) — a writer whose distributed data write takes hours
+    * must never have its not-yet-referenced files collected out from
+    * under its commit (ADVICE r9: 15 min could race a long write →
+    * silent corruption). Crash recovery passes `minOrphanAgeMs = 0`. */
+  val DefaultOrphanRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** READ-ONLY existence/version probe — creates NOTHING on disk.
+    * `openOrCreate` materializes `<root>/_log`, so using it from
+    * `tableExists` / `loadTable` / `resolve` turned every probe of a
+    * wrong path into a phantom namespace (ADVICE r9). All read-side
+    * catalog/connector paths go through here. */
+  def versionAt(root: String): Long = {
+    val files = new java.io.File(logDir(root)).listFiles()
+    if (files == null) 0L
+    else files.iterator.map(_.getName).collect {
+      case SnapshotName(v) => v.toLong
+    }.foldLeft(0L)(math.max)
+  }
 
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
@@ -734,11 +752,17 @@ object GraftTable {
     new GraftTable(spark, root, statsCols)
   }
 
-  /** Open an existing table (stats columns read off the manifest). */
+  /** Open an existing table (stats columns read off the manifest).
+    * Version-0 safe: a created-but-never-written table opens with no
+    * stats columns instead of failing on the missing snapshot file
+    * (ADVICE r9: SELECT from a CREATE-TABLE-only table must return
+    * zero rows, not crash). */
   def forPath(spark: SparkSession, root: String): GraftTable = {
     val probe = new GraftTable(spark, root, Nil)
-    val cols = probe.manifest().columns.toSeq
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val cols =
+      if (probe.currentVersion == 0) Nil
+      else probe.manifest().columns.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     new GraftTable(spark, root, cols)
   }
 }

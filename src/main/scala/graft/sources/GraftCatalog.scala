@@ -48,9 +48,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace() :+ ident.name())
       .foldLeft(warehouse)((p, seg) => s"$p/$seg")
 
+  /** READ-ONLY: existence probes must not mutate the warehouse
+    * (ADVICE r9 — `openOrCreate` created `<root>/_log` on every
+    * `tableExists`/`loadTable` miss, producing phantom namespaces). */
   private def isTable(root: String): Boolean =
-    graft.format.GraftTable
-      .openOrCreate(SparkSession.active, root, Nil).currentVersion > 0 ||
+    graft.format.GraftTable.versionAt(root) > 0 ||
       new java.io.File(s"$root/_log/_props.txt").isFile
 
   /** statsCols and the declared schema survive the gap between
@@ -73,13 +75,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def v2Table(root: String, versionAsOf: Option[Long])
       : GraftTableV2 = {
-    val t = graft.format.GraftTable
-      .openOrCreate(SparkSession.active, root, Nil)
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     val stats = readStatsCols(root)
     if (stats.nonEmpty) opts.put("statsCols", stats.mkString(","))
-    if (t.currentVersion == 0) {
+    if (graft.format.GraftTable.versionAt(root) == 0) {
       val declared = readProps(root).get("schema")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType])
@@ -108,17 +108,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF t` — resolve the newest snapshot whose commit
-    * file predates `t` (micros since epoch). */
+    * file predates `t` (micros since epoch). Vacuumed snapshot files
+    * are SKIPPED (a missing file's `lastModified` is 0L, which would
+    * otherwise satisfy any cutoff and fail later with
+    * NoSuchFileException — ADVICE r9); a timestamp older than all
+    * retained history raises an explicit error. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val t = graft.format.GraftTable
-      .openOrCreate(SparkSession.active, root, Nil)
     val tsMillis = timestamp / 1000L
-    val version = (1L to t.currentVersion).reverse.find { v =>
-      new java.io.File(s"$root/_log/snapshot-v$v.txt")
-        .lastModified() <= tsMillis
-    }.getOrElse(throw new NoSuchTableException(ident))
+    val version = (1L to graft.format.GraftTable.versionAt(root))
+      .reverse.find { v =>
+        val f = new java.io.File(s"$root/_log/snapshot-v$v.txt")
+        f.isFile && f.lastModified() <= tsMillis
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no retained snapshot of ${ident} at or before timestamp " +
+          s"$timestamp (µs since epoch) — history before the oldest " +
+          "retained snapshot may have been vacuumed"))
     v2Table(root, Some(version))
   }
 

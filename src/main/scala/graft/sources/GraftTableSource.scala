@@ -100,9 +100,9 @@ object GraftTableSource {
       : (String, Long, StructType) = {
     val root = Option(options.get("path")).getOrElse(
       sys.error("gtable source requires .load/.save(<table root>)"))
-    val probe = graft.format.GraftTable
-      .openOrCreate(SparkSession.active, root, Nil)
-    if (probe.currentVersion == 0)
+    // READ-ONLY probe (ADVICE r9): resolving a path must not create
+    // <root>/_log — only the write path materializes directories
+    if (graft.format.GraftTable.versionAt(root) == 0)
       // a brand-new root (write target): schema comes from the write
       return (root, 0L, new StructType())
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
@@ -262,7 +262,8 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
       val t = graft.format.GraftTable.forPath(SparkSession.active, root)
       val added = GraftTableSource.addedFiles(t, fromV, toV)
       GraftTableSource.lastPlannedFiles = added.length.toLong
-      GraftTableSource.lastLiveFiles = t.manifest(toV).count()
+      GraftTableSource.lastLiveFiles =
+        if (toV <= 0) 0L else t.manifest(toV).count()
       added.map(f => GraftTableFilePartition(f): InputPartition)
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -322,14 +323,17 @@ class GraftTableScanBuilder(root: String, version: Long,
   }
 
   private lazy val statsColsOf: Set[String] =
-    graft.format.GraftTable.forPath(SparkSession.active, root)
+    if (version == 0) Set.empty
+    else graft.format.GraftTable.forPath(SparkSession.active, root)
       .statsCols.toSet
 
+  // version 0 (CREATE TABLE, nothing written): no manifest to answer
+  // from — decline and let the regular scan return its zero rows
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerable(agg)
+    version > 0 && answerable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (!answerable(agg)) false
+    if (version == 0 || !answerable(agg)) false
     else { pushedAgg = Some(agg); true }
 
   override def build(): Scan = pushedAgg match {
@@ -446,7 +450,8 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   }
 
   private lazy val statsCols: Seq[String] =
-    graft.format.GraftTable.forPath(SparkSession.active, root).statsCols
+    if (version == 0) Nil
+    else graft.format.GraftTable.forPath(SparkSession.active, root).statsCols
 
   /** Translate a pushed filter into a manifest-stats KEEP test —
     * interval intersection on stats columns, `true` (keep) for
@@ -475,6 +480,14 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * must see the tightest file set. The manifest scan is
     * metadata-sized. */
   private def plannedFiles: Array[String] = {
+    if (version == 0) {
+      // CREATE TABLE before first INSERT: zero files, zero rows —
+      // a SELECT must answer empty, not fail on the missing snapshot
+      // (ADVICE r9)
+      GraftTableSource.lastPlannedFiles = 0L
+      GraftTableSource.lastLiveFiles = 0L
+      return Array.empty
+    }
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val m = t.manifest(version).cache()
     val live = m.count()
@@ -513,10 +526,10 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * report the version's total — still a far better CBO input than
     * "unknown"). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val t =
-      graft.format.GraftTable.forPath(SparkSession.active, root)
     private val rows =
-      t.metadataAggregates(version).select("n_rows").head().getLong(0)
+      if (version == 0) 0L
+      else graft.format.GraftTable.forPath(SparkSession.active, root)
+        .metadataAggregates(version).select("n_rows").head().getLong(0)
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.empty()
     override def numRows(): util.OptionalLong =

@@ -130,4 +130,74 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftTable.forPath(spark, s"$warehouse/db/t")
       .statsCols == Seq("k"))
   }
+
+  test("read-only probes do NOT mutate the warehouse: tableExists / " +
+      "failed loadTable leave no _log behind, and an empty namespace " +
+      "still drops non-cascade (ADVICE r9)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.emptyns")
+    // existence probe of a table that was never created
+    assert(spark.catalog.tableExists("lake.emptyns.ghost") == false)
+    intercept[Exception] { spark.table("lake.emptyns.ghost").count() }
+    assert(!new java.io.File(s"$warehouse/emptyns/ghost").exists(),
+      "a probe must not materialize <warehouse>/<ns>/<name>/_log")
+    // the namespace is still genuinely empty → non-cascade DROP works
+    assert(spark.sql("SHOW TABLES IN lake.emptyns").count() == 0)
+    spark.sql("DROP NAMESPACE lake.emptyns")
+    assert(!new java.io.File(s"$warehouse/emptyns").exists())
+  }
+
+  test("SELECT from a created-but-empty table answers zero rows " +
+      "(ADVICE r9: version-0 scan must not fail on the missing " +
+      "snapshot file)") {
+    spark.sql("CREATE TABLE lake.empty0 (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    assert(spark.table("lake.empty0").count() == 0)
+    assert(spark.sql("SELECT * FROM lake.empty0 WHERE k > 3").count() == 0)
+    // an aggregate over the empty table: pushdown declines (no
+    // manifest), the plain scan answers 0 / null
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn FROM lake.empty0").head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    spark.sql("DROP TABLE lake.empty0")
+  }
+
+  test("TIMESTAMP AS OF skips vacuumed snapshots and raises an " +
+      "explicit error for a timestamp older than retained history " +
+      "(ADVICE r9: a missing file's mtime=0 must not win)") {
+    val root = s"$warehouse/tt"
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a")).toDF("k", "s"), Seq("k"), numFiles = 1)
+    t.append(Seq((2L, "b")).toDF("k", "s"), numFiles = 1)
+    t.append(Seq((3L, "c")).toDF("k", "s"), numFiles = 1)
+    // expire v1+v2 history; only v3 remains on disk
+    t.vacuum(retainLast = 1, minOrphanAgeMs = 0L)
+    assert(!new java.io.File(s"$root/_log/snapshot-v1.txt").isFile)
+    // timestamp far in the past: older than every RETAINED snapshot →
+    // explicit error, not a NoSuchFileException from resolving v1
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM lake.tt TIMESTAMP AS OF " +
+        "'1999-01-01 00:00:00'").count()
+    }
+    def causes(x: Throwable): List[Throwable] =
+      if (x == null) Nil else x :: causes(x.getCause)
+    assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("retained"))),
+      s"expected the explicit no-retained-snapshot error, got: $e")
+    // a timestamp in the future resolves the newest retained version
+    assert(spark.sql("SELECT count(*) FROM lake.tt TIMESTAMP AS OF " +
+      "'2100-01-01 00:00:00'").head().getLong(0) == 3L)
+  }
+
+  test("appending a re-cased column does not duplicate the recorded " +
+      "schema field under case-insensitive resolution (ADVICE r9)") {
+    val root = s"$warehouse/recase"
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a")).toDF("k", "name"), Seq("k"), numFiles = 1)
+    t.append(Seq((2L, "B")).toDF("k", "NAME"), numFiles = 1)
+    val rec = t.recordedSchema().get
+    assert(rec.fieldNames.count(_.equalsIgnoreCase("name")) == 1,
+      s"recorded schema must carry ONE name field, got $rec")
+    assert(spark.table("lake.recase").columns.toSeq == Seq("k", "name"))
+    assert(spark.table("lake.recase").count() == 2)
+  }
 }
