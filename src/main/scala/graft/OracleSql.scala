@@ -718,6 +718,53 @@ object OracleSql {
                THEN o_totalprice * 2 ELSE o_totalprice END
                AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
       FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q227: SQL MERGE INTO must equal the q209 API merge — one CASE
+    // over the original orders (×2 is IEEE-exact).
+    "q227_sql_merge" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(CASE
+               WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderkey % 10 = 0
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q228: the connector replaceWhere option must equal the q217
+    // API replaceWhere — same CASE oracle.
+    "q228_connector_replace_where" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(CASE
+               WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q229: the first-class streaming sink must land exactly the
+    // source — same oracle shape as q210.
+    "q229_streaming_write" -> """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """,
+    // q230: SQL UPDATE bumped 1996 quantities by 1000 — CASE over the
+    // original lineitem window.
+    "q230_sql_update" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CASE
+               WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+               THEN l_quantity + 1000 ELSE l_quantity END
+               AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2
     """
   ).map { case (k, v) => k -> v.trim }
 

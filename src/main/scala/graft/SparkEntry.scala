@@ -305,7 +305,12 @@ object SparkEntry {
     "q223_connector_changes" -> (FormatQueries.q223ConnectorChanges _),
     "q224_streaming_read" -> (FormatQueries.q224StreamingRead _),
     "q225_catalog_read" -> (FormatQueries.q225CatalogRead _),
-    "q226_sql_delete" -> (FormatQueries.q226SqlDelete _)
+    "q226_sql_delete" -> (FormatQueries.q226SqlDelete _),
+    "q227_sql_merge" -> (FormatQueries.q227SqlMerge _),
+    "q228_connector_replace_where" ->
+      (FormatQueries.q228ConnectorReplaceWhere _),
+    "q229_streaming_write" -> (FormatQueries.q229StreamingWrite _),
+    "q230_sql_update" -> (FormatQueries.q230SqlUpdate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -555,6 +555,63 @@ final class GraftTable private (
     }
   }
 
+  /** Atomic REPLACE-FILES commit for the connector's row-level
+    * operations (SQL MERGE/UPDATE/DELETE → `ReplaceData`): drop
+    * `removed` (root-relative paths — the files the row-level scan
+    * planned) from the parent manifest and add `newEntries` (the
+    * executor writers' stats-carrying manifest rows), as ONE
+    * snapshot. Write-serializable: if the table advanced past
+    * `expectedParent` between scan and commit, fail loudly — the
+    * replacement was computed against a version that no longer
+    * exists, and rebasing it could silently drop a concurrent
+    * writer's rows. */
+  private[graft] def commitReplaceFiles(op: String,
+      removed: Seq[String], newEntries: DataFrame,
+      expectedParent: Long,
+      newSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long =
+    commitWithRetry(op, newSchema = newSchema) { parent =>
+      if (parent != expectedParent)
+        throw new ConcurrentCommitException(
+          s"row-level $op on $root planned against v$expectedParent " +
+            s"but the table is now at v$parent; re-run the statement")
+      import spark.implicits._
+      if (parent == 0) newEntries
+      else {
+        val all = manifest(parent)
+        val kept =
+          if (removed.isEmpty) all
+          else all.join(broadcast(removed.toDF("path")),
+            Seq("path"), "left_anti")
+        kept.unionByName(newEntries)
+      }
+    }
+
+  /** Atomic APPEND-FILES commit for writers that produced their own
+    * manifest entries (the connector's streaming sink — executor
+    * writers carry per-file stats in their commit messages, so no
+    * re-read is needed). `batchId` rides the applied-batch ledger:
+    * a replayed epoch is recognized and skipped, exactly-once. */
+  private[graft] def commitAppendFiles(newEntries: DataFrame,
+      batchId: Option[Long],
+      newSchema: Option[org.apache.spark.sql.types.StructType]): Long =
+    commitWithRetry("append", batchLedger = batchId,
+        newSchema = newSchema) { parent =>
+      if (parent == 0) newEntries
+      else manifest(parent).unionByName(newEntries)
+    }
+
+  /** ALTER TABLE ADD COLUMN: one content-preserving snapshot whose
+    * recorded schema unions the new columns — no data file moves, and
+    * every pre-existing file surfaces the new columns as null (the
+    * schema-evolution contract reads already honor). */
+  def addColumns(cols: org.apache.spark.sql.types.StructType): Long =
+    commitWithRetry("alter", newSchema = Some(cols)) { parent =>
+      if (parent == 0) sys.error(
+        "addColumns on an empty table: declare the schema at CREATE")
+      else manifest(parent)
+    }
+
   /** Rewrite the live file set into `numFiles` bin-packed files
     * (OPTIMIZE/compaction): content-identical snapshot, new layout. */
   def compact(numFiles: Int = 1): Long =

@@ -538,6 +538,135 @@ object FormatQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q227 — SQL `MERGE INTO` against the catalog: the q209 upsert
+    * (matched rows replaced, new keys inserted), restated as the SQL
+    * statement every lakehouse user actually types. Runs through
+    * Spark's group-based row-level-operation framework: runtime group
+    * filtering prunes the COW scan to matched files, executor writers
+    * produce the replacement files, one atomic replace-files
+    * snapshot. Same oracle as q209, so the hash pins SQL ≡ API. */
+  def q227SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/orders_sqlmerge"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      GraftTable.create(s, root,
+        o.where(col("o_orderdate") < "1999-01-01"),
+        statsCols = Seq("o_orderkey"))
+      o.where(col("o_orderdate") < "1999-01-01" &&
+          col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.where(col("o_orderdate") >= "1999-01-01"))
+        .createOrReplaceTempView("q227_src")
+      s.sql("""MERGE INTO gcat.orders_sqlmerge t USING q227_src s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      ()
+    }
+    s.table("gcat.orders_sqlmerge")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q228 — REPLACE-WHERE through the CONNECTOR WRITE OPTION: the
+    * q217 windowed rebuild spelled as
+    * `.option("replaceWhere", …).mode("overwrite")` — the writer
+    * surface a user migrating off Delta expects. Same oracle as q217:
+    * hash-equal ⟺ the option path replaced exactly the window in one
+    * snapshot and carried every outside file forward. */
+  def q228ConnectorReplaceWhere(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_rwopt"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      GraftTable.create(s, root, o, statsCols = Seq("o_orderkey"))
+      val window = col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01"
+      o.where(window)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.format("gtable")
+        .option("replaceWhere",
+          "o_orderdate >= '1997-01-01' AND o_orderdate < '1999-01-01'")
+        .mode("overwrite")
+        .save(root)
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
+  }
+
+  /** q230 — SQL `UPDATE` against the catalog: every 1996 lineitem's
+    * quantity bumped by 1000 through `UPDATE gcat.t SET … WHERE …`
+    * (group-based COW — the pushed window prunes the scan to the
+    * window's files; everything outside carries forward by
+    * reference). Hash-equal to a CASE restatement over the original
+    * parquet. */
+  def q230SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_sqlupd"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_shipdate", "l_returnflag", "l_linestatus")
+        .repartitionByRange(4, col("l_shipdate"))
+      val t = GraftTable.openOrCreate(s, root, Seq("l_shipdate"))
+      t.append(li, numFiles = 0)
+      s.sql("""UPDATE gcat.lineitem_sqlupd
+               SET l_quantity = l_quantity + 1000
+               WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      ()
+    }
+    s.table("gcat.lineitem_sqlupd")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q229 — STREAMING WRITE through the connector:
+    * `events.writeStream.format("gtable").start(root)` — no
+    * foreachBatch glue, the sink itself is the exactly-once ledgered
+    * append (each epoch = one atomic snapshot carrying its epoch id;
+    * executor writers deliver per-file stats in their commit
+    * messages, so the sink costs zero extra data passes). Same
+    * aggregate + oracle as q210: hash-equal ⟺ the first-class sink
+    * and the foreachBatch recipe land identical tables. */
+  def q229StreamingWrite(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/events_swrite" +
+      s"_${System.nanoTime}"
+    val q = graft.streaming.EventStream.readEventStream(s, dir)
+      .writeStream
+      .format("gtable")
+      .option("statsCols", "ts")
+      .option("checkpointLocation", s"${root}_ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(root)
+    q.awaitTermination()
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

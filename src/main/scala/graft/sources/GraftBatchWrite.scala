@@ -1,0 +1,343 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The EXECUTOR-SIDE write path for the gtable connector: a real DSv2
+  * `BatchWrite` whose `DataWriter`s run on executors, write parquet
+  * directly (parquet-hadoop Group API, the write twin of
+  * [[GraftTableReaderFactory]]), and carry per-file ROW COUNTS and
+  * typed MIN/MAX envelopes back to the driver inside their commit
+  * messages — so the manifest entries for a distributed write cost
+  * ZERO extra passes over the data (the V1 path re-reads written
+  * files for one stats aggregate; here stats ride the write itself).
+  *
+  * Used by the row-level operation path (SQL MERGE/UPDATE/DELETE →
+  * `ReplaceDataExec`, which requires a genuine `BatchWrite` — Spark
+  * has no V1 fallback for replace-data). The commit REPLACES an
+  * explicit file set: manifest(parent) minus the files the row-level
+  * scan planned, plus the entries the writers produced, in ONE atomic
+  * snapshot via the format's put-if-absent protocol. Task retries are
+  * safe: each attempt writes a unique file, losers are reclaimed by
+  * `abort` (and by vacuum's orphan collection if the driver dies).
+  *
+  * Scale: the per-file stats fold is map-side by construction (each
+  * writer tracks its own envelope); the driver handles only
+  * message-count-sized metadata. The reference has no table format at
+  * all (SURVEY §1.2) — extension tier. */
+case class GraftWriteCommit(relPath: String, rowCount: Long,
+    mins: Array[Any], maxs: Array[Any]) extends WriterCommitMessage
+
+object GraftParquetIO {
+
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** Spark scalar schema → parquet message type, with the logical
+    * annotations Spark's own parquet writer would emit (so files this
+    * path writes are indistinguishable to any reader — including
+    * Spark's vectorized scan and the DuckDB oracle). */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case ShortType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
+        case ByteType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType => Types.optional(BINARY).named(f.name)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case other => sys.error(
+          s"gtable v2 writer: unsupported type $other for ${f.name} " +
+            "(scalar relational tables only)")
+      }
+      b.addField(t)
+    }
+    b.named("spark_schema")
+  }
+
+  /** Writers' commit messages → manifest-entry DataFrame (path,
+    * row_count, typed min/max per stats column). Zero-row files are
+    * deleted and never reach the manifest. Driver work is
+    * message-count-sized. */
+  def manifestEntries(spark: SparkSession, root: String,
+      messages: Array[WriterCommitMessage], writeSchema: StructType,
+      statsCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val all = messages.collect { case m: GraftWriteCommit => m }
+    val (live, empty) = all.partition(_.rowCount > 0)
+    empty.foreach(m => new java.io.File(s"$root/${m.relPath}").delete())
+
+    def external(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (d: Int, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+      case (t: Long, TimestampType) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(t)
+      case (t: Long, TimestampNTZType) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(t)
+      case (x, _) => x
+    }
+
+    val entrySchema = StructType(
+      StructField("path", StringType) ::
+        StructField("row_count", LongType) ::
+        statsCols.toList.flatMap { c =>
+          val dt = writeSchema(c).dataType
+          StructField(s"min_$c", dt) :: StructField(s"max_$c", dt) :: Nil
+        })
+    val rows: java.util.List[Row] = live.map { m =>
+      Row.fromSeq(m.relPath +: m.rowCount +:
+        statsCols.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
+          val dt = writeSchema(c).dataType
+          Seq(external(m.mins(i), dt), external(m.maxs(i), dt))
+        })
+    }.toList.asJava
+    spark.createDataFrame(rows, entrySchema)
+  }
+}
+
+class GraftDataWriterFactory(root: String, commitDir: String,
+    schemaJson: String, statsCols: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(root, commitDir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      statsCols, partitionId, taskId)
+}
+
+/** One parquet file per (partition, task attempt); attempt-unique
+  * names make speculative/retried tasks safe — only files named in a
+  * COMMITTED message reach the manifest. */
+class GraftDataWriter(root: String, commitDir: String,
+    schema: StructType, statsCols: Seq[String],
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.io.api.Binary
+
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
+  private val relPath = s"$commitDir/$fileName"
+  private val messageType = GraftParquetIO.messageType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+
+  private val writer = ExampleParquetWriter
+    .builder(new org.apache.hadoop.fs.Path(s"$root/$relPath"))
+    .withType(messageType)
+    .withCompressionCodec(CompressionCodecName.SNAPPY)
+    .withConf(new org.apache.hadoop.conf.Configuration())
+    .build()
+
+  private var rows = 0L
+  // stats envelope per stats column, tracked over INTERNAL values
+  // (UTF8String for strings → binary collation order, matching the
+  // manifest stats Spark's min/max would compute)
+  private val statIdx: Array[Int] =
+    statsCols.map(c => schema.fieldIndex(c)).toArray
+  private val mins = Array.fill[Any](statIdx.length)(null)
+  private val maxs = Array.fill[Any](statIdx.length)(null)
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: Short, y: Short) => x < y
+    case (x: Byte, y: Byte) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: Float, y: Float) => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+    case (x, y) => sys.error(s"gtable stats: incomparable $x / $y")
+  }
+
+  /** Metadata-aware variant (Spark's DataAndMetadataWritingSparkTask
+    * hands carry-over rows as (metadata, data)): the gtable rewrite
+    * needs only the data half — the replace set comes from the scan's
+    * planned files, not per-row metadata. */
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def write(row: InternalRow): Unit = {
+    require(row.numFields == schema.length,
+      s"gtable writer: row arity ${row.numFields} != schema " +
+        s"${schema.length} — unprojected rewrite row reached the writer")
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        schema(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            g.add(name, row.getLong(i))
+          case IntegerType | DateType => g.add(name, row.getInt(i))
+          case ShortType => g.add(name, row.getShort(i).toInt)
+          case ByteType => g.add(name, row.getByte(i).toInt)
+          case DoubleType => g.add(name, row.getDouble(i))
+          case FloatType => g.add(name, row.getFloat(i))
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case StringType => g.add(name,
+            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType => g.add(name,
+            Binary.fromConstantByteArray(row.getBinary(i)))
+          case other => sys.error(s"unreachable: $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+    var s = 0
+    while (s < statIdx.length) {
+      val ci = statIdx(s)
+      if (!row.isNullAt(ci)) {
+        val v: Any = schema(ci).dataType match {
+          case LongType | TimestampType | TimestampNTZType => row.getLong(ci)
+          case IntegerType | DateType => row.getInt(ci)
+          case ShortType => row.getShort(ci)
+          case ByteType => row.getByte(ci)
+          case DoubleType => row.getDouble(ci)
+          case FloatType => row.getFloat(ci)
+          case BooleanType => row.getBoolean(ci)
+          case StringType => row.getUTF8String(ci).clone()
+          case other => sys.error(s"gtable stats: unsupported $other")
+        }
+        if (mins(s) == null || lt(v, mins(s))) mins(s) = v
+        if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
+      }
+      s += 1
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    // UTF8String → String for the serialized message
+    def ext(a: Array[Any]): Array[Any] = a.map {
+      case u: UTF8String => u.toString
+      case x => x
+    }
+    GraftWriteCommit(relPath, rows, ext(mins), ext(maxs))
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    new java.io.File(s"$root/$relPath").delete()
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Driver half: collect the writers' (path, count, envelope) messages
+  * into manifest entries and commit ONE atomic replace-files snapshot
+  * against the version the row-level scan planned. A concurrent
+  * commit in between fails the operation loudly (write-serializable —
+  * never silently merges over moved ground). */
+class GraftReplaceFilesBatchWrite(root: String, writeSchema: StructType,
+    statsCols: Seq[String], op: GraftRowLevelOperation)
+    extends BatchWrite {
+
+  private val commitDir =
+    s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/$commitDir"))
+    new GraftDataWriterFactory(root, commitDir, writeSchema.json, statsCols)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val entries = GraftParquetIO.manifestEntries(spark, root, messages,
+      writeSchema, statsCols)
+    graft.format.GraftTable.openOrCreate(spark, root, statsCols)
+      .commitReplaceFiles(op.opName, op.scannedFiles.toSeq, entries,
+        expectedParent = op.tableVersion, newSchema = Some(writeSchema))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftWriteCommit => m }
+      .foreach(m => new java.io.File(s"$root/${m.relPath}").delete())
+    val d = new java.io.File(s"$root/$commitDir")
+    Option(d.listFiles()).foreach(_.foreach(_.delete()))
+    d.delete()
+    ()
+  }
+}
+
+/** `df.writeStream.format("gtable").start(root)` — the STREAMING half
+  * of the connector write path. Every micro-batch commits ONE atomic
+  * snapshot whose applied-batch ledger carries the epoch id in the
+  * same put-if-absent create as the data — `foreachBatch` +
+  * [[graft.format.GraftTable.appendIfAbsent]] (q210), promoted to a
+  * first-class sink: a replayed epoch (restart, retry, AvailableNow
+  * rerun over the same checkpoint) is recognized by the ledger and
+  * skipped, so the sink is EXACTLY-ONCE end to end. Executor writers
+  * are the same stats-carrying parquet writers as the batch path. */
+class GraftStreamingWrite(root: String, writeSchema: StructType,
+    statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val commitDir =
+    s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/$commitDir"))
+    val schemaJson = writeSchema.json
+    val stats = statsCols
+    val r = root
+    val cd = commitDir
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new GraftDataWriter(r, cd,
+          DataType.fromJson(schemaJson).asInstanceOf[StructType],
+          stats, partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val entries = GraftParquetIO.manifestEntries(spark, root, messages,
+      writeSchema, statsCols)
+    graft.format.GraftTable.openOrCreate(spark, root, statsCols)
+      .commitAppendFiles(entries, batchId = Some(epochId),
+        newSchema = Some(writeSchema))
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftWriteCommit => m }
+      .foreach(m => new java.io.File(s"$root/${m.relPath}").delete())
+    ()
+  }
+}

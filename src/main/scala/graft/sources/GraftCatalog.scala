@@ -156,10 +156,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .StructField(c.name(), c.dataType(), c.nullable()))),
       partitions, properties)
 
+  /** `ALTER TABLE lake.t ADD COLUMN c TYPE`: one content-preserving
+    * snapshot whose recorded schema unions the new column — no data
+    * moves, old files surface it as null (the schema-evolution
+    * contract the reads already honor). Only top-level ADD COLUMN is
+    * supported; everything else keeps the explicit decline. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "gtable schema evolves through writes (append with new columns)")
+      changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val adds = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        org.apache.spark.sql.types
+          .StructField(a.fieldNames.head, a.dataType, a.isNullable)
+    }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "gtable ALTER TABLE supports top-level ADD COLUMN only; " +
+          "other schema changes rewrite through overwrite")
+    val newCols = StructType(adds.toArray)
+    if (graft.format.GraftTable.versionAt(root) > 0)
+      graft.format.GraftTable.forPath(SparkSession.active, root)
+        .addColumns(newCols)
+    else {
+      // CREATE TABLE'd but never written: extend the declared schema
+      val props = readProps(root)
+      val declared = props.get("schema")
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]).getOrElse(new StructType())
+      val existing = declared.fieldNames.toSet
+      val merged = StructType(
+        declared.fields ++ newCols.filterNot(f => existing(f.name)))
+      val content = s"statsCols=${props.getOrElse("statsCols", "")}\n" +
+        s"schema=${merged.json}\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(propsPath(root)),
+        content.getBytes("UTF-8"))
+      ()
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new java.io.File(tableRoot(ident))

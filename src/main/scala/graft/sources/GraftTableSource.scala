@@ -126,8 +126,57 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
     options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.write._
+
+  /** `_file` metadata column (root-relative data file path — the
+    * connector twin of `input_file_name()`). Selectable on any scan,
+    * and the hinge of row-level-operation GROUP FILTERING: Spark's
+    * RowLevelOperationRuntimeGroupFiltering plans a subquery for the
+    * DISTINCT `_file`s holding matched rows and runtime-filters the
+    * main COW scan down to exactly those files — a MERGE touching one
+    * key window rewrites that window's files, never the table. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "root-relative path of the data file holding the row"
+    })
+
+  /** SQL `MERGE INTO lake.t USING …` / `UPDATE lake.t SET …` (and
+    * DELETE with an untranslatable condition, e.g. a subquery):
+    * GROUP-BASED copy-on-write through Spark's row-level-operation
+    * framework. Spark plans `ReplaceData`: the operation's scan reads
+    * the candidate files (manifest-stats-pruned — the rewrite rule
+    * pushes the command condition for GROUP pruning only, rows stay
+    * unfiltered), the merge/update logic runs as an ordinary
+    * distributed plan, and the operation's write commits ONE atomic
+    * snapshot replacing exactly the scanned files with the executor
+    * writers' output. Untouched files carry forward by reference —
+    * at 100 TB a key-window MERGE rewrites the window's files, never
+    * the table. Simple equality/range DELETEs still take the
+    * metadata-only `SupportsDelete` path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable picks it when the condition
+    * translates). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val statsCols =
+      if (version > 0)
+        graft.format.GraftTable.forPath(SparkSession.active, root).statsCols
+      else Option(options.get("statsCols")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(root, version, schema0, statsCols,
+          info.command())
+    }
+  }
 
   /** SQL `DELETE FROM lake.t WHERE …` (and `TRUNCATE TABLE`, which
     * rides `SupportsDeleteV2`'s default): pushed filters translate to
@@ -183,7 +232,8 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     Option(options.get("readChangesFrom")) match {
@@ -206,21 +256,56 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
     * Executed as a V1Write (driver-orchestrated InsertableRelation):
     * the heavy lifting — distributed file write + the one-aggregate
     * stats collection — is the same Spark job the API path runs, and
-    * the commit stays the one put-if-absent snapshot create. */
+    * the commit stays the one put-if-absent snapshot create.
+    *
+    * REPLACE-WHERE (the reference's load-bearing "replace only the
+    * touched window" shape, `jb_de_enhancement_t0_fact_d2s.py:23`,
+    * restated as Delta's replaceWhere): two spellings, one path —
+    *  - `.option("replaceWhere", "d >= '…' AND d < '…'")` with
+    *    `SaveMode.Overwrite` on a classic writer;
+    *  - `df.writeTo("lake.t").overwrite(cond)` — SupportsOverwrite
+    *    translates the pushed filters to a Column predicate.
+    * Both run [[graft.format.GraftTable.replaceWhere]]: delete the
+    * window + insert the new rows in ONE atomic snapshot, no-hit
+    * files carried forward by reference. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var doTruncate = false
+      private var overwriteCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def canOverwrite(filters: Array[sources.Filter]): Boolean =
+        filters.forall(deleteCond(_).isDefined)
+      override def overwrite(filters: Array[sources.Filter])
+          : WriteBuilder = {
+        if (filters.isEmpty ||
+            filters.forall(_.isInstanceOf[sources.AlwaysTrue]))
+          doTruncate = true
+        else overwriteCond =
+          Some(filters.flatMap(deleteCond(_)).reduce(_ && _))
+        this
+      }
       override def build(): Write = new V1Write {
+        /** `df.writeStream.format("gtable").start(root)`: per-epoch
+          * atomic append with the epoch id in the applied-batch
+          * ledger — exactly-once under replay (q210's recipe as a
+          * first-class sink). */
+        override def toStreaming: org.apache.spark.sql.connector
+            .write.streaming.StreamingWrite = {
+          val statsCols =
+            if (graft.format.GraftTable.versionAt(root) > 0)
+              graft.format.GraftTable
+                .forPath(SparkSession.active, root).statsCols
+            else Option(options.get("statsCols")).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          new GraftStreamingWrite(root, info.schema(), statsCols)
+        }
         override def toInsertableRelation
             : org.apache.spark.sql.sources.InsertableRelation =
           new org.apache.spark.sql.sources.InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
               val statsCols = {
-                val existing = graft.format.GraftTable
-                  .openOrCreate(SparkSession.active, root, Nil)
-                if (existing.currentVersion > 0)
+                if (graft.format.GraftTable.versionAt(root) > 0)
                   graft.format.GraftTable
                     .forPath(SparkSession.active, root).statsCols
                 else Option(options.get("statsCols")).toSeq
@@ -230,11 +315,80 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
                 .openOrCreate(SparkSession.active, root, statsCols)
               val numFiles = Option(options.get("numFiles"))
                 .map(_.toInt).getOrElse(4)
-              if (doTruncate || overwrite) t.overwrite(data, numFiles)
-              else t.append(data, numFiles)
+              val replaceWhere =
+                Option(info.options.get("replaceWhere"))
+                  .orElse(Option(options.get("replaceWhere")))
+                  .map(org.apache.spark.sql.functions.expr)
+                  .orElse(overwriteCond)
+              replaceWhere match {
+                case Some(cond)
+                    if doTruncate || overwrite || overwriteCond.isDefined =>
+                  t.replaceWhere(cond, data, numFiles)
+                case Some(_) => throw new IllegalArgumentException(
+                  "gtable: .option(\"replaceWhere\", …) requires " +
+                    "SaveMode.Overwrite (append would silently drop " +
+                    "the window-replace semantics)")
+                case None =>
+                  if (doTruncate || overwrite) t.overwrite(data, numFiles)
+                  else t.append(data, numFiles)
+              }
               ()
             }
           }
+      }
+    }
+}
+
+/** One SQL row-level statement (MERGE / UPDATE / group-based DELETE)
+  * in flight: the shared object through which the operation's SCAN
+  * tells its WRITE which files it planned — the write replaces
+  * exactly that set. Scan and write live in the same driver-side
+  * query execution, so a plain volatile field carries the handoff;
+  * the commit re-validates the table version underneath
+  * ([[graft.format.GraftTable]] `commitReplaceFiles` fails on a
+  * concurrent advance rather than rebasing a stale rewrite). */
+class GraftRowLevelOperation(root: String,
+    private[sources] val tableVersion: Long,
+    tableSchema: StructType, statsCols: Seq[String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, Write, WriteBuilder, BatchWrite}
+
+  /** Root-relative paths of the files the LAST scan planning pass
+    * selected (post manifest pruning) — the replace set. */
+  @volatile private[sources] var scannedFiles: Array[String] = Array.empty
+
+  private[sources] def opName: String = cmd match {
+    case RowLevelOperation.Command.DELETE => "delete"
+    case RowLevelOperation.Command.UPDATE => "update"
+    case _ => "merge"
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"gtable($root) COW $cmd"
+
+  /** Requiring `_file` puts the rewrite on the metadata-aware path
+    * (projected data rows reach the writer) AND arms runtime group
+    * filtering — without it Spark would hand the writer the raw
+    * rewrite rows, operation column included. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftTableScanBuilder(root, tableVersion, tableSchema,
+      recorder = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String =
+          s"gtable($root) COW $cmd replace-files"
+        override def toBatch: BatchWrite =
+          new GraftReplaceFilesBatchWrite(root, info.schema(), statsCols,
+            GraftRowLevelOperation.this)
       }
     }
 }
@@ -250,8 +404,9 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
     with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val keep = requiredSchema.fieldNames.toSet
-    required = StructType(full.filter(f => keep.contains(f.name)))
+    val known = full.fieldNames.toSet
+    required = StructType(requiredSchema.fields.filter(f =>
+      known.contains(f.name) || f.name == "_file"))
   }
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
@@ -267,12 +422,13 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
       added.map(f => GraftTableFilePartition(f): InputPartition)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftTableReaderFactory(required)
+      new GraftTableReaderFactory(root, required)
   }
 }
 
 class GraftTableScanBuilder(root: String, version: Long,
-    full: StructType, startingVersion: Long = 0L) extends ScanBuilder
+    full: StructType, startingVersion: Long = 0L,
+    recorder: Option[GraftRowLevelOperation] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -284,8 +440,11 @@ class GraftTableScanBuilder(root: String, version: Long,
   private var pushedAgg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val keep = requiredSchema.fieldNames.toSet
-    required = StructType(full.filter(f => keep.contains(f.name)))
+    val known = full.fieldNames.toSet
+    // `_file` (metadata column) survives pruning — the reader emits
+    // it as a per-file constant, no pages decoded for it
+    required = StructType(requiredSchema.fields.filter(f =>
+      known.contains(f.name) || f.name == "_file"))
   }
 
   /** Accept every filter for PLANNING (manifest prune) but return all
@@ -339,7 +498,8 @@ class GraftTableScanBuilder(root: String, version: Long,
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GraftTableAggScan(root, version, agg, full)
     case None =>
-      new GraftTableScan(root, version, required, filters, startingVersion)
+      new GraftTableScan(root, version, required, filters,
+        startingVersion, recorder)
   }
 }
 
@@ -420,7 +580,8 @@ class GraftTableAggReaderFactory extends PartitionReaderFactory {
 }
 
 class GraftTableScan(root: String, version: Long, required: StructType,
-    filters: Array[sources.Filter], startingVersion: Long = 0L)
+    filters: Array[sources.Filter], startingVersion: Long = 0L,
+    recorder: Option[GraftRowLevelOperation] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -439,11 +600,27 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   // files.
   private var runtimeFilters: Array[sources.Filter] = Array.empty
 
+  /** Row-level (COW) scans advertise ONLY `_file`: the group-filter
+    * subquery then arrives as a plain `_file IN (…)` — translatable
+    * to a V1 filter and exact (just the matched files). Advertising
+    * stats columns TOO makes Spark build a multi-attribute
+    * `named_struct(_file, k) IN subquery` host expression, which no
+    * V1/V2 translation can deliver — the filter silently drops and
+    * the MERGE rewrites every candidate file. Ordinary scans keep
+    * stats columns for classic DPP. */
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    statsCols.map(c =>
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // `_file` only when projected — PartitionPruning resolves these
+    // against the scan OUTPUT and fails on an absent column. Row-level
+    // scans always project it (requiredMetadataAttributes).
+    val fileAttr =
+      if (required.fieldNames.contains("_file")) Seq("_file") else Nil
+    val names =
+      if (recorder.isDefined) fileAttr else fileAttr ++ statsCols
+    names.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
+  }
 
   override def filter(fs: Array[sources.Filter]): Unit = {
     runtimeFilters = fs
@@ -459,6 +636,11 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * never changes semantics, only skips provably-empty files. */
   private def keep(statsCols: Set[String])
       (f: sources.Filter): org.apache.spark.sql.Column = f match {
+    // `_file` filters (runtime group filtering hands back the
+    // matched-group file set) prune against the manifest path itself
+    case sources.In("_file", vs) =>
+      col("path").isin(vs.toIndexedSeq: _*)
+    case sources.EqualTo("_file", v) => col("path") === lit(v)
     case sources.EqualTo(c, v) if statsCols(c) =>
       col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
     case sources.GreaterThan(c, v) if statsCols(c) => col(s"max_$c") > lit(v)
@@ -468,12 +650,51 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     case sources.LessThanOrEqual(c, v) if statsCols(c) =>
       col(s"min_$c") <= lit(v)
     case sources.In(c, vs) if statsCols(c) && vs.nonEmpty =>
-      vs.map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
-        .reduce(_ || _)
+      // nulls never satisfy IN (three-valued =), so they carry no
+      // pruning information
+      val nn = vs.filter(_ != null)
+      if (nn.isEmpty) lit(false) // nothing can match → skip the file
+      else if (nn.length <= 64)
+        // per-value envelope test, BALANCED or-fold — a left-deep
+        // reduce overflows the Column-converter stack on the
+        // thousands-of-values IN a runtime (DPP) filter delivers
+        balancedOr(nn.toIndexedSeq.map(v =>
+          col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)))
+      else {
+        // large IN set: one conservative range test over the set's
+        // own envelope (Iceberg's trick) — O(1) plan size, still a
+        // superset guarantee
+        minMaxOf(nn) match {
+          case Some((lo, hi)) =>
+            col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+          case None => lit(true)
+        }
+      }
     case sources.And(l, r) => keep(statsCols)(l) && keep(statsCols)(r)
     case sources.Or(l, r) => keep(statsCols)(l) || keep(statsCols)(r)
     case _ => lit(true) // Not / IsNull / functions: conservative keep
   }
+
+  private def balancedOr(cs: IndexedSeq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column =
+    if (cs.length == 1) cs.head
+    else {
+      val (l, r) = cs.splitAt(cs.length / 2)
+      balancedOr(l) || balancedOr(r)
+    }
+
+  /** (min, max) of a filter's value set under natural ordering — None
+    * when the values aren't comparable (then pruning just declines). */
+  private def minMaxOf(vs: Array[Any]): Option[(Any, Any)] =
+    try {
+      var lo = vs.head; var hi = vs.head
+      vs.foreach { v =>
+        val c = v.asInstanceOf[Comparable[Any]]
+        if (c.compareTo(lo) < 0) lo = v
+        if (c.compareTo(hi) > 0) hi = v
+      }
+      Some((lo, hi))
+    } catch { case _: Exception => None }
 
   /** Recomputed per planning pass (NOT cached): runtime filters can
     * arrive between an initial plan and an AQE re-plan, and each pass
@@ -484,6 +705,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       // CREATE TABLE before first INSERT: zero files, zero rows —
       // a SELECT must answer empty, not fail on the missing snapshot
       // (ADVICE r9)
+      recorder.foreach(_.scannedFiles = Array.empty)
       GraftTableSource.lastPlannedFiles = 0L
       GraftTableSource.lastLiveFiles = 0L
       return Array.empty
@@ -493,9 +715,12 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     val live = m.count()
     val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val paths = m.where(pred).select("path").collect()
-      .map(r => s"$root/${r.getString(0)}")
+    val rel = m.where(pred).select("path").collect()
+      .map(_.getString(0))
     m.unpersist()
+    // row-level operation scan: the planned set IS the replace set
+    recorder.foreach(_.scannedFiles = rel)
+    val paths = rel.map(r => s"$root/$r")
     GraftTableSource.lastPlannedFiles = paths.length.toLong
     GraftTableSource.lastLiveFiles = live
     paths
@@ -505,7 +730,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     plannedFiles.map(f => GraftTableFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(required)
+    new GraftTableReaderFactory(root, required)
 
   /** The STREAMING half: committed VERSIONS are the log. An offset is
     * "versions consumed so far"; each micro-batch plans exactly the
@@ -571,7 +796,7 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(required)
+    new GraftTableReaderFactory(root, required)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -583,12 +808,16 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   * pages, and converts to Spark internal values. Scalar types only —
   * the format layer's tables are relational (SURVEY §1.3); nested
   * columns would route through the main parquet source. */
-class GraftTableReaderFactory(required: StructType)
+class GraftTableReaderFactory(root: String, required: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftTableFilePartition].file
+    // `_file` metadata value: the file's root-relative path, a
+    // per-file constant (no pages decoded for it)
+    val fileRel: UTF8String =
+      UTF8String.fromString(file.stripPrefix(root).stripPrefix("/"))
     new PartitionReader[InternalRow] {
       import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
       import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -605,11 +834,16 @@ class GraftTableReaderFactory(required: StructType)
         try (r.getFooter.getFileMetaData.getSchema, r.getRecordCount)
         finally r.close()
       }
-      private val present = required.fields
-        .map(f => fileSchema.containsField(f.name))
+      // 0 = present in this file, 1 = absent (schema evolution →
+      // null), 2 = the `_file` metadata column (per-file constant)
+      private val kind: Array[Int] = required.fields.map { f =>
+        if (f.name == "_file") 2
+        else if (fileSchema.containsField(f.name)) 0
+        else 1
+      }
       private val projected = new MessageType("spark_schema",
-        required.fields.iterator.zip(present.iterator)
-          .collect { case (f, true) =>
+        required.fields.iterator.zip(kind.iterator)
+          .collect { case (f, 0) =>
             fileSchema.getType(fileSchema.getFieldIndex(f.name)) }
           .toSeq.asJava: java.util.List[org.apache.parquet.schema.Type])
       locally {
@@ -624,7 +858,10 @@ class GraftTableReaderFactory(required: StructType)
       private val emptyProjection = projected.getFieldCount == 0
       private var nullRowsLeft: Long = if (emptyProjection) fileRowCount else 0L
       private val nullRow: InternalRow =
-        InternalRow.fromSeq(required.fields.toIndexedSeq.map(_ => null))
+        InternalRow.fromSeq(kind.toIndexedSeq.map {
+          case 2 => fileRel
+          case _ => null
+        })
 
       private val reader: ParquetReader[Group] =
         if (emptyProjection) null
@@ -691,9 +928,10 @@ class GraftTableReaderFactory(required: StructType)
         }
         val g = reader.read()
         if (g == null) return false
-        val values = required.fields.iterator.zip(present.iterator).map {
-          case (f, true) => convert(g, f.name, f.dataType)
-          case (_, false) => null // schema evolution: pre-column file
+        val values = required.fields.iterator.zip(kind.iterator).map {
+          case (f, 0) => convert(g, f.name, f.dataType)
+          case (_, 1) => null // schema evolution: pre-column file
+          case (_, _) => fileRel // `_file` metadata column
         }.toIndexedSeq
         row = InternalRow.fromSeq(values)
         true

@@ -1,0 +1,328 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.format.GraftTable
+
+/** SQL row-level mutations on catalog gtables (VERDICT r9 missing #1):
+  * `MERGE INTO lake.t USING …`, `UPDATE lake.t SET …`, and DELETE
+  * with untranslatable conditions, all through Spark's group-based
+  * row-level-operation framework — the scan plans candidate files,
+  * the rewrite runs distributed, and the write commits ONE atomic
+  * replace-files snapshot through the format's commit protocol.
+  * Plus connector replaceWhere (VERDICT r9 missing #2): the
+  * `.option("replaceWhere", …)` writer option and
+  * `writeTo(...).overwrite(cond)`. */
+class RowLevelSqlSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rowlevel_wh_").toString
+    spark.conf.set("spark.sql.catalog.rl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rl.warehouse", wh)
+    wh
+  }
+
+  private def kvTable(name: String, n: Int = 100, files: Int = 4)
+      : GraftTable = {
+    val df = (1 to n).map(k => (k.toLong, k.toLong * 10, s"row$k"))
+      .toDF("k", "v", "s")
+      .repartitionByRange(files, col("k"))
+    val t = GraftTable.openOrCreate(spark, s"$warehouse/$name", Seq("k"))
+    t.append(df, numFiles = 0) // keep range partitioning → disjoint envelopes
+    t
+  }
+
+  test("MERGE INTO: matched UPDATE + not-matched INSERT commit as one " +
+      "atomic snapshot; unmatched rows in touched files survive") {
+    val t = kvTable("m1")
+    Seq((5L, 999L, "upd5"), (50L, 999L, "upd50"), (200L, 999L, "new200"))
+      .toDF("k", "v", "s").createOrReplaceTempView("m1_src")
+    spark.sql(
+      """MERGE INTO rl.m1 t USING m1_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, s = s.s
+        |WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (s.k, s.v, s.s)
+        |""".stripMargin)
+    assert(t.currentVersion == 2, "one MERGE = one snapshot")
+    val out = spark.table("rl.m1").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 101)
+    assert(out(5L) == ((999L, "upd5")) && out(50L) == ((999L, "upd50")))
+    assert(out(200L) == ((999L, "new200")), "not-matched row inserted")
+    assert(out(6L) == ((60L, "row6")),
+      "unmatched row in a rewritten file must survive byte-identical")
+    assert(t.history().where(col("version") === 2)
+      .select("op").head().getString(0) == "merge")
+  }
+
+  test("MERGE INTO with MATCHED DELETE clause removes matched rows") {
+    val t = kvTable("m2", n = 40, files = 2)
+    (1L to 10L).map(k => (k * 4, 0L, "x")).toDF("k", "v", "s")
+      .createOrReplaceTempView("m2_src")
+    spark.sql(
+      """MERGE INTO rl.m2 t USING m2_src s ON t.k = s.k
+        |WHEN MATCHED AND t.k <= 20 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = -1
+        |""".stripMargin)
+    val rows = spark.table("rl.m2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // k ∈ {4,8,12,16,20} deleted; k ∈ {24,28,32,36,40} updated to -1
+    assert(rows.size == 35)
+    assert(!rows.contains(4L) && !rows.contains(20L))
+    assert(rows(24L) == -1L && rows(40L) == -1L)
+    assert(rows(3L) == 30L, "non-matched rows untouched")
+    assert(t.currentVersion == 2)
+  }
+
+  test("UPDATE prunes to the touched key window: files whose envelope " +
+      "excludes the predicate carry forward BY REFERENCE") {
+    val t = kvTable("u1", n = 100, files = 4)
+    val before = t.manifest().select("path").as[String].collect().toSet
+    assert(before.size >= 3, s"need several files, got ${before.size}")
+    spark.sql("UPDATE rl.u1 SET v = v + 1000000 WHERE k <= 10")
+    val after = t.manifest().select("path").as[String].collect().toSet
+    assert(t.currentVersion == 2)
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty,
+      "files outside the k<=10 envelope must carry forward by reference" +
+        s" (before=$before after=$after)")
+    val out = spark.table("rl.u1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 1000010L && out(10L) == 1000100L)
+    assert(out(11L) == 110L && out(100L) == 1000L)
+    assert(t.history().where(col("version") === 2)
+      .select("op").head().getString(0) == "update")
+  }
+
+  test("DELETE with a subquery condition takes the group-based COW " +
+      "path (SupportsDelete can't translate it) and still answers " +
+      "exactly") {
+    val t = kvTable("d1", n = 60, files = 3)
+    (1L to 60L by 7L).toDF("kk").createOrReplaceTempView("d1_keys")
+    spark.sql("DELETE FROM rl.d1 WHERE k IN (SELECT kk FROM d1_keys)")
+    val keys = spark.table("rl.d1").select("k").as[Long].collect().toSet
+    val expectGone = (1L to 60L by 7L).toSet
+    assert(keys == (1L to 60L).toSet -- expectGone)
+    assert(t.currentVersion == 2)
+  }
+
+  test("simple equality DELETE still takes the metadata " +
+      "SupportsDelete path (no executor rewrite of untouched files)") {
+    val t = kvTable("d2", n = 40, files = 2)
+    // discriminator: the group-based COW path must plan a connector
+    // scan (which stamps lastPlannedFiles); the metadata
+    // SupportsDelete path never scans through the connector
+    graft.sources.GraftTableSource.lastPlannedFiles = -99L
+    spark.sql("DELETE FROM rl.d2 WHERE k > 35")
+    val planned = graft.sources.GraftTableSource.lastPlannedFiles
+    assert(planned == -99L,
+      s"simple DELETE must take SupportsDelete, not a COW scan " +
+        s"(lastPlannedFiles moved to $planned)")
+    assert(spark.table("rl.d2").count() == 35)
+    assert(t.currentVersion == 2)
+  }
+
+  test("MERGE INTO an empty (CREATE TABLE only) table inserts all " +
+      "source rows") {
+    spark.sql("CREATE TABLE rl.m0 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("m0_src")
+    spark.sql(
+      """MERGE INTO rl.m0 t USING m0_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    assert(spark.table("rl.m0").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("MERGE result matches the API-level merge oracle on the same " +
+      "inputs (whole-row-replace semantics)") {
+    val base = (1 to 50).map(k => (k.toLong, k.toLong, s"b$k"))
+      .toDF("k", "v", "s")
+    val upd = (40 to 60).map(k => (k.toLong, -k.toLong, s"u$k"))
+      .toDF("k", "v", "s")
+    // API oracle
+    val apiT = GraftTable.openOrCreate(spark, s"$warehouse/api_m",
+      Seq("k"))
+    apiT.append(base, 2)
+    apiT.merge(upd, Seq("k"))
+    // SQL twin
+    val sqlT = GraftTable.openOrCreate(spark, s"$warehouse/sql_m",
+      Seq("k"))
+    sqlT.append(base, 2)
+    upd.createOrReplaceTempView("sql_m_src")
+    spark.sql(
+      """MERGE INTO rl.sql_m t USING sql_m_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val a = apiT.read().orderBy("k").collect().toSeq
+    val b = spark.table("rl.sql_m").orderBy("k").collect().toSeq
+    assert(a == b, s"SQL MERGE must equal API merge\napi=$a\nsql=$b")
+  }
+
+  test("MERGE runtime group filtering: files holding no matched keys " +
+      "carry forward BY REFERENCE (the `_file` group-filter subquery " +
+      "prunes the COW scan)") {
+    val t = kvTable("mgf", n = 100, files = 4)
+    val before = t.manifest().select("path").as[String].collect().toSet
+    assert(before.size >= 3)
+    // all update keys live in the low range → one (maybe two) files
+    Seq((1L, -1L, "u1"), (2L, -2L, "u2"), (3L, -3L, "u3"))
+      .toDF("k", "v", "s").createOrReplaceTempView("mgf_src")
+    spark.sql(
+      """MERGE INTO rl.mgf t USING mgf_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |""".stripMargin)
+    val after = t.manifest().select("path").as[String].collect().toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty,
+      "a 3-key MERGE must not rewrite every file of the table " +
+        s"(before=${before.size} files, carried=${carried.size})")
+    val out = spark.table("rl.mgf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 100 && out(1L) == -1L && out(3L) == -3L &&
+      out(4L) == 40L && out(99L) == 990L)
+  }
+
+  test("`_file` metadata column is selectable on ordinary reads and " +
+      "matches the manifest paths") {
+    val t = kvTable("mfile", n = 20, files = 2)
+    val files = spark.table("rl.mfile").select("_file").distinct()
+      .as[String].collect().toSet
+    val manifest = t.manifest().select("path").as[String].collect().toSet
+    assert(files == manifest, s"_file=$files manifest=$manifest")
+  }
+
+  test("replaceWhere writer option: overwrite ONLY the matching " +
+      "window in one atomic snapshot; files outside carry forward") {
+    val t = kvTable("rw1", n = 100, files = 4)
+    val before = t.manifest().select("path").as[String].collect().toSet
+    val fresh = (1 to 10).map(k => (k.toLong, 7L, "fresh"))
+      .toDF("k", "v", "s")
+    fresh.write.format("gtable")
+      .option("replaceWhere", "k <= 10")
+      .mode("overwrite")
+      .save(s"$warehouse/rw1")
+    assert(t.currentVersion == 2, "one replaceWhere = one snapshot")
+    val out = spark.table("rl.rw1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 100)
+    assert(out(5L) == 7L, "window replaced")
+    assert(out(50L) == 500L, "outside window untouched")
+    val after = t.manifest().select("path").as[String].collect().toSet
+    assert(before.intersect(after).nonEmpty,
+      "no-hit files must carry forward by reference")
+    // replaceWhere with append mode is a user error, loudly
+    val e = intercept[Exception] {
+      fresh.write.format("gtable").option("replaceWhere", "k <= 10")
+        .mode("append").save(s"$warehouse/rw1")
+    }
+    def msgs(x: Throwable): List[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toList ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("replaceWhere")))
+  }
+
+  test("MERGE with NULL keys on both sides: NULL never matches (three-" +
+      "valued =) — NULL-key source rows insert, NULL-key target rows " +
+      "survive untouched") {
+    val root = s"$warehouse/mnull"
+    val t = GraftTable.openOrCreate(spark, root, Seq.empty)
+    t.append(Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+      .toDF("k", "v"), numFiles = 1)
+    Seq((Some(1L), -1L), (None, -2L)).toDF("k", "v")
+      .createOrReplaceTempView("mnull_src")
+    spark.sql(
+      """MERGE INTO rl.mnull t USING mnull_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val out = spark.table("rl.mnull").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toSeq.sorted(Ordering.by[(Option[Long], Long),
+        (Long, Long)](x => (x._1.getOrElse(Long.MinValue), x._2)))
+    // k=1 updated to -1; NULL source row INSERTS (never matches the
+    // NULL target row); NULL target row and k=3 survive untouched
+    assert(out == Seq((None, -2L), (None, 20L), (Some(1L), -1L),
+      (Some(3L), 30L)), s"got $out")
+  }
+
+  test("ALTER TABLE ADD COLUMN: one content-preserving snapshot; old " +
+      "files surface the new column as null; subsequent appends fill " +
+      "it") {
+    val t = kvTable("alter1", n = 10, files = 1)
+    spark.sql("ALTER TABLE rl.alter1 ADD COLUMN tag STRING")
+    assert(t.currentVersion == 2, "ALTER = one snapshot, no data moved")
+    assert(spark.table("rl.alter1").columns.toSeq ==
+      Seq("k", "v", "s", "tag"))
+    assert(spark.table("rl.alter1").where(col("tag").isNull).count() == 10)
+    spark.sql("INSERT INTO rl.alter1 VALUES (11, 110, 'row11', 'new')")
+    val out = spark.table("rl.alter1")
+      .where(col("k") === 11).select("tag").head().getString(0)
+    assert(out == "new")
+    assert(t.history().where(col("version") === 2)
+      .select("op").head().getString(0) == "alter")
+    // non-ADD changes decline loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE rl.alter1 RENAME COLUMN tag TO label")
+    }
+  }
+
+  test("writeStream.format(\"gtable\"): per-epoch atomic ledgered " +
+      "append; rerunning over the same checkpoint adds nothing " +
+      "(exactly-once)") {
+    val src = java.nio.file.Files
+      .createTempDirectory("gt_stream_src_").toString
+    (1 to 50).map(k => (k.toLong, k.toLong * 2)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val root = s"$warehouse/streamed"
+    val ckpt = s"$warehouse/streamed_ckpt"
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG, v LONG")
+        .parquet(src)
+        .writeStream.format("gtable")
+        .option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(root)
+      q.awaitTermination()
+    }
+    runOnce()
+    val t = GraftTable.forPath(spark, root)
+    assert(t.read().count() == 50)
+    assert(t.appliedBatches.nonEmpty, "epoch ids ride the ledger")
+    assert(t.statsCols == Seq("k"), "sink writers carry stats")
+    val v1 = t.currentVersion
+    // AvailableNow over the SAME checkpoint: source says no new data —
+    // and even a replayed epoch would hit the ledger
+    runOnce()
+    assert(t.read().count() == 50, "rerun must add nothing")
+    // the ledger itself: re-deliver epoch 0's content directly
+    val before = t.currentVersion
+    t.commitAppendFiles(
+      t.manifest().limit(0), batchId = Some(0L), newSchema = None)
+    assert(t.currentVersion == before,
+      "a replayed epoch id must be swallowed by the ledger")
+  }
+
+  test("writeTo(...).overwrite(cond) — SQL-surface replaceWhere — " +
+      "runs the same windowed replace") {
+    kvTable("rw2", n = 60, files = 3)
+    val t = GraftTable.forPath(spark, s"$warehouse/rw2")
+    (41 to 60).map(k => (k.toLong, 1L, "w")).toDF("k", "v", "s")
+      .writeTo("rl.rw2").overwrite(col("k") > 40)
+    assert(t.currentVersion == 2)
+    val out = spark.table("rl.rw2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 60 && out(45L) == 1L && out(40L) == 400L)
+  }
+}
