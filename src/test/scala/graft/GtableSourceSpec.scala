@@ -269,4 +269,29 @@ class GtableSourceSpec extends AnyFunSuite {
     val b = li.collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("connector scans decode COLUMNAR (vectorized batches + " +
+      "ColumnarToRow in the plan), including with the _file metadata " +
+      "column attached") {
+    val root = tmp()
+    GraftTable.create(spark, root,
+      (1L to 1000L).map(k => (k, s"s$k")).toDF("k", "s"), Seq("k"),
+      numFiles = 2)
+    val df = spark.read.format(fmt).load(root).select("k", "s")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar scan (ColumnarToRow), got:\n$plan")
+    assert(df.count() == 1000)
+    // with _file attached, the batch carries the per-file constant
+    val withFile = spark.read.format(fmt).load(root)
+      .select(col("k"), col("_file"))
+    assert(withFile.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(withFile.select("_file").distinct().count() == 2)
+    // a projection-free read (pure count) stays on the row fallback
+    // and still answers from footer row counts — exercised via a
+    // filter that defeats agg pushdown
+    assert(spark.read.format(fmt).load(root)
+      .where(col("k").isNotNull).count() == 1000)
+  }
 }
