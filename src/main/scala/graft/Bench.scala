@@ -83,6 +83,10 @@ object Bench {
     // actually started under, so each number is individually
     // discountable.
     val legLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // loadavg at leg END too (VERDICT r9 #4): a leg stamped "quiet" at
+    // start can absorb mid-leg contention — the end stamp makes that
+    // visible in the artifact instead of silently inflating the number.
+    val legLoadsEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
     val legWaitSec = sys.env.getOrElse("SPARK_GRAFT_LEG_LOAD_WAIT", "60").toInt
     def quietLeg[T](name: String)(f: => T): T = {
       val deadline = System.nanoTime() + legWaitSec * 1000000000L
@@ -92,7 +96,41 @@ object Bench {
         Thread.sleep(5000)
       }
       legLoads(name) = load1m()
-      f
+      val r = f
+      legLoadsEnd(name) = load1m()
+      r
+    }
+
+    // Closing-artifact protocol (VERDICT r9 #4): each scale-smoke leg
+    // runs up to SPARK_GRAFT_LEG_SAMPLES times, stopping as soon as the
+    // best two samples agree within 1.5× — the REPORTED number is the
+    // per-leg minimum (what the hardware can do), with every sample and
+    // its start/end loadavg in the artifact. One arbitrary sample on a
+    // shared sandbox once misstated a 26 s leg as 182 s.
+    val legMaxSamples =
+      sys.env.getOrElse("SPARK_GRAFT_LEG_SAMPLES", "3").toInt
+    val legSampleLog =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    def sampled[T](name: String)(primary: T => Double)(f: => T): T = {
+      var best: Option[T] = None
+      var times = List.empty[Double]
+      var i = 0
+      var converged = false
+      while (i < legMaxSamples && !converged) {
+        val tag = if (i == 0) name else s"$name#${i + 1}"
+        val r = quietLeg(tag)(f)
+        val p = primary(r)
+        if (p < 0) { if (best.isEmpty) best = Some(r); converged = true }
+        else {
+          times = times :+ p
+          if (best.forall(b => p < primary(b))) best = Some(r)
+          val s = times.sorted
+          converged = s.length >= 2 && s(1) <= s(0) * 1.5
+        }
+        i += 1
+      }
+      legSampleLog(name) = times
+      best.get
     }
 
     // Optional dev filter: SPARK_GRAFT_ONLY=q101_pagerank,q21_lsh_pairs
@@ -251,7 +289,8 @@ object Bench {
       }
     }
     val (etl10xTime, etl10xIncTime) =
-      if (runEtl) quietLeg(s"etl_pipeline_${etlX}x")(etl10x())
+      if (runEtl) sampled(s"etl_pipeline_${etlX}x")(
+        (t: (Double, Double)) => t._1)(etl10x())
       else (-1.0, -1.0)
 
     // 10× scale smoke for the DEDUP family: documents replicated 10×
@@ -294,7 +333,8 @@ object Bench {
       }
     }
     val dedup10xTime =
-      if (runEtl) quietLeg("dedup_10x")(dedup10x()) else -1.0
+      if (runEtl) sampled("dedup_10x")((t: Double) => t)(dedup10x())
+      else -1.0
 
     // 50× scale smoke for the ANN family: embeddings replicated 50×
     // (sf0.1 → 100 K vectors) and the IVF index + probe path (q34)
@@ -331,7 +371,9 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val ann50xTime = if (runEtl) quietLeg("ann_50x")(ann50x()) else -1.0
+    val ann50xTime =
+      if (runEtl) sampled("ann_50x")((t: Double) => t)(ann50x())
+      else -1.0
 
     // 10× scale smoke for the TABLE FORMAT: orders replicated 10×,
     // then one timed pass of the format's whole write/maintain/read
@@ -389,7 +431,8 @@ object Bench {
       }
     }
     val gtable10xTime =
-      if (runEtl) quietLeg("gtable_10x")(gtable10x()) else -1.0
+      if (runEtl) sampled("gtable_10x")((t: Double) => t)(gtable10x())
+      else -1.0
 
     // FULL-SCALE RETAIL PARITY (VERDICT r7 #6 / r8 #4): the reference's
     // OWN schema at the reference's OWN volume — RetailPipeline (seed
@@ -429,7 +472,8 @@ object Bench {
       }
     }
     val (retailFullTime, retailIncTime) =
-      if (runEtl) quietLeg("retail_fullscale")(retailFullscale())
+      if (runEtl) sampled("retail_fullscale")(
+        (t: (Double, Double)) => t._1)(retailFullscale())
       else (-1.0, -1.0)
 
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
@@ -460,8 +504,15 @@ object Bench {
     val legLoadJson = legLoads
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val legLoadEndJson = legLoadsEnd
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val legSamplesJson = legSampleLog
+      .map { case (k, vs) =>
+        "\"" + k + "\":[" + vs.map(v => f"$v%.1f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson,"leg_loadavg_end":$legLoadEndJson,"leg_samples":$legSamplesJson}"""
     println(line)
     // Also persist the result line: stdout tails can truncate mid-stream
     // (sbt log interleaving), which loses the headline number from the
