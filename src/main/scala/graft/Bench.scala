@@ -476,13 +476,51 @@ object Bench {
         (t: (Double, Double)) => t._1)(retailFullscale())
       else (-1.0, -1.0)
 
+    // The same DAG at the same volume through the LAKEHOUSE tier
+    // (every tier a GraftTable, incremental via atomic replaceWhere) —
+    // tracks the format's write amplification vs raw partition dirs
+    // (VERDICT r9 #8).
+    def retailFullscaleLake(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var wh: String = null
+      try {
+        wh = java.nio.file.Files
+          .createTempDirectory("graft_retail_lake_").toString
+        val dataDir = graft.operators.RetailQueries.DataDir
+        val tInit = timed {
+          graft.etl.RetailPipeline.runLake(sp, dataDir, wh, retailRows)
+        }
+        val tInc = timed {
+          graft.etl.RetailPipeline.runIncrementalLake(
+            sp, dataDir, wh, retailRows, "2014", "11")
+        }
+        (tInit, tInc)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL retail_fullscale_lake: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (wh != null)
+          new Directory(new java.io.File(wh)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val (retailLakeTime, retailLakeIncTime) =
+      if (runEtl) sampled("retail_fullscale_lake")(
+        (t: (Double, Double)) => t._1)(retailFullscaleLake())
+      else (-1.0, -1.0)
+
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
     // used to report under _10x) and are excluded from the headline by
     // this explicit list — never by suffix matching.
     val scaleSmokeKeys = Seq(
       s"etl_pipeline_${etlX}x", s"etl_incremental_${etlX}x",
       "dedup_10x", "ann_50x", "gtable_10x",
-      "retail_fullscale", "retail_incremental_fullscale")
+      "retail_fullscale", "retail_incremental_fullscale",
+      "retail_fullscale_lake", "retail_incremental_fullscale_lake")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
@@ -491,7 +529,9 @@ object Bench {
       ("ann_50x" -> ann50xTime) :+
       ("gtable_10x" -> gtable10xTime) :+
       ("retail_fullscale" -> retailFullTime) :+
-      ("retail_incremental_fullscale" -> retailIncTime)
+      ("retail_incremental_fullscale" -> retailIncTime) :+
+      ("retail_fullscale_lake" -> retailLakeTime) :+
+      ("retail_incremental_fullscale_lake" -> retailLakeIncTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set

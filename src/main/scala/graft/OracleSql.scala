@@ -752,6 +752,45 @@ object OracleSql {
                AS total_value
       FROM events GROUP BY 1 ORDER BY 1
     """,
+    // q232: the MERGE-ON-READ delete (deletion vector) must present
+    // exactly the table the COW delete produces — q208's statement.
+    "q232_mor_delete" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag <> 'R'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    // q233: the connector read (by catalog name) of the DV'd table —
+    // same statement; the hash pins the scan-path DV skip.
+    "q233_mor_connector" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag <> 'R'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    // q231: TIMESTAMP AS OF an instant recorded between the two
+    // commits resolves v1 = the pre-1997 slice.
+    "q231_timestamp_travel" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+    """,
     // q230: SQL UPDATE bumped 1996 quantities by 1000 — CASE over the
     // original lineitem window.
     "q230_sql_update" -> """

@@ -310,7 +310,10 @@ object SparkEntry {
     "q228_connector_replace_where" ->
       (FormatQueries.q228ConnectorReplaceWhere _),
     "q229_streaming_write" -> (FormatQueries.q229StreamingWrite _),
-    "q230_sql_update" -> (FormatQueries.q230SqlUpdate _)
+    "q230_sql_update" -> (FormatQueries.q230SqlUpdate _),
+    "q231_timestamp_travel" -> (FormatQueries.q231TimestampTravel _),
+    "q232_mor_delete" -> (FormatQueries.q232MorDelete _),
+    "q233_mor_connector" -> (FormatQueries.q233MorConnector _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,21 +56,6 @@ final class GraftTable private (
 
   import GraftTable._
 
-  /** `input_file_name()` URI → path relative to THIS table's root
-    * (anchored on the known root prefix, so a root that itself
-    * contains `/data/c…` can't mis-relativize; the tail-search is
-    * only a fallback for exotic URI schemes). */
-  private def normalize(uri: String): String = {
-    val p = java.net.URI.create(uri).getPath
-    val rootAbs = new java.io.File(root).getAbsolutePath
-      .stripSuffix("/")
-    if (p.startsWith(rootAbs + "/")) p.substring(rootAbs.length + 1)
-    else {
-      val i = p.lastIndexOf("/data/c")
-      p.substring(i + 1)
-    }
-  }
-
   // ---- version / snapshot resolution --------------------------------
 
   /** Highest committed version (max over snapshot files), 0 = none. */
@@ -87,7 +72,9 @@ final class GraftTable private (
       kv("n_files").toLong, kv("n_rows").toLong,
       kv.get("applied").filter(_.nonEmpty)
         .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty),
-      kv.get("schema").filter(_.nonEmpty))
+      kv.get("schema").filter(_.nonEmpty),
+      kv.get("dv").filter(_.nonEmpty),
+      kv.get("n_dels").map(_.toLong).getOrElse(0L))
   }
 
   /** The table schema RECORDED AT COMMIT TIME (Delta's metadata
@@ -119,6 +106,67 @@ final class GraftTable private (
     manifest(version).select("path").collect()
       .map(r => s"$root/${r.getString(0)}").toSeq
 
+  // ---- deletion vectors (merge-on-read) ------------------------------
+
+  /** Whether `version` carries a DELETION VECTOR — logically-deleted
+    * (file, row-ordinal) pairs recorded by [[deleteWhereMor]] instead
+    * of a copy-on-write rewrite. */
+  def hasDeletionVectors(version: Long = currentVersion): Boolean =
+    version > 0 && snapshot(version).dvDir.isDefined
+
+  /** Logically deleted rows of `version`: `(path, pos)` — root-
+    * relative data-file path and the row's ordinal within that file
+    * (parquet files are immutable, so the ordinal is a stable row id).
+    * Empty frame when the version has none. */
+  def deletionVectors(version: Long = currentVersion): DataFrame =
+    (if (version == 0) None else snapshot(version).dvDir) match {
+      case Some(d) => spark.read.parquet(s"${logDir(root)}/$d")
+      case None => emptyDv
+    }
+
+  private def emptyDv: DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("path", StringType),
+        StructField("pos", LongType))))
+  }
+
+  /** `file_path` URI → root-relative `data/c…/part-….parquet` as a
+    * codegen'd builtin — the same normalization [[writeData]] applies
+    * to manifest paths, so DV paths and manifest paths always join. */
+  private def relPathExpr(c: Column): Column =
+    regexp_extract(c, "(data/c[^/]+/[^/]+)$", 1)
+
+  /** Stamp each row with its stable identity: `_gt_path` (root-
+    * relative file) and `_gt_pos` (row ordinal in file), off the
+    * parquet source's `_metadata` column — join-safe, unlike
+    * `input_file_name()`, and computed natively by the vectorized
+    * reader. `df` must be a direct parquet read of table files. */
+  private def withRowId(df: DataFrame): DataFrame = df
+    .withColumn("_gt_path", relPathExpr(col("_metadata.file_path")))
+    .withColumn("_gt_pos", col("_metadata.row_index"))
+
+  /** Drop `version`'s logically-deleted rows from `df`, which must
+    * already expose `_gt_path`/`_gt_pos`. The DV side is deletes-
+    * since-last-compaction-sized — Catalyst broadcasts it when small;
+    * a table whose DV has grown large should [[compact]], which
+    * materializes deletions away. */
+  private def minusDv(df: DataFrame, version: Long): DataFrame =
+    if (!hasDeletionVectors(version)) df
+    else df.join(
+      deletionVectors(version)
+        .select(col("path").as("_gt_path"), col("pos").as("_gt_pos")),
+      Seq("_gt_path", "_gt_pos"), "left_anti")
+
+  /** DV-filter a plain table read, preserving its column set. */
+  private def applyDv(df: DataFrame, version: Long): DataFrame =
+    if (!hasDeletionVectors(version)) df
+    else {
+      val cols = df.columns.toIndexedSeq
+      minusDv(withRowId(df), version).select(cols.map(col): _*)
+    }
+
   // ---- reads ---------------------------------------------------------
 
   /** The table at `version` (defaults to current) — time travel is
@@ -126,7 +174,7 @@ final class GraftTable private (
   def read(version: Long = currentVersion): DataFrame = {
     val paths = filePaths(version)
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(paths: _*)
+    else applyDv(spark.read.parquet(paths: _*), version)
   }
 
   /** Zone-map pruned read: only files whose [min,max] envelope of
@@ -145,7 +193,7 @@ final class GraftTable private (
     m.unpersist()
     val df =
       if (live.isEmpty) read().limit(0)
-      else spark.read.parquet(live.toSeq: _*)
+      else applyDv(spark.read.parquet(live.toSeq: _*), currentVersion)
     (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
       live.length.toLong, total)
   }
@@ -168,7 +216,7 @@ final class GraftTable private (
     m.unpersist()
     val df =
       if (live.isEmpty) read().limit(0)
-      else spark.read.parquet(live.toSeq: _*)
+      else applyDv(spark.read.parquet(live.toSeq: _*), currentVersion)
     (df.where(cond), live.length.toLong, total)
   }
 
@@ -253,7 +301,8 @@ final class GraftTable private (
   def readMerged(version: Long = currentVersion): DataFrame = {
     val paths = filePaths(version)
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else applyDv(
+      spark.read.option("mergeSchema", "true").parquet(paths: _*), version)
   }
 
   /** CDC-style incremental read: the rows of files ADDED between two
@@ -261,7 +310,9 @@ final class GraftTable private (
     * under COW rewrites, the post-image of rewritten files). This is
     * what lets a downstream consumer maintain a derived table without
     * rescanning — Delta's change-data-feed restated at file
-    * granularity. The file-set diff is manifest-sized. */
+    * granularity. The file-set diff is manifest-sized. A
+    * [[deleteWhereMor]] commit adds no files, so MOR deletes do not
+    * surface here (stream/CDC from append-only tables). */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val added = manifest(toVersion).select("path")
       .except(manifest(fromVersion).select("path"))
@@ -322,19 +373,26 @@ final class GraftTable private (
       val s = snapshot(v)
       deleteRecursively(
         new java.io.File(s"${logDir(root)}/${s.manifestDir}"))
+      // a DV dir is written per commit, never shared across snapshots
+      s.dvDir.foreach(d =>
+        deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
     }
     // orphaned manifest dirs (written by a commit that never created
     // its snapshot file) — same age guard as orphan data
-    val namedManifests = (1L to currentVersion).flatMap { v =>
-      try Some(snapshot(v).manifestDir)
-      catch { case _: java.nio.file.NoSuchFileException => None }
+    val namedDirs = (1L to currentVersion).flatMap { v =>
+      try {
+        val s = snapshot(v)
+        s.manifestDir +: s.dvDir.toSeq
+      } catch { case _: java.nio.file.NoSuchFileException => Nil }
     }.toSet
     Option(new java.io.File(logDir(root)).listFiles())
       .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("manifest-v") &&
-        !namedManifests.contains(d.getName) &&
+      .filter(d => d.isDirectory &&
+        (d.getName.startsWith("manifest-v") ||
+          d.getName.startsWith("dv-v")) &&
+        !namedDirs.contains(d.getName) &&
         d.lastModified() < orphanCutoff)
       .foreach(deleteRecursively)
     deleted
@@ -401,15 +459,19 @@ final class GraftTable private (
     lastAuditScanned = candidates.length.toLong
     if (candidates.isEmpty) return all
     val hit = coalesce(cond, lit(false))
-    val audit = spark.read
-      .parquet(candidates.map(p => s"$root/$p").toSeq: _*)
-      .groupBy(input_file_name().as("f"))
+    // audit over the LIVE view: rows already in the parent's deletion
+    // vector count neither as total nor as hits, so a file whose
+    // remaining live rows all match still drops cleanly, and per-file
+    // totals are live-row totals
+    val audit = minusDv(withRowId(spark.read
+        .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+      .groupBy(col("_gt_path"))
       .agg(count(lit(1)).as("total"),
         count(when(hit, lit(1))).as("hits"))
       .collect()
-      .map(r => (normalize(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val touched = audit.filter(_._3 > 0)
-    val mixed = touched.filter(a => a._3 < a._2).map(a => s"$root/${a._1}")
+    val mixed = touched.filter(a => a._3 < a._2).map(_._1)
     // hit files are the SMALL side: drop them from the manifest with a
     // broadcast anti-join, never a driver-built In-list over the table
     val kept =
@@ -417,9 +479,13 @@ final class GraftTable private (
       else all.join(broadcast(touched.map(_._1).toSeq.toDF("path")),
         Seq("path"), "left_anti")
     if (mixed.isEmpty) kept
-    else kept.unionByName(
-      writeData(spark.read.parquet(mixed.toSeq: _*).where(!hit),
-        numFiles))
+    else {
+      val raw = spark.read.parquet(mixed.map(p => s"$root/$p").toSeq: _*)
+      val dataCols = raw.columns.toIndexedSeq
+      val survivors = minusDv(withRowId(raw), parent).where(!hit)
+        .select(dataCols.map(col): _*)
+      kept.unionByName(writeData(survivors, numFiles))
+    }
   }
 
   /** Replace the ENTIRE table content with `df` in one atomic
@@ -440,6 +506,40 @@ final class GraftTable private (
   def deleteWhere(cond: Column, numFiles: Int = 4): Long =
     commitWithRetry("delete")(parent => cowSurvivors(parent, cond, numFiles))
 
+  /** MERGE-ON-READ delete (deletion vectors): rows where `cond` IS
+    * TRUE are recorded as (file, row-ordinal) pairs in the snapshot's
+    * DELETION VECTOR — NO data file is rewritten. The write cost is
+    * O(matched rows), not O(touched files): at 100 TB, deleting 0.1%
+    * of rows via [[deleteWhere]] rewrites every mixed file (terabytes
+    * of IO for gigabytes of change); this commits kilobytes. Reads
+    * anti-join the DV (file-local row ids, usually broadcast); all
+    * reads and later mutations see the live view, and [[compact]] /
+    * any full rewrite materializes deletions away (the DV follows the
+    * manifest: entries whose file leaves the manifest are dropped at
+    * commit). Same NULL semantics as [[deleteWhere]]; the audit is
+    * stats-pruned the same way. Trade-off is the published formats'
+    * (Delta deletion vectors, Iceberg v2 position deletes): cheap
+    * writes now, a small per-read filter until the next compaction. */
+  def deleteWhereMor(cond: Column): Long = {
+    import spark.implicits._
+    commitWithRetry("delete_mor", extraDv = Some { parent =>
+      val all = manifest(parent)
+      val allPaths = all.select("path").as[String].collect()
+      lastAuditTotal = allPaths.length.toLong
+      if (allPaths.isEmpty) { lastAuditScanned = 0L; emptyDv }
+      else {
+        val candidates = all.where(statsKeep(cond, parent))
+          .select("path").as[String].collect()
+        lastAuditScanned = candidates.length.toLong
+        if (candidates.isEmpty) emptyDv
+        else minusDv(withRowId(spark.read
+            .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+          .where(coalesce(cond, lit(false)))
+          .select(col("_gt_path").as("path"), col("_gt_pos").as("pos"))
+      }
+    })(parent => manifest(parent))
+  }
+
   /** METADATA-ONLY aggregates: COUNT(*) and per-stats-column MIN/MAX
     * answered from the manifest alone — zero data files opened (row
     * counts sum, envelopes fold), the Iceberg/Delta trick that makes
@@ -447,7 +547,15 @@ final class GraftTable private (
     * because commits record exact per-file counts and typed min/max.
     * Returns one row: n_rows, then min_<c>/max_<c> per stats col. */
   def metadataAggregates(version: Long = currentVersion): DataFrame = {
-    val aggs = coalesce(sum(col("row_count")), lit(0L)).as("n_rows") +:
+    // DV entries name distinct live physical rows (the MOR audit reads
+    // the already-filtered view), so count = physical − n_dels stays
+    // exact. MIN/MAX envelopes can be STALE under a DV (a deleted
+    // extreme lingers) — still valid for pruning (superset), but
+    // exactness-requiring callers (connector agg pushdown) must check
+    // [[hasDeletionVectors]] and decline.
+    val dels = if (version == 0) 0L else snapshot(version).nDels
+    val aggs = (coalesce(sum(col("row_count")), lit(0L)) - lit(dels))
+      .as("n_rows") +:
       statsCols.flatMap(c => Seq(
         min(col(s"min_$c")).as(s"min_$c"),
         max(col(s"max_$c")).as(s"max_$c")))
@@ -529,17 +637,17 @@ final class GraftTable private (
         // no live file can hold a matched key: pure insert
         all.unionByName(writeData(updates, numFiles))
       } else {
-        // stamp the file name IN the scan project, before the join —
-        // input_file_name() is single-source-only, and the update side
-        // is usually a file source too
-        val current = spark.read
-          .parquet(candidates.map(p => s"$root/$p").toSeq: _*)
-          .withColumn("_f", input_file_name())
+        // `_gt_path` rides the scan project (the `_metadata` column is
+        // join-safe, unlike input_file_name()); the probe sees only
+        // LIVE rows — a row in the parent's deletion vector can't pin
+        // its file into the rewrite set or resurrect through it
+        val current = minusDv(withRowId(spark.read
+          .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
         val hits = current
           .join(keyed, keyCols, "left_semi")
-          .groupBy(col("_f"))
+          .groupBy(col("_gt_path"))
           .agg(count(lit(1)).as("hits"))
-          .collect().map(r => normalize(r.getString(0))).toSet
+          .collect().map(_.getString(0)).toSet
         val untouched =
           if (hits.isEmpty) all
           else all.join(broadcast(hits.toSeq.toDF("path")),
@@ -547,9 +655,14 @@ final class GraftTable private (
         val touchedPaths = hits.toSeq.map(rel => s"$root/$rel")
         val survivors =
           if (touchedPaths.isEmpty) updates
-          else spark.read.parquet(touchedPaths: _*)
-            .join(keyed, keyCols, "left_anti")
-            .unionByName(updates)
+          else {
+            val raw = spark.read.parquet(touchedPaths: _*)
+            val dataCols = raw.columns.toIndexedSeq
+            minusDv(withRowId(raw), parent)
+              .select(dataCols.map(col): _*)
+              .join(keyed, keyCols, "left_anti")
+              .unionByName(updates)
+          }
         untouched.unionByName(writeData(survivors, numFiles))
       }
     }
@@ -673,7 +786,8 @@ final class GraftTable private (
 
   private def commitWithRetry(op: String,
       batchLedger: Option[Long] = None,
-      newSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      newSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      extraDv: Option[Long => DataFrame] = None)
       (buildManifest: Long => DataFrame): Long = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
@@ -725,9 +839,43 @@ final class GraftTable private (
           case (None, Some(ns)) => Some(ns.json)
           case (pj, None) => pj
         }
+      // DELETION VECTORS follow the manifest with no per-op wiring:
+      // the parent's DV restricted to paths still in the new manifest
+      // (a rewritten or dropped file sheds its entries because its
+      // path leaves the manifest — compact/overwrite therefore clear
+      // the DV), plus this op's new deletions. Zero cost for DV-free
+      // tables; DV-carrying commits pay one small join+write.
+      val parentDvDir: Option[String] =
+        if (parent == 0) None else snapshot(parent).dvDir
+      val dvLines: Seq[String] =
+        if (parentDvDir.isEmpty && extraDv.isEmpty) Nil
+        else {
+          val pieces =
+            parentDvDir.map(d =>
+              spark.read.parquet(s"${logDir(root)}/$d")).toSeq ++
+            extraDv.map(_(parent)).toSeq
+          val mPaths = spark.read
+            .parquet(s"${logDir(root)}/$manifestDir").select("path")
+          val comb = pieces.reduce(_ unionByName _).distinct()
+            .join(mPaths, Seq("path"), "left_semi")
+            .repartition(1).sortWithinPartitions("path", "pos")
+            .cache()
+          val nDels = comb.count()
+          val out =
+            if (nDels == 0) Nil
+            else {
+              val dvDir = s"dv-v${next}_" +
+                java.util.UUID.randomUUID.toString.take(8)
+              comb.write.parquet(s"${logDir(root)}/$dvDir")
+              Seq(s"dv=$dvDir", s"n_dels=$nDels")
+            }
+          comb.unpersist()
+          out
+        }
       val content = (Seq(s"op=$op", s"parent=$parent",
         s"manifest=$manifestDir", s"n_files=$nFiles", s"n_rows=$nRows",
         s"applied=${applied.toSeq.sorted.mkString(",")}") ++
+        dvLines ++
         schemaJson.map(j => s"schema=$j"))
         .mkString("", "\n", "\n")
       beforeSnapshotCreate()
@@ -778,7 +926,8 @@ object GraftTable {
   private case class Snapshot(version: Long, op: String, parent: Long,
     manifestDir: String, nFiles: Long, nRows: Long,
     applied: Set[Long] = Set.empty,
-    schemaJson: Option[String] = None)
+    schemaJson: Option[String] = None,
+    dvDir: Option[String] = None, nDels: Long = 0L)
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
 

@@ -667,6 +667,105 @@ object FormatQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q231 — `TIMESTAMP AS OF` time travel through SQL: the table is
+    * built in two commits with a wall-clock timestamp RECORDED between
+    * them (persisted next to the log so re-runs replay the same
+    * instant); `SELECT … TIMESTAMP AS OF <that instant>` must resolve
+    * to v1 — exactly the pre-1997 slice, stated by the oracle over
+    * the original parquet. The q206 VERSION AS OF twin, by time. */
+  def q231TimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/orders_tt"
+    val tsFile = java.nio.file.Paths.get(s"$root/_log/_ts_after_v1.txt")
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      GraftTable.create(s, root,
+        o.where(col("o_orderdate") < "1997-01-01"),
+        statsCols = Seq("o_orderkey"))
+      // snapshot mtimes have second granularity on some filesystems —
+      // put a full second between v1, the recorded instant, and v2
+      Thread.sleep(1100)
+      java.nio.file.Files.write(tsFile,
+        java.time.LocalDateTime.now()
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")).getBytes("UTF-8"))
+      Thread.sleep(1100)
+      GraftTable.forPath(s, root)
+        .append(o.where(col("o_orderdate") >= "1997-01-01"))
+      ()
+    }
+    val ts = new String(java.nio.file.Files.readAllBytes(tsFile), "UTF-8")
+    s.sql(s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM gcat.orders_tt TIMESTAMP AS OF '$ts'
+              GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** q232 — MERGE-ON-READ delete (deletion vectors): q208's exact
+    * construction and oracle, but the delete commits a DELETION
+    * VECTOR instead of rewriting files — [[GraftTable.deleteWhereMor]]
+    * records (file, row-ordinal) pairs; no data file is written. The
+    * hash being equal to the COW twin pins that MOR and COW are
+    * observationally identical, which is the whole contract: cheap
+    * O(deleted-rows) writes now, the same live view everywhere. */
+  def q232MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/lineitem_mor"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus")
+      val t = GraftTable.create(s, root, li, statsCols = Seq("l_orderkey"))
+      t.deleteWhereMor(col("l_returnflag") === "R")
+      ()
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q233 — the CONNECTOR over a DV'd table: the q232 table read by
+    * NAME through the TableCatalog (`spark.table("gcat.…")`), so the
+    * scan path — manifest planning, per-file partitions, the row
+    * reader's ordinal skip, the declined metadata agg pushdown — all
+    * run under a live deletion vector. Hash-equal to the same oracle
+    * ⟺ the connector's DV filtering is exact, not just the format
+    * API's. */
+  def q233MorConnector(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_mor_cat"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus")
+      val t = GraftTable.create(s, root, li, statsCols = Seq("l_orderkey"))
+      t.deleteWhereMor(col("l_returnflag") === "R")
+      ()
+    }
+    s.table("gcat.lineitem_mor_cat")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

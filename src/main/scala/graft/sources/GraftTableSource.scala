@@ -491,13 +491,21 @@ class GraftTableScanBuilder(root: String, version: Long,
     else graft.format.GraftTable.forPath(SparkSession.active, root)
       .statsCols.toSet
 
+  // a DELETION VECTOR breaks metadata exactness: counts are
+  // recoverable (physical − n_dels) but MIN/MAX envelopes can name a
+  // deleted extreme — decline the whole pushdown and scan (the scan
+  // itself DV-filters); compaction restores the metadata-only path
+  private lazy val versionHasDv: Boolean =
+    version > 0 && graft.format.GraftTable
+      .forPath(SparkSession.active, root).hasDeletionVectors(version)
+
   // version 0 (CREATE TABLE, nothing written): no manifest to answer
   // from — decline and let the regular scan return its zero rows
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    version > 0 && answerable(agg)
+    version > 0 && !versionHasDv && answerable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (version == 0 || !answerable(agg)) false
+    if (version == 0 || versionHasDv || !answerable(agg)) false
     else { pushedAgg = Some(agg); true }
 
   override def build(): Scan = pushedAgg match {
@@ -731,11 +739,36 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     paths
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedFiles.map(f => GraftTableFilePartition(f): InputPartition)
+  /** Whether the scanned version carries a deletion vector. Spark
+    * refuses to mix row-based and columnar partitions in one scan, so
+    * ANY DV flips the whole scan to the row reader (which skips
+    * deleted ordinals); DV-free scans — the steady state between a
+    * MOR delete and its compaction — stay columnar. */
+  private lazy val scanHasDv: Boolean =
+    version > 0 && graft.format.GraftTable
+      .forPath(SparkSession.active, root).hasDeletionVectors(version)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = plannedFiles
+    if (!scanHasDv)
+      files.map(f => GraftTableFilePartition(f): InputPartition)
+    else {
+      val dvMap: Map[String, Array[Long]] = graft.format.GraftTable
+        .forPath(SparkSession.active, root)
+        .deletionVectors(version).collect()
+        .groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
+      files.map { f =>
+        val rel = f.stripPrefix(root).stripPrefix("/")
+        GraftTableFilePartition(f,
+          dvMap.getOrElse(rel, Array.empty)): InputPartition
+      }
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(root, required)
+    new GraftTableReaderFactory(root, required,
+      allowColumnar = !scanHasDv)
 
   /** The STREAMING half: committed VERSIONS are the log. An offset is
     * "versions consumed so far"; each micro-batch plans exactly the
@@ -751,15 +784,34 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(root, required, startingVersion)
 
-  /** Metadata-only stats: exact row count from the manifest (post-
-    * prune the planned subset's counts would need the same scan, so
-    * report the version's total — still a far better CBO input than
-    * "unknown"). */
+  /** Metadata-only stats, POST-PRUNE: row counts summed over exactly
+    * the manifest entries the pushed filters keep (the same envelope
+    * test planning uses), so the CBO sees the windowed scan's true
+    * cardinality, not the table total — at 100 TB that's the
+    * difference between a broadcast and a 100 TB shuffle on the
+    * filtered side. Still a driver-side manifest aggregate;
+    * conservative (superset) because envelope pruning is. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows =
       if (version == 0) 0L
-      else graft.format.GraftTable.forPath(SparkSession.active, root)
-        .metadataAggregates(version).select("n_rows").head().getLong(0)
+      else {
+        val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+        val pred = filters.map(keep(t.statsCols.toSet))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val keptM = t.manifest(version).where(pred)
+        val phys = keptM
+          .agg(org.apache.spark.sql.functions
+            .coalesce(org.apache.spark.sql.functions.sum(col("row_count")),
+              lit(0L)))
+          .head().getLong(0)
+        // subtract the deletion-vector entries that fall in kept files
+        val dels =
+          if (!t.hasDeletionVectors(version)) 0L
+          else t.deletionVectors(version)
+            .join(keptM.select("path"), Seq("path"), "left_semi")
+            .count()
+        phys - dels
+      }
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.empty()
     override def numRows(): util.OptionalLong =
@@ -767,7 +819,15 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   }
 }
 
-case class GraftTableFilePartition(file: String) extends InputPartition
+/** One data file per partition; `dvPos` carries the file's deleted
+  * row ordinals (sorted) when the scanned version has a deletion
+  * vector — the reader skips them during decode, exchange-free. The
+  * positions ride the partition the way Delta ships its DV blob
+  * descriptor with the scan file: DV size is bounded by deletes since
+  * the last compaction, and a table whose DV has grown large should
+  * `compact()` (which materializes deletions away). */
+case class GraftTableFilePartition(file: String,
+    dvPos: Array[Long] = Array.empty) extends InputPartition
 
 case class GraftTableOffset(version: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -813,7 +873,8 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   * pages, and converts to Spark internal values. Scalar types only —
   * the format layer's tables are relational (SURVEY §1.3); nested
   * columns would route through the main parquet source. */
-class GraftTableReaderFactory(root: String, required: StructType)
+class GraftTableReaderFactory(root: String, required: StructType,
+    allowColumnar: Boolean = true)
     extends PartitionReaderFactory {
 
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -832,6 +893,7 @@ class GraftTableReaderFactory(root: String, required: StructType)
     * remains the fallback for projection-free scans (pure row-count
     * reads) and any file the vectorized reader declines. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
+    allowColumnar &&
     dataFields.nonEmpty && dataFields.forall(f => f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType | DateType |
@@ -890,6 +952,9 @@ class GraftTableReaderFactory(root: String, required: StructType)
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftTableFilePartition].file
+    // deleted row ordinals of THIS file (sorted) — skipped during the
+    // sequential decode with one pointer, no lookups
+    val dvPos = partition.asInstanceOf[GraftTableFilePartition].dvPos
     // `_file` metadata value: the file's root-relative path, a
     // per-file constant (no pages decoded for it)
     val fileRel: UTF8String =
@@ -932,7 +997,8 @@ class GraftTableReaderFactory(root: String, required: StructType)
       // read schema. The correct answer is the file's ROW COUNT many
       // all-null rows — taken from the footer, no pages decoded.
       private val emptyProjection = projected.getFieldCount == 0
-      private var nullRowsLeft: Long = if (emptyProjection) fileRowCount else 0L
+      private var nullRowsLeft: Long =
+        if (emptyProjection) fileRowCount - dvPos.length else 0L
       private val nullRow: InternalRow =
         InternalRow.fromSeq(kind.toIndexedSeq.map {
           case 2 => fileRel
@@ -995,6 +1061,10 @@ class GraftTableReaderFactory(root: String, required: StructType)
         }
       }
 
+      // sequential row ordinal + pointer into the sorted DV
+      private var rowPos: Long = -1L
+      private var dvIdx: Int = 0
+
       override def next(): Boolean = {
         if (emptyProjection) {
           if (nullRowsLeft == 0) return false
@@ -1002,15 +1072,23 @@ class GraftTableReaderFactory(root: String, required: StructType)
           row = nullRow
           return true
         }
-        val g = reader.read()
-        if (g == null) return false
-        val values = required.fields.iterator.zip(kind.iterator).map {
-          case (f, 0) => convert(g, f.name, f.dataType)
-          case (_, 1) => null // schema evolution: pre-column file
-          case (_, _) => fileRel // `_file` metadata column
-        }.toIndexedSeq
-        row = InternalRow.fromSeq(values)
-        true
+        while (true) {
+          val g = reader.read()
+          if (g == null) return false
+          rowPos += 1
+          if (dvIdx < dvPos.length && dvPos(dvIdx) == rowPos) {
+            dvIdx += 1 // logically deleted: skip
+          } else {
+            val values = required.fields.iterator.zip(kind.iterator).map {
+              case (f, 0) => convert(g, f.name, f.dataType)
+              case (_, 1) => null // schema evolution: pre-column file
+              case (_, _) => fileRel // `_file` metadata column
+            }.toIndexedSeq
+            row = InternalRow.fromSeq(values)
+            return true
+          }
+        }
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = if (reader != null) reader.close()

@@ -1,0 +1,176 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.format.GraftTable
+
+/** MERGE-ON-READ deletion vectors: `deleteWhereMor` records deleted
+  * (file, row-ordinal) pairs instead of rewriting files. These pin the
+  * format's MOR invariants — zero data-file writes on delete, exact
+  * live view everywhere (format reads, connector reads, later COW
+  * mutations), DV-follows-manifest restriction at commit, compaction
+  * materializing deletions away, and vacuum's DV-dir lifecycle.
+  * (Result correctness is additionally hash-gated by q232/q233.) */
+class DeletionVectorSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_dv_spec_").toString + "/t"
+
+  private def dataFiles(root: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$root/data"))
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+  }
+
+  test("deleteWhereMor writes NO data file: same manifest paths, a " +
+      "deletion vector, and exactly the live rows on read") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("k"),
+      Seq("k"), numFiles = 4)
+    val filesBefore = dataFiles(root)
+    val manBefore = t.manifest().select("path").as[String].collect().toSet
+    val v = t.deleteWhereMor(col("k") % 10 === 0)
+    assert(v == 2)
+    assert(dataFiles(root) == filesBefore,
+      "a MOR delete must not write or remove any data file")
+    assert(t.manifest().select("path").as[String].collect().toSet
+      == manBefore, "the manifest must carry every file forward")
+    assert(t.hasDeletionVectors())
+    assert(t.read().count() == 900)
+    assert(t.read().where(col("k") % 10 === 0).count() == 0)
+    // time travel: the pre-delete version still sees everything
+    assert(t.read(1).count() == 1000)
+    // exact metadata count: physical − n_dels
+    assert(t.metadataAggregates().select("n_rows").head().getLong(0)
+      == 900)
+  }
+
+  test("MOR deletes accumulate across commits and NULL-evaluating " +
+      "rows are kept (same semantics as COW delete)") {
+    val root = tmp()
+    val df = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (3L, 30L), (4L, 40L), (5L, null))
+      .toDF("k", "v")
+    val t = GraftTable.create(spark, root, df, Seq("k"), numFiles = 1)
+    t.deleteWhereMor(col("v") > 25) // NULL v rows must survive
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 5L))
+    t.deleteWhereMor(col("k") === 1)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq
+      == Seq(2L, 5L))
+    // second delete folded the first's DV forward
+    assert(t.metadataAggregates().select("n_rows").head().getLong(0) == 2)
+  }
+
+  test("the MOR audit is stats-pruned: a windowed delete on a range-" +
+      "clustered table reads only the window's files") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 10000L).toDF("k").repartitionByRange(10, col("k")),
+      Seq("k"), numFiles = 0)
+    t.deleteWhereMor(col("k").between(1, 500))
+    assert(t.lastAuditTotal == 10)
+    assert(t.lastAuditScanned <= 2,
+      s"windowed MOR delete must audit only the window's files, " +
+        s"read ${t.lastAuditScanned} of ${t.lastAuditTotal}")
+    assert(t.read().count() == 9500)
+  }
+
+  test("compact materializes the deletion vector away: identical " +
+      "content, DV gone, metadata-only agg pushdown restored") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("k"),
+      Seq("k"), numFiles = 4)
+    t.deleteWhereMor(col("k") <= 100)
+    val live = t.read().select("k").as[Long].collect().sorted.toSeq
+    t.compact(numFiles = 2)
+    assert(!t.hasDeletionVectors(), "compact must clear the DV")
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == live)
+    assert(t.metadataAggregates().select("n_rows").head().getLong(0)
+      == 900)
+  }
+
+  test("later COW mutations see the live view: deleteWhere, merge and " +
+      "replaceWhere after a MOR delete never resurrect deleted rows") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq("k"), numFiles = 2)
+    t.deleteWhereMor(col("k") <= 10)
+    // COW delete of an overlapping range: rewrites mixed files off the
+    // live view — rows 1..10 must not come back
+    t.deleteWhere(col("k").between(5, 20))
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq
+      == (21L to 100L))
+    // merge touching a file that still carries DV entries
+    val t2root = tmp()
+    val t2 = GraftTable.create(spark, t2root,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq("k"), numFiles = 1)
+    t2.deleteWhereMor(col("k") <= 10)
+    t2.merge(Seq((5L, "upd5"), (50L, "upd50"), (200L, "new200"))
+      .toDF("k", "v"), Seq("k"))
+    val m = t2.read().select("k", "v").as[(Long, String)].collect().toMap
+    assert(!m.contains(1L) && !m.contains(10L),
+      "MOR-deleted rows must not resurrect through a merge rewrite")
+    assert(m(5L) == "upd5", "a MOR-deleted key matched nothing, so " +
+      "the update row inserts")
+    assert(m(50L) == "upd50" && m(200L) == "new200" && m(60L) == "v60")
+    // the full rewrite of the only file dropped its DV entries
+    assert(!t2.hasDeletionVectors())
+  }
+
+  test("append after a MOR delete carries the DV forward; the " +
+      "connector scan (by format) is row-based under a DV, skips " +
+      "deleted ordinals, and turns columnar again after compact") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("k"),
+      Seq("k"), numFiles = 4)
+    t.deleteWhereMor(col("k") % 7 === 0)
+    t.append((1001L to 1100L).toDF("k"), numFiles = 1)
+    assert(t.hasDeletionVectors(), "append must carry the DV forward")
+    val expected = (1L to 1100L).filterNot(k => k <= 1000 && k % 7 == 0)
+    assert(t.read().count() == expected.size)
+
+    val src = spark.read.format("gtable").load(root)
+    assert(src.count() == expected.size,
+      "connector count must honor the deletion vector (and agg " +
+        "pushdown must have declined)")
+    assert(src.select("k").as[Long].collect().sorted.toSeq == expected)
+    val plan = src.select("k").queryExecution.executedPlan.toString
+    assert(!plan.contains("ColumnarToRow"),
+      s"a DV'd scan must be row-based, got:\n$plan")
+    // windowed scan: manifest pruning still applies on top of the DV
+    assert(spark.read.format("gtable").load(root)
+      .where(col("k").between(1, 50)).count() == 50 - 7)
+
+    t.compact(numFiles = 4)
+    val planAfter = spark.read.format("gtable").load(root).select("k")
+      .queryExecution.executedPlan.toString
+    assert(planAfter.contains("ColumnarToRow"),
+      s"post-compaction scan must be columnar again, got:\n$planAfter")
+  }
+
+  test("vacuum deletes expired snapshots' DV dirs, keeps the retained " +
+      "one, and time travel inside the horizon still works") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("k"),
+      Seq("k"), numFiles = 4)
+    t.deleteWhereMor(col("k") <= 100) // v2, dv A
+    t.deleteWhereMor(col("k") <= 200) // v3, dv B (carries A)
+    def dvDirs() = Option(new java.io.File(s"$root/_log").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("dv-v"))
+      .map(_.getName).toSet
+    assert(dvDirs().size == 2)
+    t.vacuum(retainLast = 1, minOrphanAgeMs = 0L)
+    assert(dvDirs().size == 1, "vacuum must delete expired DV dirs " +
+      "and keep the retained snapshot's")
+    assert(t.read().count() == 800)
+  }
+}

@@ -193,4 +193,54 @@ class RetailGoldenSpec extends AnyFunSuite {
       new Directory(new java.io.File(wh)).deleteRecursively()
     }
   }
+
+  test("the LAKEHOUSE-tier DAG (every tier a GraftTable) lands marts " +
+      "row-identical to the directory DAG, and the monthly " +
+      "incremental replaceWhere matches the dynamic-overwrite rerun") {
+    val whDir = java.nio.file.Files
+      .createTempDirectory("retail_dirs_").toString
+    val whLake = java.nio.file.Files
+      .createTempDirectory("retail_lake_").toString
+    try {
+      RetailPipeline.run(spark, dataDir, whDir, NPurchase)
+      RetailPipeline.runLake(spark, dataDir, whLake, NPurchase)
+      // hive-partitioned read-back reorders partition columns to the
+      // end AND type-infers their directory values ("08" → 8); the
+      // lake table preserves the written strings. Compare under a
+      // canonical column order with the partition keys cast.
+      def norm(df: org.apache.spark.sql.DataFrame) = {
+        val d = df
+          .withColumn("purchase_year", col("purchase_year").cast("int"))
+          .withColumn("purchase_month", col("purchase_month").cast("int"))
+        d.select(d.columns.sorted.map(col): _*)
+      }
+      def dirsMart(n: String) =
+        norm(spark.read.parquet(s"$whDir/gold/$n"))
+      def lakeMart(n: String) =
+        norm(graft.format.GraftTable
+          .forPath(spark, s"$whLake/gold_$n").read())
+      val mart = "mart_salesbydatetime"
+      val a = dirsMart(mart).collect().map(_.toString).sorted.toSeq
+      val b = lakeMart(mart).collect().map(_.toString).sorted.toSeq
+      assert(a == b, "lakehouse mart must equal directory mart")
+      // monthly incremental: both paths re-run 2014/11 and must agree
+      RetailPipeline.runIncremental(
+        spark, dataDir, whDir, NPurchase, "2014", "11")
+      RetailPipeline.runIncrementalLake(
+        spark, dataDir, whLake, NPurchase, "2014", "11")
+      val a2 = dirsMart(mart).collect().map(_.toString).sorted.toSeq
+      val b2 = lakeMart(mart).collect().map(_.toString).sorted.toSeq
+      assert(a2 == b2,
+        "post-incremental lakehouse mart must equal directory mart")
+      // the lake incremental is window-scoped: each tier advanced by
+      // exactly ONE replaceWhere snapshot
+      val bronze = graft.format.GraftTable
+        .forPath(spark, s"$whLake/bronze_purchase")
+      assert(bronze.history().where(col("op") === "replace").count() == 1)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(whDir)).deleteRecursively()
+      new Directory(new java.io.File(whLake)).deleteRecursively()
+    }
+  }
 }
