@@ -752,6 +752,42 @@ object OracleSql {
                AS total_value
       FROM events GROUP BY 1 ORDER BY 1
     """,
+    // q235: SQL MERGE in MOR (position-delta) mode — q209's statement.
+    "q235_sql_merge_mor" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(CASE
+               WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderkey % 10 = 0
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    // q236: SQL UPDATE in MOR mode — q230's statement.
+    "q236_sql_update_mor" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CASE
+               WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+               THEN l_quantity + 1000 ELSE l_quantity END
+               AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    // q234: the MOR upsert must present exactly the table the COW
+    // merge produces — q209's statement.
+    "q234_mor_merge" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(CASE
+               WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderkey % 10 = 0
+               THEN o_totalprice * 2 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
     // q232: the MERGE-ON-READ delete (deletion vector) must present
     // exactly the table the COW delete produces — q208's statement.
     "q232_mor_delete" -> """

@@ -313,7 +313,10 @@ object SparkEntry {
     "q230_sql_update" -> (FormatQueries.q230SqlUpdate _),
     "q231_timestamp_travel" -> (FormatQueries.q231TimestampTravel _),
     "q232_mor_delete" -> (FormatQueries.q232MorDelete _),
-    "q233_mor_connector" -> (FormatQueries.q233MorConnector _)
+    "q233_mor_connector" -> (FormatQueries.q233MorConnector _),
+    "q234_mor_merge" -> (FormatQueries.q234MorMerge _),
+    "q235_sql_merge_mor" -> (FormatQueries.q235SqlMergeMor _),
+    "q236_sql_update_mor" -> (FormatQueries.q236SqlUpdateMor _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

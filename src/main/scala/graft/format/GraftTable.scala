@@ -668,6 +668,54 @@ final class GraftTable private (
     }
   }
 
+  /** MERGE-ON-READ upsert: whole-row-replace MERGE semantics
+    * ([[merge]]'s contract) with ZERO file rewrites — matched live
+    * rows enter the DELETION VECTOR, and the update set lands as
+    * fresh appended files, in ONE atomic snapshot. Write cost is
+    * O(update set + matched ordinals) regardless of how many
+    * terabyte-sized files hold matched keys; COW [[merge]] rewrites
+    * each of them for even one matched row. The probe is envelope-
+    * pruned exactly like [[merge]]'s (a range-local upsert probes
+    * O(window) files) and sees only live rows, so re-merging a key
+    * twice deletes the first update's row via its new file's own
+    * ordinal. Reads pay the DV anti-join until [[compact]]. */
+  def mergeMor(updates: DataFrame, keyCols: Seq[String]): Long = {
+    import spark.implicits._
+    val keyed = updates.select(keyCols.map(col): _*).distinct()
+    val statKeys = keyCols.filter(statsCols.contains)
+    val keyBounds: Map[String, (Any, Any)] =
+      if (statKeys.isEmpty) Map.empty
+      else {
+        val aggs = statKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+        val r = keyed.agg(aggs.head, aggs.tail: _*).head()
+        statKeys.zipWithIndex.map { case (k, i) =>
+          k -> ((r.get(2 * i), r.get(2 * i + 1)))
+        }.toMap
+      }
+    val newFiles = writeData(updates, numFiles = 4)
+    commitWithRetry("merge_mor", newSchema = Some(updates.schema),
+      extraDv = Some { parent =>
+        val all = manifest(parent)
+        lastAuditTotal = all.count()
+        val candPred = statKeys.map { k =>
+          val (lo, hi) = keyBounds(k)
+          if (lo == null) lit(false)
+          else col(s"min_$k") <= lit(hi) && col(s"max_$k") >= lit(lo)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        val candidates = all.where(candPred)
+          .select("path").as[String].collect()
+        lastAuditScanned = candidates.length.toLong
+        if (candidates.isEmpty) emptyDv
+        else minusDv(withRowId(spark.read
+            .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+          .join(keyed, keyCols, "left_semi")
+          .select(col("_gt_path").as("path"), col("_gt_pos").as("pos"))
+      }) { parent =>
+      manifest(parent).unionByName(newFiles)
+    }
+  }
+
   /** Atomic REPLACE-FILES commit for the connector's row-level
     * operations (SQL MERGE/UPDATE/DELETE → `ReplaceData`): drop
     * `removed` (root-relative paths — the files the row-level scan
@@ -697,6 +745,31 @@ final class GraftTable private (
           else all.join(broadcast(removed.toDF("path")),
             Seq("path"), "left_anti")
         kept.unionByName(newEntries)
+      }
+    }
+
+  /** Atomic POSITION-DELTA commit for the connector's MOR row-level
+    * operations (`SupportsDelta` → `WriteDelta`): `deletes` (file,
+    * ordinal) pairs join the deletion vector, `newEntries` (executor
+    * writers' stats-carrying manifest rows — None for a pure DELETE)
+    * append to the parent manifest, one snapshot, zero rewrites.
+    * Write-serializable like [[commitReplaceFiles]]: a concurrent
+    * advance past `expectedParent` fails loudly — the matched row
+    * ordinals were computed against a version that no longer exists. */
+  private[graft] def commitDeltaRows(op: String, deletes: DataFrame,
+      newEntries: Option[DataFrame], expectedParent: Long,
+      newSchema: Option[org.apache.spark.sql.types.StructType]): Long =
+    commitWithRetry(op, newSchema = newSchema,
+        extraDv = Some(_ => deletes)) { parent =>
+      if (parent != expectedParent)
+        throw new ConcurrentCommitException(
+          s"row-level $op on $root planned against v$expectedParent " +
+            s"but the table is now at v$parent; re-run the statement")
+      (parent, newEntries) match {
+        case (0, Some(e)) => e
+        case (0, None) => sys.error(s"$op on an empty table")
+        case (_, Some(e)) => manifest(parent).unionByName(e)
+        case (_, None) => manifest(parent)
       }
     }
 

@@ -766,6 +766,109 @@ object FormatQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q234 — MERGE-ON-READ upsert: q209's exact merge (updates ×2 on
+    * every 10th key, 1999+ inserts) through
+    * [[GraftTable.mergeMor]] — matched rows enter the deletion
+    * vector, updates append as fresh files, ONE snapshot, ZERO file
+    * rewrites. Hash-equal to the COW-merge oracle ⟺ MOR upserts are
+    * observationally identical to COW upserts. */
+  def q234MorMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_merge_mor"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      val t = GraftTable.create(s, root,
+        o.where(col("o_orderdate") < "1999-01-01"),
+        statsCols = Seq("o_orderkey"))
+      val upd = o.where(col("o_orderdate") < "1999-01-01" &&
+          col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.where(col("o_orderdate") >= "1999-01-01"))
+      t.mergeMor(upd, keyCols = Seq("o_orderkey"))
+      ()
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q235 — SQL `MERGE INTO` in MOR mode: q227's statement against a
+    * `delete.mode=mor` table runs through Spark's POSITION-DELTA
+    * framework (`SupportsDelta` → `WriteDelta`) — matched row ids
+    * stream to the deletion vector, updated/inserted rows append as
+    * fresh files, no pre-existing file is rewritten
+    * ([[graft.sources.GraftDeltaOperation]]). Same oracle as
+    * q209/q227: the hash pins COW ≡ MOR across the whole SQL merge
+    * surface. */
+  def q235SqlMergeMor(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/orders_mergemor"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      o.where(col("o_orderdate") < "1999-01-01")
+        .createOrReplaceTempView("q235_base")
+      s.sql("""CREATE TABLE gcat.orders_mergemor
+               TBLPROPERTIES('statsCols'='o_orderkey',
+                             'delete.mode'='mor')
+               AS SELECT * FROM q235_base""")
+      o.where(col("o_orderdate") < "1999-01-01" &&
+          col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.where(col("o_orderdate") >= "1999-01-01"))
+        .createOrReplaceTempView("q235_src")
+      s.sql("""MERGE INTO gcat.orders_mergemor t USING q235_src s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      ()
+    }
+    s.table("gcat.orders_mergemor")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q236 — SQL `UPDATE` in MOR mode: q230's windowed quantity bump
+    * through position deltas — each matched row's id joins the DV and
+    * its updated image appends, one snapshot, zero rewrites. Same
+    * oracle as q230 (CASE over the original window). */
+  def q236SqlUpdateMor(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_updmor"
+    buildOnce(root) {
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_shipdate", "l_returnflag", "l_linestatus")
+        .createOrReplaceTempView("q236_base")
+      s.sql("""CREATE TABLE gcat.lineitem_updmor
+               TBLPROPERTIES('statsCols'='l_shipdate',
+                             'delete.mode'='mor')
+               AS SELECT * FROM q236_base""")
+      s.sql("""UPDATE gcat.lineitem_updmor
+               SET l_quantity = l_quantity + 1000
+               WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      ()
+    }
+    s.table("gcat.lineitem_updmor")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -73,12 +73,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readProps(root).getOrElse("statsCols", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  private def writeProps(root: String, props: Map[String, String]): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(propsPath(root)),
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    ()
+  }
+
   private def v2Table(root: String, versionAsOf: Option[Long])
       : GraftTableV2 = {
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     val stats = readStatsCols(root)
     if (stats.nonEmpty) opts.put("statsCols", stats.mkString(","))
+    readProps(root).get("deleteMode")
+      .foreach(m => opts.put("deleteMode", m))
     if (graft.format.GraftTable.versionAt(root) == 0) {
       val declared = readProps(root).get("schema")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -139,12 +149,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/_log"))
     val stats = Option(properties.get("statsCols")).getOrElse("")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(propsPath(root)),
-      s"statsCols=$stats\nschema=${schema.json}\n".getBytes("UTF-8"))
+    // `delete.mode=mor` routes SQL DELETE through deletion vectors
+    // instead of the COW rewrite (Delta's spiritual
+    // 'delta.enableDeletionVectors')
+    val delMode = Option(properties.get("delete.mode"))
+    writeProps(root, Map("statsCols" -> stats,
+      "schema" -> schema.json) ++ delMode.map("deleteMode" -> _))
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     if (stats.nonEmpty) opts.put("statsCols", stats)
+    delMode.foreach(m => opts.put("deleteMode", m))
     new GraftTableV2(root, 0L, schema, new CaseInsensitiveStringMap(opts))
   }
 
@@ -170,10 +184,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types
           .StructField(a.fieldNames.head, a.dataType, a.isNullable)
     }
-    if (adds.size != changes.size)
+    // `ALTER TABLE … SET TBLPROPERTIES('delete.mode'='mor'|'cow')`
+    // flips the DELETE routing for an existing table — a props-file
+    // edit, no snapshot
+    val propSets = changes.collect {
+      case p: TableChange.SetProperty
+          if p.property == "delete.mode" =>
+        "deleteMode" -> p.value
+    }
+    if (adds.size + propSets.size != changes.size)
       throw new UnsupportedOperationException(
-        "gtable ALTER TABLE supports top-level ADD COLUMN only; " +
-          "other schema changes rewrite through overwrite")
+        "gtable ALTER TABLE supports top-level ADD COLUMN and SET " +
+          "TBLPROPERTIES('delete.mode') only; other schema changes " +
+          "rewrite through overwrite")
+    if (propSets.nonEmpty)
+      writeProps(root, readProps(root) ++ propSets)
+    if (adds.isEmpty) return loadTable(ident)
     val newCols = StructType(adds.toArray)
     if (graft.format.GraftTable.versionAt(root) > 0)
       graft.format.GraftTable.forPath(SparkSession.active, root)
@@ -187,12 +213,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val existing = declared.fieldNames.toSet
       val merged = StructType(
         declared.fields ++ newCols.filterNot(f => existing(f.name)))
-      val content = s"statsCols=${props.getOrElse("statsCols", "")}\n" +
-        s"schema=${merged.json}\n"
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(propsPath(root)),
-        content.getBytes("UTF-8"))
-      ()
+      writeProps(root, props + ("schema" -> merged.json))
     }
     loadTable(ident)
   }

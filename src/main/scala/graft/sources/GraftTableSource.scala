@@ -147,6 +147,17 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
       override def isNullable: Boolean = false
       override def comment(): String =
         "root-relative path of the data file holding the row"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      // `_pos` = the row's physical ordinal within `_file` — with
+      // `_file` it forms the STABLE ROW ID (parquet files are
+      // immutable) that position-delta row-level operations key their
+      // deletion-vector entries on
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row ordinal within _file (stable row id)"
     })
 
   /** SQL `MERGE INTO lake.t USING …` / `UPDATE lake.t SET …` (and
@@ -173,8 +184,16 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(root, version, schema0, statsCols,
-          info.command())
+        // `delete.mode=mor` switches the whole row-level surface to
+        // POSITION DELTAS (SupportsDelta → WriteDelta): matched rows
+        // enter the deletion vector, updates/inserts append — no file
+        // rewrite. Default stays group-based COW (ReplaceData).
+        if ("mor".equalsIgnoreCase(options.get("deleteMode")))
+          new GraftDeltaOperation(root, version, schema0, statsCols,
+            info.command())
+        else
+          new GraftRowLevelOperation(root, version, schema0, statsCols,
+            info.command())
     }
   }
 
@@ -182,9 +201,12 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
     * rides `SupportsDeleteV2`'s default): pushed filters translate to
     * a Column predicate and run through [[graft.format.GraftTable
     * .deleteWhere]] — the NULL-safe, stats-pruned, file-granular COW
-    * path, committed as one atomic snapshot. Untranslatable filters
-    * make `canDeleteWhere` false and Spark raises the standard
-    * cannot-delete error instead of corrupting anything. */
+    * path — or [[graft.format.GraftTable.deleteWhereMor]] (deletion
+    * vectors, no rewrite) when the table carries
+    * `TBLPROPERTIES('delete.mode'='mor')`. Untranslatable filters
+    * make `canDeleteWhere` false; Spark then falls back to the
+    * row-level-operation COW rewrite (same result, rewrite cost),
+    * never a wrong answer. */
   private def deleteCond(f: sources.Filter)
       : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col => c, lit, not}
@@ -219,8 +241,12 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
     import org.apache.spark.sql.functions.lit
     val cond = filters.flatMap(deleteCond(_))
       .reduceOption(_ && _).getOrElse(lit(true))
-    graft.format.GraftTable.forPath(SparkSession.active, root)
-      .deleteWhere(cond)
+    val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+    // `TBLPROPERTIES('delete.mode'='mor')` routes through deletion
+    // vectors — O(matched rows) commit, no file rewrite
+    if ("mor".equalsIgnoreCase(options.get("deleteMode")))
+      t.deleteWhereMor(cond)
+    else t.deleteWhere(cond)
     ()
   }
 
@@ -441,15 +467,18 @@ class GraftTableScanBuilder(root: String, version: Long,
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val known = full.fieldNames.toSet
-    // `_file` (metadata column) survives pruning — the reader emits
-    // it as a per-file constant, no pages decoded for it. Data
-    // columns first, `_file` last: the columnar reader appends its
-    // per-file constant vector after the decoded columns, and
-    // readSchema must match the batch layout positionally.
+    // `_file`/`_pos` (metadata columns) survive pruning — the reader
+    // emits `_file` as a per-file constant and `_pos` as the running
+    // row ordinal, no pages decoded for either. Data columns first,
+    // metadata last: the columnar reader appends its per-file
+    // constant vector after the decoded columns, and readSchema must
+    // match the batch layout positionally (`_pos` forces the row
+    // reader — an ordinal is not a constant vector).
+    val meta = Set("_file", "_pos")
     val kept = requiredSchema.fields.filter(f =>
-      known.contains(f.name) || f.name == "_file")
+      known.contains(f.name) || meta(f.name))
     required = StructType(
-      kept.filter(_.name != "_file") ++ kept.filter(_.name == "_file"))
+      kept.filterNot(f => meta(f.name)) ++ kept.filter(f => meta(f.name)))
   }
 
   /** Accept every filter for PLANNING (manifest prune) but return all
@@ -880,7 +909,7 @@ class GraftTableReaderFactory(root: String, required: StructType,
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
   private def dataFields: Array[StructField] =
-    required.fields.filter(_.name != "_file")
+    required.fields.filterNot(f => f.name == "_file" || f.name == "_pos")
 
   /** VECTORIZED READ (VERDICT r9 missing #3): decode through Spark's
     * own `VectorizedParquetRecordReader` — columnar batches straight
@@ -893,7 +922,7 @@ class GraftTableReaderFactory(root: String, required: StructType,
     * remains the fallback for projection-free scans (pure row-count
     * reads) and any file the vectorized reader declines. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    allowColumnar &&
+    allowColumnar && !required.fieldNames.contains("_pos") &&
     dataFields.nonEmpty && dataFields.forall(f => f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType | DateType |
@@ -976,9 +1005,11 @@ class GraftTableReaderFactory(root: String, required: StructType,
         finally r.close()
       }
       // 0 = present in this file, 1 = absent (schema evolution →
-      // null), 2 = the `_file` metadata column (per-file constant)
+      // null), 2 = the `_file` metadata column (per-file constant),
+      // 3 = the `_pos` metadata column (running row ordinal)
       private val kind: Array[Int] = required.fields.map { f =>
         if (f.name == "_file") 2
+        else if (f.name == "_pos") 3
         else if (fileSchema.containsField(f.name)) 0
         else 1
       }
@@ -992,18 +1023,13 @@ class GraftTableReaderFactory(root: String, required: StructType,
           .PARQUET_READ_SCHEMA, projected.toString)
       }
       // If the file holds NONE of the required columns (projection
-      // empty — a pure count, or every requested column post-dates
-      // this file), parquet would return zero rows for an empty
-      // read schema. The correct answer is the file's ROW COUNT many
-      // all-null rows — taken from the footer, no pages decoded.
+      // empty — a pure count, a metadata-only projection, or every
+      // requested column post-dates this file), parquet would return
+      // zero rows for an empty read schema. The correct answer is one
+      // row per live footer row — no pages decoded; `_pos` still runs
+      // its ordinal (skipping DV entries) so metadata-only scans stay
+      // exact.
       private val emptyProjection = projected.getFieldCount == 0
-      private var nullRowsLeft: Long =
-        if (emptyProjection) fileRowCount - dvPos.length else 0L
-      private val nullRow: InternalRow =
-        InternalRow.fromSeq(kind.toIndexedSeq.map {
-          case 2 => fileRel
-          case _ => null
-        })
 
       private val reader: ParquetReader[Group] =
         if (emptyProjection) null
@@ -1066,15 +1092,16 @@ class GraftTableReaderFactory(root: String, required: StructType,
       private var dvIdx: Int = 0
 
       override def next(): Boolean = {
-        if (emptyProjection) {
-          if (nullRowsLeft == 0) return false
-          nullRowsLeft -= 1
-          row = nullRow
-          return true
-        }
         while (true) {
-          val g = reader.read()
-          if (g == null) return false
+          // advance one physical row: decoded, or footer-counted when
+          // the projection is empty (kind 0 can't occur then)
+          var g: Group = null
+          if (emptyProjection) {
+            if (rowPos + 1 >= fileRowCount) return false
+          } else {
+            g = reader.read()
+            if (g == null) return false
+          }
           rowPos += 1
           if (dvIdx < dvPos.length && dvPos(dvIdx) == rowPos) {
             dvIdx += 1 // logically deleted: skip
@@ -1082,7 +1109,8 @@ class GraftTableReaderFactory(root: String, required: StructType,
             val values = required.fields.iterator.zip(kind.iterator).map {
               case (f, 0) => convert(g, f.name, f.dataType)
               case (_, 1) => null // schema evolution: pre-column file
-              case (_, _) => fileRel // `_file` metadata column
+              case (_, 2) => fileRel // `_file` metadata column
+              case (_, _) => rowPos // `_pos` metadata column
             }.toIndexedSeq
             row = InternalRow.fromSeq(values)
             return true

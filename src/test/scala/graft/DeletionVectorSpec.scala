@@ -156,6 +156,40 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"post-compaction scan must be columnar again, got:\n$planAfter")
   }
 
+  test("mergeMor upserts with zero file rewrites: matched rows enter " +
+      "the DV, updates append, untouched data files are byte-stable") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq("k"), numFiles = 4)
+    val filesBefore = dataFiles(root)
+    t.mergeMor(Seq((10L, "upd10"), (20L, "upd20"), (200L, "new200"))
+      .toDF("k", "v"), Seq("k"))
+    assert(filesBefore.subsetOf(dataFiles(root)),
+      "mergeMor must never rewrite or remove an existing data file")
+    assert(t.hasDeletionVectors())
+    val m = t.read().select("k", "v").as[(Long, String)].collect().toMap
+    assert(m.size == 101)
+    assert(m(10L) == "upd10" && m(20L) == "upd20" && m(200L) == "new200")
+    assert(m(30L) == "v30")
+    // re-merging the same key replaces the FIRST update's appended row
+    // (its ordinal joins the DV), never duplicates
+    t.mergeMor(Seq((10L, "upd10b")).toDF("k", "v"), Seq("k"))
+    val m2 = t.read().select("k", "v").as[(Long, String)].collect().toMap
+    assert(m2.size == 101 && m2(10L) == "upd10b")
+    // the probe is envelope-pruned: a key-local merge on a range-
+    // clustered table audits only the window's files
+    val root2 = tmp()
+    val t2 = GraftTable.create(spark, root2,
+      (1L to 10000L).map(k => (k, k * 2)).toDF("k", "x")
+        .repartitionByRange(10, col("k")),
+      Seq("k"), numFiles = 0)
+    t2.mergeMor(Seq((5L, 0L), (7L, 1L)).toDF("k", "x"), Seq("k"))
+    assert(t2.lastAuditScanned <= 2,
+      s"range-local mergeMor must probe only the window's files, " +
+        s"read ${t2.lastAuditScanned} of ${t2.lastAuditTotal}")
+  }
+
   test("vacuum deletes expired snapshots' DV dirs, keeps the retained " +
       "one, and time travel inside the horizon still works") {
     val root = tmp()

@@ -188,6 +188,114 @@ class GraftCatalogSpec extends AnyFunSuite {
       "'2100-01-01 00:00:00'").head().getLong(0) == 3L)
   }
 
+  test("TBLPROPERTIES('delete.mode'='mor') routes SQL DELETE through " +
+      "deletion vectors — no data file rewritten — and ALTER TABLE " +
+      "SET TBLPROPERTIES flips an existing table") {
+    def files(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val root = s"$warehouse/mor_del" // registers the catalog conf
+    spark.sql("""CREATE TABLE lake.mor_del
+      TBLPROPERTIES('statsCols'='k', 'delete.mode'='mor')
+      AS SELECT id AS k, id * 2 AS v FROM range(1000)""")
+    val before = files(root)
+    // filter-translatable predicate → the SupportsDelete path, which
+    // delete.mode=mor routes through the deletion vector (an
+    // untranslatable predicate falls back to the row-level COW
+    // rewrite — same result, rewrite cost)
+    spark.sql("DELETE FROM lake.mor_del WHERE k >= 100 AND k < 200")
+    assert(files(root) == before,
+      "delete.mode=mor must not rewrite or drop any data file")
+    assert(GraftTable.forPath(spark, root).hasDeletionVectors())
+    assert(spark.table("lake.mor_del").count() == 900)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.mor_del WHERE k >= 100 AND k < 200")
+      .head().getLong(0) == 0L)
+    // default (no property) stays COW
+    spark.sql("""CREATE TABLE lake.cow_del TBLPROPERTIES('statsCols'='k')
+      AS SELECT id AS k FROM range(100)""")
+    spark.sql("DELETE FROM lake.cow_del WHERE k < 50")
+    assert(!GraftTable.forPath(spark, s"$warehouse/cow_del")
+      .hasDeletionVectors())
+    assert(spark.table("lake.cow_del").count() == 50)
+    // flip an existing table to MOR
+    spark.sql(
+      "ALTER TABLE lake.cow_del SET TBLPROPERTIES('delete.mode'='mor')")
+    val cowFiles = files(s"$warehouse/cow_del")
+    spark.sql("DELETE FROM lake.cow_del WHERE k >= 50 AND k < 60")
+    assert(files(s"$warehouse/cow_del") == cowFiles,
+      "post-ALTER delete must be MOR")
+    assert(GraftTable.forPath(spark, s"$warehouse/cow_del")
+      .hasDeletionVectors())
+    assert(spark.table("lake.cow_del").count() == 40)
+  }
+
+  test("delete.mode=mor routes SQL MERGE / UPDATE / arbitrary-" +
+      "predicate DELETE through position deltas (WriteDelta): matched " +
+      "rows join the DV, inserts append, no existing file rewritten") {
+    def files(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val root = s"$warehouse/mor_rowlevel" // registers the catalog conf
+    spark.sql("""CREATE TABLE lake.mor_rowlevel
+      TBLPROPERTIES('statsCols'='k', 'delete.mode'='mor')
+      AS SELECT id AS k, CAST(id * 2 AS BIGINT) AS v FROM range(1000)""")
+    val v1Files = files(root)
+
+    // MERGE: 2 updates, 1 insert — every pre-existing file must
+    // survive byte-identical; only the writers' new files appear
+    spark.sql("""MERGE INTO lake.mor_rowlevel t
+      USING (SELECT * FROM VALUES (10L, 111L), (20L, 222L),
+             (2000L, 333L) AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(v1Files.subsetOf(files(root)),
+      "MOR MERGE must not rewrite or drop any pre-existing file")
+    assert(GraftTable.forPath(spark, root).hasDeletionVectors())
+    val afterMerge = spark.table("lake.mor_rowlevel")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(afterMerge.size == 1001)
+    assert(afterMerge(10L) == 111L && afterMerge(20L) == 222L &&
+      afterMerge(2000L) == 333L && afterMerge(30L) == 60L)
+
+    // UPDATE with an arithmetic predicate (untranslatable → delta
+    // path, not SupportsDelete)
+    val v2Files = files(root)
+    spark.sql("UPDATE lake.mor_rowlevel SET v = v + 1 WHERE k % 100 = 7")
+    assert(v2Files.subsetOf(files(root)),
+      "MOR UPDATE must not rewrite any existing file")
+    val afterUpd = spark.table("lake.mor_rowlevel")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(afterUpd(7L) == 15L && afterUpd(107L) == 215L &&
+      afterUpd(8L) == 16L && afterUpd.size == 1001)
+
+    // DELETE with an arithmetic predicate — pure delete: file set
+    // unchanged entirely
+    val v3Files = files(root)
+    spark.sql("DELETE FROM lake.mor_rowlevel WHERE k % 10 = 3")
+    assert(files(root) == v3Files,
+      "MOR DELETE must write no data file at all")
+    assert(spark.table("lake.mor_rowlevel").count() == 901)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.mor_rowlevel WHERE k % 10 = 3")
+      .head().getLong(0) == 0L)
+    // compaction materializes the whole MOR history away
+    GraftTable.forPath(spark, root).compact(numFiles = 2)
+    assert(!GraftTable.forPath(spark, root).hasDeletionVectors())
+    assert(spark.table("lake.mor_rowlevel").count() == 901)
+  }
+
   test("appending a re-cased column does not duplicate the recorded " +
       "schema field under case-insensitive resolution (ADVICE r9)") {
     val root = s"$warehouse/recase"
