@@ -752,6 +752,15 @@ object OracleSql {
                AS total_value
       FROM events GROUP BY 1 ORDER BY 1
     """,
+    // q237: the CDC insert/delete fold must land exactly on the live
+    // table — counts over the original rows minus the deleted keys.
+    "q237_cdc_mor" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_live
+      FROM orders
+      WHERE o_orderkey % 7 <> 0
+      GROUP BY 1 ORDER BY 1
+    """,
     // q235: SQL MERGE in MOR (position-delta) mode — q209's statement.
     "q235_sql_merge_mor" -> """
       SELECT o_orderstatus,

@@ -316,7 +316,8 @@ object SparkEntry {
     "q233_mor_connector" -> (FormatQueries.q233MorConnector _),
     "q234_mor_merge" -> (FormatQueries.q234MorMerge _),
     "q235_sql_merge_mor" -> (FormatQueries.q235SqlMergeMor _),
-    "q236_sql_update_mor" -> (FormatQueries.q236SqlUpdateMor _)
+    "q236_sql_update_mor" -> (FormatQueries.q236SqlUpdateMor _),
+    "q237_cdc_mor" -> (FormatQueries.q237CdcMor _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

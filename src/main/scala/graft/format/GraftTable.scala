@@ -314,11 +314,46 @@ final class GraftTable private (
     * [[deleteWhereMor]] commit adds no files, so MOR deletes do not
     * surface here (stream/CDC from append-only tables). */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
-    val added = manifest(toVersion).select("path")
-      .except(manifest(fromVersion).select("path"))
+    val toPaths = manifest(toVersion).select("path")
+    val added = (if (fromVersion == 0) toPaths // v0: everything is new
+      else toPaths.except(manifest(fromVersion).select("path")))
       .collect().map(r => s"$root/${r.getString(0)}")
     if (added.isEmpty) read(toVersion).limit(0)
     else spark.read.parquet(added.toSeq: _*)
+  }
+
+  /** ROW-LEVEL CDC: every change between two snapshots as an event
+    * stream — `_change_type` 'insert' for rows of files ADDED in the
+    * window ([[readChanges]]' file diff), 'delete' for rows whose
+    * (file, ordinal) JOINED THE DELETION VECTOR in the window,
+    * materialized from their files by position. A row appended then
+    * MOR-deleted inside the window emits both events (net zero under
+    * a downstream fold — Delta CDF's contract). The delete
+    * materialization reads only files carrying NEW DV entries. Same
+    * COW caveat as [[readChanges]]: a copy-on-write rewrite surfaces
+    * as its post-image inserts (feed CDC from append+MOR tables). */
+  def readCdc(fromVersion: Long, toVersion: Long): DataFrame = {
+    val inserts = readChanges(fromVersion, toVersion)
+      .withColumn("_change_type", lit("insert"))
+    val dvNew = deletionVectors(toVersion)
+      .join(deletionVectors(fromVersion), Seq("path", "pos"), "left_anti")
+      // only files still LIVE at toVersion can materialize their
+      // deleted rows (a file both DV'd and rewritten left the
+      // manifest and its entries with it)
+      .join(manifest(toVersion).select("path"), Seq("path"), "left_semi")
+    val touched = dvNew.select("path").distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return inserts
+    val raw = spark.read
+      .parquet(touched.toIndexedSeq.map(p => s"$root/$p"): _*)
+    val dataCols = raw.columns.toIndexedSeq
+    val deletes = withRowId(raw)
+      .join(dvNew.select(col("path").as("_gt_path"),
+        col("pos").as("_gt_pos")), Seq("_gt_path", "_gt_pos"),
+        "left_semi")
+      .select(dataCols.map(col): _*)
+      .withColumn("_change_type", lit("delete"))
+    inserts.unionByName(deletes, allowMissingColumns = true)
   }
 
   /** Physically delete everything the last `retainLast` snapshots no

@@ -869,6 +869,33 @@ object FormatQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q237 — ROW-LEVEL CDC over a MOR history: two append commits +
+    * one deletion-vector delete, then [[GraftTable.readCdc]] replays
+    * the whole history as insert/delete events and a downstream fold
+    * (+1 insert / −1 delete per year) must land exactly on the live
+    * table — the oracle states it directly over the original rows.
+    * This is the event feed [[GraftTable.readChanges]]' file diff
+    * cannot see (a DV commit adds no files): incremental consumers
+    * stay exact under MOR deletes. */
+  def q237CdcMor(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_cdc_mor"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      val t = GraftTable.create(s, root,
+        o.where(col("o_orderdate") < "1997-01-01"),
+        statsCols = Seq("o_orderkey"))
+      t.append(o.where(col("o_orderdate") >= "1997-01-01"))
+      t.deleteWhereMor(col("o_orderkey") % 7 === 0)
+      ()
+    }
+    val t = GraftTable.forPath(s, root)
+    t.readCdc(0, t.currentVersion)
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(sum(when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L))).as("n_live"))
+      .orderBy(col("order_year"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

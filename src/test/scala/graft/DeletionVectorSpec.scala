@@ -190,6 +190,34 @@ class DeletionVectorSpec extends AnyFunSuite {
         s"read ${t2.lastAuditScanned} of ${t2.lastAuditTotal}")
   }
 
+  test("readCdc emits deletes for DV-joined rows, inserts for added " +
+      "files, and a row appended-then-deleted in the window nets zero") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 2)       // v1
+    t.append((101L to 200L).toDF("k"), numFiles = 1)        // v2
+    t.deleteWhereMor(col("k") % 10 === 0)                   // v3
+    // full-history fold lands exactly on the live view
+    val fold = t.readCdc(0, 3)
+      .groupBy()
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("n"))
+      .head().getLong(0)
+    assert(fold == t.read().count())
+    // windowed: v2→v3 carries ONLY the delete events
+    val w = t.readCdc(2, 3)
+    assert(w.where(col("_change_type") === "insert").count() == 0)
+    assert(w.where(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq
+      == (10L to 200L by 10L))
+    // a row appended and MOR-deleted inside the window emits BOTH
+    val w2 = t.readCdc(1, 3)
+    assert(w2.where(col("_change_type") === "insert")
+      .count() == 100) // the v2 file's rows
+    assert(w2.where(col("k") === 150).count() == 2,
+      "appended-then-deleted row must emit insert AND delete")
+  }
+
   test("vacuum deletes expired snapshots' DV dirs, keeps the retained " +
       "one, and time travel inside the horizon still works") {
     val root = tmp()
