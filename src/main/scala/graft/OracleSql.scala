@@ -752,6 +752,21 @@ object OracleSql {
                AS total_value
       FROM events GROUP BY 1 ORDER BY 1
     """,
+    // q238: the storage-partitioned join's result must equal the same
+    // fact x dim join stated flat over the original events.
+    "q238_spj_join" -> """
+      WITH dim AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1)
+      SELECT e.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(d.n_users) AS n_users,
+             ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_value
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

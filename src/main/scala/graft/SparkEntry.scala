@@ -317,7 +317,8 @@ object SparkEntry {
     "q234_mor_merge" -> (FormatQueries.q234MorMerge _),
     "q235_sql_merge_mor" -> (FormatQueries.q235SqlMergeMor _),
     "q236_sql_update_mor" -> (FormatQueries.q236SqlUpdateMor _),
-    "q237_cdc_mor" -> (FormatQueries.q237CdcMor _)
+    "q237_cdc_mor" -> (FormatQueries.q237CdcMor _),
+    "q238_spj_join" -> (FormatQueries.q238SpjJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -896,6 +896,59 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q238 — STORAGE-PARTITIONED JOIN through the connector: an events
+    * fact and a per-type dim, both written VALUE-PURE on `event_type`
+    * (one single-file commit per type, so every manifest envelope has
+    * min == max), joined and aggregated on the type under
+    * `spark.sql.sources.v2.bucketing.enabled` — the scan reports
+    * `KeyGroupedPartitioning`, Spark aligns both sides by key, and
+    * the join + aggregate plan ZERO exchanges (SpjSpec pins the plan;
+    * this gates the results). At 100 TB this is the join you cannot
+    * afford to shuffle: co-clustered tables join exchange-free. */
+  def q238SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${graft.Scratch.dir(s, "gtable")}"
+    val rootA = s"$base/events_spj"
+    val rootB = s"$base/eventdim_spj"
+    def buildPure(root: String, df: DataFrame): Unit = buildOnce(root) {
+      val vals = df.select("event_type").distinct()
+        .orderBy(col("event_type")).collect().map(_.getString(0))
+      val t = GraftTable.openOrCreate(s, root, Seq("event_type"))
+      vals.foreach(v =>
+        t.append(df.where(col("event_type") === v), numFiles = 1))
+    }
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    buildPure(rootA, ev)
+    buildPure(rootB, ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users")))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val a = s.read.format("gtable").load(rootA)
+      val b = s.read.format("gtable").load(rootB)
+      val out = a.join(b, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("n_users")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+            .as("total_value"))
+        .orderBy(col("event_type"))
+        .cache()
+      // materialize NOW, while the SPJ confs are live — the scan's
+      // partitioning report is a plan-time decision; a lazy consumer
+      // after the restore would silently run the shuffle plan
+      out.count()
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

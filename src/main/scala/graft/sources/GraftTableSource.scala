@@ -625,7 +625,8 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     filters: Array[sources.Filter], startingVersion: Long = 0L,
     recorder: Option[GraftRowLevelOperation] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -652,6 +653,12 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * stats columns for classic DPP. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // An SPJ-reporting scan declines runtime filtering: a runtime
+    // file prune could shrink the partition-value set AFTER the
+    // KeyGroupedPartitioning was reported, and the two must agree.
+    // (SPJ already restricts the scan to co-grouped keys; DPP's win
+    // largely overlaps it.)
+    if (spj.isDefined) return Array.empty
     // `_file` only when projected — PartitionPruning resolves these
     // against the scan OUTPUT and fails on an absent column. Row-level
     // scans always project it (requiredMetadataAttributes).
@@ -768,6 +775,80 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     paths
   }
 
+  // ---- storage-partitioned joins (SPJ) -----------------------------
+
+  /** STORAGE-PARTITIONED JOIN reporting: when the session opts into
+    * v2 bucketing (`spark.sql.sources.v2.bucketing.enabled`) and
+    * EVERY planned file is VALUE-PURE — non-null min == max — on one
+    * or more projected stats columns, the scan reports
+    * `KeyGroupedPartitioning` over those columns: each file partition
+    * carries its key (`HasPartitionKey`), Spark groups same-key files
+    * into one task, and a join or aggregate clustered on those
+    * columns plans with NO exchange on this side. Two gtables
+    * co-clustered on a key therefore join 100 TB to 100 TB without
+    * shuffling either side — Iceberg's SPJ story, driven entirely by
+    * the manifest envelopes (value purity is checked per scan, so a
+    * table that drifted impure silently degrades to a normal shuffle
+    * plan, never a wrong answer). Purity is judged AFTER manifest
+    * pruning: a windowed scan of a value-pure window reports SPJ even
+    * if the whole table is mixed. */
+  private def spjEnabled: Boolean =
+    recorder.isEmpty && version > 0 &&
+      SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+
+  /** (clustering column names, their key types, per-file key tuples)
+    * — None unless every planned file is pure on ≥1 projected col. */
+  private lazy val spj: Option[(Seq[String], Seq[DataType],
+      Map[String, Seq[Any]])] = {
+    if (!spjEnabled) None
+    else {
+      val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+      val cands = t.statsCols.filter(required.fieldNames.contains)
+      if (cands.isEmpty) None
+      else {
+        val pred = filters.map(keep(t.statsCols.toSet))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val cols = col("path") +: cands.flatMap(c =>
+          Seq(col(s"min_$c"), col(s"max_$c")))
+        val mDf = t.manifest(version).where(pred).select(cols: _*)
+        val types = cands.indices
+          .map(i => mDf.schema.fields(1 + 2 * i).dataType)
+        val rows = mDf.collect()
+        if (rows.isEmpty) None
+        else {
+          val pureIdx = cands.indices.filter { i =>
+            rows.forall { r =>
+              val lo = r.get(1 + 2 * i); val hi = r.get(2 + 2 * i)
+              lo != null && lo == hi
+            }
+          }
+          if (pureIdx.isEmpty) None
+          else Some((
+            pureIdx.map(cands(_)),
+            pureIdx.map(types(_)),
+            rows.map(r => r.getString(0) ->
+              pureIdx.map(i => r.get(1 + 2 * i)).toSeq).toMap))
+        }
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spj match {
+      case Some((cols, _, fileKeys)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            cols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c): org.apache.spark.sql.connector
+              .expressions.Expression).toArray,
+            fileKeys.values.toSet.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   /** Whether the scanned version carries a deletion vector. Spark
     * refuses to mix row-based and columnar partitions in one scan, so
     * ANY DV flips the whole scan to the row reader (which skips
@@ -779,19 +860,32 @@ class GraftTableScan(root: String, version: Long, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = plannedFiles
-    if (!scanHasDv)
-      files.map(f => GraftTableFilePartition(f): InputPartition)
-    else {
-      val dvMap: Map[String, Array[Long]] = graft.format.GraftTable
+    val dvMap: Map[String, Array[Long]] =
+      if (!scanHasDv) Map.empty
+      else graft.format.GraftTable
         .forPath(SparkSession.active, root)
         .deletionVectors(version).collect()
         .groupBy(_.getString(0))
         .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
-      files.map { f =>
-        val rel = f.stripPrefix(root).stripPrefix("/")
-        GraftTableFilePartition(f,
-          dvMap.getOrElse(rel, Array.empty)): InputPartition
-      }
+    // partition keys for SPJ grouping: the file's (pure) stats values,
+    // converted to Catalyst representation
+    val keyOf: String => InternalRow = spj match {
+      case Some((_, types, fileKeys)) =>
+        val convs = types.map(org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter)
+        rel => fileKeys.get(rel) match {
+          case Some(vals) =>
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(
+                vals.zip(convs).map { case (v, c) => c(v) }.toArray)
+          case None => null
+        }
+      case None => _ => null
+    }
+    files.map { f =>
+      val rel = f.stripPrefix(root).stripPrefix("/")
+      GraftTableFilePartition(f, dvMap.getOrElse(rel, Array.empty),
+        keyOf(rel)): InputPartition
     }
   }
 
@@ -854,9 +948,19 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   * positions ride the partition the way Delta ships its DV blob
   * descriptor with the scan file: DV size is bounded by deletes since
   * the last compaction, and a table whose DV has grown large should
-  * `compact()` (which materializes deletions away). */
+  * `compact()` (which materializes deletions away).
+  *
+  * `key` is the file's partition-value tuple when the scan reports
+  * `KeyGroupedPartitioning` (storage-partitioned joins) — Spark
+  * groups same-key files into one task and aligns both join sides by
+  * value. null when the scan reports Unknown partitioning, in which
+  * case `partitionKey` is never consulted. */
 case class GraftTableFilePartition(file: String,
-    dvPos: Array[Long] = Array.empty) extends InputPartition
+    dvPos: Array[Long] = Array.empty,
+    key: InternalRow = null) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 case class GraftTableOffset(version: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
