@@ -434,6 +434,58 @@ object Bench {
       if (runEtl) sampled("gtable_10x")((t: Double) => t)(gtable10x())
       else -1.0
 
+    // COW vs MOR on the SAME 10× accreted table: two equivalent
+    // sparse deletes (every file hit — the copy-on-write worst case),
+    // one as a file rewrite, one as a deletion-vector commit, each
+    // followed by a full live read. The pair quantifies the
+    // write-amplification gap the MOR tier closes AND charges MOR its
+    // read-side DV price honestly.
+    def mor10x(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var root: String = null
+      try {
+        root = java.nio.file.Files
+          .createTempDirectory("graft_10x_mor_").toString + "/t"
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val ord = Tables.load(sp, sfDir, "orders")
+        val stride = ord.agg(max(col("o_orderkey")).cast("long"))
+          .head().getLong(0) + 1L
+        val big = (0 until 10).map(i =>
+            ord.withColumn("o_orderkey",
+              col("o_orderkey").cast("long") + lit(i * stride)))
+          .reduce(_ unionByName _)
+        val t = graft.format.GraftTable.create(sp, root,
+          big.repartitionByRange(32, col("o_orderkey")),
+          statsCols = Seq("o_orderkey"), numFiles = 0)
+        val cow = timed {
+          t.deleteWhere(col("o_orderkey") % 1000 === 1)
+          t.read().count()
+          ()
+        }
+        val mor = timed {
+          t.deleteWhereMor(col("o_orderkey") % 1000 === 2)
+          t.read().count()
+          ()
+        }
+        (cow, mor)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL mor_10x: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (root != null)
+          new Directory(new java.io.File(root).getParentFile)
+            .deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val (cowDel10xTime, morDel10xTime) =
+      if (runEtl) sampled("mor_10x")((t: (Double, Double)) => t._2)(mor10x())
+      else (-1.0, -1.0)
+
     // FULL-SCALE RETAIL PARITY (VERDICT r7 #6 / r8 #4): the reference's
     // OWN schema at the reference's OWN volume — RetailPipeline (seed
     // CSVs + the deterministic FIXTURES A.4 fact generator) at
@@ -519,6 +571,7 @@ object Bench {
     val scaleSmokeKeys = Seq(
       s"etl_pipeline_${etlX}x", s"etl_incremental_${etlX}x",
       "dedup_10x", "ann_50x", "gtable_10x",
+      "cow_delete_10x", "mor_delete_10x",
       "retail_fullscale", "retail_incremental_fullscale",
       "retail_fullscale_lake", "retail_incremental_fullscale_lake")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
@@ -528,6 +581,8 @@ object Bench {
       ("dedup_10x" -> dedup10xTime) :+
       ("ann_50x" -> ann50xTime) :+
       ("gtable_10x" -> gtable10xTime) :+
+      ("cow_delete_10x" -> cowDel10xTime) :+
+      ("mor_delete_10x" -> morDel10xTime) :+
       ("retail_fullscale" -> retailFullTime) :+
       ("retail_incremental_fullscale" -> retailIncTime) :+
       ("retail_fullscale_lake" -> retailLakeTime) :+

@@ -432,7 +432,7 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val known = full.fieldNames.toSet
     required = StructType(requiredSchema.fields.filter(f =>
-      known.contains(f.name) || f.name == "_file"))
+      known.contains(f.name) || f.name == "_file" || f.name == "_pos"))
   }
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
@@ -795,7 +795,8 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   private def spjEnabled: Boolean =
     recorder.isEmpty && version > 0 &&
       SparkSession.active.conf
-        .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+        .get("spark.sql.sources.v2.bucketing.enabled", "false")
+        .equalsIgnoreCase("true")
 
   /** (clustering column names, their key types, per-file key tuples)
     * — None unless every planned file is pure on ≥1 projected col. */
