@@ -767,6 +767,30 @@ object OracleSql {
       FROM events e JOIN dim d ON e.event_type = d.event_type
       GROUP BY 1 ORDER BY 1
     """,
+    // q239: after RESTORE to the pre-corruption snapshot, the table
+    // must read as exactly the original good slice.
+    "q239_restore" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+    """,
+    // q240: clustered CTAS + INSERT INTO must land exactly the source
+    // rows; the windowed read states the same filter flat.
+    "q240_clustered_insert" -> """
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price
+      FROM lineitem
+      WHERE l_orderkey BETWEEN 1000 AND 5000
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -318,7 +318,9 @@ object SparkEntry {
     "q235_sql_merge_mor" -> (FormatQueries.q235SqlMergeMor _),
     "q236_sql_update_mor" -> (FormatQueries.q236SqlUpdateMor _),
     "q237_cdc_mor" -> (FormatQueries.q237CdcMor _),
-    "q238_spj_join" -> (FormatQueries.q238SpjJoin _)
+    "q238_spj_join" -> (FormatQueries.q238SpjJoin _),
+    "q239_restore" -> (FormatQueries.q239Restore _),
+    "q240_clustered_insert" -> (FormatQueries.q240ClusteredInsert _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -833,6 +833,32 @@ final class GraftTable private (
       else manifest(parent)
     }
 
+  /** RESTORE — re-point the table at snapshot `version`'s exact
+    * content (Delta's `RESTORE TABLE`): manifest, deletion vector,
+    * and recorded schema all revert AS OF `version`, committed as one
+    * NEW snapshot. METADATA-ONLY: no data file is written, moved, or
+    * deleted — files come back by reference, so a bad write, delete,
+    * or merge is undone in O(manifest) regardless of table size, and
+    * the mis-step itself stays in history (a mis-restore is
+    * restorable). Versions after `version` remain time-travelable
+    * until vacuum expires them; restoring to a vacuumed snapshot
+    * fails explicitly. The applied-batch ledger is NOT reverted: a
+    * streaming epoch that committed after `version` must not re-apply
+    * on replay (exactly-once survives the rollback). */
+  def restore(version: Long): Long = {
+    val cur = currentVersion
+    require(version >= 1 && version <= cur,
+      s"restore: version $version outside committed range 1..$cur")
+    require(new java.io.File(
+        s"${logDir(root)}/snapshot-v$version.txt").isFile,
+      s"restore: snapshot v$version has been vacuumed")
+    val dvAt: Option[Long => DataFrame] =
+      if (hasDeletionVectors(version)) Some(_ => deletionVectors(version))
+      else None
+    commitWithRetry("restore", newSchema = recordedSchema(version),
+      extraDv = dvAt, dvReplace = true)(_ => manifest(version))
+  }
+
   /** Rewrite the live file set into `numFiles` bin-packed files
     * (OPTIMIZE/compaction): content-identical snapshot, new layout. */
   def compact(numFiles: Int = 1): Long =
@@ -895,7 +921,8 @@ final class GraftTable private (
   private def commitWithRetry(op: String,
       batchLedger: Option[Long] = None,
       newSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      extraDv: Option[Long => DataFrame] = None)
+      extraDv: Option[Long => DataFrame] = None,
+      dvReplace: Boolean = false)
       (buildManifest: Long => DataFrame): Long = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
@@ -928,7 +955,10 @@ final class GraftTable private (
       val parentSchemaJson =
         if (parent == 0) None else snapshot(parent).schemaJson
       val schemaJson: Option[String] =
-        if (op == "overwrite") newSchema.map(_.json).orElse(parentSchemaJson)
+        // overwrite REPLACES the recorded schema; restore replaces it
+        // with the restored version's (reverting later ADD COLUMNs)
+        if (op == "overwrite" || op == "restore")
+          newSchema.map(_.json).orElse(parentSchemaJson)
         else (parentSchemaJson, newSchema) match {
           case (Some(pj), Some(ns)) =>
             val ps = org.apache.spark.sql.types.DataType.fromJson(pj)
@@ -953,8 +983,11 @@ final class GraftTable private (
       // path leaves the manifest — compact/overwrite therefore clear
       // the DV), plus this op's new deletions. Zero cost for DV-free
       // tables; DV-carrying commits pay one small join+write.
+      // `dvReplace` (restore): the committed DV is EXACTLY `extraDv`,
+      // not parent ∪ extraDv — deletions that postdate the restored
+      // version must not survive the rollback
       val parentDvDir: Option[String] =
-        if (parent == 0) None else snapshot(parent).dvDir
+        if (parent == 0 || dvReplace) None else snapshot(parent).dvDir
       val dvLines: Seq[String] =
         if (parentDvDir.isEmpty && extraDv.isEmpty) Nil
         else {

@@ -949,6 +949,78 @@ object FormatQueries {
     }
   }
 
+  /** q239 — RESTORE (snapshot rollback): a bad load (prices ×100) and
+    * a bad delete land on a good table, then [[GraftTable.restore]]
+    * re-points the table at the good snapshot — manifest, deletion
+    * vector, and schema AS OF v1, committed as one NEW metadata-only
+    * snapshot (no data file written or deleted; O(manifest) whatever
+    * the table size). Hash-equal to the oracle over the ORIGINAL
+    * slice ⟺ the rollback loses and invents nothing — the recovery
+    * verb for every "yesterday's pipeline corrupted the table" page. */
+  def q239Restore(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_restore"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+      val t = GraftTable.create(s, root,
+        o.where(col("o_orderdate") < "1998-01-01"),
+        statsCols = Seq("o_orderkey"))                          // v1 good
+      t.append(o.where(col("o_orderdate") >= "1998-01-01")
+        .withColumn("o_totalprice", col("o_totalprice") * 100)) // v2 bad
+      t.deleteWhereMor(col("o_orderkey") % 3 === 0)             // v3 bad
+      t.restore(1)                                              // v4 ≡ v1
+      ()
+    }
+    GraftTable.forPath(s, root).read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q240 — CLUSTERED WRITES by table property: a table declared
+    * `TBLPROPERTIES('write.cluster-by'='l_orderkey')` range-clusters
+    * and sorts EVERY insert (CTAS and INSERT INTO alike) on the key
+    * before writing, one file per range — so per-file stats envelopes
+    * are disjoint and the windowed read below plans only the window's
+    * files (ClusteredWriteSpec pins the pruning; this gates the
+    * values). The at-scale point: layout quality becomes a DECLARED
+    * property of the table, not per-job ceremony — every producer's
+    * plain `INSERT INTO` arms zone maps and storage-partitioned
+    * joins. */
+  def q240ClusteredInsert(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_clustered"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+      li.where(col("l_shipdate") < "1997-01-01")
+        .createOrReplaceTempView("q240_base")
+      li.where(col("l_shipdate") >= "1997-01-01")
+        .createOrReplaceTempView("q240_incr")
+      s.sql("""CREATE TABLE gcat.lineitem_clustered
+               TBLPROPERTIES('statsCols'='l_orderkey',
+                             'write.cluster-by'='l_orderkey')
+               AS SELECT * FROM q240_base""")
+      s.sql("INSERT INTO gcat.lineitem_clustered " +
+        "SELECT * FROM q240_incr")
+      ()
+    }
+    s.table("gcat.lineitem_clustered")
+      .where(col("l_orderkey").between(1000, 5000))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

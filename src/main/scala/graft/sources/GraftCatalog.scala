@@ -89,6 +89,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (stats.nonEmpty) opts.put("statsCols", stats.mkString(","))
     readProps(root).get("deleteMode")
       .foreach(m => opts.put("deleteMode", m))
+    readProps(root).get("clusterBy")
+      .foreach(c => opts.put("clusterBy", c))
     if (graft.format.GraftTable.versionAt(root) == 0) {
       val declared = readProps(root).get("schema")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -153,12 +155,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // instead of the COW rewrite (Delta's spiritual
     // 'delta.enableDeletionVectors')
     val delMode = Option(properties.get("delete.mode"))
+    // `write.cluster-by=cols`: every INSERT range-clusters + sorts on
+    // the columns before writing (disjoint per-file stats envelopes —
+    // the layout zone-map pruning and SPJ need), no per-job ceremony
+    val clusterBy = Option(properties.get("write.cluster-by"))
     writeProps(root, Map("statsCols" -> stats,
-      "schema" -> schema.json) ++ delMode.map("deleteMode" -> _))
+      "schema" -> schema.json) ++ delMode.map("deleteMode" -> _)
+      ++ clusterBy.map("clusterBy" -> _))
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     if (stats.nonEmpty) opts.put("statsCols", stats)
     delMode.foreach(m => opts.put("deleteMode", m))
+    clusterBy.foreach(c => opts.put("clusterBy", c))
     new GraftTableV2(root, 0L, schema, new CaseInsensitiveStringMap(opts))
   }
 
@@ -191,12 +199,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case p: TableChange.SetProperty
           if p.property == "delete.mode" =>
         "deleteMode" -> p.value
+      case p: TableChange.SetProperty
+          if p.property == "write.cluster-by" =>
+        "clusterBy" -> p.value
     }
     if (adds.size + propSets.size != changes.size)
       throw new UnsupportedOperationException(
         "gtable ALTER TABLE supports top-level ADD COLUMN and SET " +
-          "TBLPROPERTIES('delete.mode') only; other schema changes " +
-          "rewrite through overwrite")
+          "TBLPROPERTIES('delete.mode'/'write.cluster-by') only; " +
+          "other schema changes rewrite through overwrite")
     if (propSets.nonEmpty)
       writeProps(root, readProps(root) ++ propSets)
     if (adds.isEmpty) return loadTable(ident)

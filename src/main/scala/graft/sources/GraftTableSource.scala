@@ -339,8 +339,28 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
               }
               val t = graft.format.GraftTable
                 .openOrCreate(SparkSession.active, root, statsCols)
-              val numFiles = Option(options.get("numFiles"))
+              val numFiles0 = Option(options.get("numFiles"))
                 .map(_.toInt).getOrElse(4)
+              // CLUSTERED WRITES (`TBLPROPERTIES('write.cluster-by'=
+              // 'k')` or `.option("clusterBy", "k")`): range-partition
+              // + sort the incoming frame on the cluster columns and
+              // write one file per range (numFiles = 0 preserves the
+              // partitioning), so per-file stats envelopes are
+              // DISJOINT on the key. This is what arms zone-map
+              // pruning and storage-partitioned joins for plain
+              // `INSERT INTO` — without it a hash-partitioned insert
+              // spreads every key range across every file and the
+              // manifest stats prune nothing.
+              val clusterCols = Option(info.options.get("clusterBy"))
+                .orElse(Option(options.get("clusterBy"))).toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+              val (data1, numFiles) =
+                if (clusterCols.isEmpty) (data, numFiles0)
+                else {
+                  val cs = clusterCols.map(data.col)
+                  (data.repartitionByRange(math.max(numFiles0, 1), cs: _*)
+                    .sortWithinPartitions(cs: _*), 0)
+                }
               val replaceWhere =
                 Option(info.options.get("replaceWhere"))
                   .orElse(Option(options.get("replaceWhere")))
@@ -349,14 +369,14 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
               replaceWhere match {
                 case Some(cond)
                     if doTruncate || overwrite || overwriteCond.isDefined =>
-                  t.replaceWhere(cond, data, numFiles)
+                  t.replaceWhere(cond, data1, numFiles)
                 case Some(_) => throw new IllegalArgumentException(
                   "gtable: .option(\"replaceWhere\", …) requires " +
                     "SaveMode.Overwrite (append would silently drop " +
                     "the window-replace semantics)")
                 case None =>
-                  if (doTruncate || overwrite) t.overwrite(data, numFiles)
-                  else t.append(data, numFiles)
+                  if (doTruncate || overwrite) t.overwrite(data1, numFiles)
+                  else t.append(data1, numFiles)
               }
               ()
             }
@@ -850,11 +870,15 @@ class GraftTableScan(root: String, version: Long, required: StructType,
           .UnknownPartitioning(0)
     }
 
-  /** Whether the scanned version carries a deletion vector. Spark
-    * refuses to mix row-based and columnar partitions in one scan, so
-    * ANY DV flips the whole scan to the row reader (which skips
-    * deleted ordinals); DV-free scans — the steady state between a
-    * MOR delete and its compaction — stay columnar. */
+  /** Whether the scanned version carries a deletion vector (decides
+    * whether partition planning must load the DV at all). The read
+    * path stays COLUMNAR either way: DV-free files pass vectorized
+    * batches through untouched, and files with deleted ordinals get
+    * their batches compacted by [[DvFilteredBatchReader]] — so one
+    * MOR delete no longer taxes a whole 100 TB scan with row-at-a-
+    * time decode (Spark requires every partition of a scan to agree
+    * on row-vs-columnar, so the per-file fallback alternative would
+    * have forced the whole scan to rows). */
   private lazy val scanHasDv: Boolean =
     version > 0 && graft.format.GraftTable
       .forPath(SparkSession.active, root).hasDeletionVectors(version)
@@ -891,8 +915,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(root, required,
-      allowColumnar = !scanHasDv)
+    new GraftTableReaderFactory(root, required)
 
   /** The STREAMING half: committed VERSIONS are the log. An offset is
     * "versions consumed so far"; each micro-batch plans exactly the
@@ -1007,8 +1030,7 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   * pages, and converts to Spark internal values. Scalar types only —
   * the format layer's tables are relational (SURVEY §1.3); nested
   * columns would route through the main parquet source. */
-class GraftTableReaderFactory(root: String, required: StructType,
-    allowColumnar: Boolean = true)
+class GraftTableReaderFactory(root: String, required: StructType)
     extends PartitionReaderFactory {
 
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -1023,11 +1045,16 @@ class GraftTableReaderFactory(root: String, required: StructType,
     * Spark schema rides the standard conf key, so schema evolution
     * (requested column absent from an old file) surfaces as null
     * vectors exactly like the native source; `_file` is attached as a
-    * constant "partition" vector. The row-at-a-time Group reader
-    * remains the fallback for projection-free scans (pure row-count
-    * reads) and any file the vectorized reader declines. */
+    * constant "partition" vector. Files carrying MOR deletion-vector
+    * entries stay on this path too: [[DvFilteredBatchReader]] compacts
+    * their batches (deleted ordinals dropped, survivors copied into
+    * fresh vectors) so a sparse delete costs only the affected
+    * batches, never the scan's decode mode. The row-at-a-time Group
+    * reader remains the fallback for projection-free scans (pure
+    * row-count reads) and `_pos` scans (a running ordinal is not a
+    * constant vector). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    allowColumnar && !required.fieldNames.contains("_pos") &&
+    !required.fieldNames.contains("_pos") &&
     dataFields.nonEmpty && dataFields.forall(f => f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType | DateType |
@@ -1075,11 +1102,104 @@ class GraftTableReaderFactory(root: String, required: StructType,
       InternalRow.fromSeq(metaFields.toIndexedSeq.map(_ => fileRel)))
     reader.enableReturningBatches()
 
-    new PartitionReader[ColumnarBatch] {
+    val inner = new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = reader.nextKeyValue()
       override def get(): ColumnarBatch =
         reader.getCurrentValue.asInstanceOf[ColumnarBatch]
       override def close(): Unit = reader.close()
+    }
+    val dvPos = partition.asInstanceOf[GraftTableFilePartition].dvPos
+    if (dvPos.isEmpty) inner
+    else new DvFilteredBatchReader(inner,
+      StructType(dataFields ++ metaFields), dvPos)
+  }
+
+  /** Columnar merge-on-read: compacts a batch against THIS file's
+    * sorted deleted-ordinal array. Batches arrive in file order from a
+    * single whole-file split, so a running base ordinal maps batch row
+    * i to file ordinal base+i; two binary searches locate the DV slice
+    * that overlaps the batch. Batches with no overlap (the common case
+    * for a sparse delete — DV entries cluster in few row groups) pass
+    * through with ZERO copies; overlapping batches have their
+    * survivors copied into fresh on-heap vectors via per-column typed
+    * copiers. This is what keeps a 0.1% MOR delete from degrading a
+    * full-table scan to row-at-a-time decode. */
+  private class DvFilteredBatchReader(
+      inner: PartitionReader[ColumnarBatch],
+      schema: StructType,
+      dvPos: Array[Long]) extends PartitionReader[ColumnarBatch] {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+    private var base = 0L               // file ordinal of current batch's row 0
+    private var owned: ColumnarBatch = _ // last compacted batch (vectors ours)
+
+    // per-column typed copier: (srcVec, srcRow, dstVec, dstRow)
+    private val copiers:
+        Array[(ColumnVector, Int, OnHeapColumnVector, Int) => Unit] =
+      schema.fields.map { f =>
+        f.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            (s, i, d, j) => d.putLong(j, s.getLong(i))
+          case IntegerType | DateType =>
+            (s, i, d, j) => d.putInt(j, s.getInt(i))
+          case DoubleType => (s, i, d, j) => d.putDouble(j, s.getDouble(i))
+          case FloatType => (s, i, d, j) => d.putFloat(j, s.getFloat(i))
+          case BooleanType => (s, i, d, j) => d.putBoolean(j, s.getBoolean(i))
+          case ShortType => (s, i, d, j) => d.putShort(j, s.getShort(i))
+          case ByteType => (s, i, d, j) => d.putByte(j, s.getByte(i))
+          case StringType =>
+            (s, i, d, j) => { d.putByteArray(j, s.getUTF8String(i).getBytes); () }
+          case BinaryType =>
+            (s, i, d, j) => { d.putByteArray(j, s.getBinary(i)); () }
+          case other => sys.error(
+            s"gtable columnar DV filter: unsupported type $other")
+        }
+      }
+
+    // first index in dvPos whose value is >= x
+    private def lower(x: Long): Int = {
+      var lo = 0; var hi = dvPos.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (dvPos(m) < x) lo = m + 1 else hi = m
+      }
+      lo
+    }
+
+    override def next(): Boolean = inner.next()
+
+    override def get(): ColumnarBatch = {
+      val b = inner.get()
+      val n = b.numRows()
+      val start = base; base += n
+      val lo = lower(start); val hi = lower(start + n)
+      if (lo == hi) return b // no deleted ordinal in range: pass through
+      if (owned != null) { owned.close(); owned = null }
+      val kept = n - (hi - lo)
+      val vecs = OnHeapColumnVector.allocateColumns(kept, schema)
+      var i = 0; var j = 0; var d = lo
+      while (i < n) {
+        if (d < hi && dvPos(d) == start + i) d += 1 // logically deleted
+        else {
+          var c = 0
+          while (c < vecs.length) {
+            val sv = b.column(c)
+            if (sv.isNullAt(i)) vecs(c).putNull(j)
+            else copiers(c)(sv, i, vecs(c), j)
+            c += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      owned = new ColumnarBatch(vecs.map(v => v: ColumnVector), kept)
+      owned
+    }
+
+    override def close(): Unit = {
+      if (owned != null) { owned.close(); owned = null }
+      inner.close()
     }
   }
 

@@ -126,13 +126,16 @@ class DeletionVectorSpec extends AnyFunSuite {
   }
 
   test("append after a MOR delete carries the DV forward; the " +
-      "connector scan (by format) is row-based under a DV, skips " +
-      "deleted ordinals, and turns columnar again after compact") {
+      "connector scan stays COLUMNAR under a DV (batches compacted " +
+      "against the deleted ordinals), strings/nulls survive the copy") {
     val root = tmp()
-    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("k"),
+    val t = GraftTable.create(spark, root,
+      (1L to 1000L).map(k =>
+        (k, if (k % 5 == 0) null else s"s$k")).toDF("k", "s"),
       Seq("k"), numFiles = 4)
     t.deleteWhereMor(col("k") % 7 === 0)
-    t.append((1001L to 1100L).toDF("k"), numFiles = 1)
+    t.append((1001L to 1100L).map(k => (k, s"s$k")).toDF("k", "s"),
+      numFiles = 1)
     assert(t.hasDeletionVectors(), "append must carry the DV forward")
     val expected = (1L to 1100L).filterNot(k => k <= 1000 && k % 7 == 0)
     assert(t.read().count() == expected.size)
@@ -142,18 +145,28 @@ class DeletionVectorSpec extends AnyFunSuite {
       "connector count must honor the deletion vector (and agg " +
         "pushdown must have declined)")
     assert(src.select("k").as[Long].collect().sorted.toSeq == expected)
-    val plan = src.select("k").queryExecution.executedPlan.toString
-    assert(!plan.contains("ColumnarToRow"),
-      s"a DV'd scan must be row-based, got:\n$plan")
+    // the DV'd scan must STAY columnar: one sparse delete may not tax
+    // a 100 TB scan with row-at-a-time decode
+    val proj = src.select("k", "s")
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"a DV'd scan must remain columnar, got:\n$plan")
+    // value fidelity through the batch compaction, nulls included
+    val got = proj.as[(Long, Option[String])].collect().toMap
+    assert(got.size == expected.size)
+    assert(got(5L).isEmpty && got(3L).contains("s3")
+      && got(1050L).contains("s1050"))
+    assert(!got.contains(7L) && !got.contains(700L))
     // windowed scan: manifest pruning still applies on top of the DV
     assert(spark.read.format("gtable").load(root)
       .where(col("k").between(1, 50)).count() == 50 - 7)
 
     t.compact(numFiles = 4)
+    assert(!t.hasDeletionVectors())
     val planAfter = spark.read.format("gtable").load(root).select("k")
       .queryExecution.executedPlan.toString
     assert(planAfter.contains("ColumnarToRow"),
-      s"post-compaction scan must be columnar again, got:\n$planAfter")
+      s"post-compaction scan must be columnar, got:\n$planAfter")
   }
 
   test("mergeMor upserts with zero file rewrites: matched rows enter " +
