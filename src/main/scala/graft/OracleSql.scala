@@ -791,6 +791,16 @@ object OracleSql {
       WHERE l_orderkey BETWEEN 1000 AND 5000
       GROUP BY 1 ORDER BY 1
     """,
+    // q241: the bloom-pruned point lookup must return exactly the
+    // rows the flat predicate selects — the index only skips files.
+    "q241_bloom_lookup" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE),
+               2) AS price
+      FROM orders
+      WHERE o_custkey IN (7, 123, 1001)
+      ORDER BY o_orderkey
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

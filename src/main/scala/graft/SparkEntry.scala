@@ -320,7 +320,8 @@ object SparkEntry {
     "q237_cdc_mor" -> (FormatQueries.q237CdcMor _),
     "q238_spj_join" -> (FormatQueries.q238SpjJoin _),
     "q239_restore" -> (FormatQueries.q239Restore _),
-    "q240_clustered_insert" -> (FormatQueries.q240ClusteredInsert _)
+    "q240_clustered_insert" -> (FormatQueries.q240ClusteredInsert _),
+    "q241_bloom_lookup" -> (FormatQueries.q241BloomLookup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -52,7 +52,9 @@ import org.apache.spark.sql.functions._
   */
 final class GraftTable private (
     val spark: SparkSession, val root: String,
-    val statsCols: Seq[String]) {
+    val statsCols: Seq[String],
+    val bloomCols: Seq[String] = Nil,
+    val bloomBits: Int = graft.functions.BloomFilterIndex.DefaultBits) {
 
   import GraftTable._
 
@@ -237,6 +239,26 @@ final class GraftTable private (
         Some(a.name)
       case _ => None // incl. Cast(attr): a cast can break monotonicity
     }
+    // equality probes can also prune through a BLOOM INDEX (columns
+    // the table is not clustered on); envelope and bloom tests AND
+    def attrEq(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if statsCols.contains(a.name) || bloomCols.contains(a.name) =>
+        Some(a.name)
+      case _ => None
+    }
+    def eqTest(c: String, lv: Column): Column = {
+      val env =
+        if (statsCols.contains(c))
+          col(s"min_$c") <= lv && col(s"max_$c") >= lv
+        else lit(true)
+      val blm =
+        if (bloomCols.contains(c))
+          graft.functions.BloomFilterIndex
+            .mightContain(col(s"bloom_$c"), lv)
+        else lit(true)
+      env && blm
+    }
     def value(e: Expression): Option[Column] = e match {
       case l: Literal => Some(ColumnBridge.column(l))
       case c if c.foldable => // analyzer-inserted Cast over a literal
@@ -246,12 +268,10 @@ final class GraftTable private (
     def keep(e: Expression): Column = e match {
       case And(l, r) => keep(l) && keep(r)
       case Or(l, r) => keep(l) || keep(r)
-      case EqualTo(a, v) => (attr(a), value(v)) match {
-        case (Some(c), Some(lv)) =>
-          col(s"min_$c") <= lv && col(s"max_$c") >= lv
-        case _ => (attr(v), value(a)) match { // literal on the left
-          case (Some(c), Some(lv)) =>
-            col(s"min_$c") <= lv && col(s"max_$c") >= lv
+      case EqualTo(a, v) => (attrEq(a), value(v)) match {
+        case (Some(c), Some(lv)) => eqTest(c, lv)
+        case _ => (attrEq(v), value(a)) match { // literal on the left
+          case (Some(c), Some(lv)) => eqTest(c, lv)
           case _ => lit(true)
         }
       }
@@ -277,11 +297,10 @@ final class GraftTable private (
           case (_, _, Some(c), Some(lv)) => col(s"max_$c") >= lv
           case _ => lit(true)
         }
-      case In(a, vs) if attr(a).isDefined && vs.forall(value(_).isDefined) =>
-        val c = attr(a).get
-        vs.map(v => col(s"min_$c") <= value(v).get &&
-          col(s"max_$c") >= value(v).get)
-          .reduce(_ || _)
+      case In(a, vs)
+          if attrEq(a).isDefined && vs.forall(value(_).isDefined) =>
+        val c = attrEq(a).get
+        vs.map(v => eqTest(c, value(v).get)).reduce(_ || _)
       case _ => lit(true) // NOT, functions, other columns: keep
     }
     val resolved = ColumnBridge
@@ -462,7 +481,7 @@ final class GraftTable private (
     val stats = writeData(df, numFiles)
     commitWithRetry("append", newSchema = Some(df.schema)) { parent =>
       if (parent == 0) stats
-      else manifest(parent).unionByName(stats)
+      else manifest(parent).unionByName(stats, allowMissingColumns = true)
     }
   }
 
@@ -519,7 +538,8 @@ final class GraftTable private (
       val dataCols = raw.columns.toIndexedSeq
       val survivors = minusDv(withRowId(raw), parent).where(!hit)
         .select(dataCols.map(col): _*)
-      kept.unionByName(writeData(survivors, numFiles))
+      kept.unionByName(writeData(survivors, numFiles),
+        allowMissingColumns = true)
     }
   }
 
@@ -606,7 +626,8 @@ final class GraftTable private (
       numFiles: Int = 4): Long = {
     val replacement = writeData(df, numFiles)
     commitWithRetry("replace", newSchema = Some(df.schema)) { parent =>
-      cowSurvivors(parent, cond, numFiles).unionByName(replacement)
+      cowSurvivors(parent, cond, numFiles)
+        .unionByName(replacement, allowMissingColumns = true)
     }
   }
 
@@ -623,7 +644,7 @@ final class GraftTable private (
     commitWithRetry("append", batchLedger = Some(batchId),
         newSchema = Some(df.schema)) { parent =>
       if (parent == 0) stats
-      else manifest(parent).unionByName(stats)
+      else manifest(parent).unionByName(stats, allowMissingColumns = true)
     }
   }
 
@@ -670,7 +691,8 @@ final class GraftTable private (
       lastAuditScanned = candidates.length.toLong
       if (candidates.isEmpty) {
         // no live file can hold a matched key: pure insert
-        all.unionByName(writeData(updates, numFiles))
+        all.unionByName(writeData(updates, numFiles),
+          allowMissingColumns = true)
       } else {
         // `_gt_path` rides the scan project (the `_metadata` column is
         // join-safe, unlike input_file_name()); the probe sees only
@@ -698,7 +720,8 @@ final class GraftTable private (
               .join(keyed, keyCols, "left_anti")
               .unionByName(updates)
           }
-        untouched.unionByName(writeData(survivors, numFiles))
+        untouched.unionByName(writeData(survivors, numFiles),
+          allowMissingColumns = true)
       }
     }
   }
@@ -747,7 +770,7 @@ final class GraftTable private (
           .join(keyed, keyCols, "left_semi")
           .select(col("_gt_path").as("path"), col("_gt_pos").as("pos"))
       }) { parent =>
-      manifest(parent).unionByName(newFiles)
+      manifest(parent).unionByName(newFiles, allowMissingColumns = true)
     }
   }
 
@@ -779,7 +802,7 @@ final class GraftTable private (
           if (removed.isEmpty) all
           else all.join(broadcast(removed.toDF("path")),
             Seq("path"), "left_anti")
-        kept.unionByName(newEntries)
+        kept.unionByName(newEntries, allowMissingColumns = true)
       }
     }
 
@@ -803,7 +826,8 @@ final class GraftTable private (
       (parent, newEntries) match {
         case (0, Some(e)) => e
         case (0, None) => sys.error(s"$op on an empty table")
-        case (_, Some(e)) => manifest(parent).unionByName(e)
+        case (_, Some(e)) =>
+          manifest(parent).unionByName(e, allowMissingColumns = true)
         case (_, None) => manifest(parent)
       }
     }
@@ -819,7 +843,8 @@ final class GraftTable private (
     commitWithRetry("append", batchLedger = batchId,
         newSchema = newSchema) { parent =>
       if (parent == 0) newEntries
-      else manifest(parent).unionByName(newEntries)
+      else manifest(parent).unionByName(newEntries,
+        allowMissingColumns = true)
     }
 
   /** ALTER TABLE ADD COLUMN: one content-preserving snapshot whose
@@ -860,10 +885,22 @@ final class GraftTable private (
   }
 
   /** Rewrite the live file set into `numFiles` bin-packed files
-    * (OPTIMIZE/compaction): content-identical snapshot, new layout. */
-  def compact(numFiles: Int = 1): Long =
+    * (OPTIMIZE/compaction): content-identical snapshot, new layout.
+    * `clusterBy` — range-cluster + sort the rewrite on the given
+    * columns instead of hash-packing: a compaction that ignored the
+    * table's cluster key would OVERLAP every file's stats envelope
+    * and silently kill zone-map pruning/SPJ until the next full
+    * rewrite (hash repartition spreads each key range across every
+    * file). A clustered table compacts with its own key. */
+  def compact(numFiles: Int = 1, clusterBy: Seq[String] = Nil): Long =
     commitWithRetry("compact") { parent =>
-      writeData(read(parent), numFiles)
+      if (clusterBy.isEmpty) writeData(read(parent), numFiles)
+      else {
+        val cs = clusterBy.map(col)
+        writeData(read(parent)
+          .repartitionByRange(math.max(numFiles, 1), cs: _*)
+          .sortWithinPartitions(cs: _*), numFiles = 0)
+      }
     }
 
   /** OPTIMIZE ZORDER: rewrite the live file set clustered on the
@@ -899,9 +936,17 @@ final class GraftTable private (
     val staged = if (numFiles > 0) df.repartition(numFiles) else df
     staged.write.parquet(s"$root/$commitDir")
     val written = spark.read.parquet(s"$root/$commitDir")
-    val aggs = count(lit(1)).as("row_count") +:
+    // bloom indexes ride the same single aggregate as min/max; a
+    // bloom column the incoming frame doesn't carry (schema
+    // evolution) records null = "might contain anything"
+    val present = written.columns.toSet
+    val aggs = (count(lit(1)).as("row_count") +:
       statsCols.flatMap(c => Seq(
-        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      bloomCols.map(c =>
+        (if (present(c))
+          graft.functions.BloomFilterIndex.buildAgg(col(c), bloomBits)
+        else first(lit(null).cast("array<bigint>"))).as(s"bloom_$c"))
     written.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
       // URI → root-relative path, as a codegen'd builtin (no UDF)
@@ -935,9 +980,23 @@ final class GraftTable private (
       // been a retry of the very batch this commit carries
       if (batchLedger.exists(parentApplied.contains)) return parent
       val applied = parentApplied ++ batchLedger
-      val m = buildManifest(parent)
+      val m0 = buildManifest(parent)
+      // writers that can't compute blooms (executor-side manifest
+      // entries from the SQL row-level / streaming paths) null-fill:
+      // a null bloom keeps its file at planning time, never mis-prunes
+      val m1 = bloomCols.foldLeft(m0) { (d, c) =>
+        if (d.columns.contains(s"bloom_$c")) d
+        else d.withColumn(s"bloom_$c", lit(null).cast("array<bigint>"))
+      }
+      // keep bloom columns the parent manifest already carries even if
+      // THIS writer didn't declare them — an index must survive being
+      // mutated through an instance that doesn't know about it
+      val bloomKept = (bloomCols.map(c => s"bloom_$c") ++
+        m1.columns.filter(_.startsWith("bloom_"))).distinct
+      val m = m1
         .select(("path" +: "row_count" +:
-          statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+          (statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+            bloomKept))
           .map(col): _*)
       val manifestDir =
         s"manifest-v${next}_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1078,10 +1137,13 @@ object GraftTable {
     * the root already holds commits — silently appending onto an
     * existing table masked half-built scratch reuse (ADVICE r8). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String], numFiles: Int = 4): GraftTable = {
+      statsCols: Seq[String], numFiles: Int = 4,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = graft.functions.BloomFilterIndex.DefaultBits)
+      : GraftTable = {
     java.nio.file.Files
       .createDirectories(java.nio.file.Paths.get(logDir(root)))
-    val t = new GraftTable(spark, root, statsCols)
+    val t = new GraftTable(spark, root, statsCols, bloomCols, bloomBits)
     if (t.currentVersion != 0)
       throw new IllegalStateException(
         s"GraftTable.create: $root already has commits " +
@@ -1093,23 +1155,37 @@ object GraftTable {
   /** Open a table that may not have its first commit yet (streaming
     * sinks start empty); declares the stats columns for writes. */
   def openOrCreate(spark: SparkSession, root: String,
-      statsCols: Seq[String]): GraftTable = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = graft.functions.BloomFilterIndex.DefaultBits)
+      : GraftTable = {
     java.nio.file.Files
       .createDirectories(java.nio.file.Paths.get(logDir(root)))
-    new GraftTable(spark, root, statsCols)
+    new GraftTable(spark, root, statsCols, bloomCols, bloomBits)
   }
 
-  /** Open an existing table (stats columns read off the manifest).
-    * Version-0 safe: a created-but-never-written table opens with no
-    * stats columns instead of failing on the missing snapshot file
-    * (ADVICE r9: SELECT from a CREATE-TABLE-only table must return
-    * zero rows, not crash). */
+  /** Open an existing table (stats + bloom columns read off the
+    * manifest — `min_*`/`bloom_*` column presence IS the index
+    * declaration, so any opener keeps maintaining it; bloom width is
+    * read from the first indexed file so appends stay probe-
+    * compatible). Version-0 safe: a created-but-never-written table
+    * opens with no stats columns instead of failing on the missing
+    * snapshot file (ADVICE r9: SELECT from a CREATE-TABLE-only table
+    * must return zero rows, not crash). */
   def forPath(spark: SparkSession, root: String): GraftTable = {
     val probe = new GraftTable(spark, root, Nil)
-    val cols =
-      if (probe.currentVersion == 0) Nil
-      else probe.manifest().columns.toSeq
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    new GraftTable(spark, root, cols)
+    if (probe.currentVersion == 0)
+      return new GraftTable(spark, root, Nil)
+    val m = probe.manifest()
+    val cols = m.columns.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val blooms = m.columns.toSeq
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+    val bits =
+      if (blooms.isEmpty) graft.functions.BloomFilterIndex.DefaultBits
+      else m.select(size(col(s"bloom_${blooms.head}")).as("w"))
+        .where(col("w") > 0).limit(1).collect().headOption
+        .map(_.getInt(0) * 64)
+        .getOrElse(graft.functions.BloomFilterIndex.DefaultBits)
+    new GraftTable(spark, root, cols, blooms, bits)
   }
 }

@@ -1021,6 +1021,39 @@ object FormatQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q241 — BLOOM-INDEX POINT LOOKUP: a table clustered on
+    * `o_orderkey` with `bloom.cols='o_custkey'` answers `WHERE
+    * o_custkey IN (…)` by opening only the files whose per-file bloom
+    * fires — min/max envelopes are useless here (every file's custkey
+    * range spans the domain), so this is the manifest index that
+    * makes point lookups on non-cluster columns feasible at 100 TB.
+    * BloomIndexSpec pins the pruning and the zero-false-negative
+    * contract; this hash-gates the values against the flat oracle. */
+  def q241BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/orders_bloom"
+    buildOnce(root) {
+      Tables.load(s, dir, "orders")
+        .createOrReplaceTempView("q241_src")
+      s.sql("""CREATE TABLE gcat.orders_bloom
+               TBLPROPERTIES('statsCols'='o_orderkey',
+                             'write.cluster-by'='o_orderkey',
+                             'bloom.cols'='o_custkey')
+               AS SELECT * FROM q241_src""")
+      ()
+    }
+    s.table("gcat.orders_bloom")
+      .where(col("o_custkey").isin(7L, 123L, 1001L))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice").cast("decimal(18,4)").cast("double"), 2)
+          .as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

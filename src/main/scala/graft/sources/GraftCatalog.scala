@@ -91,6 +91,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .foreach(m => opts.put("deleteMode", m))
     readProps(root).get("clusterBy")
       .foreach(c => opts.put("clusterBy", c))
+    readProps(root).get("bloomCols")
+      .foreach(c => opts.put("bloomCols", c))
+    readProps(root).get("bloomBits")
+      .foreach(c => opts.put("bloomBits", c))
     if (graft.format.GraftTable.versionAt(root) == 0) {
       val declared = readProps(root).get("schema")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -159,14 +163,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // the columns before writing (disjoint per-file stats envelopes —
     // the layout zone-map pruning and SPJ need), no per-job ceremony
     val clusterBy = Option(properties.get("write.cluster-by"))
+    // `bloom.cols` / `bloom.bits`: per-file bloom index columns for
+    // point-lookup file skipping on non-cluster columns
+    val bloomCols = Option(properties.get("bloom.cols"))
+    val bloomBits = Option(properties.get("bloom.bits"))
     writeProps(root, Map("statsCols" -> stats,
       "schema" -> schema.json) ++ delMode.map("deleteMode" -> _)
-      ++ clusterBy.map("clusterBy" -> _))
+      ++ clusterBy.map("clusterBy" -> _)
+      ++ bloomCols.map("bloomCols" -> _)
+      ++ bloomBits.map("bloomBits" -> _))
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     if (stats.nonEmpty) opts.put("statsCols", stats)
     delMode.foreach(m => opts.put("deleteMode", m))
     clusterBy.foreach(c => opts.put("clusterBy", c))
+    bloomCols.foreach(c => opts.put("bloomCols", c))
+    bloomBits.foreach(c => opts.put("bloomBits", c))
     new GraftTableV2(root, 0L, schema, new CaseInsensitiveStringMap(opts))
   }
 

@@ -337,8 +337,24 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
                 else Option(options.get("statsCols")).toSeq
                   .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
               }
-              val t = graft.format.GraftTable
-                .openOrCreate(SparkSession.active, root, statsCols)
+              // bloom index declaration (new tables): `.option(
+              // "bloomCols", "c1,c2")` / TBLPROPERTIES('bloom.cols');
+              // an EXISTING table opens via forPath so it keeps
+              // maintaining its manifest's bloom_* columns at their
+              // recorded width (probe compatibility)
+              val t =
+                if (graft.format.GraftTable.versionAt(root) > 0)
+                  graft.format.GraftTable.forPath(SparkSession.active, root)
+                else {
+                  val bloomCols = Option(options.get("bloomCols")).toSeq
+                    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+                  val bloomBits = Option(options.get("bloomBits"))
+                    .map(_.toInt)
+                    .getOrElse(graft.functions.BloomFilterIndex.DefaultBits)
+                  graft.format.GraftTable.openOrCreate(
+                    SparkSession.active, root, statsCols,
+                    bloomCols, bloomBits)
+                }
               val numFiles0 = Option(options.get("numFiles"))
                 .map(_.toInt).getOrElse(4)
               // CLUSTERED WRITES (`TBLPROPERTIES('write.cluster-by'=
@@ -699,37 +715,57 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     if (version == 0) Nil
     else graft.format.GraftTable.forPath(SparkSession.active, root).statsCols
 
+  private lazy val bloomColsOf: Set[String] =
+    if (version == 0) Set.empty
+    else graft.format.GraftTable.forPath(SparkSession.active, root)
+      .bloomCols.toSet
+
   /** Translate a pushed filter into a manifest-stats KEEP test —
-    * interval intersection on stats columns, `true` (keep) for
+    * interval intersection on stats columns, bloom-index membership
+    * for equality probes on indexed columns, `true` (keep) for
     * anything else. Same contract as GraftTable.prunedWhere: pruning
     * never changes semantics, only skips provably-empty files. */
-  private def keep(statsCols: Set[String])
-      (f: sources.Filter): org.apache.spark.sql.Column = f match {
+  private def keep(statsCols: Set[String], bloomCols: Set[String])
+      (f: sources.Filter): org.apache.spark.sql.Column = {
+    // equality probe: envelope test (stats col) AND bloom membership
+    // (indexed col) — at 100 TB a point lookup on a NON-cluster
+    // column prunes through the bloom where min/max can't
+    def eqTest(c: String, v: Any): org.apache.spark.sql.Column = {
+      val env =
+        if (statsCols(c)) col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+        else lit(true)
+      val blm =
+        if (bloomCols(c))
+          graft.functions.BloomFilterIndex
+            .mightContain(col(s"bloom_$c"), lit(v))
+        else lit(true)
+      env && blm
+    }
+    f match {
     // `_file` filters (runtime group filtering hands back the
     // matched-group file set) prune against the manifest path itself
     case sources.In("_file", vs) =>
       col("path").isin(vs.toIndexedSeq: _*)
     case sources.EqualTo("_file", v) => col("path") === lit(v)
-    case sources.EqualTo(c, v) if statsCols(c) =>
-      col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+    case sources.EqualTo(c, v) if statsCols(c) || bloomCols(c) =>
+      eqTest(c, v)
     case sources.GreaterThan(c, v) if statsCols(c) => col(s"max_$c") > lit(v)
     case sources.GreaterThanOrEqual(c, v) if statsCols(c) =>
       col(s"max_$c") >= lit(v)
     case sources.LessThan(c, v) if statsCols(c) => col(s"min_$c") < lit(v)
     case sources.LessThanOrEqual(c, v) if statsCols(c) =>
       col(s"min_$c") <= lit(v)
-    case sources.In(c, vs) if statsCols(c) && vs.nonEmpty =>
+    case sources.In(c, vs) if (statsCols(c) || bloomCols(c)) && vs.nonEmpty =>
       // nulls never satisfy IN (three-valued =), so they carry no
       // pruning information
       val nn = vs.filter(_ != null)
       if (nn.isEmpty) lit(false) // nothing can match → skip the file
       else if (nn.length <= 64)
-        // per-value envelope test, BALANCED or-fold — a left-deep
-        // reduce overflows the Column-converter stack on the
-        // thousands-of-values IN a runtime (DPP) filter delivers
-        balancedOr(nn.toIndexedSeq.map(v =>
-          col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)))
-      else {
+        // per-value envelope+bloom test, BALANCED or-fold — a
+        // left-deep reduce overflows the Column-converter stack on
+        // the thousands-of-values IN a runtime (DPP) filter delivers
+        balancedOr(nn.toIndexedSeq.map(v => eqTest(c, v)))
+      else if (statsCols(c)) {
         // large IN set: one conservative range test over the set's
         // own envelope (Iceberg's trick) — O(1) plan size, still a
         // superset guarantee
@@ -738,10 +774,13 @@ class GraftTableScan(root: String, version: Long, required: StructType,
             col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
           case None => lit(true)
         }
-      }
-    case sources.And(l, r) => keep(statsCols)(l) && keep(statsCols)(r)
-    case sources.Or(l, r) => keep(statsCols)(l) || keep(statsCols)(r)
+      } else lit(true) // huge IN on a bloom-only column: decline
+    case sources.And(l, r) =>
+      keep(statsCols, bloomCols)(l) && keep(statsCols, bloomCols)(r)
+    case sources.Or(l, r) =>
+      keep(statsCols, bloomCols)(l) || keep(statsCols, bloomCols)(r)
     case _ => lit(true) // Not / IsNull / functions: conservative keep
+    }
   }
 
   private def balancedOr(cs: IndexedSeq[org.apache.spark.sql.Column])
@@ -782,7 +821,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val m = t.manifest(version).cache()
     val live = m.count()
-    val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet))
+    val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet, t.bloomCols.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
     val rel = m.where(pred).select("path").collect()
       .map(_.getString(0))
@@ -828,7 +867,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       val cands = t.statsCols.filter(required.fieldNames.contains)
       if (cands.isEmpty) None
       else {
-        val pred = filters.map(keep(t.statsCols.toSet))
+        val pred = filters.map(keep(t.statsCols.toSet, t.bloomCols.toSet))
           .reduceOption(_ && _).getOrElse(lit(true))
         val cols = col("path") +: cands.flatMap(c =>
           Seq(col(s"min_$c"), col(s"max_$c")))
@@ -943,7 +982,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       if (version == 0) 0L
       else {
         val t = graft.format.GraftTable.forPath(SparkSession.active, root)
-        val pred = filters.map(keep(t.statsCols.toSet))
+        val pred = filters.map(keep(t.statsCols.toSet, t.bloomCols.toSet))
           .reduceOption(_ && _).getOrElse(lit(true))
         val keptM = t.manifest(version).where(pred)
         val phys = keptM
