@@ -801,6 +801,18 @@ object OracleSql {
       WHERE o_custkey IN (7, 123, 1001)
       ORDER BY o_orderkey
     """,
+    // q242: after the CALL restore/compact/vacuum maintenance loop the
+    // table must read as exactly the original lineitem projection.
+    "q242_sql_procedures" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price
+      FROM lineitem
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -321,7 +321,8 @@ object SparkEntry {
     "q238_spj_join" -> (FormatQueries.q238SpjJoin _),
     "q239_restore" -> (FormatQueries.q239Restore _),
     "q240_clustered_insert" -> (FormatQueries.q240ClusteredInsert _),
-    "q241_bloom_lookup" -> (FormatQueries.q241BloomLookup _)
+    "q241_bloom_lookup" -> (FormatQueries.q241BloomLookup _),
+    "q242_sql_procedures" -> (FormatQueries.q242SqlProcedures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

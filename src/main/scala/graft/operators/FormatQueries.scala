@@ -1054,6 +1054,44 @@ object FormatQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q242 — SQL STORED PROCEDURES (`CALL cat.system.…`): the
+    * maintenance loop a production table actually lives — a bad load
+    * lands, `CALL restore` rolls it back, `CALL compact` re-clusters
+    * the survivors, `CALL vacuum` reclaims the expired files — all
+    * from SQL statements (ProcedureSpec pins each body; this
+    * hash-gates that the loop's END STATE reads as exactly the
+    * original good data). Schedulable maintenance without a deploy is
+    * what keeps a 100 TB table's layout healthy. */
+  def q242SqlProcedures(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_proc"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus")
+      val t = GraftTable.create(s, root, li,
+        statsCols = Seq("l_orderkey"))                      // v1 good
+      t.append(li.withColumn("l_quantity",
+        col("l_quantity") + 1e6))                            // v2 bad
+      s.sql("CALL gcat.system.restore('lineitem_proc', 1)").collect()
+      s.sql("CALL gcat.system.compact('lineitem_proc', 4, " +
+        "'l_orderkey')").collect()
+      s.sql("CALL gcat.system.vacuum('lineitem_proc', 1)").collect()
+      ()
+    }
+    s.table("gcat.lineitem_proc")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -30,7 +30,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * format's commit protocol (the crawler-equivalence the reference
   * gets from Glue, `document/glue_t0.md:95-117`, without the crawl).
   * Driver work is directory-listing-sized. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -328,4 +329,113 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       rm(dir); true
     }
   }
+
+  // ---- SQL stored procedures (`CALL cat.system.<proc>(…)`) ----------
+  //
+  // The maintenance verbs every lakehouse operator runs from SQL —
+  // Iceberg's procedure surface restated on Spark 4's ProcedureCatalog:
+  //   CALL cat.system.compact('db.t', num_files, 'cluster,cols')
+  //   CALL cat.system.vacuum('db.t', retain_last)
+  //   CALL cat.system.restore('db.t', version)
+  //   CALL cat.system.zorder('db.t', 'col_x', 'col_y', num_files)
+  // Each routes to the format API on the resolved table root and
+  // returns a one-row result (new version / reclaimed file count) via
+  // LocalScan. At scale these matter precisely because they're SQL:
+  // table maintenance becomes a scheduled statement, not a deploy.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataTypes, StructField}
+
+  private def tableForName(name: String): graft.format.GraftTable = {
+    val root = name.split('.')
+      .foldLeft(warehouse)((p, s) => s"$p/${s.trim}")
+    if (graft.format.GraftTable.versionAt(root) == 0)
+      throw new IllegalArgumentException(
+        s"procedure target $name has no committed data under $root")
+    graft.format.GraftTable.forPath(SparkSession.active, root)
+  }
+
+  /** One self-describing procedure: fixed IN parameters, one BIGINT
+    * result column, body running on the driver against the format
+    * API. `bind` is identity — parameters are scalars, no overloads. */
+  private def proc(procName: String, resultCol: String,
+      params: Seq[ProcedureParameter])(body: InternalRow => Long)
+      : UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"gtable maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val result = body(input)
+        val scan: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow(result))
+          override def readSchema(): StructType =
+            StructType(Seq(StructField(resultCol, DataTypes.LongType)))
+          override def description(): String = s"$procName result"
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+
+  private def inParam(n: String, dt: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(n, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private lazy val procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> proc("compact", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("num_files", DataTypes.IntegerType, Some("4")),
+      inParam("cluster_by", DataTypes.StringType, Some("''")))) { in =>
+      val cols =
+        if (in.numFields < 3 || in.isNullAt(2)) Nil
+        else in.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      tableForName(in.getUTF8String(0).toString)
+        .compact(if (in.isNullAt(1)) 4 else in.getInt(1), cols)
+    },
+    "vacuum" -> proc("vacuum", "deleted_files", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("retain_last", DataTypes.IntegerType, Some("1")))) { in =>
+      tableForName(in.getUTF8String(0).toString)
+        .vacuum(if (in.isNullAt(1)) 1 else in.getInt(1)).toLong
+    },
+    "restore" -> proc("restore", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("version", DataTypes.LongType))) { in =>
+      tableForName(in.getUTF8String(0).toString).restore(in.getLong(1))
+    },
+    "zorder" -> proc("zorder", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("col_x", DataTypes.StringType),
+      inParam("col_y", DataTypes.StringType),
+      inParam("num_files", DataTypes.IntegerType, Some("8")))) { in =>
+      tableForName(in.getUTF8String(0).toString).optimizeZorder(
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+        if (in.isNullAt(3)) 8 else in.getInt(3))
+    })
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system"))))
+      throw new RuntimeException(
+        s"procedures live under $catalogName.system, got " +
+          ident.namespace().mkString("."))
+    procedures.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new RuntimeException(s"unknown procedure ${ident.name()}; " +
+        s"available: ${procedures.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else procedures.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
 }

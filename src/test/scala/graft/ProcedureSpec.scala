@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.format.GraftTable
+
+/** SQL stored procedures on GraftCatalog (`CALL cat.system.<p>(…)`):
+  * the maintenance verbs — compact, vacuum, restore, zorder — as
+  * scheduled-statement SQL, Iceberg's procedure surface on Spark 4's
+  * ProcedureCatalog. Pins: results return through LocalScan, bodies
+  * run the real format ops (content identity, layout change, history
+  * rollback, file reclaim), positional and named arguments both bind. */
+class ProcedureSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val w = java.nio.file.Files
+      .createTempDirectory("graft_proc_wh_").toString
+    spark.conf.set("spark.sql.catalog.prc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prc.warehouse", w)
+    w
+  }
+
+  private def dataFiles(root: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$root/data"))
+      .count(_.getName.endsWith(".parquet"))
+  }
+
+  test("CALL system.compact bin-packs (and can re-cluster); content " +
+      "identical; result row carries the new version") {
+    val root = s"$wh/t_compact"
+    val t = GraftTable.create(spark, root,
+      (1L to 10000L).toDF("k"), Seq("k"), numFiles = 8)
+    t.append((10001L to 20000L).toDF("k"), numFiles = 8)
+    assert(dataFiles(root) == 16)
+    val res = spark.sql(
+      "CALL prc.system.compact('t_compact', 2, 'k')").collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(3L),
+      "compact must return the new version")
+    assert(dataFiles(root) >= 16 + 2) // old files still on disk (history)
+    val t2 = GraftTable.forPath(spark, root)
+    assert(t2.manifest().count() == 2)
+    assert(t2.read().count() == 20000)
+    // cluster_by re-clustered: file envelopes disjoint on k
+    val env = t2.manifest().select("min_k", "max_k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(env(0)._2 <= env(1)._1, s"compact('k') must re-cluster: $env")
+  }
+
+  test("CALL system.restore rolls back; named arguments bind") {
+    val root = s"$wh/t_restore"
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 2)
+    t.deleteWhere(col("k") > 50)
+    assert(t.read().count() == 50)
+    val res = spark.sql(
+      "CALL prc.system.restore(table => 't_restore', version => 1)")
+      .collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(GraftTable.forPath(spark, root).read().count() == 100)
+  }
+
+  test("CALL system.vacuum reclaims expired history files") {
+    val root = s"$wh/t_vacuum"
+    val t = GraftTable.create(spark, root,
+      (1L to 1000L).toDF("k"), Seq("k"), numFiles = 4)
+    t.compact(numFiles = 1)
+    assert(dataFiles(root) == 5) // 4 original + 1 compacted
+    val res = spark.sql("CALL prc.system.vacuum('t_vacuum', 1)")
+      .collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(4L),
+      "vacuum must report the 4 reclaimed files")
+    assert(dataFiles(root) == 1)
+    assert(GraftTable.forPath(spark, root).read().count() == 1000)
+  }
+
+  test("CALL system.zorder re-clusters on two dimensions") {
+    val root = s"$wh/t_zorder"
+    GraftTable.create(spark, root,
+      spark.range(0, 10000).select(col("id").as("x"),
+        ((col("id") * 7919) % 10000).as("y")),
+      Seq("x", "y"), numFiles = 4)
+    val res = spark.sql(
+      "CALL prc.system.zorder('t_zorder', 'x', 'y', 8)").collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(2L))
+    val t = GraftTable.forPath(spark, root)
+    // pruning now works on the SECOND dimension
+    val (rows, planned, total) = t.prunedWhere(col("y") < 100)
+    assert(rows.count() == spark.range(0, 10000)
+      .where((col("id") * 7919) % 10000 < 100).count())
+    assert(planned < total,
+      s"z-order must enable y-pruning: $planned/$total")
+  }
+
+  test("unknown procedures and wrong namespaces fail loudly; SHOW " +
+      "PROCEDURES-style listing works") {
+    intercept[Exception](
+      spark.sql("CALL prc.system.no_such_proc('x')").collect())
+    val cat = spark.sessionState.catalogManager.catalog("prc")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    assert(cat.listProcedures(Array("system")).map(_.name()).sorted
+      .toSeq == Seq("compact", "restore", "vacuum", "zorder"))
+  }
+}
