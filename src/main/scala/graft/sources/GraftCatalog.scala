@@ -133,16 +133,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val tsMillis = timestamp / 1000L
-    val version = (1L to graft.format.GraftTable.versionAt(root))
-      .reverse.find { v =>
-        val f = new java.io.File(s"$root/_log/snapshot-v$v.txt")
-        f.isFile && f.lastModified() <= tsMillis
-      }.getOrElse(throw new IllegalArgumentException(
-        s"no retained snapshot of ${ident} at or before timestamp " +
-          s"$timestamp (µs since epoch) — history before the oldest " +
-          "retained snapshot may have been vacuumed"))
-    v2Table(root, Some(version))
+    v2Table(root, Some(
+      GraftTableSource.versionAtTimestamp(root, timestamp / 1000L)))
   }
 
   override def tableExists(ident: Identifier): Boolean =

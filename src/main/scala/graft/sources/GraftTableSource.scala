@@ -96,6 +96,32 @@ object GraftTableSource {
     diff.collect().map(r => s"${t.root}/${r.getString(0)}")
   }
 
+  /** `.option("timestampAsOf", …)` accepts a SQL timestamp/date
+    * string or epoch millis. */
+  private[sources] def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d{13,}")) t.toLong
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.sql.Date.valueOf(t).getTime
+    else java.sql.Timestamp.valueOf(t).getTime
+  }
+
+  /** Newest version whose snapshot file predates `tsMillis` —
+    * vacuumed snapshots skipped (a missing file's lastModified is 0L,
+    * which would satisfy any cutoff then fail on read); older than
+    * all retained history is an explicit error. Shared by the
+    * catalog's `TIMESTAMP AS OF` and the path read's
+    * `.option("timestampAsOf", …)`. */
+  private[sources] def versionAtTimestamp(root: String,
+      tsMillis: Long): Long =
+    (1L to graft.format.GraftTable.versionAt(root)).reverse.find { v =>
+      val f = new java.io.File(s"$root/_log/snapshot-v$v.txt")
+      f.isFile && f.lastModified() <= tsMillis
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no retained snapshot of $root at or before $tsMillis ms — " +
+        "history before the oldest retained snapshot may have been " +
+        "vacuumed"))
+
   private[sources] def resolve(options: CaseInsensitiveStringMap)
       : (String, Long, StructType) = {
     val root = Option(options.get("path")).getOrElse(
@@ -107,7 +133,10 @@ object GraftTableSource {
       return (root, 0L, new StructType())
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val version = Option(options.get("versionAsOf"))
-      .map(_.toLong).getOrElse(t.currentVersion)
+      .map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(ts => versionAtTimestamp(root, parseTsMillis(ts))))
+      .getOrElse(t.currentVersion)
     // the snapshot's recorded schema (log-level evolution: appends
     // union new columns) — no data-file footer is opened to plan a
     // query. Footer-merge fallback only for pre-schema-record tables.
