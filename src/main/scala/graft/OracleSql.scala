@@ -813,6 +813,19 @@ object OracleSql {
       FROM lineitem
       GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    // q243: the 3-dim z-ordered table must read as the flat filter —
+    // re-clustering moves bytes, never values.
+    "q243_zorder_3d" -> """
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS total_price
+      FROM lineitem
+      WHERE l_suppkey BETWEEN 10 AND 25
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -322,7 +322,8 @@ object SparkEntry {
     "q239_restore" -> (FormatQueries.q239Restore _),
     "q240_clustered_insert" -> (FormatQueries.q240ClusteredInsert _),
     "q241_bloom_lookup" -> (FormatQueries.q241BloomLookup _),
-    "q242_sql_procedures" -> (FormatQueries.q242SqlProcedures _)
+    "q242_sql_procedures" -> (FormatQueries.q242SqlProcedures _),
+    "q243_zorder_3d" -> (FormatQueries.q243Zorder3d _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

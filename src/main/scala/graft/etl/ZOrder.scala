@@ -20,11 +20,13 @@ object ZOrder {
 
   val Bits = 16 // per-dimension resolution; 2 dims → 32-bit z-values
 
-  /** Normalize a numeric column to [0, 2^Bits) given its min/max. */
-  private def normalize(c: Column, mn: Column, mx: Column): Column = {
+  /** Normalize a numeric column to [0, 2^bits) given its min/max. */
+  private def normalize(c: Column, mn: Column, mx: Column,
+      bits: Int): Column = {
     val span = mx - mn
     val scaled = when(span <= 0, lit(0L)).otherwise(
-      floor((c - mn).cast("double") / span.cast("double") * ((1 << Bits) - 1))
+      floor((c - mn).cast("double") / span.cast("double")
+        * ((1 << bits) - 1))
         .cast("long"))
     scaled
   }
@@ -39,19 +41,41 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
     }
 
-  /** Z-value of two numeric columns over their observed ranges. */
-  def zValue(df: DataFrame, colX: String, colY: String): DataFrame = {
-    val r = df.agg(
-      min(col(colX)).cast("long").as("mnx"),
-      max(col(colX)).cast("long").as("mxx"),
-      min(col(colY)).cast("long").as("mny"),
-      max(col(colY)).cast("long").as("mxy")).head()
-    val (mnx, mxx) = (lit(r.getAs[Long]("mnx")), lit(r.getAs[Long]("mxx")))
-    val (mny, mxy) = (lit(r.getAs[Long]("mny")), lit(r.getAs[Long]("mxy")))
-    df.withColumn("_z", interleave(
-      normalize(col(colX).cast("long"), mnx, mxx),
-      normalize(col(colY).cast("long"), mny, mxy)))
+  /** Round-robin interleave of N normalized longs (`bits` low bits
+    * each): dimension j contributes bit i at z-position n*i+(n-1-j).
+    * Still a pure shift/OR fold — whole-stage codegen, no UDF. */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c, i).bitwiseAND(lit(1L)), n * i + (n - 1 - j)))
+      }
+    }
   }
+
+  /** Per-dimension resolution for an n-dim curve: the interleaved
+    * value must fit a signed 64-bit long. 2 dims keep the full 16
+    * bits; 3 dims also get 16 (48 total); 4 dims drop to 15. */
+  def bitsFor(n: Int): Int = math.min(Bits, 62 / n)
+
+  /** Z-value of N ≥ 2 numeric columns over their observed ranges —
+    * one tiny min/max agg, then pure expression arithmetic. */
+  def zValueN(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least 2 columns")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"mn_$c"),
+      max(col(c)).cast("long").as(s"mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val eff = bitsFor(cols.size)
+    val normed = cols.map(c => normalize(col(c).cast("long"),
+      lit(r.getAs[Long](s"mn_$c")), lit(r.getAs[Long](s"mx_$c")), eff))
+    df.withColumn("_z", interleaveN(normed, eff))
+  }
+
+  /** Z-value of two numeric columns over their observed ranges. */
+  def zValue(df: DataFrame, colX: String, colY: String): DataFrame =
+    zValueN(df, Seq(colX, colY))
 
   /** Write `df` clustered on the z-curve of (colX, colY): range-
     * partition by z-value into `numFiles` files, sort within each, drop

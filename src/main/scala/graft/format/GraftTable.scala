@@ -911,11 +911,18 @@ final class GraftTable private (
     * time): a table that accreted under append order gets its zone
     * maps sharpened in one commit. */
   def optimizeZorder(colX: String, colY: String,
-      numFiles: Int = 8): Long = {
-    require(statsCols.contains(colX) && statsCols.contains(colY),
+      numFiles: Int = 8): Long =
+    optimizeZorder(Seq(colX, colY), numFiles)
+
+  /** N-dimensional OPTIMIZE ZORDER (2 dims at 16 bits each, 3 at 16,
+    * 4 at 15 — the interleave must fit a long): one commit whose files
+    * are compact hyper-rectangles in every listed dimension, so zone
+    * maps skip on ANY of them. */
+  def optimizeZorder(cols: Seq[String], numFiles: Int): Long = {
+    require(cols.forall(statsCols.contains),
       s"z-order columns must carry stats: $statsCols")
     commitWithRetry("zorder") { parent =>
-      val staged = graft.etl.ZOrder.zValue(read(parent), colX, colY)
+      val staged = graft.etl.ZOrder.zValueN(read(parent), cols)
         .repartitionByRange(numFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z")

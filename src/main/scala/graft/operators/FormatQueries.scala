@@ -1092,6 +1092,41 @@ object FormatQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q243 — N-DIMENSIONAL Z-ORDER via `CALL system.zorder('t',
+    * 'a,b,c')`: a lineitem table re-clustered on THREE dimensions in
+    * one commit, then read through a filter on the LAST one — the
+    * dimension a linear sort or 2-d curve wouldn't skip on.
+    * ProcedureSpec pins that all three dimensions actually prune;
+    * this hash-gates the values. The 100 TB case: fact tables are
+    * queried on more dimensions than any partition scheme covers —
+    * the z-curve gives every listed dimension zone-map locality. */
+  def q243Zorder3d(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/lineitem_z3"
+    buildOnce(root) {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice")
+      GraftTable.create(s, root, li,
+        statsCols = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      s.sql("CALL gcat.system.zorder('lineitem_z3', " +
+        "'l_orderkey,l_partkey,l_suppkey', 16)").collect()
+      ()
+    }
+    s.table("gcat.lineitem_z3")
+      .where(col("l_suppkey").between(10, 25))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("total_price"))
+      .orderBy(col("l_suppkey"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -349,12 +349,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.format.GraftTable.forPath(SparkSession.active, root)
   }
 
-  /** One self-describing procedure: fixed IN parameters, one BIGINT
-    * result column, body running on the driver against the format
+  /** One self-describing procedure: fixed IN parameters, a fixed
+    * result schema, body running on the driver against the format
     * API. `bind` is identity — parameters are scalars, no overloads. */
-  private def proc(procName: String, resultCol: String,
-      params: Seq[ProcedureParameter])(body: InternalRow => Long)
-      : UnboundProcedure =
+  private def proc(procName: String, resultSchema: StructType,
+      params: Seq[ProcedureParameter])
+      (body: InternalRow => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = procName
       override def description(): String =
@@ -365,15 +365,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val result = body(input)
         val scan: Scan = new LocalScan {
-          override def rows(): Array[InternalRow] =
-            Array(InternalRow(result))
-          override def readSchema(): StructType =
-            StructType(Seq(StructField(resultCol, DataTypes.LongType)))
+          override def rows(): Array[InternalRow] = result
+          override def readSchema(): StructType = resultSchema
           override def description(): String = s"$procName result"
         }
         java.util.Collections.singletonList(scan).iterator()
       }
     }
+
+  /** The common shape: one BIGINT result row. */
+  private def longProc(procName: String, resultCol: String,
+      params: Seq[ProcedureParameter])(body: InternalRow => Long)
+      : UnboundProcedure =
+    proc(procName,
+      StructType(Seq(StructField(resultCol, DataTypes.LongType))),
+      params)(in => Array(InternalRow(body(in))))
 
   private def inParam(n: String, dt: org.apache.spark.sql.types.DataType,
       default: Option[String] = None): ProcedureParameter = {
@@ -383,7 +389,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private lazy val procedures: Map[String, UnboundProcedure] = Map(
-    "compact" -> proc("compact", "version", Seq(
+    "compact" -> longProc("compact", "version", Seq(
       inParam("table", DataTypes.StringType),
       inParam("num_files", DataTypes.IntegerType, Some("4")),
       inParam("cluster_by", DataTypes.StringType, Some("''")))) { in =>
@@ -394,25 +400,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       tableForName(in.getUTF8String(0).toString)
         .compact(if (in.isNullAt(1)) 4 else in.getInt(1), cols)
     },
-    "vacuum" -> proc("vacuum", "deleted_files", Seq(
+    "vacuum" -> longProc("vacuum", "deleted_files", Seq(
       inParam("table", DataTypes.StringType),
       inParam("retain_last", DataTypes.IntegerType, Some("1")))) { in =>
       tableForName(in.getUTF8String(0).toString)
         .vacuum(if (in.isNullAt(1)) 1 else in.getInt(1)).toLong
     },
-    "restore" -> proc("restore", "version", Seq(
+    "restore" -> longProc("restore", "version", Seq(
       inParam("table", DataTypes.StringType),
       inParam("version", DataTypes.LongType))) { in =>
       tableForName(in.getUTF8String(0).toString).restore(in.getLong(1))
     },
-    "zorder" -> proc("zorder", "version", Seq(
+    // cols = 'x,y[,z,…]': N-dimensional curve (2–4 dims useful)
+    "zorder" -> longProc("zorder", "version", Seq(
       inParam("table", DataTypes.StringType),
-      inParam("col_x", DataTypes.StringType),
-      inParam("col_y", DataTypes.StringType),
+      inParam("cols", DataTypes.StringType),
       inParam("num_files", DataTypes.IntegerType, Some("8")))) { in =>
       tableForName(in.getUTF8String(0).toString).optimizeZorder(
-        in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-        if (in.isNullAt(3)) 8 else in.getInt(3))
+        in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq,
+        if (in.isNullAt(2)) 8 else in.getInt(2))
+    },
+    // commit log as a result set: version/op/parent/n_files/n_rows,
+    // newest first — `CALL cat.system.history('db.t')`
+    "history" -> proc("history", StructType(Seq(
+      StructField("version", DataTypes.LongType),
+      StructField("op", DataTypes.StringType),
+      StructField("parent", DataTypes.LongType),
+      StructField("n_files", DataTypes.LongType),
+      StructField("n_rows", DataTypes.LongType))), Seq(
+      inParam("table", DataTypes.StringType))) { in =>
+      tableForName(in.getUTF8String(0).toString).history()
+        .collect().map(r => InternalRow(r.getLong(0),
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(1)),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
     })
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {

@@ -87,7 +87,7 @@ class ProcedureSpec extends AnyFunSuite {
         ((col("id") * 7919) % 10000).as("y")),
       Seq("x", "y"), numFiles = 4)
     val res = spark.sql(
-      "CALL prc.system.zorder('t_zorder', 'x', 'y', 8)").collect()
+      "CALL prc.system.zorder('t_zorder', 'x,y', 8)").collect()
     assert(res.map(_.getLong(0)).toSeq == Seq(2L))
     val t = GraftTable.forPath(spark, root)
     // pruning now works on the SECOND dimension
@@ -98,6 +98,38 @@ class ProcedureSpec extends AnyFunSuite {
       s"z-order must enable y-pruning: $planned/$total")
   }
 
+  test("3-dimensional z-order prunes on EVERY listed dimension") {
+    val root = s"$wh/t_zorder3"
+    GraftTable.create(spark, root,
+      spark.range(0, 30000).select(col("id").as("x"),
+        ((col("id") * 7919) % 30000).as("y"),
+        ((col("id") * 104729) % 30000).as("z")),
+      Seq("x", "y", "z"), numFiles = 4)
+    spark.sql("CALL prc.system.zorder('t_zorder3', 'x,y,z', 27)")
+      .collect()
+    val t = GraftTable.forPath(spark, root)
+    Seq("x", "y", "z").foreach { c =>
+      val (rows, planned, total) = t.prunedWhere(col(c) < 1000)
+      assert(rows.count() == 30000 / 30,
+        s"dimension $c content must be exact")
+      assert(planned < total,
+        s"3-dim z-order must prune on $c: $planned/$total")
+    }
+  }
+
+  test("CALL system.history returns the commit log as a result set") {
+    val root = s"$wh/t_history"
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 1)
+    t.append((101L to 200L).toDF("k"), numFiles = 1)
+    t.deleteWhere(col("k") <= 10)
+    val h = spark.sql("CALL prc.system.history('t_history')")
+      .select("version", "op", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(h.toSeq == Seq((3L, "delete", 190L), (2L, "append", 200L),
+      (1L, "append", 100L)))
+  }
+
   test("unknown procedures and wrong namespaces fail loudly; SHOW " +
       "PROCEDURES-style listing works") {
     intercept[Exception](
@@ -105,6 +137,6 @@ class ProcedureSpec extends AnyFunSuite {
     val cat = spark.sessionState.catalogManager.catalog("prc")
       .asInstanceOf[graft.sources.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted
-      .toSeq == Seq("compact", "restore", "vacuum", "zorder"))
+      .toSeq == Seq("compact", "history", "restore", "vacuum", "zorder"))
   }
 }
