@@ -903,6 +903,47 @@ final class GraftTable private (
       }
     }
 
+  /** INCREMENTAL compaction: rewrite only live files holding fewer
+    * than `maxRows` rows — the small-file tail streaming sinks and
+    * frequent small appends accrete — carrying every other file
+    * forward BY REFERENCE. At 100 TB a full [[compact]] is a
+    * non-starter: maintenance must be proportional to the small-file
+    * DEBT, not the table. Deletion-vector entries on rewritten files
+    * materialize away (the rewrite reads the live view and their
+    * paths leave the manifest); entries on carried files survive
+    * untouched. No-op (no new snapshot) when nothing qualifies.
+    * `clusterBy` range-clusters the rewrite like [[compact]]. */
+  def compactSmall(maxRows: Long, numFiles: Int = 1,
+      clusterBy: Seq[String] = Nil): Long = {
+    val parent0 = currentVersion
+    if (parent0 == 0) return 0L
+    if (manifest(parent0).where(col("row_count") < maxRows).limit(1)
+        .count() == 0) return parent0
+    commitWithRetry("compact_small") { parent =>
+      val m = manifest(parent)
+      val small = m.where(col("row_count") < maxRows)
+      val paths = small.select("path").collect().map(_.getString(0))
+      val big = m.where(col("row_count") >= maxRows)
+      if (paths.isEmpty) big // raced: the debt was compacted away
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(paths.toIndexedSeq.map(p => s"$root/$p"): _*)
+        val dataCols = raw.columns.toIndexedSeq
+        val live = minusDv(withRowId(raw), parent)
+          .select(dataCols.map(col): _*)
+        val staged =
+          if (clusterBy.isEmpty) live
+          else live
+            .repartitionByRange(math.max(numFiles, 1),
+              clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        big.unionByName(
+          writeData(staged, if (clusterBy.isEmpty) numFiles else 0),
+          allowMissingColumns = true)
+      }
+    }
+  }
+
   /** OPTIMIZE ZORDER: rewrite the live file set clustered on the
     * z-curve of two stats columns — content-identical snapshot whose
     * per-file envelopes become compact rectangles in BOTH dimensions,

@@ -389,16 +389,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private lazy val procedures: Map[String, UnboundProcedure] = Map(
+    // max_rows > 0 = INCREMENTAL: rewrite only files smaller than the
+    // threshold (maintenance proportional to small-file debt, the
+    // only compaction shape that works at 100 TB); 0 = full rewrite
     "compact" -> longProc("compact", "version", Seq(
       inParam("table", DataTypes.StringType),
       inParam("num_files", DataTypes.IntegerType, Some("4")),
-      inParam("cluster_by", DataTypes.StringType, Some("''")))) { in =>
+      inParam("cluster_by", DataTypes.StringType, Some("''")),
+      inParam("max_rows", DataTypes.LongType, Some("0")))) { in =>
       val cols =
         if (in.numFields < 3 || in.isNullAt(2)) Nil
         else in.getUTF8String(2).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      tableForName(in.getUTF8String(0).toString)
-        .compact(if (in.isNullAt(1)) 4 else in.getInt(1), cols)
+      val n = if (in.isNullAt(1)) 4 else in.getInt(1)
+      val maxRows =
+        if (in.numFields < 4 || in.isNullAt(3)) 0L else in.getLong(3)
+      val t = tableForName(in.getUTF8String(0).toString)
+      if (maxRows > 0) t.compactSmall(maxRows, n, cols)
+      else t.compact(n, cols)
     },
     "vacuum" -> longProc("vacuum", "deleted_files", Seq(
       inParam("table", DataTypes.StringType),

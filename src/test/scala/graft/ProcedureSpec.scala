@@ -53,6 +53,46 @@ class ProcedureSpec extends AnyFunSuite {
     assert(env(0)._2 <= env(1)._1, s"compact('k') must re-cluster: $env")
   }
 
+  test("incremental compaction (max_rows) rewrites ONLY the small-" +
+      "file tail: big files carry by reference byte-identically, DV " +
+      "entries on carried files survive, on rewritten ones vanish") {
+    val root = s"$wh/t_compact_small"
+    val t = GraftTable.create(spark, root,
+      (1L to 100000L).toDF("k"), Seq("k"), numFiles = 1) // one BIG file
+    (0 until 5).foreach(i => t.append(
+      (100001L + i * 100L to 100100L + i * 100L).toDF("k"),
+      numFiles = 1)) // five small tail files
+    t.deleteWhereMor(col("k") === 5L)      // DV on the big file
+    t.deleteWhereMor(col("k") === 100001L) // DV on a small file
+    val bigPath = t.manifest().where(col("row_count") >= 1000)
+      .select("path").collect().map(_.getString(0)).toSeq
+    assert(bigPath.size == 1)
+    val bigBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/${bigPath.head}"))
+    val res = spark.sql(
+      "CALL prc.system.compact('t_compact_small', 1, '', 1000)")
+      .collect()
+    assert(res.head.getLong(0) == t.currentVersion)
+    val t2 = GraftTable.forPath(spark, root)
+    val m2 = t2.manifest().select("path", "row_count").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(m2.length == 2, s"1 big + 1 rewritten tail, got ${m2.toSeq}")
+    assert(m2.map(_._1).contains(bigPath.head),
+      "the big file must carry forward by reference")
+    assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(s"$root/${bigPath.head}")).sameElements(bigBytes),
+      "carried files must be byte-identical")
+    // the big file's DV entry survives; the small one's materialized
+    assert(t2.hasDeletionVectors())
+    assert(t2.deletionVectors().count() == 1)
+    assert(t2.read().count() == 100000 + 500 - 2)
+    assert(t2.read().where(col("k").isin(5L, 100001L)).count() == 0)
+    // nothing left below the threshold: the next call is a NO-OP
+    val v = t2.currentVersion
+    assert(t2.compactSmall(maxRows = 2) == v,
+      "no qualifying files must mean no new snapshot")
+  }
+
   test("CALL system.restore rolls back; named arguments bind") {
     val root = s"$wh/t_restore"
     val t = GraftTable.create(spark, root,
