@@ -826,6 +826,15 @@ object OracleSql {
       WHERE l_suppkey BETWEEN 10 AND 25
       GROUP BY 1 ORDER BY 1
     """,
+    // q244: the constrained insert's pass path must land every value
+    // untouched — the guard only gates, never transforms.
+    "q244_constrained_insert" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

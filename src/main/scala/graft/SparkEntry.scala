@@ -323,7 +323,8 @@ object SparkEntry {
     "q240_clustered_insert" -> (FormatQueries.q240ClusteredInsert _),
     "q241_bloom_lookup" -> (FormatQueries.q241BloomLookup _),
     "q242_sql_procedures" -> (FormatQueries.q242SqlProcedures _),
-    "q243_zorder_3d" -> (FormatQueries.q243Zorder3d _)
+    "q243_zorder_3d" -> (FormatQueries.q243Zorder3d _),
+    "q244_constrained_insert" -> (FormatQueries.q244ConstrainedInsert _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

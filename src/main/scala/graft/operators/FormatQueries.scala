@@ -1127,6 +1127,38 @@ object FormatQueries {
       .orderBy(col("l_suppkey"))
   }
 
+  /** q244 — WRITE-TIME CONSTRAINTS, pass path: the full orders flow
+    * lands through a `CHECK (o_totalprice >= 0)` + `o_orderkey BIGINT
+    * NOT NULL` table — the guard runs inside the write job (one
+    * codegen'd pass, ConstraintSpec pins the reject/atomicity side)
+    * and must not perturb a single value on the way through. */
+  def q244ConstrainedInsert(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/orders_checked"
+    buildOnce(root) {
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+        .createOrReplaceTempView("q244_src")
+      s.sql("""CREATE TABLE gcat.orders_checked (
+                 o_orderkey BIGINT NOT NULL, o_custkey BIGINT,
+                 o_orderstatus STRING, o_totalprice DOUBLE)
+               TBLPROPERTIES('statsCols'='o_orderkey',
+                             'check.constraint'='o_totalprice >= 0')""")
+      s.sql("INSERT INTO gcat.orders_checked SELECT * FROM q244_src")
+      ()
+    }
+    s.table("gcat.orders_checked")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -96,6 +96,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .foreach(c => opts.put("bloomCols", c))
     readProps(root).get("bloomBits")
       .foreach(c => opts.put("bloomBits", c))
+    readProps(root).get("checkConstraint")
+      .foreach(c => opts.put("checkConstraint", c))
+    readProps(root).get("notNullCols")
+      .foreach(c => opts.put("notNullCols", c))
     if (graft.format.GraftTable.versionAt(root) == 0) {
       val declared = readProps(root).get("schema")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -160,11 +164,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // point-lookup file skipping on non-cluster columns
     val bloomCols = Option(properties.get("bloom.cols"))
     val bloomBits = Option(properties.get("bloom.bits"))
+    // write-time data quality: CHECK constraint by property, NOT NULL
+    // from the declared column nullability (`CREATE TABLE (k BIGINT
+    // NOT NULL, …)`) — both enforced inside every connector write
+    val check = Option(properties.get("check.constraint"))
+    val notNull = Some(schema.fields.filterNot(_.nullable)
+      .map(_.name).mkString(",")).filter(_.nonEmpty)
     writeProps(root, Map("statsCols" -> stats,
       "schema" -> schema.json) ++ delMode.map("deleteMode" -> _)
       ++ clusterBy.map("clusterBy" -> _)
       ++ bloomCols.map("bloomCols" -> _)
-      ++ bloomBits.map("bloomBits" -> _))
+      ++ bloomBits.map("bloomBits" -> _)
+      ++ check.map("checkConstraint" -> _)
+      ++ notNull.map("notNullCols" -> _))
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     if (stats.nonEmpty) opts.put("statsCols", stats)
@@ -172,6 +184,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     clusterBy.foreach(c => opts.put("clusterBy", c))
     bloomCols.foreach(c => opts.put("bloomCols", c))
     bloomBits.foreach(c => opts.put("bloomBits", c))
+    check.foreach(c => opts.put("checkConstraint", c))
+    notNull.foreach(c => opts.put("notNullCols", c))
     new GraftTableV2(root, 0L, schema, new CaseInsensitiveStringMap(opts))
   }
 
@@ -207,12 +221,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty
           if p.property == "write.cluster-by" =>
         "clusterBy" -> p.value
+      case p: TableChange.SetProperty
+          if p.property == "check.constraint" =>
+        "checkConstraint" -> p.value
     }
     if (adds.size + propSets.size != changes.size)
       throw new UnsupportedOperationException(
         "gtable ALTER TABLE supports top-level ADD COLUMN and SET " +
-          "TBLPROPERTIES('delete.mode'/'write.cluster-by') only; " +
-          "other schema changes rewrite through overwrite")
+          "TBLPROPERTIES('delete.mode'/'write.cluster-by'/" +
+          "'check.constraint') only; other schema changes rewrite " +
+          "through overwrite")
     if (propSets.nonEmpty)
       writeProps(root, readProps(root) ++ propSets)
     if (adds.isEmpty) return loadTable(ident)

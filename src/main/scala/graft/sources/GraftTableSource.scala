@@ -386,6 +386,26 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
                 }
               val numFiles0 = Option(options.get("numFiles"))
                 .map(_.toInt).getOrElse(4)
+              // WRITE-TIME DATA QUALITY (Delta's invariants):
+              // `TBLPROPERTIES('check.constraint'='expr')` and
+              // column-level NOT NULL both guard INSIDE the write job
+              // — a `cond OR raise_error(...)` filter, one codegen'd
+              // pass, no extra scan of the incoming data. A violating
+              // row fails the job before the commit exists (the
+              // atomic-snapshot protocol means a failed write leaves
+              // only invisible garbage, never a partial table).
+              val guards =
+                Option(info.options.get("checkConstraint"))
+                  .orElse(Option(options.get("checkConstraint")))
+                  .map(c => s"(($c) IS NOT FALSE) OR raise_error(" +
+                    "'gtable CHECK constraint violated')").toSeq ++
+                Option(options.get("notNullCols")).toSeq
+                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+                  .filter(data.columns.contains)
+                  .map(c => s"($c IS NOT NULL) OR raise_error(" +
+                    s"'gtable NOT NULL constraint violated: $c')")
+              val data0 = guards.foldLeft(data)((d, g) =>
+                d.where(org.apache.spark.sql.functions.expr(g)))
               // CLUSTERED WRITES (`TBLPROPERTIES('write.cluster-by'=
               // 'k')` or `.option("clusterBy", "k")`): range-partition
               // + sort the incoming frame on the cluster columns and
@@ -400,10 +420,10 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
                 .orElse(Option(options.get("clusterBy"))).toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
               val (data1, numFiles) =
-                if (clusterCols.isEmpty) (data, numFiles0)
+                if (clusterCols.isEmpty) (data0, numFiles0)
                 else {
-                  val cs = clusterCols.map(data.col)
-                  (data.repartitionByRange(math.max(numFiles0, 1), cs: _*)
+                  val cs = clusterCols.map(data0.col)
+                  (data0.repartitionByRange(math.max(numFiles0, 1), cs: _*)
                     .sortWithinPartitions(cs: _*), 0)
                 }
               val replaceWhere =
