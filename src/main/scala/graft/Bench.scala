@@ -486,6 +486,70 @@ object Bench {
       if (runEtl) sampled("mor_10x")((t: (Double, Double)) => t._2)(mor10x())
       else (-1.0, -1.0)
 
+    // BLOOM-INDEX probe at 50×: the same point lookup on a UNIQUE
+    // NON-cluster column (a scrambled row id — every file's envelope
+    // spans the whole domain, so min/max can never skip) against two
+    // identical 50× tables, one bloom-indexed, one envelopes-only.
+    // The pair quantifies the index's file-skipping win the way
+    // cow/mor quantifies write amplification: the bloom side pays a
+    // CONSTANT manifest-planning cost and opens ~1 file, the plain
+    // side reads everything — at 100 TB the gap is "open 2 files" vs
+    // "open a million". (At 10× the fixed planning jobs still rival
+    // the saved read; 50× is where the asymptotics show even on one
+    // node.)
+    def bloom50x(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var base: String = null
+      try {
+        base = java.nio.file.Files
+          .createTempDirectory("graft_50x_bloom_").toString
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val ord = Tables.load(sp, sfDir, "orders")
+        val stride = ord.agg(max(col("o_orderkey")).cast("long"))
+          .head().getLong(0) + 1L
+        val dom = stride * 50
+        val big = (0 until 50).map(i =>
+            ord.withColumn("o_orderkey",
+              col("o_orderkey").cast("long") + lit(i * stride)))
+          .reduce(_ unionByName _)
+          .withColumn("uid", col("o_orderkey") * 2654435761L % dom)
+          // 512 files: what the bloom actually saves at scale is
+          // per-FILE open/footer/decode overhead — a point lookup on
+          // an unindexed unique column must touch every file of a
+          // 100 TB table no matter how well columns prune
+          .repartitionByRange(512, col("o_orderkey"))
+        graft.format.GraftTable.create(sp, s"$base/indexed",
+          big, statsCols = Seq("o_orderkey"), numFiles = 0,
+          bloomCols = Seq("uid"), bloomBits = 1 << 18)
+        graft.format.GraftTable.create(sp, s"$base/plain",
+          big, statsCols = Seq("o_orderkey"), numFiles = 0)
+        val probe = (12345L * 2654435761L) % dom
+        def lookup(root: String): Long = sp.read.format("gtable")
+          .load(root).where(col("uid") === probe).count()
+        val expected = lookup(s"$base/indexed")
+        val withBloom = timed { lookup(s"$base/indexed"); () }
+        val without = timed {
+          require(lookup(s"$base/plain") == expected); ()
+        }
+        (withBloom, without)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL bloom_50x: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (base != null)
+          new Directory(new java.io.File(base)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val (bloomProbe50xTime, fullscanProbe50xTime) =
+      if (runEtl) sampled("bloom_50x")(
+        (t: (Double, Double)) => t._1)(bloom50x())
+      else (-1.0, -1.0)
+
     // FULL-SCALE RETAIL PARITY (VERDICT r7 #6 / r8 #4): the reference's
     // OWN schema at the reference's OWN volume — RetailPipeline (seed
     // CSVs + the deterministic FIXTURES A.4 fact generator) at
@@ -572,6 +636,7 @@ object Bench {
       s"etl_pipeline_${etlX}x", s"etl_incremental_${etlX}x",
       "dedup_10x", "ann_50x", "gtable_10x",
       "cow_delete_10x", "mor_delete_10x",
+      "bloom_probe_50x", "fullscan_probe_50x",
       "retail_fullscale", "retail_incremental_fullscale",
       "retail_fullscale_lake", "retail_incremental_fullscale_lake")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
@@ -583,6 +648,8 @@ object Bench {
       ("gtable_10x" -> gtable10xTime) :+
       ("cow_delete_10x" -> cowDel10xTime) :+
       ("mor_delete_10x" -> morDel10xTime) :+
+      ("bloom_probe_50x" -> bloomProbe50xTime) :+
+      ("fullscan_probe_50x" -> fullscanProbe50xTime) :+
       ("retail_fullscale" -> retailFullTime) :+
       ("retail_incremental_fullscale" -> retailIncTime) :+
       ("retail_fullscale_lake" -> retailLakeTime) :+

@@ -54,7 +54,19 @@ final class GraftTable private (
     val spark: SparkSession, val root: String,
     val statsCols: Seq[String],
     val bloomCols: Seq[String] = Nil,
-    val bloomBits: Int = graft.functions.BloomFilterIndex.DefaultBits) {
+    bloomBits0: Int = graft.functions.BloomFilterIndex.DefaultBits) {
+
+  /** Bloom width in bits. `forPath` passes the LAZY sentinel (-1):
+    * detecting the recorded width costs a manifest job, and only the
+    * write path needs it — a read-side open must stay metadata-cheap
+    * (scans call forPath several times per query). */
+  lazy val bloomBits: Int =
+    if (bloomBits0 > 0) bloomBits0
+    else manifest()
+      .select(size(col(s"bloom_${bloomCols.head}")).as("w"))
+      .where(col("w") > 0).limit(1).collect().headOption
+      .map(_.getInt(0) * 64)
+      .getOrElse(graft.functions.BloomFilterIndex.DefaultBits)
 
   import GraftTable._
 
@@ -1228,12 +1240,9 @@ object GraftTable {
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     val blooms = m.columns.toSeq
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
-    val bits =
+    // -1 = detect the recorded width lazily, first write only
+    new GraftTable(spark, root, cols, blooms,
       if (blooms.isEmpty) graft.functions.BloomFilterIndex.DefaultBits
-      else m.select(size(col(s"bloom_${blooms.head}")).as("w"))
-        .where(col("w") > 0).limit(1).collect().headOption
-        .map(_.getInt(0) * 64)
-        .getOrElse(graft.functions.BloomFilterIndex.DefaultBits)
-    new GraftTable(spark, root, cols, blooms, bits)
+      else -1)
   }
 }

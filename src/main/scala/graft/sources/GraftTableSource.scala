@@ -868,13 +868,16 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       return Array.empty
     }
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
-    val m = t.manifest(version).cache()
+    // NOT cached: the live count reads only parquet footers, and the
+    // filter job reads each referenced column once — caching would
+    // materialize the manifest's bloom arrays (MBs per thousand
+    // files) into the block manager on every planning pass
+    val m = t.manifest(version)
     val live = m.count()
     val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet, t.bloomCols.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
     val rel = m.where(pred).select("path").collect()
       .map(_.getString(0))
-    m.unpersist()
     // row-level operation scan: the planned set IS the replace set
     recorder.foreach(_.scannedFiles = rel)
     val paths = rel.map(r => s"$root/$r")
@@ -916,7 +919,9 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       val cands = t.statsCols.filter(required.fieldNames.contains)
       if (cands.isEmpty) None
       else {
-        val pred = filters.map(keep(t.statsCols.toSet, t.bloomCols.toSet))
+        // envelope-only: the bloom test would re-read every file's
+        // bloom array for a purity probe the envelopes answer alone
+        val pred = filters.map(keep(t.statsCols.toSet, Set.empty))
           .reduceOption(_ && _).getOrElse(lit(true))
         val cols = col("path") +: cands.flatMap(c =>
           Seq(col(s"min_$c"), col(s"max_$c")))
@@ -1031,7 +1036,10 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       if (version == 0) 0L
       else {
         val t = graft.format.GraftTable.forPath(SparkSession.active, root)
-        val pred = filters.map(keep(t.statsCols.toSet, t.bloomCols.toSet))
+        // envelope-only: stats are a conservative superset by contract,
+        // and skipping the bloom test here means the CBO estimate never
+        // pays a second full read of the manifest's bloom arrays
+        val pred = filters.map(keep(t.statsCols.toSet, Set.empty))
           .reduceOption(_ && _).getOrElse(lit(true))
         val keptM = t.manifest(version).where(pred)
         val phys = keptM
