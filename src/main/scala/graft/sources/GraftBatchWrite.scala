@@ -31,9 +31,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * message-count-sized metadata. The reference has no table format at
   * all (SURVEY §1.2) — extension tier. */
 case class GraftWriteCommit(relPath: String, rowCount: Long,
-    mins: Array[Any], maxs: Array[Any]) extends WriterCommitMessage
+    mins: Array[Any], maxs: Array[Any],
+    blooms: Array[Array[Long]] = Array.empty) extends WriterCommitMessage
 
 object GraftParquetIO {
+
+  /** The (bloom columns present in this write's schema, recorded bloom
+    * width) of an existing table — what a distributed writer needs to
+    * keep maintaining the table's index. (Nil, 0) when the table has
+    * no commits or no index; the width probe is one small manifest
+    * job, paid once per write. */
+  def bloomConfig(root: String, writeSchema: StructType)
+      : (Seq[String], Int) =
+    if (graft.format.GraftTable.versionAt(root) == 0) (Nil, 0)
+    else {
+      val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+      val cols = t.bloomCols.filter(writeSchema.fieldNames.contains)
+      if (cols.isEmpty) (Nil, 0) else (cols, t.bloomBits)
+    }
 
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -81,7 +96,7 @@ object GraftParquetIO {
     * message-count-sized. */
   def manifestEntries(spark: SparkSession, root: String,
       messages: Array[WriterCommitMessage], writeSchema: StructType,
-      statsCols: Seq[String])
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     val all = messages.collect { case m: GraftWriteCommit => m }
     val (live, empty) = all.partition(_.rowCount > 0)
@@ -102,29 +117,34 @@ object GraftParquetIO {
     val entrySchema = StructType(
       StructField("path", StringType) ::
         StructField("row_count", LongType) ::
-        statsCols.toList.flatMap { c =>
+        (statsCols.toList.flatMap { c =>
           val dt = writeSchema(c).dataType
           StructField(s"min_$c", dt) :: StructField(s"max_$c", dt) :: Nil
-        })
+        } ++ bloomCols.toList.map(c =>
+          StructField(s"bloom_$c", ArrayType(LongType)))))
     val rows: java.util.List[Row] = live.map { m =>
-      Row.fromSeq(m.relPath +: m.rowCount +:
+      Row.fromSeq((m.relPath +: m.rowCount +:
         statsCols.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
           val dt = writeSchema(c).dataType
           Seq(external(m.mins(i), dt), external(m.maxs(i), dt))
-        })
+        }) ++ bloomCols.indices.map(i =>
+          if (i < m.blooms.length && m.blooms(i) != null)
+            m.blooms(i).toSeq
+          else null))
     }.toList.asJava
     spark.createDataFrame(rows, entrySchema)
   }
 }
 
 class GraftDataWriterFactory(root: String, commitDir: String,
-    schemaJson: String, statsCols: Seq[String])
+    schemaJson: String, statsCols: Seq[String],
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(root, commitDir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      statsCols, partitionId, taskId)
+      statsCols, partitionId, taskId, bloomCols, bloomBits)
 }
 
 /** One parquet file per (partition, task attempt); attempt-unique
@@ -132,7 +152,9 @@ class GraftDataWriterFactory(root: String, commitDir: String,
   * COMMITTED message reach the manifest. */
 class GraftDataWriter(root: String, commitDir: String,
     schema: StructType, statsCols: Seq[String],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 0)
+    extends DataWriter[InternalRow] {
 
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -160,6 +182,20 @@ class GraftDataWriter(root: String, commitDir: String,
     statsCols.map(c => schema.fieldIndex(c)).toArray
   private val mins = Array.fill[Any](statIdx.length)(null)
   private val maxs = Array.fill[Any](statIdx.length)(null)
+  // per-file bloom maintenance rides the write too: the hash is the
+  // SAME Catalyst XxHash64 the read side's probe literal folds through
+  // (type-identical internal values → identical bits), so files
+  // written by the SQL row-level / streaming paths keep the table's
+  // index instead of degrading it to null
+  private val bloomIdx: Array[Int] = bloomCols
+    .filter(schema.fieldNames.contains).map(schema.fieldIndex).toArray
+  private val bloomHash = bloomIdx.map(i =>
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, schema(i).dataType, schema(i).nullable)), 42L))
+  private val blooms: Array[Array[Long]] =
+    if (bloomBits <= 0) Array.empty
+    else bloomIdx.map(_ => new Array[Long](bloomBits / 64))
 
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
@@ -229,6 +265,12 @@ class GraftDataWriter(root: String, commitDir: String,
       }
       s += 1
     }
+    var bI = 0
+    while (bI < blooms.length) {
+      graft.functions.BloomFilterIndex.setBits(blooms(bI),
+        bloomHash(bI).eval(row).asInstanceOf[Long])
+      bI += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -238,7 +280,7 @@ class GraftDataWriter(root: String, commitDir: String,
       case u: UTF8String => u.toString
       case x => x
     }
-    GraftWriteCommit(relPath, rows, ext(mins), ext(maxs))
+    GraftWriteCommit(relPath, rows, ext(mins), ext(maxs), blooms)
   }
 
   override def abort(): Unit = {
@@ -262,17 +304,21 @@ class GraftReplaceFilesBatchWrite(root: String, writeSchema: StructType,
   private val commitDir =
     s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
 
+  private lazy val (bloomCols, bloomBits) =
+    GraftParquetIO.bloomConfig(root, writeSchema)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/$commitDir"))
-    new GraftDataWriterFactory(root, commitDir, writeSchema.json, statsCols)
+    new GraftDataWriterFactory(root, commitDir, writeSchema.json,
+      statsCols, bloomCols, bloomBits)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val entries = GraftParquetIO.manifestEntries(spark, root, messages,
-      writeSchema, statsCols)
+      writeSchema, statsCols, bloomCols)
     graft.format.GraftTable.openOrCreate(spark, root, statsCols)
       .commitReplaceFiles(op.opName, op.scannedFiles.toSeq, entries,
         expectedParent = op.tableVersion, newSchema = Some(writeSchema))
@@ -306,12 +352,16 @@ class GraftStreamingWrite(root: String, writeSchema: StructType,
   private val commitDir =
     s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
 
+  private lazy val bloomConf =
+    GraftParquetIO.bloomConfig(root, writeSchema)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/$commitDir"))
     val schemaJson = writeSchema.json
     val stats = statsCols
+    val (bCols, bBits) = bloomConf
     val r = root
     val cd = commitDir
     new StreamingDataWriterFactory {
@@ -319,7 +369,7 @@ class GraftStreamingWrite(root: String, writeSchema: StructType,
           epochId: Long): DataWriter[InternalRow] =
         new GraftDataWriter(r, cd,
           DataType.fromJson(schemaJson).asInstanceOf[StructType],
-          stats, partitionId, taskId)
+          stats, partitionId, taskId, bCols, bBits)
     }
   }
 
@@ -327,7 +377,7 @@ class GraftStreamingWrite(root: String, writeSchema: StructType,
       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val entries = GraftParquetIO.manifestEntries(spark, root, messages,
-      writeSchema, statsCols)
+      writeSchema, statsCols, bloomConf._1)
     graft.format.GraftTable.openOrCreate(spark, root, statsCols)
       .commitAppendFiles(entries, batchId = Some(epochId),
         newSchema = Some(writeSchema))

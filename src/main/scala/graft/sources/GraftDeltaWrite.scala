@@ -81,6 +81,8 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
   private val commitDir =
     s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
   private val dataSchema: StructType = info.schema()
+  private lazy val bloomConf =
+    GraftParquetIO.bloomConfig(root, dataSchema)
   private val rowIdSchema: StructType = info.rowIdSchema()
     .orElse(new StructType())
 
@@ -92,13 +94,15 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
     val r = root; val cd = commitDir
     val dJson = dataSchema.json; val idJson = rowIdSchema.json
     val stats = statsCols
+    val (bCols, bBits) =
+      if (dataSchema.nonEmpty) bloomConf else (Nil, 0)
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : DeltaWriter[InternalRow] =
         new GraftDeltaWriter(r, cd,
           DataType.fromJson(dJson).asInstanceOf[StructType],
           DataType.fromJson(idJson).asInstanceOf[StructType],
-          stats, partitionId, taskId)
+          stats, partitionId, taskId, bCols, bBits)
     }
   }
 
@@ -112,7 +116,8 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
     val entries =
       if (fileMsgs.isEmpty) None
       else Some(GraftParquetIO.manifestEntries(spark, root,
-        fileMsgs.map(m => m: WriterCommitMessage), dataSchema, statsCols))
+        fileMsgs.map(m => m: WriterCommitMessage), dataSchema, statsCols,
+        bloomConf._1))
     import spark.implicits._
     val deletes = all.flatMap(_.deletes).toSeq.toDF("path", "pos")
     graft.format.GraftTable.openOrCreate(spark, root, statsCols)
@@ -136,7 +141,8 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
   * matched row ids. An update is delete + insert in place. */
 class GraftDeltaWriter(root: String, commitDir: String,
     dataSchema: StructType, rowIdSchema: StructType,
-    statsCols: Seq[String], partitionId: Int, taskId: Long)
+    statsCols: Seq[String], partitionId: Int, taskId: Long,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 0)
     extends DeltaWriter[InternalRow] {
 
   private val fileIdx = rowIdSchema.fieldNames.indexOf("_file")
@@ -151,7 +157,7 @@ class GraftDeltaWriter(root: String, commitDir: String,
   private def writer: GraftDataWriter = {
     if (inner == null)
       inner = new GraftDataWriter(root, commitDir, dataSchema,
-        statsCols, partitionId, taskId)
+        statsCols, partitionId, taskId, bloomCols, bloomBits)
     inner
   }
 

@@ -113,6 +113,53 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(res2.count() == 1)
   }
 
+  test("the SQL row-level write paths MAINTAIN the index: files " +
+      "written by MERGE (MOR delta) and UPDATE (COW rewrite) carry " +
+      "real blooms, and probes of merged-in values prune") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_bloom_rlw_").toString
+    spark.conf.set("spark.sql.catalog.brw",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.brw.warehouse", wh)
+    spark.range(0, 20000).select(col("id").as("k"),
+        (col("id") * 40503L % 20000L).as("u"))
+      .createOrReplaceTempView("brw_src")
+    spark.sql("""CREATE TABLE brw.t
+                 TBLPROPERTIES('statsCols'='k', 'write.cluster-by'='k',
+                               'bloom.cols'='u', 'bloom.bits'='65536',
+                               'delete.mode'='mor')
+                 AS SELECT * FROM brw_src""")
+    // MOR MERGE: inserts flow through the delta writer
+    spark.sql("""MERGE INTO brw.t USING
+                   (SELECT 50000L AS k, 77777L AS u) s
+                 ON t.k = s.k
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val t = GraftTable.forPath(spark, s"$wh/t")
+    assert(t.manifest().where(col("bloom_u").isNull).count() == 0,
+      "delta-written files must carry real blooms")
+    // the merged-in uid prunes to its one (tiny) insert file
+    GraftTableSource.lastPlannedFiles = -1
+    assert(spark.sql("SELECT k FROM brw.t WHERE u = 77777")
+      .collect().map(_.getLong(0)).toSeq == Seq(50000L))
+    assert(GraftTableSource.lastPlannedFiles == 1,
+      s"probe of a merged-in value should plan exactly the insert " +
+        s"file, planned ${GraftTableSource.lastPlannedFiles}")
+    // COW rewrite (group-based UPDATE on a cow-mode table): flip the
+    // mode, update a window, rewritten files must stay indexed
+    spark.sql(
+      "ALTER TABLE brw.t SET TBLPROPERTIES('delete.mode'='cow')")
+    spark.sql("UPDATE brw.t SET u = u + 100000 WHERE k < 100")
+    val t2 = GraftTable.forPath(spark, s"$wh/t")
+    assert(t2.manifest().where(col("bloom_u").isNull).count() == 0,
+      "COW-rewritten files must carry real blooms")
+    val moved = (50L * 40503L) % 20000L + 100000L
+    GraftTableSource.lastPlannedFiles = -1
+    assert(spark.sql(s"SELECT k FROM brw.t WHERE u = $moved")
+      .collect().map(_.getLong(0)).toSeq == Seq(50L))
+    assert(GraftTableSource.lastPlannedFiles <
+      t2.manifest().count())
+  }
+
   test("write/read bit agreement on every scalar type family: string " +
       "and timestamp probes never lose their row") {
     val root = tmp()
