@@ -281,6 +281,22 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
 
   override def name(): String = s"gtable($root@v$version)"
   override def schema(): StructType = schema0
+
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` surface: the
+    * catalog-persisted properties under their public names. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    def put(opt: String, pub: String): Unit =
+      Option(options.get(opt)).foreach(v => m.put(pub, v))
+    put("statsCols", "statsCols")
+    put("deleteMode", "delete.mode")
+    put("clusterBy", "write.cluster-by")
+    put("bloomCols", "bloom.cols")
+    put("bloomBits", "bloom.bits")
+    put("checkConstraint", "check.constraint")
+    put("notNullCols", "not.null.cols")
+    m
+  }
   // BATCH_WRITE gates DataFrameWriter's v2 routing; V1_BATCH_WRITE
   // routes the physical plan to the V1 fallback exec that understands
   // the InsertableRelation this table's Write produces.

@@ -55,6 +55,21 @@ class ConstraintSpec extends AnyFunSuite {
     assert(spark.table("cns.nn").count() == 2)
   }
 
+  test("SHOW TBLPROPERTIES surfaces the persisted table properties " +
+      "under their public names") {
+    wh
+    spark.sql("""CREATE TABLE cns.props (k BIGINT NOT NULL)
+                 TBLPROPERTIES('statsCols'='k',
+                               'write.cluster-by'='k',
+                               'check.constraint'='k > 0')""")
+    val props = spark.sql("SHOW TBLPROPERTIES cns.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("statsCols").contains("k"))
+    assert(props.get("write.cluster-by").contains("k"))
+    assert(props.get("check.constraint").contains("k > 0"))
+    assert(props.get("not.null.cols").contains("k"))
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES('check.constraint') binds on " +
       "the next write; existing rows are not audited retroactively") {
     wh
