@@ -133,6 +133,43 @@ object Bench {
       best.get
     }
 
+    /** Pair-leg variant of the re-sample protocol (VERDICT r10 #2):
+      * legs that report TWO numbers per run (etl initial/incremental,
+      * cow/mor delete) previously converged on one of them only — the
+      * r10 artifact's etl_incremental_10x was a 45 s load spike that
+      * the protocol never re-sampled. Both components must agree
+      * within 1.5× across samples, and each REPORTED number is its
+      * own per-component minimum (a spike in one run's incremental
+      * must not ride in on a good initial). */
+    def sampledPair(name: String)(f: => (Double, Double))
+        : (Double, Double) = {
+      var samples = List.empty[(Double, Double)]
+      var i = 0
+      var converged = false
+      while (i < legMaxSamples && !converged) {
+        val tag = if (i == 0) name else s"$name#${i + 1}"
+        val r = quietLeg(tag)(f)
+        if (r._1 < 0 || r._2 < 0) {
+          if (samples.isEmpty) samples = List(r); converged = true
+        } else {
+          samples = samples :+ r
+          def conv(sel: ((Double, Double)) => Double): Boolean = {
+            val s = samples.map(sel).sorted
+            s.length >= 2 && s(1) <= s(0) * 1.5
+          }
+          converged = conv(_._1) && conv(_._2)
+        }
+        i += 1
+      }
+      legSampleLog(name) = samples.map(_._1)
+      legSampleLog(s"$name.b") = samples.map(_._2)
+      def minPosOf(xs: List[Double]): Double = {
+        val pos = xs.filter(_ >= 0)
+        if (pos.isEmpty) -1.0 else pos.min
+      }
+      (minPosOf(samples.map(_._1)), minPosOf(samples.map(_._2)))
+    }
+
     // Optional dev filter: SPARK_GRAFT_ONLY=q101_pagerank,q21_lsh_pairs
     // restricts the measured set (and skips the etl pair) so a single
     // query's warm time can be iterated on without the full suite.
@@ -289,8 +326,7 @@ object Bench {
       }
     }
     val (etl10xTime, etl10xIncTime) =
-      if (runEtl) sampled(s"etl_pipeline_${etlX}x")(
-        (t: (Double, Double)) => t._1)(etl10x())
+      if (runEtl) sampledPair(s"etl_pipeline_${etlX}x")(etl10x())
       else (-1.0, -1.0)
 
     // 10× scale smoke for the DEDUP family: documents replicated 10×
@@ -483,7 +519,7 @@ object Bench {
       }
     }
     val (cowDel10xTime, morDel10xTime) =
-      if (runEtl) sampled("mor_10x")((t: (Double, Double)) => t._2)(mor10x())
+      if (runEtl) sampledPair("mor_10x")(mor10x())
       else (-1.0, -1.0)
 
     // BLOOM-INDEX probe at 50×: the same point lookup on a UNIQUE

@@ -835,6 +835,17 @@ object OracleSql {
                AS DOUBLE), 2) AS revenue
       FROM orders GROUP BY 1 ORDER BY 1
     """,
+    // q245: the rename+widen evolution must not perturb a value —
+    // the oracle replays the narrow float round-trip (REAL = float4)
+    // the Spark table stored, then aggregates the original rows.
+    "q245_schema_evolution" -> """
+      SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_custkey AS BIGINT)) AS BIGINT) AS key_sum,
+             ROUND(CAST(SUM(CAST(CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
+               AS DECIMAL(18,4))) AS DOUBLE), 2) AS bal_sum
+      FROM customer GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -324,7 +324,8 @@ object SparkEntry {
     "q241_bloom_lookup" -> (FormatQueries.q241BloomLookup _),
     "q242_sql_procedures" -> (FormatQueries.q242SqlProcedures _),
     "q243_zorder_3d" -> (FormatQueries.q243Zorder3d _),
-    "q244_constrained_insert" -> (FormatQueries.q244ConstrainedInsert _)
+    "q244_constrained_insert" -> (FormatQueries.q244ConstrainedInsert _),
+    "q245_schema_evolution" -> (FormatQueries.q245SchemaEvolution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

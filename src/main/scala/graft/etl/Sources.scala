@@ -20,17 +20,42 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  /** How a JDBC read obtains its connection secrets (D6) — the seam
+    * the reference fills with SecretsManager
+    * (`scripts/jb_de_enhancement_t0_fact_d2s.py:32-65`): credentials
+    * are RESOLVED AT READ TIME by a provider function, never embedded
+    * in job code or logged config. `fromEnv` is the container-native
+    * default (user/password from environment variables, absent = no
+    * auth — the embedded-Derby case); a deployment backs the same
+    * signature with its vault of choice. The provider is invoked once
+    * per read, so rotated credentials take effect on the next job
+    * without a restart. */
+  type CredentialsProvider = () => Map[String, String]
+
+  /** Default provider: `GRAFT_JDBC_USER` / `GRAFT_JDBC_PASSWORD` env
+    * vars, omitting keys that are unset. */
+  val fromEnv: CredentialsProvider = () =>
+    Seq("user" -> sys.env.get("GRAFT_JDBC_USER"),
+      "password" -> sys.env.get("GRAFT_JDBC_PASSWORD"))
+      .collect { case (k, Some(v)) => k -> v }.toMap
+
   /** S1/S2 — JDBC scan; `queryOrTable` is either a table name or a
     * pushdown `(SELECT …) t` subquery, exactly the reference's two T0
     * modes. Partitioned-read options parallelize what the reference left
     * single-threaded (glue_t0.md:144 notes the single-connection
-    * bottleneck; partitionColumn/num splits it N ways). */
+    * bottleneck; partitionColumn/num splits it N ways). Credentials
+    * come from `creds` (resolved per read, see
+    * [[CredentialsProvider]]); explicit `props` win on key conflicts
+    * so a caller can still override locally. */
   def jdbc(spark: SparkSession, url: String, queryOrTable: String,
-      props: Map[String, String] = Map.empty): DataFrame = {
+      props: Map[String, String] = Map.empty,
+      creds: CredentialsProvider = fromEnv): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", queryOrTable)
-    props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    (creds() ++ props).foldLeft(base) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
   }
 
   /** S3/S4 — parquet table scan; filters/pruning ride on Catalyst. */

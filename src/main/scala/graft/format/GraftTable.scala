@@ -75,21 +75,39 @@ final class GraftTable private (
   /** Highest committed version (max over snapshot files), 0 = none. */
   def currentVersion: Long = GraftTable.versionAt(root)
 
-  private def snapshot(v: Long): Snapshot = {
-    val p = java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt")
-    val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .split("\n").map(_.trim).filter(_.nonEmpty)
-    val kv = lines.map { l =>
-      val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
-    }.toMap
-    Snapshot(v, kv("op"), kv("parent").toLong, kv("manifest"),
-      kv("n_files").toLong, kv("n_rows").toLong,
-      kv.get("applied").filter(_.nonEmpty)
-        .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty),
-      kv.get("schema").filter(_.nonEmpty),
-      kv.get("dv").filter(_.nonEmpty),
-      kv.get("n_dels").map(_.toLong).getOrElse(0L))
-  }
+  private def snapshot(v: Long): Snapshot =
+    GraftTable.snapCached(root, v) {
+      val p = java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt")
+      val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+      val kv = lines.map { l =>
+        val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
+      }.toMap
+      // MANIFEST LIST (Iceberg's model): `manifests=dir:entries:rows,…`
+      // names SEVERAL disjoint manifest dirs whose union is the live
+      // file set — an append commits only its own delta dir. Legacy
+      // single-dir records (`manifest=dir`) read as a one-element list
+      // with unknown counts (resolved lazily if ever needed).
+      val dirs: Seq[ManifestRef] =
+        kv.get("manifests").filter(_.nonEmpty).map(_.split(",").toSeq
+          .map { s =>
+            val p = s.split(":")
+            ManifestRef(p(0), p(1).toLong, p(2).toLong)
+          })
+        .orElse(kv.get("manifest").filter(_.nonEmpty)
+          .map(d => Seq(ManifestRef(d, -1L, -1L))))
+        .getOrElse(Nil)
+      Snapshot(v, kv("op"), kv("parent").toLong, dirs,
+        kv("n_files").toLong, kv("n_rows").toLong,
+        kv.get("applied").filter(_.nonEmpty)
+          .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty),
+        kv.get("schema").filter(_.nonEmpty),
+        kv.get("dv").filter(_.nonEmpty),
+        kv.get("n_dels").map(_.toLong).getOrElse(0L),
+        kv.get("evolved").contains("1"),
+        kv.get("dead_cols").filter(_.nonEmpty)
+          .map(_.split(",").toSet).getOrElse(Set.empty))
+    }
 
   /** The table schema RECORDED AT COMMIT TIME (Delta's metadata
     * action restated): appends/merges union new columns onto the
@@ -112,13 +130,29 @@ final class GraftTable private (
 
   /** The manifest DataFrame of a version: one row per live data file
     * (`path` relative to root, `row_count`, typed `min_<c>`/`max_<c>`
-    * per stats column). */
-  def manifest(version: Long = currentVersion): DataFrame =
-    spark.read.parquet(s"${logDir(root)}/${snapshot(version).manifestDir}")
+    * per stats column) — the union of the snapshot's manifest LIST
+    * (dirs hold disjoint path sets; a dir written before a bloom/
+    * schema change null-fills the newer columns, which reads treat as
+    * "might contain anything"). */
+  def manifest(version: Long = currentVersion): DataFrame = {
+    val refs = snapshot(version).manifestDirs
+    if (refs.isEmpty) spark.emptyDataFrame
+    else refs.map(r => readManifestDir(r.dir))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
+  private def readManifestDir(dir: String): DataFrame =
+    spark.read.parquet(s"${logDir(root)}/$dir")
+
+  /** Live data-file paths of `version`, memoized per (root, version) —
+    * a committed version's file list is immutable, and every plain
+    * [[read]] needs it, so the collect job runs once per session
+    * instead of 4–6× per query (vacuum invalidates the root). */
   private def filePaths(version: Long): Seq[String] =
-    manifest(version).select("path").collect()
-      .map(r => s"$root/${r.getString(0)}").toSeq
+    GraftTable.pathsCached(root, version) {
+      manifest(version).select("path").collect()
+        .map(r => s"$root/${r.getString(0)}").toSeq
+    }
 
   // ---- deletion vectors (merge-on-read) ------------------------------
 
@@ -181,6 +215,162 @@ final class GraftTable private (
       minusDv(withRowId(df), version).select(cols.map(col): _*)
     }
 
+  // ---- schema evolution (rename / drop / widen) ----------------------
+
+  /** Whether `version` has undergone a rename/drop/widen — the flag
+    * that turns on physical→logical read reconciliation and
+    * logical→physical write translation. False for every table that
+    * never evolved, so those paths stay byte-identical. */
+  def isEvolved(version: Long = currentVersion): Boolean =
+    version > 0 && snapshot(version).evolved
+
+  /** Logical column name → physical (file/manifest) name at
+    * `version`; identity for non-evolved tables and unknown names. */
+  private def physCol(name: String, version: Long): String =
+    if (!isEvolved(version)) name
+    else recordedSchema(version)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(name))
+        .map(GraftTable.physName))
+      .getOrElse(name)
+
+  /** Physical→LOGICAL projection for evolved tables: each recorded
+    * field reads from its physical column (null-filled when a file
+    * predates it — incl. re-added names, whose fresh physical name
+    * old files never carry, so dropped data cannot resurrect), cast
+    * to the recorded (possibly widened) type, surfaced under its
+    * logical name. `_gt_*` row-id columns ride through. Identity for
+    * non-evolved tables. */
+  private def reconcile(df: DataFrame, version: Long): DataFrame =
+    if (!isEvolved(version)) df
+    else recordedSchema(version) match {
+      case Some(s) =>
+        val present = df.columns.toSet
+        val extras = df.columns.filter(_.startsWith("_gt_")).toSeq
+        df.select(s.fields.toSeq.map { f =>
+          val p = GraftTable.physName(f)
+          (if (present(p)) col(p).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        } ++ extras.map(col): _*)
+      case None => df
+    }
+
+  /** LOGICAL→physical rename of an outbound frame, so every data file
+    * carries physical names regardless of when it was written (the
+    * write-side half of the column-mapping contract). */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val v = currentVersion
+    if (!isEvolved(v)) df
+    else recordedSchema(v) match {
+      case Some(s) =>
+        val m = s.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) ->
+            GraftTable.physName(f)).toMap
+        df.select(df.columns.toSeq.map(c =>
+          col(c).as(m.getOrElse(
+            c.toLowerCase(java.util.Locale.ROOT), c))): _*)
+      case None => df
+    }
+  }
+
+  /** Raw data-file read. Evolved tables read under an EXPLICIT
+    * physical schema (physical names, recorded/WIDE types): files
+    * missing a column null-fill, files keeping a narrow pre-widening
+    * type promote in the vectorized reader, and extra (dropped)
+    * columns are ignored — `mergeSchema` can do none of that (it
+    * refuses int-vs-long merges outright). */
+  private def readRaw(paths: Seq[String], version: Long): DataFrame =
+    if (!isEvolved(version)) spark.read.parquet(paths: _*)
+    else recordedSchema(version) match {
+      case Some(s) =>
+        val phys = org.apache.spark.sql.types.StructType(s.fields.map(
+          f => org.apache.spark.sql.types.StructField(
+            GraftTable.physName(f), f.dataType, nullable = true)))
+        spark.read.schema(phys).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+  /** ALTER TABLE RENAME COLUMN, log-level: the field keeps its
+    * physical name in `physical` metadata; no data file is touched —
+    * at 100 TB a rename must be O(1), which is why Delta/Iceberg both
+    * treat it as a metadata operation (column mapping / field ids). */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val s = recordedSchema().getOrElse(sys.error(
+      "renameColumn: table has no recorded schema"))
+    val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+    require(idx >= 0, s"renameColumn: no such column $oldName")
+    require(!s.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"renameColumn: column $newName already exists")
+    val f = s.fields(idx)
+    val nf = f.copy(name = newName,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString("physical", GraftTable.physName(f)).build())
+    commitWithRetry("alter",
+      newSchema =
+        Some(org.apache.spark.sql.types.StructType(
+          s.fields.updated(idx, nf))),
+      schemaReplace = true, evolvedOverride = Some(true))(
+      _ => AddRemove())
+  }
+
+  /** ALTER TABLE DROP COLUMN, log-level: the field leaves the
+    * recorded schema; files keep the bytes (time travel still sees
+    * them) but no current read surfaces them. The dropped PHYSICAL
+    * name joins the dead-column set so a later re-add of the same
+    * logical name maps to a FRESH physical name — old values can
+    * never resurrect. */
+  def dropColumn(name: String): Long = {
+    val s = recordedSchema().getOrElse(sys.error(
+      "dropColumn: table has no recorded schema"))
+    val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"dropColumn: no such column $name")
+    require(s.fields.length > 1, "dropColumn: cannot drop the last column")
+    commitWithRetry("alter",
+      newSchema =
+        Some(org.apache.spark.sql.types.StructType(
+          s.fields.patch(idx, Nil, 1))),
+      schemaReplace = true, evolvedOverride = Some(true),
+      addDeadCols = Set(GraftTable.physName(s.fields(idx))))(
+      _ => AddRemove())
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE, WIDENING only (int→long,
+    * float→double, short→int/long): log-level — old files keep the
+    * narrow physical type and reads cast up, exactly Iceberg's type-
+    * promotion rule (safe because every narrow value embeds losslessly
+    * in the wide type; narrowing is refused). */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType)
+      : Long = {
+    import org.apache.spark.sql.types._
+    val s = recordedSchema().getOrElse(sys.error(
+      "widenColumn: table has no recorded schema"))
+    val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"widenColumn: no such column $name")
+    val f = s.fields(idx)
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case _ => false
+    }
+    require(ok, s"widenColumn: ${f.dataType.simpleString} → " +
+      s"${to.simpleString} is not a widening promotion")
+    // bloom filters hash TYPED values (xxhash64(int) ≠ xxhash64(long));
+    // widening a bloom-indexed column would turn its index into a
+    // silent mis-pruner — refuse, the user must drop the index first
+    require(!bloomCols.contains(GraftTable.physName(f)),
+      s"widenColumn: $name carries a bloom index keyed on the narrow " +
+        "type; rebuild the table (or drop the index) to widen it")
+    commitWithRetry("alter",
+      newSchema =
+        Some(org.apache.spark.sql.types.StructType(
+          s.fields.updated(idx, f.copy(dataType = to)))),
+      schemaReplace = true, evolvedOverride = Some(true))(
+      _ => AddRemove())
+  }
+
   // ---- reads ---------------------------------------------------------
 
   /** The table at `version` (defaults to current) — time travel is
@@ -188,7 +378,7 @@ final class GraftTable private (
   def read(version: Long = currentVersion): DataFrame = {
     val paths = filePaths(version)
     if (paths.isEmpty) spark.emptyDataFrame
-    else applyDv(spark.read.parquet(paths: _*), version)
+    else reconcile(applyDv(readRaw(paths, version), version), version)
   }
 
   /** Zone-map pruned read: only files whose [min,max] envelope of
@@ -198,16 +388,18 @@ final class GraftTable private (
     * can see the skip rate. */
   def prunedRead(statsCol: String, lo: Column, hi: Column)
       : (DataFrame, Long, Long) = {
-    require(statsCols.contains(statsCol), s"no stats for $statsCol")
+    val v = currentVersion
+    val pc = physCol(statsCol, v) // manifest stats live under physical names
+    require(statsCols.contains(pc), s"no stats for $statsCol")
     val m = manifest().cache()
     val total = m.count()
-    val live = m.where(!(col(s"max_$statsCol") < lo ||
-        col(s"min_$statsCol") > hi))
+    val live = m.where(!(col(s"max_$pc") < lo ||
+        col(s"min_$pc") > hi))
       .select("path").collect().map(r => s"$root/${r.getString(0)}")
     m.unpersist()
     val df =
       if (live.isEmpty) read().limit(0)
-      else applyDv(spark.read.parquet(live.toSeq: _*), currentVersion)
+      else reconcile(applyDv(readRaw(live.toSeq, v), v), v)
     (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
       live.length.toLong, total)
   }
@@ -223,14 +415,15 @@ final class GraftTable private (
     * contract: pruning is an optimization, never a semantics change.
     * Returns (rows, filesOpened, filesTotal). */
   def prunedWhere(cond: Column): (DataFrame, Long, Long) = {
+    val v = currentVersion
     val m = manifest().cache()
     val total = m.count()
-    val live = m.where(statsKeep(cond, currentVersion))
+    val live = m.where(statsKeep(cond, v))
       .select("path").collect().map(r => s"$root/${r.getString(0)}")
     m.unpersist()
     val df =
       if (live.isEmpty) read().limit(0)
-      else applyDv(spark.read.parquet(live.toSeq: _*), currentVersion)
+      else reconcile(applyDv(readRaw(live.toSeq, v), v), v)
     (df.where(cond), live.length.toLong, total)
   }
 
@@ -246,17 +439,22 @@ final class GraftTable private (
     // Spark 4 Columns carry lazy ColumnNodes, and only analysis turns
     // them into the And/Or/comparison tree (with literals cast to the
     // column type) this translation walks.
+    // predicates reference LOGICAL names; manifest stats/blooms live
+    // under PHYSICAL names — translate at the match (identity unless
+    // the table evolved)
     def attr(e: Expression): Option[String] = e match {
-      case a: AttributeReference if statsCols.contains(a.name) =>
-        Some(a.name)
+      case a: AttributeReference
+          if statsCols.contains(physCol(a.name, version)) =>
+        Some(physCol(a.name, version))
       case _ => None // incl. Cast(attr): a cast can break monotonicity
     }
     // equality probes can also prune through a BLOOM INDEX (columns
     // the table is not clustered on); envelope and bloom tests AND
     def attrEq(e: Expression): Option[String] = e match {
       case a: AttributeReference
-          if statsCols.contains(a.name) || bloomCols.contains(a.name) =>
-        Some(a.name)
+          if statsCols.contains(physCol(a.name, version)) ||
+            bloomCols.contains(physCol(a.name, version)) =>
+        Some(physCol(a.name, version))
       case _ => None
     }
     def eqTest(c: String, lv: Column): Column = {
@@ -332,8 +530,9 @@ final class GraftTable private (
   def readMerged(version: Long = currentVersion): DataFrame = {
     val paths = filePaths(version)
     if (paths.isEmpty) spark.emptyDataFrame
-    else applyDv(
-      spark.read.option("mergeSchema", "true").parquet(paths: _*), version)
+    else reconcile(applyDv(
+      spark.read.option("mergeSchema", "true").parquet(paths: _*),
+      version), version)
   }
 
   /** CDC-style incremental read: the rows of files ADDED between two
@@ -350,7 +549,7 @@ final class GraftTable private (
       else toPaths.except(manifest(fromVersion).select("path")))
       .collect().map(r => s"$root/${r.getString(0)}")
     if (added.isEmpty) read(toVersion).limit(0)
-    else spark.read.parquet(added.toSeq: _*)
+    else reconcile(readRaw(added.toSeq, toVersion), toVersion)
   }
 
   /** ROW-LEVEL CDC: every change between two snapshots as an event
@@ -375,14 +574,14 @@ final class GraftTable private (
     val touched = dvNew.select("path").distinct()
       .collect().map(_.getString(0))
     if (touched.isEmpty) return inserts
-    val raw = spark.read
-      .parquet(touched.toIndexedSeq.map(p => s"$root/$p"): _*)
+    val raw = readRaw(touched.toIndexedSeq.map(p => s"$root/$p"),
+      toVersion)
     val dataCols = raw.columns.toIndexedSeq
-    val deletes = withRowId(raw)
+    val deletes = reconcile(withRowId(raw)
       .join(dvNew.select(col("path").as("_gt_path"),
         col("pos").as("_gt_pos")), Seq("_gt_path", "_gt_pos"),
         "left_semi")
-      .select(dataCols.map(col): _*)
+      .select(dataCols.map(col): _*), toVersion)
       .withColumn("_change_type", lit("delete"))
     inserts.unionByName(deletes, allowMissingColumns = true)
   }
@@ -435,22 +634,35 @@ final class GraftTable private (
       if (left.forall(f => !f.getName.endsWith(".parquet")))
         { left.foreach(_.delete()); cd.delete() }
     }
+    // manifest dirs are SHARED across snapshots (appends/restores
+    // carry the parent's list by reference): an expired snapshot's
+    // dir is deleted only if no RETAINED snapshot still lists it.
+    // DV dirs are written fresh per commit, never shared.
+    val keptDirs = (keepFrom to cur).flatMap { v =>
+      try {
+        val s = snapshot(v); s.manifestDirs.map(_.dir) ++ s.dvDir.toSeq
+      } catch { case _: java.nio.file.NoSuchFileException => Nil }
+    }.toSet
     (1L until keepFrom).foreach { v =>
-      val s = snapshot(v)
-      deleteRecursively(
-        new java.io.File(s"${logDir(root)}/${s.manifestDir}"))
-      // a DV dir is written per commit, never shared across snapshots
-      s.dvDir.foreach(d =>
-        deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
+      try {
+        val s = snapshot(v)
+        s.manifestDirs.map(_.dir).filterNot(keptDirs).foreach(d =>
+          deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
+        s.dvDir.filterNot(keptDirs).foreach(d =>
+          deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
+      } catch { // already vacuumed by an earlier pass
+        case _: java.nio.file.NoSuchFileException => ()
+      }
     }
+    GraftTable.invalidate(root) // memoized snapshots/paths now stale
     // orphaned manifest dirs (written by a commit that never created
     // its snapshot file) — same age guard as orphan data
     val namedDirs = (1L to currentVersion).flatMap { v =>
       try {
         val s = snapshot(v)
-        s.manifestDir +: s.dvDir.toSeq
+        s.manifestDirs.map(_.dir) ++ s.dvDir.toSeq
       } catch { case _: java.nio.file.NoSuchFileException => Nil }
     }.toSet
     Option(new java.io.File(logDir(root)).listFiles())
@@ -471,6 +683,18 @@ final class GraftTable private (
     ()
   }
 
+  /** Logically-deleted (DV) row count of `version` — with [[rowCount]]
+    * the input to the DV-compaction policy (`CALL system.maintain`):
+    * when dels/rows crosses a threshold, the per-read anti-join tax
+    * outweighs a one-time rewrite. Snapshot-record reads, no IO. */
+  def deletedRowCount(version: Long = currentVersion): Long =
+    if (version == 0) 0L else snapshot(version).nDels
+
+  /** PHYSICAL row count of `version` (live rows = rowCount −
+    * deletedRowCount). Snapshot-record read, no IO. */
+  def rowCount(version: Long = currentVersion): Long =
+    if (version == 0) 0L else snapshot(version).nRows
+
   /** Commit history, newest first: one row per snapshot still on
     * disk (vacuum removes records behind its horizon). */
   def history(): DataFrame = {
@@ -488,13 +712,14 @@ final class GraftTable private (
 
   /** Append `df` as a new snapshot; returns the committed version.
     * Data files are written ONCE; only the (cheap) manifest+commit
-    * step retries under a concurrent-writer conflict. */
+    * step retries under a concurrent-writer conflict. O(appended)
+    * metadata: the commit writes ONE delta manifest dir and carries
+    * the parent's manifest list by reference — appending one file to
+    * a billion-file table never rewrites the billion-row manifest. */
   def append(df: DataFrame, numFiles: Int = 4): Long = {
     val stats = writeData(df, numFiles)
-    commitWithRetry("append", newSchema = Some(df.schema)) { parent =>
-      if (parent == 0) stats
-      else manifest(parent).unionByName(stats, allowMissingColumns = true)
-    }
+    commitWithRetry("append", newSchema = Some(df.schema))(
+      _ => AddRemove(added = Some(stats)))
   }
 
   /** (candidate files the last COW audit actually read, live files at
@@ -514,23 +739,24 @@ final class GraftTable private (
     * kept by audit and rewrite alike (`coalesce(cond, false)` on both
     * sides, so the outcome never depends on file layout). */
   private def cowSurvivors(parent: Long, cond: Column,
-      numFiles: Int): DataFrame = {
+      numFiles: Int): AddRemove = {
     import spark.implicits._
     val all = manifest(parent)
     val allPaths = all.select("path").as[String].collect()
     lastAuditTotal = allPaths.length.toLong
-    if (allPaths.isEmpty) { lastAuditScanned = 0L; return all }
+    if (allPaths.isEmpty) { lastAuditScanned = 0L; return AddRemove() }
     val candidates = all.where(statsKeep(cond, parent))
       .select("path").as[String].collect()
     lastAuditScanned = candidates.length.toLong
-    if (candidates.isEmpty) return all
+    if (candidates.isEmpty) return AddRemove()
     val hit = coalesce(cond, lit(false))
     // audit over the LIVE view: rows already in the parent's deletion
     // vector count neither as total nor as hits, so a file whose
     // remaining live rows all match still drops cleanly, and per-file
     // totals are live-row totals
-    val audit = minusDv(withRowId(spark.read
-        .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+    // audits evaluate `cond` (logical names) over the reconciled view
+    val audit = reconcile(minusDv(withRowId(readRaw(
+        candidates.map(p => s"$root/$p").toSeq, parent)), parent), parent)
       .groupBy(col("_gt_path"))
       .agg(count(lit(1)).as("total"),
         count(when(hit, lit(1))).as("hits"))
@@ -538,20 +764,20 @@ final class GraftTable private (
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val touched = audit.filter(_._3 > 0)
     val mixed = touched.filter(a => a._3 < a._2).map(_._1)
-    // hit files are the SMALL side: drop them from the manifest with a
-    // broadcast anti-join, never a driver-built In-list over the table
-    val kept =
-      if (touched.isEmpty) all
-      else all.join(broadcast(touched.map(_._1).toSeq.toDF("path")),
-        Seq("path"), "left_anti")
-    if (mixed.isEmpty) kept
+    // touched (all-hit + mixed) files LEAVE the manifest; only the
+    // manifest dirs that list them are rewritten at commit — every
+    // other dir carries by reference, so a windowed delete's metadata
+    // cost follows the window, not the table
+    if (mixed.isEmpty)
+      AddRemove(removedPaths = touched.map(_._1).toSeq)
     else {
-      val raw = spark.read.parquet(mixed.map(p => s"$root/$p").toSeq: _*)
-      val dataCols = raw.columns.toIndexedSeq
-      val survivors = minusDv(withRowId(raw), parent).where(!hit)
-        .select(dataCols.map(col): _*)
-      kept.unionByName(writeData(survivors, numFiles),
-        allowMissingColumns = true)
+      val rec = reconcile(minusDv(withRowId(readRaw(
+        mixed.map(p => s"$root/$p").toSeq, parent)), parent), parent)
+      val dataCols = rec.columns.toIndexedSeq
+        .filterNot(_.startsWith("_gt_"))
+      val survivors = rec.where(!hit).select(dataCols.map(col): _*)
+      AddRemove(added = Some(writeData(survivors, numFiles)),
+        removedPaths = touched.map(_._1).toSeq)
     }
   }
 
@@ -560,8 +786,12 @@ final class GraftTable private (
     * v2 connector maps to). Old files become unreferenced history —
     * still time-travelable until vacuum. */
   def overwrite(df: DataFrame, numFiles: Int = 4): Long = {
-    val stats = writeData(df, numFiles)
-    commitWithRetry("overwrite", newSchema = Some(df.schema))(_ => stats)
+    // full replacement resets evolution state: every file is new and
+    // written under df's own names, so no mapping survives
+    val stats = writeData(df, numFiles, translate = false)
+    commitWithRetry("overwrite", newSchema = Some(df.schema),
+      evolvedOverride = Some(false),
+      deadColsOverride = Some(Set.empty))(_ => ReplaceAll(stats))
   }
 
   /** Copy-on-write delete of rows where `cond` IS TRUE: files with no
@@ -599,12 +829,15 @@ final class GraftTable private (
           .select("path").as[String].collect()
         lastAuditScanned = candidates.length.toLong
         if (candidates.isEmpty) emptyDv
-        else minusDv(withRowId(spark.read
-            .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+        else reconcile(minusDv(withRowId(readRaw(
+            candidates.map(p => s"$root/$p").toSeq, parent)), parent),
+            parent)
           .where(coalesce(cond, lit(false)))
           .select(col("_gt_path").as("path"), col("_gt_pos").as("pos"))
       }
-    })(parent => manifest(parent))
+      // the manifest list carries by reference UNCHANGED — a MOR
+      // delete's metadata write is the DV alone, zero manifest IO
+    })(_ => AddRemove())
   }
 
   /** METADATA-ONLY aggregates: COUNT(*) and per-stats-column MIN/MAX
@@ -621,11 +854,24 @@ final class GraftTable private (
     // exactness-requiring callers (connector agg pushdown) must check
     // [[hasDeletionVectors]] and decline.
     val dels = if (version == 0) 0L else snapshot(version).nDels
+    // stats columns live under PHYSICAL names; surface them to the
+    // caller under the logical name and recorded (widened) type
+    val p2l: Map[String, (String, org.apache.spark.sql.types.DataType)] =
+      if (!isEvolved(version)) Map.empty
+      else recordedSchema(version).map(_.fields.map(f =>
+        GraftTable.physName(f) -> ((f.name, f.dataType))).toMap)
+        .getOrElse(Map.empty)
+    def out(pre: String, c: String): Column = {
+      val agg = if (pre == "min") min(col(s"min_$c"))
+        else max(col(s"max_$c"))
+      p2l.get(c) match {
+        case Some((l, t)) => agg.cast(t).as(s"${pre}_$l")
+        case None => agg.as(s"${pre}_$c")
+      }
+    }
     val aggs = (coalesce(sum(col("row_count")), lit(0L)) - lit(dels))
       .as("n_rows") +:
-      statsCols.flatMap(c => Seq(
-        min(col(s"min_$c")).as(s"min_$c"),
-        max(col(s"max_$c")).as(s"max_$c")))
+      statsCols.flatMap(c => Seq(out("min", c), out("max", c)))
     manifest(version).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -638,8 +884,12 @@ final class GraftTable private (
       numFiles: Int = 4): Long = {
     val replacement = writeData(df, numFiles)
     commitWithRetry("replace", newSchema = Some(df.schema)) { parent =>
-      cowSurvivors(parent, cond, numFiles)
-        .unionByName(replacement, allowMissingColumns = true)
+      val d = cowSurvivors(parent, cond, numFiles)
+      d.copy(added = Some(d.added match {
+        case Some(a) => a.unionByName(replacement,
+          allowMissingColumns = true)
+        case None => replacement
+      }))
     }
   }
 
@@ -654,10 +904,7 @@ final class GraftTable private (
     if (appliedBatches.contains(batchId)) return currentVersion
     val stats = writeData(df, numFiles)
     commitWithRetry("append", batchLedger = Some(batchId),
-        newSchema = Some(df.schema)) { parent =>
-      if (parent == 0) stats
-      else manifest(parent).unionByName(stats, allowMissingColumns = true)
-    }
+      newSchema = Some(df.schema))(_ => AddRemove(added = Some(stats)))
   }
 
   /** MERGE (upsert) on `keyCols`, whole-row-replace semantics,
@@ -678,7 +925,8 @@ final class GraftTable private (
     // merge (the incremental-upsert shape) therefore probes O(touched
     // window) files, never O(table). NULL update keys never join
     // (three-valued equality), so null-ignoring min/max stay sound.
-    val statKeys = keyCols.filter(statsCols.contains)
+    val statKeys =
+      keyCols.filter(k => statsCols.contains(physCol(k, currentVersion)))
     val keyBounds: Map[String, (Any, Any)] =
       if (statKeys.isEmpty) Map.empty
       else {
@@ -694,46 +942,44 @@ final class GraftTable private (
       lastAuditTotal = all.count()
       val candPred = statKeys.map { k =>
         val (lo, hi) = keyBounds(k)
+        val p = physCol(k, parent)
         // all-NULL update keys ⇒ nothing can match ⇒ prune every file
         if (lo == null) lit(false)
-        else col(s"min_$k") <= lit(hi) && col(s"max_$k") >= lit(lo)
+        else col(s"min_$p") <= lit(hi) && col(s"max_$p") >= lit(lo)
       }.reduceOption(_ && _).getOrElse(lit(true))
       val candidates = all.where(candPred)
         .select("path").as[String].collect()
       lastAuditScanned = candidates.length.toLong
       if (candidates.isEmpty) {
         // no live file can hold a matched key: pure insert
-        all.unionByName(writeData(updates, numFiles),
-          allowMissingColumns = true)
+        AddRemove(added = Some(writeData(updates, numFiles)))
       } else {
         // `_gt_path` rides the scan project (the `_metadata` column is
         // join-safe, unlike input_file_name()); the probe sees only
         // LIVE rows — a row in the parent's deletion vector can't pin
         // its file into the rewrite set or resurrect through it
-        val current = minusDv(withRowId(spark.read
-          .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+        val current = reconcile(minusDv(withRowId(readRaw(
+          candidates.map(p => s"$root/$p").toSeq, parent)), parent),
+          parent)
         val hits = current
           .join(keyed, keyCols, "left_semi")
           .groupBy(col("_gt_path"))
           .agg(count(lit(1)).as("hits"))
           .collect().map(_.getString(0)).toSet
-        val untouched =
-          if (hits.isEmpty) all
-          else all.join(broadcast(hits.toSeq.toDF("path")),
-            Seq("path"), "left_anti")
         val touchedPaths = hits.toSeq.map(rel => s"$root/$rel")
         val survivors =
           if (touchedPaths.isEmpty) updates
           else {
-            val raw = spark.read.parquet(touchedPaths: _*)
-            val dataCols = raw.columns.toIndexedSeq
-            minusDv(withRowId(raw), parent)
-              .select(dataCols.map(col): _*)
+            val rec = reconcile(minusDv(withRowId(
+              readRaw(touchedPaths, parent)), parent), parent)
+            val dataCols = rec.columns.toIndexedSeq
+              .filterNot(_.startsWith("_gt_"))
+            rec.select(dataCols.map(col): _*)
               .join(keyed, keyCols, "left_anti")
               .unionByName(updates)
           }
-        untouched.unionByName(writeData(survivors, numFiles),
-          allowMissingColumns = true)
+        AddRemove(added = Some(writeData(survivors, numFiles)),
+          removedPaths = hits.toSeq)
       }
     }
   }
@@ -752,7 +998,8 @@ final class GraftTable private (
   def mergeMor(updates: DataFrame, keyCols: Seq[String]): Long = {
     import spark.implicits._
     val keyed = updates.select(keyCols.map(col): _*).distinct()
-    val statKeys = keyCols.filter(statsCols.contains)
+    val statKeys =
+      keyCols.filter(k => statsCols.contains(physCol(k, currentVersion)))
     val keyBounds: Map[String, (Any, Any)] =
       if (statKeys.isEmpty) Map.empty
       else {
@@ -770,20 +1017,20 @@ final class GraftTable private (
         lastAuditTotal = all.count()
         val candPred = statKeys.map { k =>
           val (lo, hi) = keyBounds(k)
+          val p = physCol(k, parent)
           if (lo == null) lit(false)
-          else col(s"min_$k") <= lit(hi) && col(s"max_$k") >= lit(lo)
+          else col(s"min_$p") <= lit(hi) && col(s"max_$p") >= lit(lo)
         }.reduceOption(_ && _).getOrElse(lit(true))
         val candidates = all.where(candPred)
           .select("path").as[String].collect()
         lastAuditScanned = candidates.length.toLong
         if (candidates.isEmpty) emptyDv
-        else minusDv(withRowId(spark.read
-            .parquet(candidates.map(p => s"$root/$p").toSeq: _*)), parent)
+        else reconcile(minusDv(withRowId(readRaw(
+            candidates.map(p => s"$root/$p").toSeq, parent)), parent),
+            parent)
           .join(keyed, keyCols, "left_semi")
           .select(col("_gt_path").as("path"), col("_gt_pos").as("pos"))
-      }) { parent =>
-      manifest(parent).unionByName(newFiles, allowMissingColumns = true)
-    }
+      })(_ => AddRemove(added = Some(newFiles)))
   }
 
   /** Atomic REPLACE-FILES commit for the connector's row-level
@@ -806,16 +1053,7 @@ final class GraftTable private (
         throw new ConcurrentCommitException(
           s"row-level $op on $root planned against v$expectedParent " +
             s"but the table is now at v$parent; re-run the statement")
-      import spark.implicits._
-      if (parent == 0) newEntries
-      else {
-        val all = manifest(parent)
-        val kept =
-          if (removed.isEmpty) all
-          else all.join(broadcast(removed.toDF("path")),
-            Seq("path"), "left_anti")
-        kept.unionByName(newEntries, allowMissingColumns = true)
-      }
+      AddRemove(added = Some(newEntries), removedPaths = removed)
     }
 
   /** Atomic POSITION-DELTA commit for the connector's MOR row-level
@@ -835,13 +1073,9 @@ final class GraftTable private (
         throw new ConcurrentCommitException(
           s"row-level $op on $root planned against v$expectedParent " +
             s"but the table is now at v$parent; re-run the statement")
-      (parent, newEntries) match {
-        case (0, Some(e)) => e
-        case (0, None) => sys.error(s"$op on an empty table")
-        case (_, Some(e)) =>
-          manifest(parent).unionByName(e, allowMissingColumns = true)
-        case (_, None) => manifest(parent)
-      }
+      if (parent == 0 && newEntries.isEmpty)
+        sys.error(s"$op on an empty table")
+      AddRemove(added = newEntries)
     }
 
   /** Atomic APPEND-FILES commit for writers that produced their own
@@ -853,11 +1087,7 @@ final class GraftTable private (
       batchId: Option[Long],
       newSchema: Option[org.apache.spark.sql.types.StructType]): Long =
     commitWithRetry("append", batchLedger = batchId,
-        newSchema = newSchema) { parent =>
-      if (parent == 0) newEntries
-      else manifest(parent).unionByName(newEntries,
-        allowMissingColumns = true)
-    }
+      newSchema = newSchema)(_ => AddRemove(added = Some(newEntries)))
 
   /** ALTER TABLE ADD COLUMN: one content-preserving snapshot whose
     * recorded schema unions the new columns — no data file moves, and
@@ -867,7 +1097,7 @@ final class GraftTable private (
     commitWithRetry("alter", newSchema = Some(cols)) { parent =>
       if (parent == 0) sys.error(
         "addColumns on an empty table: declare the schema at CREATE")
-      else manifest(parent)
+      AddRemove() // metadata-only: the manifest list carries by reference
     }
 
   /** RESTORE — re-point the table at snapshot `version`'s exact
@@ -893,7 +1123,14 @@ final class GraftTable private (
       if (hasDeletionVectors(version)) Some(_ => deletionVectors(version))
       else None
     commitWithRetry("restore", newSchema = recordedSchema(version),
-      extraDv = dvAt, dvReplace = true)(_ => manifest(version))
+      extraDv = dvAt, dvReplace = true,
+      // evolution state reverts with the content it describes
+      evolvedOverride = Some(isEvolved(version)),
+      deadColsOverride = Some(snapshot(version).deadCols))(
+      // METADATA-ONLY restated at the list level: the restored
+      // version's manifest dirs come back BY REFERENCE — zero
+      // manifest rows written regardless of table size
+      _ => UseList(version))
   }
 
   /** Rewrite the live file set into `numFiles` bin-packed files
@@ -906,13 +1143,14 @@ final class GraftTable private (
     * file). A clustered table compacts with its own key. */
   def compact(numFiles: Int = 1, clusterBy: Seq[String] = Nil): Long =
     commitWithRetry("compact") { parent =>
-      if (clusterBy.isEmpty) writeData(read(parent), numFiles)
-      else {
-        val cs = clusterBy.map(col)
-        writeData(read(parent)
-          .repartitionByRange(math.max(numFiles, 1), cs: _*)
-          .sortWithinPartitions(cs: _*), numFiles = 0)
-      }
+      ReplaceAll( // compaction also folds the manifest list to one dir
+        if (clusterBy.isEmpty) writeData(read(parent), numFiles)
+        else {
+          val cs = clusterBy.map(col)
+          writeData(read(parent)
+            .repartitionByRange(math.max(numFiles, 1), cs: _*)
+            .sortWithinPartitions(cs: _*), numFiles = 0)
+        })
     }
 
   /** INCREMENTAL compaction: rewrite only live files holding fewer
@@ -935,23 +1173,24 @@ final class GraftTable private (
       val m = manifest(parent)
       val small = m.where(col("row_count") < maxRows)
       val paths = small.select("path").collect().map(_.getString(0))
-      val big = m.where(col("row_count") >= maxRows)
-      if (paths.isEmpty) big // raced: the debt was compacted away
+      if (paths.isEmpty) AddRemove() // raced: debt was compacted away
       else {
         val raw = spark.read.option("mergeSchema", "true")
           .parquet(paths.toIndexedSeq.map(p => s"$root/$p"): _*)
-        val dataCols = raw.columns.toIndexedSeq
-        val live = minusDv(withRowId(raw), parent)
-          .select(dataCols.map(col): _*)
+        val rec = reconcile(minusDv(withRowId(raw), parent), parent)
+        val dataCols = rec.columns.toIndexedSeq
+          .filterNot(_.startsWith("_gt_"))
+        val live = rec.select(dataCols.map(col): _*)
         val staged =
           if (clusterBy.isEmpty) live
           else live
             .repartitionByRange(math.max(numFiles, 1),
               clusterBy.map(col): _*)
             .sortWithinPartitions(clusterBy.map(col): _*)
-        big.unionByName(
-          writeData(staged, if (clusterBy.isEmpty) numFiles else 0),
-          allowMissingColumns = true)
+        AddRemove(
+          added = Some(
+            writeData(staged, if (clusterBy.isEmpty) numFiles else 0)),
+          removedPaths = paths.toSeq)
       }
     }
   }
@@ -972,14 +1211,15 @@ final class GraftTable private (
     * are compact hyper-rectangles in every listed dimension, so zone
     * maps skip on ANY of them. */
   def optimizeZorder(cols: Seq[String], numFiles: Int): Long = {
-    require(cols.forall(statsCols.contains),
+    require(
+      cols.forall(c => statsCols.contains(physCol(c, currentVersion))),
       s"z-order columns must carry stats: $statsCols")
     commitWithRetry("zorder") { parent =>
       val staged = graft.etl.ZOrder.zValueN(read(parent), cols)
         .repartitionByRange(numFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z")
-      writeData(staged, numFiles = 0)
+      ReplaceAll(writeData(staged, numFiles = 0))
     }
   }
 
@@ -991,21 +1231,46 @@ final class GraftTable private (
     * [min,max] envelopes on the prune key, which is what makes
     * [[prunedRead]] skip (a hash repartition spreads every key range
     * across every file and zone maps skip nothing). */
-  private def writeData(df: DataFrame, numFiles: Int): DataFrame = {
+  private def writeData(df: DataFrame, numFiles: Int,
+      translate: Boolean = true): DataFrame = {
     val commitDir = s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
-    val staged = if (numFiles > 0) df.repartition(numFiles) else df
+    // logical→physical rename on evolved tables (identity otherwise):
+    // files always carry physical names, reads always map back
+    val phys = if (translate) toPhysical(df) else df
+    val staged = if (numFiles > 0) phys.repartition(numFiles) else phys
     staged.write.parquet(s"$root/$commitDir")
     val written = spark.read.parquet(s"$root/$commitDir")
     // bloom indexes ride the same single aggregate as min/max; a
     // bloom column the incoming frame doesn't carry (schema
     // evolution) records null = "might contain anything"
     val present = written.columns.toSet
+    // SIZING GUARDRAIL (VERDICT r10 #8): a fixed-width bloom saturates
+    // once a file holds more distinct values than ~bits/10 (every bit
+    // set → keeps everything, silently useless). Derive the width from
+    // this write's actual rows-per-file at ~10 bits/value (≈1% fpp at
+    // K=5), never below the declared width — and it is SAFE for files
+    // to differ in width, because the probe reads each file's m off
+    // `size(bloom)` (mightContain). One metadata-only count job.
+    val effBloomBits: Int =
+      if (bloomCols.isEmpty) bloomBits
+      else {
+        val nRows = written.count()
+        val nFiles = math.max(1,
+          Option(new java.io.File(s"$root/$commitDir").listFiles())
+            .getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")))
+        val perFile = math.max(1L, nRows / nFiles)
+        val target = java.lang.Long.highestOneBit(
+          math.max(1L, 10L * perFile - 1L)) * 2L
+        math.max(bloomBits.toLong,
+          math.min(target, 1L << 23)).toInt // cap: 1 MiB/file/col
+      }
     val aggs = (count(lit(1)).as("row_count") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
       bloomCols.map(c =>
         (if (present(c))
-          graft.functions.BloomFilterIndex.buildAgg(col(c), bloomBits)
+          graft.functions.BloomFilterIndex.buildAgg(col(c), effBloomBits)
         else first(lit(null).cast("array<bigint>"))).as(s"bloom_$c"))
     written.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1013,6 +1278,62 @@ final class GraftTable private (
       .withColumn("path",
         regexp_extract(col("path"), "(data/c[^/]+/[^/]+)$", 1))
   }
+
+  /** What a commit CHANGES, not the manifest it results in — the
+    * contract that makes commit metadata O(delta). [[AddRemove]]
+    * drops `removedPaths` and adds `added`'s entries onto the
+    * parent's manifest list: untouched dirs carry by reference, only
+    * dirs listing a removed path are rewritten (merged into one), and
+    * the added entries become one new delta dir. [[ReplaceAll]]
+    * (overwrite/compact/zorder) starts a fresh one-dir list.
+    * [[UseList]] (restore) re-points at an older version's dirs with
+    * zero manifest IO. */
+  private sealed trait Delta
+  private case class AddRemove(added: Option[DataFrame] = None,
+      removedPaths: Seq[String] = Nil) extends Delta
+  private case class ReplaceAll(entries: DataFrame) extends Delta
+  private case class UseList(version: Long) extends Delta
+
+  /** Write `entries` as one immutable manifest dir for version `next`
+    * (bloom columns this writer can't compute null-fill = "might
+    * contain anything"; blooms the entries carry from rewritten dirs
+    * are kept even if this instance didn't declare them) and return
+    * its ref with exact entry/row counts — ONE delta-sized aggregate. */
+  private def writeManifestDir(entries: DataFrame, next: Long)
+      : ManifestRef = {
+    val dir =
+      s"manifest-v${next}_${java.util.UUID.randomUUID.toString.take(8)}"
+    val present = entries.columns.toSet
+    val withBlooms = bloomCols.foldLeft(entries) { (d, c) =>
+      if (present(s"bloom_$c")) d
+      else d.withColumn(s"bloom_$c", lit(null).cast("array<bigint>"))
+    }
+    val bloomKept = (bloomCols.map(c => s"bloom_$c") ++
+      entries.columns.filter(_.startsWith("bloom_"))).distinct
+    val cols = "path" +: "row_count" +:
+      (statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ bloomKept)
+    withBlooms.select(cols.map(col): _*)
+      .write.parquet(s"${logDir(root)}/$dir")
+    val t = readManifestDir(dir)
+      .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
+      .head()
+    ManifestRef(dir, t.getLong(0), t.getLong(1))
+  }
+
+  /** Counts for a legacy single-dir ref (pre-list snapshots store no
+    * per-dir counts) — resolved once, then carried in new commits. */
+  private def ensureCounts(r: ManifestRef): ManifestRef =
+    if (r.entries >= 0) r
+    else {
+      val t = readManifestDir(r.dir)
+        .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
+        .head()
+      ManifestRef(r.dir, t.getLong(0), t.getLong(1))
+    }
+
+  private def unionRefs(refs: Seq[ManifestRef]): DataFrame =
+    refs.map(r => readManifestDir(r.dir))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** The single commit point: build the new manifest off the CURRENT
     * parent, write it, then atomically create `snapshot-v<N>.txt` —
@@ -1023,12 +1344,22 @@ final class GraftTable private (
     * writer crash mid-commit and prove readers/vacuum behavior. */
   @volatile private[graft] var beforeSnapshotCreate: () => Unit = () => ()
 
+  /** The storage commit primitive — swap for an object-store
+    * conditional-PUT implementation (see [[CommitIO]]); specs inject
+    * contention through it. */
+  @volatile private[graft] var commitIO: CommitIO = PosixCommitIO
+
   private def commitWithRetry(op: String,
       batchLedger: Option[Long] = None,
       newSchema: Option[org.apache.spark.sql.types.StructType] = None,
       extraDv: Option[Long => DataFrame] = None,
-      dvReplace: Boolean = false)
-      (buildManifest: Long => DataFrame): Long = {
+      dvReplace: Boolean = false,
+      schemaReplace: Boolean = false,
+      evolvedOverride: Option[Boolean] = None,
+      deadColsOverride: Option[Set[String]] = None,
+      addDeadCols: Set[String] = Set.empty)
+      (buildDelta: Long => Delta): Long = {
+    import spark.implicits._
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       attempts += 1
@@ -1040,43 +1371,72 @@ final class GraftTable private (
       // been a retry of the very batch this commit carries
       if (batchLedger.exists(parentApplied.contains)) return parent
       val applied = parentApplied ++ batchLedger
-      val m0 = buildManifest(parent)
-      // writers that can't compute blooms (executor-side manifest
-      // entries from the SQL row-level / streaming paths) null-fill:
-      // a null bloom keeps its file at planning time, never mis-prunes
-      val m1 = bloomCols.foldLeft(m0) { (d, c) =>
-        if (d.columns.contains(s"bloom_$c")) d
-        else d.withColumn(s"bloom_$c", lit(null).cast("array<bigint>"))
+      var list: Seq[ManifestRef] = buildDelta(parent) match {
+        case ReplaceAll(entries) => Seq(writeManifestDir(entries, next))
+        case UseList(v) => snapshot(v).manifestDirs.map(ensureCounts)
+        case AddRemove(added, removed) =>
+          val parentRefs =
+            if (parent == 0) Nil
+            else snapshot(parent).manifestDirs.map(ensureCounts)
+          val afterRemove =
+            if (removed.isEmpty || parentRefs.isEmpty) parentRefs
+            else {
+              val removedDf = broadcast(removed.toDF("path"))
+              // ONE metadata job (path column only) finds which dirs
+              // list a removed file; every other dir carries by
+              // reference — a windowed delete rewrites O(window)
+              // manifest rows, never O(table)
+              val tagged = parentRefs.map(r =>
+                readManifestDir(r.dir).select(col("path"))
+                  .withColumn("_src", lit(r.dir)))
+                .reduce(_ unionByName _)
+              val affected = tagged
+                .join(removedDf, Seq("path"), "left_semi")
+                .select("_src").distinct().as[String].collect().toSet
+              val carried = parentRefs.filterNot(r => affected(r.dir))
+              if (affected.isEmpty) carried
+              else carried :+ writeManifestDir(
+                unionRefs(parentRefs.filter(r => affected(r.dir)))
+                  .join(removedDf, Seq("path"), "left_anti"), next)
+            }
+          added match {
+            case Some(a) => afterRemove :+ writeManifestDir(a, next)
+            case None => afterRemove
+          }
       }
-      // keep bloom columns the parent manifest already carries even if
-      // THIS writer didn't declare them — an index must survive being
-      // mutated through an instance that doesn't know about it
-      val bloomKept = (bloomCols.map(c => s"bloom_$c") ++
-        m1.columns.filter(_.startsWith("bloom_"))).distinct
-      val m = m1
-        .select(("path" +: "row_count" +:
-          (statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-            bloomKept))
-          .map(col): _*)
-      val manifestDir =
-        s"manifest-v${next}_${java.util.UUID.randomUUID.toString.take(8)}"
-      m.write.parquet(s"${logDir(root)}/$manifestDir")
-      val (nFiles, nRows) = {
-        val t = spark.read.parquet(s"${logDir(root)}/$manifestDir")
-          .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
-          .head()
-        (t.getLong(0), t.getLong(1))
+      // FOLD: bound the list so reads/planning stay O(few dirs) — when
+      // it outgrows MaxManifestListLen, merge the SMALLEST dirs (the
+      // delta tail appends accrete) down to the target. Amortized
+      // O(live/target) metadata per commit in the worst case; big dirs
+      // from compactions are never re-copied.
+      if (list.length > MaxManifestListLen) {
+        val sorted = list.sortBy(_.entries)
+        val nMerge = list.length - TargetManifestListLen + 1
+        list = sorted.drop(nMerge) :+
+          writeManifestDir(unionRefs(sorted.take(nMerge)), next)
       }
+      val nFiles = list.map(_.entries).sum
+      val nRows = list.map(_.rows).sum
       // schema evolution at the LOG level: append-like ops union new
       // columns onto the parent's recorded schema, overwrite replaces
       // it, content-preserving ops inherit it (StructType.json is one
       // line, so the k=v record format holds)
-      val parentSchemaJson =
-        if (parent == 0) None else snapshot(parent).schemaJson
+      val parentSnap = if (parent == 0) None else Some(snapshot(parent))
+      val parentSchemaJson = parentSnap.flatMap(_.schemaJson)
+      // evolution state: inherited unless this op overrides it
+      // (rename/drop/widen set it, overwrite clears it — content and
+      // schema both replaced — and restore takes the restored
+      // version's state)
+      val evolvedFlag =
+        evolvedOverride.getOrElse(parentSnap.exists(_.evolved))
+      val deadCols = deadColsOverride
+        .getOrElse(parentSnap.map(_.deadCols).getOrElse(Set.empty)) ++
+        addDeadCols
       val schemaJson: Option[String] =
         // overwrite REPLACES the recorded schema; restore replaces it
-        // with the restored version's (reverting later ADD COLUMNs)
-        if (op == "overwrite" || op == "restore")
+        // with the restored version's (reverting later ADD COLUMNs);
+        // schemaReplace is the explicit knob rename/drop/widen use
+        if (op == "overwrite" || op == "restore" || schemaReplace)
           newSchema.map(_.json).orElse(parentSchemaJson)
         else (parentSchemaJson, newSchema) match {
           case (Some(pj), Some(ns)) =>
@@ -1091,8 +1451,24 @@ final class GraftTable private (
               if (spark.sessionState.conf.caseSensitiveAnalysis) n
               else n.toLowerCase(java.util.Locale.ROOT)
             val names = ps.fieldNames.map(key).toSet
+            // a NEW column whose name collides with a physical name
+            // still in use (renamed-away) or dead (dropped) gets a
+            // FRESH physical name — old files' bytes under the old
+            // name must never surface through the new column
+            val taken = ps.fields.map(f => key(GraftTable.physName(f)))
+              .toSet ++ deadCols.map(key)
+            val fresh = ns.fields.filterNot(f => names(key(f.name)))
+              .map { f =>
+                if (evolvedFlag && taken(key(f.name)))
+                  f.copy(metadata =
+                    new org.apache.spark.sql.types.MetadataBuilder()
+                      .withMetadata(f.metadata)
+                      .putString("physical", s"${f.name}__v$next")
+                      .build())
+                else f
+              }
             Some(org.apache.spark.sql.types.StructType(
-              ps.fields ++ ns.fields.filterNot(f => names(key(f.name)))).json)
+              ps.fields ++ fresh).json)
           case (None, Some(ns)) => Some(ns.json)
           case (pj, None) => pj
         }
@@ -1114,8 +1490,9 @@ final class GraftTable private (
             parentDvDir.map(d =>
               spark.read.parquet(s"${logDir(root)}/$d")).toSeq ++
             extraDv.map(_(parent)).toSeq
-          val mPaths = spark.read
-            .parquet(s"${logDir(root)}/$manifestDir").select("path")
+          val mPaths =
+            if (list.isEmpty) emptyDv.select("path")
+            else unionRefs(list).select("path")
           val comb = pieces.reduce(_ unionByName _).distinct()
             .join(mPaths, Seq("path"), "left_semi")
             .repartition(1).sortWithinPartitions("path", "pos")
@@ -1133,21 +1510,25 @@ final class GraftTable private (
           out
         }
       val content = (Seq(s"op=$op", s"parent=$parent",
-        s"manifest=$manifestDir", s"n_files=$nFiles", s"n_rows=$nRows",
+        s"manifests=${list.map(r =>
+          s"${r.dir}:${r.entries}:${r.rows}").mkString(",")}",
+        s"n_files=$nFiles", s"n_rows=$nRows",
         s"applied=${applied.toSeq.sorted.mkString(",")}") ++
+        (if (evolvedFlag) Seq("evolved=1") else Nil) ++
+        (if (deadCols.nonEmpty)
+          Seq(s"dead_cols=${deadCols.toSeq.sorted.mkString(",")}")
+         else Nil) ++
         dvLines ++
         schemaJson.map(j => s"schema=$j"))
         .mkString("", "\n", "\n")
       beforeSnapshotCreate()
-      try {
-        val p = java.nio.file.Paths
-          .get(logDir(root), s"snapshot-v$next.txt")
-        java.nio.file.Files.write(p, content.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+      // the linearization point, behind the CommitIO seam — POSIX
+      // CREATE_NEW here, a conditional PUT on an object store
+      if (commitIO.putIfAbsent(
+          java.nio.file.Paths.get(logDir(root), s"snapshot-v$next.txt"),
+          content.getBytes("UTF-8")))
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // rebase
-      }
+      // lost the race: loop rebases onto the winner's version
     }
     throw new ConcurrentCommitException(
       s"lost $MaxCommitAttempts commit races on $root")
@@ -1183,11 +1564,71 @@ object GraftTable {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** One manifest dir in a snapshot's list, with its exact entry
+    * (file) and row counts — counts ride the snapshot record so the
+    * fold policy and n_files/n_rows totals are driver arithmetic,
+    * never a manifest read. entries = -1 marks a legacy pre-list ref
+    * whose counts resolve lazily. */
+  private[graft] case class ManifestRef(dir: String, entries: Long,
+    rows: Long)
+
+  /** List length that triggers a fold (merge of the smallest dirs)… */
+  val MaxManifestListLen = 16
+  /** …down to this many dirs. */
+  val TargetManifestListLen = 8
+
   private case class Snapshot(version: Long, op: String, parent: Long,
-    manifestDir: String, nFiles: Long, nRows: Long,
+    manifestDirs: Seq[ManifestRef], nFiles: Long, nRows: Long,
     applied: Set[Long] = Set.empty,
     schemaJson: Option[String] = None,
-    dvDir: Option[String] = None, nDels: Long = 0L)
+    dvDir: Option[String] = None, nDels: Long = 0L,
+    evolved: Boolean = false, deadCols: Set[String] = Set.empty)
+
+  /** A field's PHYSICAL column name — the name its values live under
+    * in data files and manifest stats. Differs from the logical name
+    * only after a RENAME (Delta's column-mapping name mode): the
+    * rename records `physical` metadata and no file moves. */
+  private[graft] def physName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("physical")) f.metadata.getString("physical")
+    else f.name
+
+  // ---- session-scoped planning caches ------------------------------
+  // A committed (root, version) is immutable, so its parsed snapshot
+  // and resolved file list can be memoized for the session — without
+  // this, every gtable query re-runs the manifest-path collect 4–6×
+  // (forPath + scan planning each resolve the table). currentVersion
+  // is NEVER cached (it is the cross-process coordination point);
+  // vacuum invalidates its root (expired versions become unreadable).
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Snapshot]()
+  private val pathsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
+  private def snapCached(root: String, v: Long)(load: => Snapshot)
+      : Snapshot = {
+    if (snapCache.size > 8192) snapCache.clear()
+    val k = (root, v)
+    val hit = snapCache.get(k)
+    if (hit != null) hit
+    else { val s = load; snapCache.put(k, s); s }
+  }
+
+  private def pathsCached(root: String, v: Long)(load: => Seq[String])
+      : Seq[String] = {
+    if (pathsCache.size > 4096) pathsCache.clear()
+    val k = (root, v)
+    val hit = pathsCache.get(k)
+    if (hit != null) hit
+    else { val s = load; pathsCache.put(k, s); s }
+  }
+
+  /** Drop every cached entry for `root` — called by vacuum (snapshots
+    * behind the horizon stop being readable and their files go). */
+  private[graft] def invalidate(root: String): Unit = {
+    snapCache.keySet.removeIf(_._1 == root)
+    pathsCache.keySet.removeIf(_._1 == root)
+  }
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
 

@@ -1159,6 +1159,44 @@ object FormatQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q245 — LOG-LEVEL SCHEMA EVOLUTION round trip (rename + widen):
+    * a customer table is created with a narrow schema (int key,
+    * float balance), then evolved through SQL — RENAME COLUMN
+    * (column-mapping metadata, zero data movement) and two widening
+    * ALTER COLUMN TYPEs (int→bigint, float→double). The aggregate
+    * reads the ORIGINAL narrow files through the evolved schema: the
+    * connector must surface renamed columns from old files and
+    * promote narrow pages to the wide types exactly. Oracle =
+    * DuckDB over the original parquet with the same float round-trip
+    * (`CAST(AS REAL)`) — hash-equal ⟺ no value was perturbed by the
+    * evolution. At 100 TB this is the only affordable rename/widen:
+    * the data files never move (SchemaEvolutionSpec pins that). */
+  def q245SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/cust_evo"
+    buildOnce(root) {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("custkey"),
+          col("c_acctbal").cast("float").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"))
+      GraftTable.create(s, root, c, statsCols = Seq("custkey"))
+      s.sql("ALTER TABLE gcat.cust_evo RENAME COLUMN mktsegment TO segment")
+      s.sql("ALTER TABLE gcat.cust_evo ALTER COLUMN custkey TYPE BIGINT")
+      s.sql("ALTER TABLE gcat.cust_evo ALTER COLUMN acctbal TYPE DOUBLE")
+      ()
+    }
+    s.table("gcat.cust_evo")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("custkey")).as("key_sum"),
+        round(sum(col("acctbal").cast("decimal(18,4)")).cast("double"),
+          2).as("bal_sum"))
+      .orderBy(col("segment"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -41,6 +41,28 @@ object GraftParquetIO {
     * keep maintaining the table's index. (Nil, 0) when the table has
     * no commits or no index; the width probe is one small manifest
     * job, paid once per write. */
+  /** Logical→PHYSICAL field renaming for executor writers on an
+    * evolved table: data files must always carry physical names so
+    * every file in the table agrees, whatever evolution happened in
+    * between (reads map back). Identity for never-evolved tables.
+    * Driver-side (factory creation), the writers get the translated
+    * schema as JSON. */
+  def physSchema(root: String,
+      s: StructType): StructType = {
+    val t = graft.format.GraftTable
+      .forPath(org.apache.spark.sql.SparkSession.active, root)
+    if (!t.isEvolved()) s
+    else t.recordedSchema() match {
+      case Some(rec) =>
+        val m = rec.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) ->
+            graft.format.GraftTable.physName(f)).toMap
+        StructType(s.fields.map(f => f.copy(name = m.getOrElse(
+          f.name.toLowerCase(java.util.Locale.ROOT), f.name))))
+      case None => s
+    }
+  }
+
   def bloomConfig(root: String, writeSchema: StructType)
       : (Seq[String], Int) =
     if (graft.format.GraftTable.versionAt(root) == 0) (Nil, 0)
@@ -304,21 +326,25 @@ class GraftReplaceFilesBatchWrite(root: String, writeSchema: StructType,
   private val commitDir =
     s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
 
+  // files carry PHYSICAL names on evolved tables (identity otherwise);
+  // the RECORDED schema commits under the logical names
+  private lazy val physWrite =
+    GraftParquetIO.physSchema(root, writeSchema)
   private lazy val (bloomCols, bloomBits) =
-    GraftParquetIO.bloomConfig(root, writeSchema)
+    GraftParquetIO.bloomConfig(root, physWrite)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/$commitDir"))
-    new GraftDataWriterFactory(root, commitDir, writeSchema.json,
+    new GraftDataWriterFactory(root, commitDir, physWrite.json,
       statsCols, bloomCols, bloomBits)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val entries = GraftParquetIO.manifestEntries(spark, root, messages,
-      writeSchema, statsCols, bloomCols)
+      physWrite, statsCols, bloomCols)
     graft.format.GraftTable.openOrCreate(spark, root, statsCols)
       .commitReplaceFiles(op.opName, op.scannedFiles.toSeq, entries,
         expectedParent = op.tableVersion, newSchema = Some(writeSchema))
@@ -352,14 +378,16 @@ class GraftStreamingWrite(root: String, writeSchema: StructType,
   private val commitDir =
     s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
 
+  private lazy val physWrite =
+    GraftParquetIO.physSchema(root, writeSchema)
   private lazy val bloomConf =
-    GraftParquetIO.bloomConfig(root, writeSchema)
+    GraftParquetIO.bloomConfig(root, physWrite)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/$commitDir"))
-    val schemaJson = writeSchema.json
+    val schemaJson = physWrite.json
     val stats = statsCols
     val (bCols, bBits) = bloomConf
     val r = root
@@ -377,7 +405,7 @@ class GraftStreamingWrite(root: String, writeSchema: StructType,
       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val entries = GraftParquetIO.manifestEntries(spark, root, messages,
-      writeSchema, statsCols, bloomConf._1)
+      physWrite, statsCols, bloomConf._1)
     graft.format.GraftTable.openOrCreate(spark, root, statsCols)
       .commitAppendFiles(entries, batchId = Some(epochId),
         newSchema = Some(writeSchema))

@@ -225,14 +225,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if p.property == "check.constraint" =>
         "checkConstraint" -> p.value
     }
-    if (adds.size + propSets.size != changes.size)
+    // log-level evolution (no data rewrite at any table size):
+    // RENAME COLUMN keeps the physical name in metadata, DROP COLUMN
+    // removes the field (dead physical name recorded against
+    // resurrection), ALTER COLUMN TYPE widens int→long / float→double
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        (r.fieldNames.head, r.newName)
+    }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        d.fieldNames.head
+    }
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        (u.fieldNames.head, u.newDataType)
+    }
+    if (adds.size + propSets.size + renames.size + drops.size +
+        widens.size != changes.size)
       throw new UnsupportedOperationException(
-        "gtable ALTER TABLE supports top-level ADD COLUMN and SET " +
+        "gtable ALTER TABLE supports top-level ADD/RENAME/DROP " +
+          "COLUMN, widening ALTER COLUMN TYPE, and SET " +
           "TBLPROPERTIES('delete.mode'/'write.cluster-by'/" +
-          "'check.constraint') only; other schema changes rewrite " +
-          "through overwrite")
+          "'check.constraint') only")
     if (propSets.nonEmpty)
       writeProps(root, readProps(root) ++ propSets)
+    if (renames.nonEmpty || drops.nonEmpty || widens.nonEmpty) {
+      if (graft.format.GraftTable.versionAt(root) == 0)
+        throw new UnsupportedOperationException(
+          "gtable ALTER TABLE RENAME/DROP/TYPE needs a committed " +
+            "table; declare the schema at CREATE for empty tables")
+      val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+      renames.foreach { case (o, n) => t.renameColumn(o, n) }
+      drops.foreach(t.dropColumn)
+      widens.foreach { case (c, dt) => t.widenColumn(c, dt) }
+    }
     if (adds.isEmpty) return loadTable(ident)
     val newCols = StructType(adds.toArray)
     if (graft.format.GraftTable.versionAt(root) > 0)
@@ -446,6 +473,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         in.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq,
         if (in.isNullAt(2)) 8 else in.getInt(2))
+    },
+    // DV-COMPACTION POLICY (VERDICT r10 #9): the documented "DV grew
+    // large → compact" escape as a maintainable statement. Compacts
+    // ONLY when the deletion-vector ratio n_dels/n_rows exceeds
+    // dv_ratio (default 10% — roughly where the per-read anti-join
+    // tax starts rivaling a one-time rewrite); otherwise optionally
+    // folds small-file debt (small_max_rows > 0 → compactSmall, the
+    // incremental shape). No-op returns the current version, so a
+    // scheduler can CALL it every night unconditionally.
+    "maintain" -> longProc("maintain", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("dv_ratio", DataTypes.DoubleType, Some("0.1D")),
+      inParam("small_max_rows", DataTypes.LongType, Some("0")),
+      inParam("num_files", DataTypes.IntegerType, Some("4")))) { in =>
+      val t = tableForName(in.getUTF8String(0).toString)
+      val ratio = if (in.isNullAt(1)) 0.1 else in.getDouble(1)
+      val smallMax =
+        if (in.numFields < 3 || in.isNullAt(2)) 0L else in.getLong(2)
+      val n = if (in.numFields < 4 || in.isNullAt(3)) 4 else in.getInt(3)
+      val rows = t.rowCount(); val dels = t.deletedRowCount()
+      if (rows > 0 && dels.toDouble / rows > ratio) t.compact(n)
+      else if (smallMax > 0) t.compactSmall(smallMax, n)
+      else t.currentVersion
     },
     // commit log as a result set: version/op/parent/n_files/n_rows,
     // newest first — `CALL cat.system.history('db.t')`

@@ -81,8 +81,11 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
   private val commitDir =
     s"data/c${java.util.UUID.randomUUID.toString.take(8)}"
   private val dataSchema: StructType = info.schema()
+  // files carry physical names on evolved tables (identity otherwise)
+  private lazy val physData =
+    GraftParquetIO.physSchema(root, dataSchema)
   private lazy val bloomConf =
-    GraftParquetIO.bloomConfig(root, dataSchema)
+    GraftParquetIO.bloomConfig(root, physData)
   private val rowIdSchema: StructType = info.rowIdSchema()
     .orElse(new StructType())
 
@@ -92,7 +95,7 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(s"$root/$commitDir"))
     val r = root; val cd = commitDir
-    val dJson = dataSchema.json; val idJson = rowIdSchema.json
+    val dJson = physData.json; val idJson = rowIdSchema.json
     val stats = statsCols
     val (bCols, bBits) =
       if (dataSchema.nonEmpty) bloomConf else (Nil, 0)
@@ -116,7 +119,7 @@ class GraftDeltaBatchWrite(root: String, info: LogicalWriteInfo,
     val entries =
       if (fileMsgs.isEmpty) None
       else Some(GraftParquetIO.manifestEntries(spark, root,
-        fileMsgs.map(m => m: WriterCommitMessage), dataSchema, statsCols,
+        fileMsgs.map(m => m: WriterCommitMessage), physData, statsCols,
         bloomConf._1))
     import spark.implicits._
     val deletes = all.flatMap(_.deletes).toSeq.toDF("path", "pos")

@@ -83,6 +83,23 @@ object GraftTableSource {
   @volatile var lastPlannedFiles: Long = -1L
   @volatile var lastLiveFiles: Long = -1L
 
+  /** Logical→physical column-name map of an EVOLVED table at
+    * `version` (empty for never-evolved tables — the common case pays
+    * one boolean). Scans translate pushed-filter/stats references
+    * through it and readers request files' physical columns; entries
+    * exist only where the names differ, so `getOrElse` is identity
+    * everywhere else. */
+  private[sources] def logToPhys(root: String, version: Long)
+      : Map[String, String] = {
+    if (version <= 0) return Map.empty
+    val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+    if (!t.isEvolved(version)) Map.empty
+    else t.recordedSchema(version).map(_.fields.iterator
+        .map(f => f.name -> graft.format.GraftTable.physName(f))
+        .filter(p => p._1 != p._2).toMap)
+      .getOrElse(Map.empty)
+  }
+
   /** Files ADDED between two snapshots (fromV exclusive, toV
     * inclusive; 0 = before the first commit) — absolute paths.
     * Manifest-sized work; shared by the CDC batch scan and the
@@ -549,7 +566,8 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
       added.map(f => GraftTableFilePartition(f): InputPartition)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftTableReaderFactory(root, required)
+      new GraftTableReaderFactory(root, required,
+        GraftTableSource.logToPhys(root, toV))
   }
 }
 
@@ -600,10 +618,13 @@ class GraftTableScanBuilder(root: String, version: Long,
     * exact because writeData computes them from the written rows —
     * this is not a parquet-footer approximation. */
   private def answerable(agg: Aggregation): Boolean = {
+    // aggregates name LOGICAL columns; stats live under physical names
+    lazy val l2p = GraftTableSource.logToPhys(root, version)
     def statsCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Boolean = e match {
       case f: NamedReference => f.fieldNames.length == 1 &&
-        statsColsOf.contains(f.fieldNames.head)
+        statsColsOf.contains(
+          l2p.getOrElse(f.fieldNames.head, f.fieldNames.head))
       case _ => false
     }
     filters.isEmpty && agg.groupByExpressions.isEmpty &&
@@ -790,11 +811,19 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * for equality probes on indexed columns, `true` (keep) for
     * anything else. Same contract as GraftTable.prunedWhere: pruning
     * never changes semantics, only skips provably-empty files. */
+  /** Pushed filters name LOGICAL columns; manifest stats/bloom
+    * columns live under PHYSICAL names (identical unless the table
+    * was rename-evolved). */
+  private lazy val l2pScan: Map[String, String] =
+    GraftTableSource.logToPhys(root, version)
+  private def physNm(c: String): String = l2pScan.getOrElse(c, c)
+
   private def keep(statsCols: Set[String], bloomCols: Set[String])
       (f: sources.Filter): org.apache.spark.sql.Column = {
     // equality probe: envelope test (stats col) AND bloom membership
     // (indexed col) — at 100 TB a point lookup on a NON-cluster
     // column prunes through the bloom where min/max can't
+    // (`c` is already translated to its physical name)
     def eqTest(c: String, v: Any): org.apache.spark.sql.Column = {
       val env =
         if (statsCols(c)) col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
@@ -812,15 +841,20 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     case sources.In("_file", vs) =>
       col("path").isin(vs.toIndexedSeq: _*)
     case sources.EqualTo("_file", v) => col("path") === lit(v)
-    case sources.EqualTo(c, v) if statsCols(c) || bloomCols(c) =>
-      eqTest(c, v)
-    case sources.GreaterThan(c, v) if statsCols(c) => col(s"max_$c") > lit(v)
-    case sources.GreaterThanOrEqual(c, v) if statsCols(c) =>
-      col(s"max_$c") >= lit(v)
-    case sources.LessThan(c, v) if statsCols(c) => col(s"min_$c") < lit(v)
-    case sources.LessThanOrEqual(c, v) if statsCols(c) =>
-      col(s"min_$c") <= lit(v)
-    case sources.In(c, vs) if (statsCols(c) || bloomCols(c)) && vs.nonEmpty =>
+    case sources.EqualTo(c0, v)
+        if statsCols(physNm(c0)) || bloomCols(physNm(c0)) =>
+      eqTest(physNm(c0), v)
+    case sources.GreaterThan(c0, v) if statsCols(physNm(c0)) =>
+      col(s"max_${physNm(c0)}") > lit(v)
+    case sources.GreaterThanOrEqual(c0, v) if statsCols(physNm(c0)) =>
+      col(s"max_${physNm(c0)}") >= lit(v)
+    case sources.LessThan(c0, v) if statsCols(physNm(c0)) =>
+      col(s"min_${physNm(c0)}") < lit(v)
+    case sources.LessThanOrEqual(c0, v) if statsCols(physNm(c0)) =>
+      col(s"min_${physNm(c0)}") <= lit(v)
+    case sources.In(c0, vs)
+        if (statsCols(physNm(c0)) || bloomCols(physNm(c0))) && vs.nonEmpty =>
+      val c = physNm(c0)
       // nulls never satisfy IN (three-valued =), so they carry no
       // pruning information
       val nn = vs.filter(_ != null)
@@ -932,7 +966,12 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     if (!spjEnabled) None
     else {
       val t = graft.format.GraftTable.forPath(SparkSession.active, root)
-      val cands = t.statsCols.filter(required.fieldNames.contains)
+      // stats cols are physical; the projection and the reported
+      // partitioning use logical names
+      val p2l = l2pScan.map(_.swap)
+      def logNm(p: String): String = p2l.getOrElse(p, p)
+      val cands = t.statsCols.filter(p =>
+        required.fieldNames.contains(logNm(p)))
       if (cands.isEmpty) None
       else {
         // envelope-only: the bloom test would re-read every file's
@@ -948,6 +987,10 @@ class GraftTableScan(root: String, version: Long, required: StructType,
         if (rows.isEmpty) None
         else {
           val pureIdx = cands.indices.filter { i =>
+            // a WIDENED column's envelopes carry the narrow type —
+            // its partition-key values would mismatch the read
+            // schema, so it declines (SPJ degrades, never mis-plans)
+            required(logNm(cands(i))).dataType == types(i) &&
             rows.forall { r =>
               val lo = r.get(1 + 2 * i); val hi = r.get(2 + 2 * i)
               lo != null && lo == hi
@@ -955,7 +998,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
           }
           if (pureIdx.isEmpty) None
           else Some((
-            pureIdx.map(cands(_)),
+            pureIdx.map(i => logNm(cands(i))),
             pureIdx.map(types(_)),
             rows.map(r => r.getString(0) ->
               pureIdx.map(i => r.get(1 + 2 * i)).toSeq).toMap))
@@ -1024,7 +1067,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(root, required)
+    new GraftTableReaderFactory(root, required, l2pScan)
 
   /** The STREAMING half: committed VERSIONS are the log. An offset is
     * "versions consumed so far"; each micro-batch plans exactly the
@@ -1130,7 +1173,9 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(root, required)
+    new GraftTableReaderFactory(root, required,
+      GraftTableSource.logToPhys(root,
+        graft.format.GraftTable.versionAt(root)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1142,10 +1187,17 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   * pages, and converts to Spark internal values. Scalar types only —
   * the format layer's tables are relational (SURVEY §1.3); nested
   * columns would route through the main parquet source. */
-class GraftTableReaderFactory(root: String, required: StructType)
+class GraftTableReaderFactory(root: String, required: StructType,
+    l2p: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  /** Physical (file) column name of a requested logical field —
+    * identity unless the table was rename-evolved. Readers request
+    * files by PHYSICAL name; batches/rows are positional, so the
+    * scan's logical `readSchema` applies unchanged on top. */
+  private def physOf(name: String): String = l2p.getOrElse(name, name)
 
   private def dataFields: Array[StructField] =
     required.fields.filterNot(f => f.name == "_file" || f.name == "_pos")
@@ -1184,8 +1236,11 @@ class GraftTableReaderFactory(root: String, required: StructType)
     val metaFields = required.fields.filter(_.name == "_file")
 
     val conf = new org.apache.hadoop.conf.Configuration()
+    // request files' PHYSICAL columns (logical readSchema rides the
+    // positional batch); Spark 4's vectorized reader also handles the
+    // widening promotions (int32→long, float→double) the format allows
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
-      StructType(dataFields).json)
+      StructType(dataFields.map(f => f.copy(name = physOf(f.name)))).json)
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat
       .READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
@@ -1347,13 +1402,14 @@ class GraftTableReaderFactory(root: String, required: StructType)
       private val kind: Array[Int] = required.fields.map { f =>
         if (f.name == "_file") 2
         else if (f.name == "_pos") 3
-        else if (fileSchema.containsField(f.name)) 0
+        else if (fileSchema.containsField(physOf(f.name))) 0
         else 1
       }
       private val projected = new MessageType("spark_schema",
         required.fields.iterator.zip(kind.iterator)
           .collect { case (f, 0) =>
-            fileSchema.getType(fileSchema.getFieldIndex(f.name)) }
+            fileSchema.getType(
+              fileSchema.getFieldIndex(physOf(f.name))) }
           .toSeq.asJava: java.util.List[org.apache.parquet.schema.Type])
       locally {
         conf.set(org.apache.parquet.hadoop.api.ReadSupport
@@ -1378,10 +1434,22 @@ class GraftTableReaderFactory(root: String, required: StructType)
       private def convert(g: Group, name: String, dt: DataType): Any = {
         val idx = g.getType.getFieldIndex(name)
         if (g.getFieldRepetitionCount(idx) == 0) return null
+        // widening-tolerant integral/fp decode: after a type-widening
+        // evolution, old files keep the NARROW physical type while the
+        // requested type is the wide one — read what the page holds,
+        // promote in memory (Iceberg's promotion rule)
+        def fileInt32: Boolean =
+          g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+        def fileFloat: Boolean =
+          g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT
         dt match {
-          case LongType => g.getLong(idx, 0)
+          case LongType =>
+            if (fileInt32) g.getInteger(idx, 0).toLong else g.getLong(idx, 0)
           case IntegerType => g.getInteger(idx, 0)
-          case DoubleType => g.getDouble(idx, 0)
+          case DoubleType =>
+            if (fileFloat) g.getFloat(idx, 0).toDouble else g.getDouble(idx, 0)
           case FloatType => g.getFloat(idx, 0)
           case BooleanType => g.getBoolean(idx, 0)
           case StringType =>
@@ -1444,7 +1512,7 @@ class GraftTableReaderFactory(root: String, required: StructType)
             dvIdx += 1 // logically deleted: skip
           } else {
             val values = required.fields.iterator.zip(kind.iterator).map {
-              case (f, 0) => convert(g, f.name, f.dataType)
+              case (f, 0) => convert(g, physOf(f.name), f.dataType)
               case (_, 1) => null // schema evolution: pre-column file
               case (_, 2) => fileRel // `_file` metadata column
               case (_, _) => rowPos // `_pos` metadata column

@@ -181,4 +181,39 @@ class BloomIndexSpec extends AnyFunSuite {
       col("ts") === java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
       .count())
   }
+
+  test("sizing guardrail: a write whose files far exceed the declared " +
+      "width auto-widens the per-file blooms (probe-safe — widths may " +
+      "differ per file) and a point lookup still prunes") {
+    val root = tmp()
+    // 400k rows into 2 files = 200k values/file — a 2^14-bit (declared)
+    // bloom would saturate at ~1.6k values and keep every file
+    val df = spark.range(0, 400000).select(col("id").as("k"),
+      (col("id") * 2654435761L % 400000L).as("u"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions(col("k"))
+    val t = GraftTable.create(spark, root, df,
+      statsCols = Seq("k"), numFiles = 0,
+      bloomCols = Seq("u"), bloomBits = 1 << 14)
+    import spark.implicits._
+    val widths = t.manifest()
+      .select(size(col("bloom_u")).as("w")).as[Int].collect()
+    assert(widths.forall(_ * 64 >= 10 * 200000 / 2),
+      s"blooms must auto-widen past the declared 2^14 bits: " +
+        s"${widths.map(_ * 64).toSeq} bits")
+    val probe = (54321L * 2654435761L) % 400000L
+    val (res, planned, total) = t.prunedWhere(col("u") === probe)
+    assert(total == 2)
+    assert(res.count() >= 1)
+    // the real guard: a MISSING value must actually prune — a
+    // saturated bloom would keep both files for any probe
+    var pruned = 0
+    (400001L to 400020L).foreach { v =>
+      val (r, p, _) = t.prunedWhere(col("u") === v)
+      assert(r.count() == 0)
+      if (p < total) pruned += 1
+    }
+    assert(pruned >= 15,
+      s"auto-widened blooms at ~1% fpp must prune most missing " +
+        s"probes; only $pruned/20 pruned (saturation?)")
+  }
 }

@@ -64,6 +64,43 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(parts.count() === supplier.count())
   }
 
+  test("D6 credential provider: secrets resolve AT READ TIME through " +
+      "the provider seam (once per read), merge under explicit props, " +
+      "and the env default no-ops when unset") {
+    staged
+    // counting fake standing in for a vault: invoked exactly once per
+    // read, its secrets land in the connection options (Derby embedded
+    // accepts any user, so the read succeeding proves they were
+    // passed, not rejected)
+    // (Derby scopes unqualified names by the connecting user's schema,
+    // so authenticated reads qualify the staged table as APP.supplier)
+    var calls = 0
+    val vault: Sources.CredentialsProvider = () => {
+      calls += 1
+      Map("user" -> "svc_graft", "password" -> "rotatedsecret")
+    }
+    val viaVault = Sources.jdbc(spark, url, "APP.supplier", creds = vault)
+    assert(viaVault.count() === supplier.count())
+    assert(calls == 1, "the provider must resolve once per read")
+    Sources.jdbc(spark, url, "APP.supplier", creds = vault).count()
+    assert(calls == 2,
+      "each read re-resolves — rotation needs no restart")
+    // explicit props override the provider's keys on conflict
+    var sawOverride = false
+    val loud: Sources.CredentialsProvider = () => {
+      sawOverride = true; Map("user" -> "fromvault")
+    }
+    val overridden = Sources.jdbc(spark, url, "APP.supplier",
+      props = Map("user" -> "explicitwins"), creds = loud)
+    assert(overridden.count() === supplier.count())
+    assert(sawOverride)
+    // default env provider: with neither env var set it contributes
+    // nothing (the embedded-Derby/no-auth case)
+    assert(Sources.fromEnv().isEmpty ||
+      (sys.env.contains("GRAFT_JDBC_USER") ||
+        sys.env.contains("GRAFT_JDBC_PASSWORD")))
+  }
+
   test("q157 JDBC extract matches the same aggregate computed " +
       "directly on the parquet table") {
     val viaJdbc = JdbcQueries.q157JdbcSource(spark, sfDir).collect()

@@ -177,6 +177,42 @@ class ProcedureSpec extends AnyFunSuite {
     val cat = spark.sessionState.catalogManager.catalog("prc")
       .asInstanceOf[graft.sources.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted
-      .toSeq == Seq("compact", "history", "restore", "vacuum", "zorder"))
+      .toSeq == Seq("compact", "history", "maintain", "restore",
+        "vacuum", "zorder"))
+  }
+
+  test("CALL system.maintain: compacts ONLY when the deletion-vector " +
+      "ratio crosses the threshold — a no-op below it, a DV-clearing " +
+      "rewrite above it, schedulable unconditionally") {
+    val root = s"$wh/t_maintain"
+    val t = GraftTable.create(spark, root,
+      (1L to 10000L).toDF("k"), Seq("k"), numFiles = 4)
+    t.deleteWhereMor(col("k") <= 500) // 5% deleted — below default 10%
+    val v = t.currentVersion
+    val below = spark.sql(
+      "CALL prc.system.maintain('t_maintain')").head().getLong(0)
+    assert(below == v, "5% DV must not trigger the rewrite")
+    assert(t.hasDeletionVectors(), "the DV must be untouched")
+    t.deleteWhereMor(col("k") > 500 && col("k") <= 1500) // now 15%
+    val above = spark.sql(
+      "CALL prc.system.maintain('t_maintain', dv_ratio => 0.1)")
+      .head().getLong(0)
+    assert(above == t.currentVersion && above > v + 1,
+      "15% DV must trigger a compaction commit")
+    assert(!t.hasDeletionVectors(),
+      "compaction must materialize deletions away")
+    assert(t.read().count() == 8500)
+    // small-file path: below the DV threshold but with small files
+    // and small_max_rows set, it folds the debt incrementally —
+    // count LIVE manifest entries (old versions' files stay on disk
+    // until vacuum)
+    t.append((10001L to 10005L).toDF("k"), numFiles = 1)
+    t.append((10006L to 10010L).toDF("k"), numFiles = 1)
+    val live0 = t.manifest().count()
+    spark.sql("CALL prc.system.maintain('t_maintain', " +
+      "small_max_rows => 100, num_files => 1)").collect()
+    assert(t.read().count() == 8510)
+    assert(t.manifest().count() == live0 - 1,
+      "the two small files must fold into one, big files untouched")
   }
 }

@@ -269,9 +269,12 @@ class RowLevelSqlSpec extends AnyFunSuite {
     assert(out == "new")
     assert(t.history().where(col("version") === 2)
       .select("op").head().getString(0) == "alter")
-    // non-ADD changes decline loudly
+    // RENAME is now a supported log-level evolution (r11,
+    // SchemaEvolutionSpec); a NARROWING type change still declines
+    spark.sql("ALTER TABLE rl.alter1 RENAME COLUMN tag TO label")
+    assert(spark.table("rl.alter1").columns.contains("label"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE rl.alter1 RENAME COLUMN tag TO label")
+      spark.sql("ALTER TABLE rl.alter1 ALTER COLUMN k TYPE INT")
     }
   }
 
