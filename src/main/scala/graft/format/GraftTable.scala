@@ -256,18 +256,31 @@ final class GraftTable private (
 
   /** LOGICAL→physical rename of an outbound frame, so every data file
     * carries physical names regardless of when it was written (the
-    * write-side half of the column-mapping contract). */
+    * write-side half of the column-mapping contract). A column the
+    * recorded schema does NOT know whose name collides with a used or
+    * dead physical name is REFUSED: the data would land under the
+    * stale physical name while the commit records a fresh one — every
+    * appended value would silently read back null. `ALTER TABLE ADD
+    * COLUMN` first (the commit-side schema merge assigns the fresh
+    * physical name with no data write), then append. */
   private def toPhysical(df: DataFrame): DataFrame = {
     val v = currentVersion
     if (!isEvolved(v)) df
     else recordedSchema(v) match {
       case Some(s) =>
-        val m = s.fields.map(f =>
-          f.name.toLowerCase(java.util.Locale.ROOT) ->
-            GraftTable.physName(f)).toMap
+        def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+        val m = s.fields.map(f => key(f.name) -> GraftTable.physName(f))
+          .toMap
+        val taken = s.fields.map(f => key(GraftTable.physName(f)))
+          .toSet ++ snapshot(v).deadCols.map(key)
+        df.columns.foreach { c =>
+          require(m.contains(key(c)) || !taken(key(c)),
+            s"column $c collides with a dropped or renamed column's " +
+              "physical name; run ALTER TABLE ... ADD COLUMN (which " +
+              "assigns it a fresh physical name) before writing it")
+        }
         df.select(df.columns.toSeq.map(c =>
-          col(c).as(m.getOrElse(
-            c.toLowerCase(java.util.Locale.ROOT), c))): _*)
+          col(c).as(m.getOrElse(key(c), c))): _*)
       case None => df
     }
   }
@@ -393,8 +406,12 @@ final class GraftTable private (
     require(statsCols.contains(pc), s"no stats for $statsCol")
     val m = manifest().cache()
     val total = m.count()
-    val live = m.where(!(col(s"max_$pc") < lo ||
-        col(s"min_$pc") > hi))
+    // NULL-SAFE: a null envelope (dir written before the stats column
+    // was declared, null-filled by the manifest union) means "unknown"
+    // — the file must be KEPT, never pruned (the residual row filter
+    // keeps the answer exact either way)
+    val live = m.where(col(s"min_$pc").isNull ||
+        !(col(s"max_$pc") < lo || col(s"min_$pc") > hi))
       .select("path").collect().map(r => s"$root/${r.getString(0)}")
     m.unpersist()
     val df =
@@ -457,10 +474,14 @@ final class GraftTable private (
         Some(physCol(a.name, version))
       case _ => None
     }
+    // NULL-SAFE envelopes throughout: a null min/max (dir predating
+    // the stats column, null-filled at the manifest union) keeps the
+    // file — same contract as a null bloom
     def eqTest(c: String, lv: Column): Column = {
       val env =
         if (statsCols.contains(c))
-          col(s"min_$c") <= lv && col(s"max_$c") >= lv
+          col(s"min_$c").isNull ||
+            (col(s"min_$c") <= lv && col(s"max_$c") >= lv)
         else lit(true)
       val blm =
         if (bloomCols.contains(c))
@@ -486,25 +507,33 @@ final class GraftTable private (
         }
       }
       case GreaterThan(a, v) => (attr(a), value(v), attr(v), value(a)) match {
-        case (Some(c), Some(lv), _, _) => col(s"max_$c") > lv   // c > v
-        case (_, _, Some(c), Some(lv)) => col(s"min_$c") < lv   // v > c
+        case (Some(c), Some(lv), _, _) =>
+          col(s"max_$c").isNull || col(s"max_$c") > lv   // c > v
+        case (_, _, Some(c), Some(lv)) =>
+          col(s"min_$c").isNull || col(s"min_$c") < lv   // v > c
         case _ => lit(true)
       }
       case GreaterThanOrEqual(a, v) =>
         (attr(a), value(v), attr(v), value(a)) match {
-          case (Some(c), Some(lv), _, _) => col(s"max_$c") >= lv
-          case (_, _, Some(c), Some(lv)) => col(s"min_$c") <= lv
+          case (Some(c), Some(lv), _, _) =>
+            col(s"max_$c").isNull || col(s"max_$c") >= lv
+          case (_, _, Some(c), Some(lv)) =>
+            col(s"min_$c").isNull || col(s"min_$c") <= lv
           case _ => lit(true)
         }
       case LessThan(a, v) => (attr(a), value(v), attr(v), value(a)) match {
-        case (Some(c), Some(lv), _, _) => col(s"min_$c") < lv
-        case (_, _, Some(c), Some(lv)) => col(s"max_$c") > lv
+        case (Some(c), Some(lv), _, _) =>
+          col(s"min_$c").isNull || col(s"min_$c") < lv
+        case (_, _, Some(c), Some(lv)) =>
+          col(s"max_$c").isNull || col(s"max_$c") > lv
         case _ => lit(true)
       }
       case LessThanOrEqual(a, v) =>
         (attr(a), value(v), attr(v), value(a)) match {
-          case (Some(c), Some(lv), _, _) => col(s"min_$c") <= lv
-          case (_, _, Some(c), Some(lv)) => col(s"max_$c") >= lv
+          case (Some(c), Some(lv), _, _) =>
+            col(s"min_$c").isNull || col(s"min_$c") <= lv
+          case (_, _, Some(c), Some(lv)) =>
+            col(s"max_$c").isNull || col(s"max_$c") >= lv
           case _ => lit(true)
         }
       case In(a, vs)
@@ -530,6 +559,11 @@ final class GraftTable private (
   def readMerged(version: Long = currentVersion): DataFrame = {
     val paths = filePaths(version)
     if (paths.isEmpty) spark.emptyDataFrame
+    // evolved tables must NOT mergeSchema (it refuses the int-vs-long
+    // merges widening creates) — readRaw's explicit physical schema
+    // already delivers merge semantics there
+    else if (isEvolved(version))
+      reconcile(applyDv(readRaw(paths, version), version), version)
     else reconcile(applyDv(
       spark.read.option("mergeSchema", "true").parquet(paths: _*),
       version), version)
@@ -945,7 +979,8 @@ final class GraftTable private (
         val p = physCol(k, parent)
         // all-NULL update keys ⇒ nothing can match ⇒ prune every file
         if (lo == null) lit(false)
-        else col(s"min_$p") <= lit(hi) && col(s"max_$p") >= lit(lo)
+        else col(s"min_$p").isNull || // null envelope = unknown: probe
+          (col(s"min_$p") <= lit(hi) && col(s"max_$p") >= lit(lo))
       }.reduceOption(_ && _).getOrElse(lit(true))
       val candidates = all.where(candPred)
         .select("path").as[String].collect()
@@ -1175,8 +1210,13 @@ final class GraftTable private (
       val paths = small.select("path").collect().map(_.getString(0))
       if (paths.isEmpty) AddRemove() // raced: debt was compacted away
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(paths.toIndexedSeq.map(p => s"$root/$p"): _*)
+        // evolved: explicit-physical-schema read (mergeSchema refuses
+        // the int-vs-long merges widening creates)
+        val raw =
+          if (isEvolved(parent))
+            readRaw(paths.toIndexedSeq.map(p => s"$root/$p"), parent)
+          else spark.read.option("mergeSchema", "true")
+            .parquet(paths.toIndexedSeq.map(p => s"$root/$p"): _*)
         val rec = reconcile(minusDv(withRowId(raw), parent), parent)
         val dataCols = rec.columns.toIndexedSeq
           .filterNot(_.startsWith("_gt_"))
@@ -1310,8 +1350,15 @@ final class GraftTable private (
     }
     val bloomKept = (bloomCols.map(c => s"bloom_$c") ++
       entries.columns.filter(_.startsWith("bloom_"))).distinct
-    val cols = "path" +: "row_count" +:
-      (statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ bloomKept)
+    // stats columns ABSENT from these entries (a rewrite/fold over
+    // dirs that predate a later-declared stats column) are simply not
+    // written for this dir — manifest()'s unionByName null-fills them
+    // and the null-safe envelope tests keep such files. Selecting an
+    // unresolvable min_<c> would abort the commit instead.
+    val cols = ("path" +: "row_count" +:
+      (statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ bloomKept))
+      .filter(c => present(c) || c.startsWith("bloom_") ||
+        c == "path" || c == "row_count")
     withBlooms.select(cols.map(col): _*)
       .write.parquet(s"${logDir(root)}/$dir")
     val t = readManifestDir(dir)
@@ -1623,11 +1670,26 @@ object GraftTable {
     else { val s = load; pathsCache.put(k, s); s }
   }
 
+  private val colsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Seq[String], Seq[String])]()
+
+  private def colsCached(root: String, v: Long)
+      (load: => (Seq[String], Seq[String]))
+      : (Seq[String], Seq[String]) = {
+    if (colsCache.size > 4096) colsCache.clear()
+    val k = (root, v)
+    val hit = colsCache.get(k)
+    if (hit != null) hit
+    else { val s = load; colsCache.put(k, s); s }
+  }
+
   /** Drop every cached entry for `root` — called by vacuum (snapshots
-    * behind the horizon stop being readable and their files go). */
+    * behind the horizon stop being readable and their files go) and
+    * the catalog's DROP/RENAME TABLE (the root may be reused). */
   private[graft] def invalidate(root: String): Unit = {
     snapCache.keySet.removeIf(_._1 == root)
     pathsCache.keySet.removeIf(_._1 == root)
+    colsCache.keySet.removeIf(_._1 == root)
   }
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
@@ -1664,6 +1726,15 @@ object GraftTable {
     new GraftTable(spark, root, statsCols, bloomCols, bloomBits)
   }
 
+  /** CHEAP metadata-only handle: no manifest probe, no directory
+    * creation — for snapshot-record questions (isEvolved,
+    * recordedSchema, currentVersion) on read paths that must not pay
+    * `forPath`'s manifest schema inference or `openOrCreate`'s
+    * mkdir (ADVICE r9). Not suitable for writes (no stats/bloom
+    * declaration). */
+  private[graft] def readOnly(spark: SparkSession, root: String)
+      : GraftTable = new GraftTable(spark, root, Nil)
+
   /** Open an existing table (stats + bloom columns read off the
     * manifest — `min_*`/`bloom_*` column presence IS the index
     * declaration, so any opener keeps maintaining it; bloom width is
@@ -1674,13 +1745,21 @@ object GraftTable {
     * must return zero rows, not crash). */
   def forPath(spark: SparkSession, root: String): GraftTable = {
     val probe = new GraftTable(spark, root, Nil)
-    if (probe.currentVersion == 0)
-      return new GraftTable(spark, root, Nil)
-    val m = probe.manifest()
-    val cols = m.columns.toSeq
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    val blooms = m.columns.toSeq
-      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+    val v = probe.currentVersion
+    if (v == 0) return new GraftTable(spark, root, Nil)
+    // the stats/bloom declaration probe infers the manifest union's
+    // schema — parquet footer reads across up to TargetManifestListLen
+    // dirs. A committed version's manifest columns are immutable, so
+    // memoize per (root, version): the connector resolves a table 4–6
+    // times per query (scan builder, planning, SPJ, DV probe) and must
+    // not pay the footer reads each time.
+    val (cols, blooms) = colsCached(root, v) {
+      val m = probe.manifest(v)
+      (m.columns.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")),
+       m.columns.toSeq
+        .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+    }
     // -1 = detect the recorded width lazily, first write only
     new GraftTable(spark, root, cols, blooms,
       if (blooms.isEmpty) graft.functions.BloomFilterIndex.DefaultBits

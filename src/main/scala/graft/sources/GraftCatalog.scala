@@ -287,7 +287,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    rm(root); true
+    rm(root)
+    // a table recreated at the same root must not serve the dropped
+    // table's memoized snapshots/file lists
+    graft.format.GraftTable.invalidate(root.getPath)
+    true
   }
 
   override def renameTable(old: Identifier, next: Identifier): Unit = {
@@ -298,6 +302,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dst.getParentFile.mkdirs()
     if (!new java.io.File(tableRoot(old)).renameTo(dst))
       sys.error(s"rename failed: $old -> $next")
+    // the old root may be reused by a future CREATE; the new root may
+    // shadow stale entries from a previously-dropped table there
+    graft.format.GraftTable.invalidate(tableRoot(old))
+    graft.format.GraftTable.invalidate(tableRoot(next))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -92,7 +92,10 @@ object GraftTableSource {
   private[sources] def logToPhys(root: String, version: Long)
       : Map[String, String] = {
     if (version <= 0) return Map.empty
-    val t = graft.format.GraftTable.forPath(SparkSession.active, root)
+    // metadata-only handle: the evolved flag and recorded schema live
+    // in the (memoized) snapshot record — never pay forPath's
+    // manifest schema probe on this per-scan path
+    val t = graft.format.GraftTable.readOnly(SparkSession.active, root)
     if (!t.isEvolved(version)) Map.empty
     else t.recordedSchema(version).map(_.fields.iterator
         .map(f => f.name -> graft.format.GraftTable.physName(f))
@@ -824,9 +827,13 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     // (indexed col) — at 100 TB a point lookup on a NON-cluster
     // column prunes through the bloom where min/max can't
     // (`c` is already translated to its physical name)
+    // NULL-SAFE: a null envelope (manifest dir written before the
+    // stats column was declared, null-filled by the union) keeps the
+    // file, same contract as a null bloom
     def eqTest(c: String, v: Any): org.apache.spark.sql.Column = {
       val env =
-        if (statsCols(c)) col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+        if (statsCols(c)) col(s"min_$c").isNull ||
+          (col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
         else lit(true)
       val blm =
         if (bloomCols(c))
@@ -845,13 +852,13 @@ class GraftTableScan(root: String, version: Long, required: StructType,
         if statsCols(physNm(c0)) || bloomCols(physNm(c0)) =>
       eqTest(physNm(c0), v)
     case sources.GreaterThan(c0, v) if statsCols(physNm(c0)) =>
-      col(s"max_${physNm(c0)}") > lit(v)
+      col(s"max_${physNm(c0)}").isNull || col(s"max_${physNm(c0)}") > lit(v)
     case sources.GreaterThanOrEqual(c0, v) if statsCols(physNm(c0)) =>
-      col(s"max_${physNm(c0)}") >= lit(v)
+      col(s"max_${physNm(c0)}").isNull || col(s"max_${physNm(c0)}") >= lit(v)
     case sources.LessThan(c0, v) if statsCols(physNm(c0)) =>
-      col(s"min_${physNm(c0)}") < lit(v)
+      col(s"min_${physNm(c0)}").isNull || col(s"min_${physNm(c0)}") < lit(v)
     case sources.LessThanOrEqual(c0, v) if statsCols(physNm(c0)) =>
-      col(s"min_${physNm(c0)}") <= lit(v)
+      col(s"min_${physNm(c0)}").isNull || col(s"min_${physNm(c0)}") <= lit(v)
     case sources.In(c0, vs)
         if (statsCols(physNm(c0)) || bloomCols(physNm(c0))) && vs.nonEmpty =>
       val c = physNm(c0)
@@ -869,8 +876,8 @@ class GraftTableScan(root: String, version: Long, required: StructType,
         // own envelope (Iceberg's trick) — O(1) plan size, still a
         // superset guarantee
         minMaxOf(nn) match {
-          case Some((lo, hi)) =>
-            col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+          case Some((lo, hi)) => col(s"min_$c").isNull ||
+            (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
           case None => lit(true)
         }
       } else lit(true) // huge IN on a bloom-only column: decline
@@ -1172,10 +1179,16 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
       .map(f => GraftTableFilePartition(f): InputPartition)
   }
 
+  // resolved ONCE at stream start (like `required` itself): a rename/
+  // drop committed mid-stream must not retroactively re-map batches of
+  // older versions — mid-stream evolution needs a stream restart, the
+  // standard lakehouse-streaming contract
+  private val streamL2p: Map[String, String] =
+    GraftTableSource.logToPhys(root,
+      graft.format.GraftTable.versionAt(root))
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(root, required,
-      GraftTableSource.logToPhys(root,
-        graft.format.GraftTable.versionAt(root)))
+    new GraftTableReaderFactory(root, required, streamL2p)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

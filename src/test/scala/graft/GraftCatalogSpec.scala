@@ -25,6 +25,23 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   private def orders = Tables.load(spark, sfDir, "orders")
 
+  test("DROP TABLE invalidates the session planning caches: a table " +
+      "recreated at the same root reads ITS content, not the dropped " +
+      "table's memoized file list") {
+    GraftTable.create(spark, s"$warehouse/phoenix",
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 2)
+    // populate the (root, version) caches
+    assert(spark.table("lake.phoenix").count() == 100)
+    spark.sql("DROP TABLE lake.phoenix")
+    GraftTable.create(spark, s"$warehouse/phoenix",
+      (1L to 30L).toDF("k"), Seq("k"), numFiles = 1)
+    // stale cached paths would point at the deleted table's
+    // UUID-named data files → FileNotFound or the old count
+    assert(spark.table("lake.phoenix").count() == 30)
+    assert(GraftTable.forPath(spark, s"$warehouse/phoenix")
+      .read(1).count() == 30)
+  }
+
   test("a table written by the Scala API resolves BY NAME: " +
       "spark.table, SQL aggregate, and SQL VERSION AS OF time travel") {
     val t = GraftTable.create(spark, s"$warehouse/orders_api",

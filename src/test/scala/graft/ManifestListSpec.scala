@@ -128,6 +128,37 @@ class ManifestListSpec extends AnyFunSuite {
     assert(h.getLong(3) == 25 && h.getLong(4) == 250)
   }
 
+  test("a stats column declared AFTER earlier commits: carried dirs' " +
+      "null envelopes KEEP their files in pruning and mutation audits " +
+      "(null-safe), and rewrites over mixed dirs don't abort") {
+    val root = tmp()
+    GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"),
+      Seq("k"), numFiles = 1)
+    // reopen declaring v as a stats column too; the old dir's entries
+    // have no min_v/max_v — the union null-fills them
+    val t = GraftTable.openOrCreate(spark, root, Seq("k", "v"))
+    t.append((101L to 200L).map(k => (k, k * 2)).toDF("k", "v"),
+      numFiles = 1)
+    // every matching row lives in the OLD (null-envelope) file: a
+    // null-unsafe envelope test would prune it and silently lose them
+    val (rows, opened, total) = t.prunedWhere(col("v") <= 100)
+    assert(total == 2)
+    // the NEW file prunes on its real envelope (min_v = 202 > 100);
+    // the OLD file's null envelope must KEEP it — exactly 1 opened
+    assert(opened == 1, "null envelope must keep, real envelope must prune")
+    assert(rows.count() == 50)
+    // the COW delete's stats-pruned audit must include the old file
+    t.deleteWhere(col("v") <= 100)
+    assert(t.read().count() == 150,
+      "rows in the pre-declaration file must be deleted too")
+    // a rewrite across mixed dirs (old lacks min_v in its parquet)
+    // must not abort on the unresolvable column
+    t.compactSmall(maxRows = 1000)
+    assert(t.read().count() == 150)
+    assert(t.manifest().count() == 1)
+  }
+
   test("vacuum respects dir sharing: expired snapshots' dirs survive " +
       "while a retained snapshot still lists them, and reads keep " +
       "working afterwards") {

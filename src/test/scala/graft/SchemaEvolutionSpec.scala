@@ -136,6 +136,16 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "dropped values must NOT resurrect through the re-added column")
     // time travel to v1 still shows the original column + values
     assert(t.read(1).where(col("pii") === "secret7").count() == 1)
+    // appending a colliding column WITHOUT ALTER ADD COLUMN first is
+    // refused loudly — writing it under the stale physical name would
+    // silently null every appended value on read
+    val t2root = tmp()
+    val t2 = GraftTable.create(spark, t2root,
+      (1L to 10L).map(k => (k, s"x$k")).toDF("k", "pii"),
+      Seq("k"), numFiles = 1)
+    t2.dropColumn("pii")
+    intercept[IllegalArgumentException](
+      t2.append(Seq((11L, "boom")).toDF("k", "pii"), numFiles = 1))
   }
 
   test("connector: SQL ALTER TABLE RENAME/DROP/TYPE evolve a catalog " +
