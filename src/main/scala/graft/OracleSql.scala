@@ -846,6 +846,16 @@ object OracleSql {
                AS DECIMAL(18,4))) AS DOUBLE), 2) AS bal_sum
       FROM customer GROUP BY 1 ORDER BY 1
     """,
+    // q246: the tag pins the PRE-mutation snapshot — the aggregate
+    // over VERSION AS OF 'baseline' must equal the original rows,
+    // untouched by the later MOR delete and polluting append.
+    "q246_tagged_snapshot" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

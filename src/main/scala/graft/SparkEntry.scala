@@ -325,7 +325,8 @@ object SparkEntry {
     "q242_sql_procedures" -> (FormatQueries.q242SqlProcedures _),
     "q243_zorder_3d" -> (FormatQueries.q243Zorder3d _),
     "q244_constrained_insert" -> (FormatQueries.q244ConstrainedInsert _),
-    "q245_schema_evolution" -> (FormatQueries.q245SchemaEvolution _)
+    "q245_schema_evolution" -> (FormatQueries.q245SchemaEvolution _),
+    "q246_tagged_snapshot" -> (FormatQueries.q246TaggedSnapshot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

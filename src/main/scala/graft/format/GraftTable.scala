@@ -97,12 +97,26 @@ final class GraftTable private (
         .orElse(kv.get("manifest").filter(_.nonEmpty)
           .map(d => Seq(ManifestRef(d, -1L, -1L))))
         .getOrElse(Nil)
+      // DELETION VECTORS are a LIST of delta dirs too (`dvs=dir:rows,
+      // …`): a MOR commit writes only ITS deletes and carries the
+      // parent's dirs by reference — entries whose data file has left
+      // the manifest are harmless (the read-side anti-join never
+      // matches them) and are pruned/folded at commit. Legacy `dv=dir`
+      // reads as a one-element list.
+      val dvs: Seq[DvRef] =
+        kv.get("dvs").filter(_.nonEmpty).map(_.split(",").toSeq
+          .map { s =>
+            val p = s.split(":"); DvRef(p(0), p(1).toLong)
+          })
+        .orElse(kv.get("dv").filter(_.nonEmpty)
+          .map(d => Seq(DvRef(d, -1L))))
+        .getOrElse(Nil)
       Snapshot(v, kv("op"), kv("parent").toLong, dirs,
         kv("n_files").toLong, kv("n_rows").toLong,
         kv.get("applied").filter(_.nonEmpty)
           .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty),
         kv.get("schema").filter(_.nonEmpty),
-        kv.get("dv").filter(_.nonEmpty),
+        dvs,
         kv.get("n_dels").map(_.toLong).getOrElse(0L),
         kv.get("evolved").contains("1"),
         kv.get("dead_cols").filter(_.nonEmpty)
@@ -160,17 +174,23 @@ final class GraftTable private (
     * (file, row-ordinal) pairs recorded by [[deleteWhereMor]] instead
     * of a copy-on-write rewrite. */
   def hasDeletionVectors(version: Long = currentVersion): Boolean =
-    version > 0 && snapshot(version).dvDir.isDefined
+    version > 0 && snapshot(version).dvDirs.nonEmpty
 
   /** Logically deleted rows of `version`: `(path, pos)` — root-
     * relative data-file path and the row's ordinal within that file
     * (parquet files are immutable, so the ordinal is a stable row id).
-    * Empty frame when the version has none. */
-  def deletionVectors(version: Long = currentVersion): DataFrame =
-    (if (version == 0) None else snapshot(version).dvDir) match {
-      case Some(d) => spark.read.parquet(s"${logDir(root)}/$d")
-      case None => emptyDv
-    }
+    * The union of the version's DV delta dirs, LIVE-RESTRICTED to
+    * files still in its manifest (carried dirs may hold entries for
+    * files a later rewrite dropped — harmless to the anti-join but
+    * excluded here so diff-consumers like CDC stay exact). Empty
+    * frame when the version has none. */
+  def deletionVectors(version: Long = currentVersion): DataFrame = {
+    val refs = if (version == 0) Nil else snapshot(version).dvDirs
+    if (refs.isEmpty) emptyDv
+    else refs.map(r => spark.read.parquet(s"${logDir(root)}/${r.dir}"))
+      .reduce(_ unionByName _)
+      .join(manifest(version).select("path"), Seq("path"), "left_semi")
+  }
 
   private def emptyDv: DataFrame = {
     import org.apache.spark.sql.types._
@@ -643,7 +663,12 @@ final class GraftTable private (
       "vacuum must retain at least the current snapshot")
     val cur = currentVersion
     val keepFrom = math.max(1L, cur - retainLast + 1)
-    val live = (keepFrom to cur).flatMap(v =>
+    // TAGGED versions are pinned outside the horizon: their snapshot
+    // record, metadata dirs, and data files all survive — a tag is a
+    // reproducibility promise and vacuum must not be able to break it
+    val protectedVs = tags.values.filter(v => v < keepFrom).toSet
+    val keepVs = (keepFrom to cur) ++ protectedVs.toSeq
+    val live = keepVs.flatMap(v =>
       manifest(v).select("path").collect().map(_.getString(0))).toSet
     // referenced by ANY committed snapshot ⇒ deleting it is reclaiming
     // expired history; referenced by none ⇒ orphan, age-guarded
@@ -668,21 +693,22 @@ final class GraftTable private (
       if (left.forall(f => !f.getName.endsWith(".parquet")))
         { left.foreach(_.delete()); cd.delete() }
     }
-    // manifest dirs are SHARED across snapshots (appends/restores
-    // carry the parent's list by reference): an expired snapshot's
-    // dir is deleted only if no RETAINED snapshot still lists it.
-    // DV dirs are written fresh per commit, never shared.
-    val keptDirs = (keepFrom to cur).flatMap { v =>
+    // manifest AND deletion-vector dirs are SHARED across snapshots
+    // (appends/restores carry both lists by reference): an expired
+    // snapshot's dir is deleted only if no RETAINED snapshot still
+    // lists it.
+    val keptDirs = keepVs.flatMap { v =>
       try {
-        val s = snapshot(v); s.manifestDirs.map(_.dir) ++ s.dvDir.toSeq
+        val s = snapshot(v)
+        s.manifestDirs.map(_.dir) ++ s.dvDirs.map(_.dir)
       } catch { case _: java.nio.file.NoSuchFileException => Nil }
     }.toSet
-    (1L until keepFrom).foreach { v =>
+    (1L until keepFrom).filterNot(protectedVs).foreach { v =>
       try {
         val s = snapshot(v)
         s.manifestDirs.map(_.dir).filterNot(keptDirs).foreach(d =>
           deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
-        s.dvDir.filterNot(keptDirs).foreach(d =>
+        s.dvDirs.map(_.dir).filterNot(keptDirs).foreach(d =>
           deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
@@ -696,7 +722,7 @@ final class GraftTable private (
     val namedDirs = (1L to currentVersion).flatMap { v =>
       try {
         val s = snapshot(v)
-        s.manifestDirs.map(_.dir) ++ s.dvDir.toSeq
+        s.manifestDirs.map(_.dir) ++ s.dvDirs.map(_.dir)
       } catch { case _: java.nio.file.NoSuchFileException => Nil }
     }.toSet
     Option(new java.io.File(logDir(root)).listFiles())
@@ -728,6 +754,57 @@ final class GraftTable private (
     * deletedRowCount). Snapshot-record read, no IO. */
   def rowCount(version: Long = currentVersion): Long =
     if (version == 0) 0L else snapshot(version).nRows
+
+  // ---- tags: named immutable snapshot references ---------------------
+
+  /** Create an IMMUTABLE named reference to `version` — the
+    * dataset-pinning primitive a training pipeline needs: "the exact
+    * bytes model X trained on" survives every later mutation AND
+    * every vacuum ([[vacuum]] protects tagged versions outside its
+    * horizon). Creation is a [[CommitIO.putIfAbsent]], so two racing
+    * taggers resolve to exactly one winner and a tag can never be
+    * silently repointed — reproducibility demands immutability
+    * (Iceberg tags; Delta would call it a named version). Re-tagging
+    * a name requires an explicit [[deleteTag]] first. */
+  def tag(name: String, version: Long = currentVersion): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"invalid tag name: $name")
+    val cur = currentVersion
+    require(version >= 1 && version <= cur,
+      s"tag: version $version outside committed range 1..$cur")
+    require(new java.io.File(
+        s"${logDir(root)}/snapshot-v$version.txt").isFile,
+      s"tag: snapshot v$version has been vacuumed")
+    if (!commitIO.putIfAbsent(
+        java.nio.file.Paths.get(logDir(root), s"tag-$name.txt"),
+        s"$version\n".getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"tag $name already exists (tags are immutable; deleteTag " +
+          "first to repoint)")
+  }
+
+  /** All tags of this table: name → version. */
+  def tags: Map[String, Long] =
+    Option(new java.io.File(logDir(root)).listFiles())
+      .getOrElse(Array.empty).iterator
+      .flatMap(f => f.getName match {
+        case GraftTable.TagName(n) =>
+          Some(n -> new String(java.nio.file.Files
+            .readAllBytes(f.toPath), "UTF-8").trim.toLong)
+        case _ => None
+      }).toMap
+
+  /** Resolve a tag to its version; explicit error for unknown tags. */
+  def versionForTag(name: String): Long =
+    tags.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown tag $name on $root; known: ${tags.keys.toSeq.sorted
+        .mkString(", ")}"))
+
+  /** Remove a tag (the version it pinned becomes vacuumable again
+    * once outside the retention horizon). */
+  def deleteTag(name: String): Boolean =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(logDir(root), s"tag-$name.txt"))
 
   /** Commit history, newest first: one row per snapshot still on
     * disk (vacuum removes records behind its horizon). */
@@ -1154,11 +1231,10 @@ final class GraftTable private (
     require(new java.io.File(
         s"${logDir(root)}/snapshot-v$version.txt").isFile,
       s"restore: snapshot v$version has been vacuumed")
-    val dvAt: Option[Long => DataFrame] =
-      if (hasDeletionVectors(version)) Some(_ => deletionVectors(version))
-      else None
     commitWithRetry("restore", newSchema = recordedSchema(version),
-      extraDv = dvAt, dvReplace = true,
+      // the restored version's DV delta dirs come back BY REFERENCE —
+      // zero DV rows written, deletions that postdate the target drop
+      dvReplace = true, extraDvList = Some(version),
       // evolution state reverts with the content it describes
       evolvedOverride = Some(isEvolved(version)),
       deadColsOverride = Some(snapshot(version).deadCols))(
@@ -1401,6 +1477,7 @@ final class GraftTable private (
       newSchema: Option[org.apache.spark.sql.types.StructType] = None,
       extraDv: Option[Long => DataFrame] = None,
       dvReplace: Boolean = false,
+      extraDvList: Option[Long] = None,
       schemaReplace: Boolean = false,
       evolvedOverride: Option[Boolean] = None,
       deadColsOverride: Option[Set[String]] = None,
@@ -1418,10 +1495,19 @@ final class GraftTable private (
       // been a retry of the very batch this commit carries
       if (batchLedger.exists(parentApplied.contains)) return parent
       val applied = parentApplied ++ batchLedger
+      // whether this commit can DROP data files from the live set —
+      // decides if the DV live-count must be recomputed (a pure
+      // append can carry the parent's DV accounting verbatim)
+      var fileSetChanged = false
       var list: Seq[ManifestRef] = buildDelta(parent) match {
-        case ReplaceAll(entries) => Seq(writeManifestDir(entries, next))
-        case UseList(v) => snapshot(v).manifestDirs.map(ensureCounts)
+        case ReplaceAll(entries) =>
+          fileSetChanged = true
+          Seq(writeManifestDir(entries, next))
+        case UseList(v) =>
+          fileSetChanged = true
+          snapshot(v).manifestDirs.map(ensureCounts)
         case AddRemove(added, removed) =>
+          fileSetChanged = removed.nonEmpty
           val parentRefs =
             if (parent == 0) Nil
             else snapshot(parent).manifestDirs.map(ensureCounts)
@@ -1519,42 +1605,78 @@ final class GraftTable private (
           case (None, Some(ns)) => Some(ns.json)
           case (pj, None) => pj
         }
-      // DELETION VECTORS follow the manifest with no per-op wiring:
-      // the parent's DV restricted to paths still in the new manifest
-      // (a rewritten or dropped file sheds its entries because its
-      // path leaves the manifest — compact/overwrite therefore clear
-      // the DV), plus this op's new deletions. Zero cost for DV-free
-      // tables; DV-carrying commits pay one small join+write.
-      // `dvReplace` (restore): the committed DV is EXACTLY `extraDv`,
-      // not parent ∪ extraDv — deletions that postdate the restored
-      // version must not survive the rollback
-      val parentDvDir: Option[String] =
-        if (parent == 0 || dvReplace) None else snapshot(parent).dvDir
+      // DELETION-VECTOR LIST, O(new deletes) per commit: the parent's
+      // DV delta dirs carry BY REFERENCE and only this op's deletions
+      // are written (one small sorted dir) — previously every
+      // DV-carrying commit rewrote the full accumulated DV, an
+      // O(total-deletes) metadata write. Stale entries (their file
+      // left the manifest) are harmless to the read-side anti-join;
+      // when this commit can drop files, ONE metadata-sized join
+      // recomputes exact live counts, prunes fully-stale dirs, and
+      // folds an overlong list into one live dir. A pure append
+      // carries the parent's DV lines verbatim — zero DV jobs.
+      // `dvReplace` (restore) re-points at the restored version's
+      // list: deletions that postdate the rollback target vanish with
+      // zero DV IO.
+      val parentDvRefs: Seq[DvRef] =
+        if (parent == 0 || dvReplace) Nil else snapshot(parent).dvDirs
+      val newDels: Option[(String, Long)] = extraDv.map(_(parent))
+        .flatMap { dels =>
+          val staged = dels.repartition(1)
+            .sortWithinPartitions("path", "pos").cache()
+          val n = staged.count()
+          val out =
+            if (n == 0) None
+            else {
+              val dir = s"dv-v${next}_" +
+                java.util.UUID.randomUUID.toString.take(8)
+              staged.write.parquet(s"${logDir(root)}/$dir")
+              Some((dir, n))
+            }
+          staged.unpersist()
+          out
+        }
+      val restoredDvRefs: Seq[DvRef] =
+        if (!dvReplace) Nil
+        else extraDvList.map(v => snapshot(v).dvDirs).getOrElse(Nil)
+      var dvList: Seq[DvRef] = (parentDvRefs ++ restoredDvRefs) ++
+        newDels.map { case (d, n) => DvRef(d, n) }
       val dvLines: Seq[String] =
-        if (parentDvDir.isEmpty && extraDv.isEmpty) Nil
-        else {
-          val pieces =
-            parentDvDir.map(d =>
-              spark.read.parquet(s"${logDir(root)}/$d")).toSeq ++
-            extraDv.map(_(parent)).toSeq
+        if (dvList.isEmpty) Nil
+        else if (!fileSetChanged && newDels.isEmpty && !dvReplace) {
+          // nothing about the live file set or the deletions moved:
+          // the parent's accounting is still exact, carry it verbatim
+          Seq(s"dvs=${dvList.map(r => s"${r.dir}:${r.rows}")
+            .mkString(",")}",
+            s"n_dels=${snapshot(parent).nDels}")
+        } else {
           val mPaths =
             if (list.isEmpty) emptyDv.select("path")
             else unionRefs(list).select("path")
-          val comb = pieces.reduce(_ unionByName _).distinct()
+          val liveBySrc = dvList.map(r =>
+            spark.read.parquet(s"${logDir(root)}/${r.dir}")
+              .select(col("path")).withColumn("_src", lit(r.dir)))
+            .reduce(_ unionByName _)
             .join(mPaths, Seq("path"), "left_semi")
-            .repartition(1).sortWithinPartitions("path", "pos")
-            .cache()
-          val nDels = comb.count()
-          val out =
-            if (nDels == 0) Nil
-            else {
-              val dvDir = s"dv-v${next}_" +
-                java.util.UUID.randomUUID.toString.take(8)
-              comb.write.parquet(s"${logDir(root)}/$dvDir")
-              Seq(s"dv=$dvDir", s"n_dels=$nDels")
-            }
-          comb.unpersist()
-          out
+            .groupBy(col("_src")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          dvList = dvList.filter(r => liveBySrc.getOrElse(r.dir, 0L) > 0)
+          val nDels = dvList.map(r => liveBySrc(r.dir)).sum
+          if (dvList.length > MaxDvListLen) {
+            val folded = dvList.map(r =>
+              spark.read.parquet(s"${logDir(root)}/${r.dir}"))
+              .reduce(_ unionByName _).distinct()
+              .join(mPaths, Seq("path"), "left_semi")
+              .repartition(1).sortWithinPartitions("path", "pos")
+            val dir = s"dv-v${next}_" +
+              java.util.UUID.randomUUID.toString.take(8)
+            folded.write.parquet(s"${logDir(root)}/$dir")
+            dvList = Seq(DvRef(dir, nDels))
+          }
+          if (dvList.isEmpty) Nil
+          else Seq(s"dvs=${dvList.map(r => s"${r.dir}:${r.rows}")
+            .mkString(",")}",
+            s"n_dels=$nDels")
         }
       val content = (Seq(s"op=$op", s"parent=$parent",
         s"manifests=${list.map(r =>
@@ -1624,11 +1746,21 @@ object GraftTable {
   /** …down to this many dirs. */
   val TargetManifestListLen = 8
 
+  /** One deletion-vector delta dir in a snapshot's DV list, with its
+    * raw entry count (entries may be stale — their file left the
+    * manifest — which reads ignore; `Snapshot.nDels` is the exact
+    * live count, recomputed per commit). -1 marks a legacy single-dir
+    * ref. */
+  private[graft] case class DvRef(dir: String, rows: Long)
+
+  /** DV list length that triggers a fold into one live-restricted dir. */
+  val MaxDvListLen = 8
+
   private case class Snapshot(version: Long, op: String, parent: Long,
     manifestDirs: Seq[ManifestRef], nFiles: Long, nRows: Long,
     applied: Set[Long] = Set.empty,
     schemaJson: Option[String] = None,
-    dvDir: Option[String] = None, nDels: Long = 0L,
+    dvDirs: Seq[DvRef] = Nil, nDels: Long = 0L,
     evolved: Boolean = false, deadCols: Set[String] = Set.empty)
 
   /** A field's PHYSICAL column name — the name its values live under
@@ -1693,6 +1825,7 @@ object GraftTable {
   }
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
+  private val TagName = "tag-(.+)\\.txt".r
 
   private def logDir(root: String) = s"$root/_log"
 

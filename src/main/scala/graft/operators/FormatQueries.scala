@@ -1197,6 +1197,40 @@ object FormatQueries {
       .orderBy(col("segment"))
   }
 
+  /** q246 — DATASET PINNING via immutable tags: the orders snapshot
+    * is tagged `baseline`, then the table is mutated twice (a MOR
+    * delete and a polluting append). The aggregate reads `VERSION AS
+    * OF 'baseline'` and must hash-equal DuckDB over the ORIGINAL
+    * rows — the tag's promise is that no later mutation (or vacuum —
+    * TagSpec pins the protection) can change what a pinned training
+    * run read. */
+  def q246TaggedSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcat")
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    val root = s"$wh/orders_tagged"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      GraftTable.create(s, root, o, statsCols = Seq("o_orderkey"))
+      s.sql("CALL gcat.system.tag('orders_tagged', 'baseline')")
+      val t = GraftTable.forPath(s, root)
+      t.deleteWhereMor(col("o_orderkey") % 3 === 0)
+      t.append(o.where(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * -1))
+      ()
+    }
+    s.sql("""
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM gcat.orders_tagged VERSION AS OF 'baseline'
+      GROUP BY 1 ORDER BY 1""")
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

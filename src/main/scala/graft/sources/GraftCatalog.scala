@@ -121,11 +121,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     v2Table(root, None)
   }
 
-  /** `VERSION AS OF n` — time travel by snapshot version. */
+  /** `VERSION AS OF n` — time travel by snapshot version — or
+    * `VERSION AS OF 'tag'` — by an immutable named reference
+    * ([[graft.format.GraftTable.tag]]): the reproducibility read a
+    * training run uses to pin its exact input dataset. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    v2Table(root, Some(version.toLong))
+    val v = version.toLongOption.getOrElse(
+      graft.format.GraftTable.forPath(SparkSession.active, root)
+        .versionForTag(version))
+    v2Table(root, Some(v))
   }
 
   /** `TIMESTAMP AS OF t` — resolve the newest snapshot whose commit
@@ -504,6 +510,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (rows > 0 && dels.toDouble / rows > ratio) t.compact(n)
       else if (smallMax > 0) t.compactSmall(smallMax, n)
       else t.currentVersion
+    },
+    // IMMUTABLE snapshot tags (dataset pinning): `CALL
+    // cat.system.tag('t', 'train_v1')` pins the current (or given)
+    // version under a name that vacuum protects and `VERSION AS OF
+    // 'train_v1'` resolves — the "exact bytes this model trained on"
+    // primitive. Re-tagging a name fails (put-if-absent); drop_tag
+    // releases it.
+    "tag" -> longProc("tag", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("name", DataTypes.StringType),
+      inParam("version", DataTypes.LongType, Some("0")))) { in =>
+      val t = tableForName(in.getUTF8String(0).toString)
+      val v = if (in.numFields < 3 || in.isNullAt(2) ||
+          in.getLong(2) == 0L) t.currentVersion else in.getLong(2)
+      t.tag(in.getUTF8String(1).toString, v)
+      v
+    },
+    "drop_tag" -> longProc("drop_tag", "dropped", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("name", DataTypes.StringType))) { in =>
+      if (tableForName(in.getUTF8String(0).toString)
+          .deleteTag(in.getUTF8String(1).toString)) 1L else 0L
+    },
+    "tags" -> proc("tags", StructType(Seq(
+      StructField("name", DataTypes.StringType),
+      StructField("version", DataTypes.LongType))), Seq(
+      inParam("table", DataTypes.StringType))) { in =>
+      tableForName(in.getUTF8String(0).toString).tags.toSeq.sorted
+        .map { case (n, v) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), v) }
+        .toArray
     },
     // commit log as a result set: version/op/parent/n_files/n_rows,
     // newest first — `CALL cat.system.history('db.t')`

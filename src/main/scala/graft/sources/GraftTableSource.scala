@@ -153,7 +153,9 @@ object GraftTableSource {
       return (root, 0L, new StructType())
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
     val version = Option(options.get("versionAsOf"))
-      .map(_.toLong)
+      // a number is a snapshot version; anything else resolves as an
+      // immutable TAG name
+      .map(v => v.toLongOption.getOrElse(t.versionForTag(v)))
       .orElse(Option(options.get("timestampAsOf"))
         .map(ts => versionAtTimestamp(root, parseTsMillis(ts))))
       .getOrElse(t.currentVersion)

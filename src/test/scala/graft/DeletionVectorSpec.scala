@@ -243,9 +243,65 @@ class DeletionVectorSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("dv-v"))
       .map(_.getName).toSet
     assert(dvDirs().size == 2)
+    // DV dirs are DELTA dirs shared by reference (r11): v3's list
+    // names both, so expiring v2 must not delete either out from
+    // under v3
     t.vacuum(retainLast = 1, minOrphanAgeMs = 0L)
-    assert(dvDirs().size == 1, "vacuum must delete expired DV dirs " +
-      "and keep the retained snapshot's")
+    assert(dvDirs().size == 2,
+      "both delta dirs are still referenced by the retained snapshot")
     assert(t.read().count() == 800)
+    // a compact materializes deletions away; the delta dirs then
+    // belong only to expired history and vacuum reclaims them
+    t.compact(numFiles = 1)
+    t.vacuum(retainLast = 1, minOrphanAgeMs = 0L)
+    assert(dvDirs().isEmpty,
+      s"unreferenced DV delta dirs must be reclaimed: ${dvDirs()}")
+    assert(t.read().count() == 800)
+  }
+
+  test("MOR commits write O(new deletes) DV metadata: each delete " +
+      "adds ONE delta dir holding only its own entries, appends add " +
+      "none, and an overlong list folds") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, (1L to 10000L).toDF("k"),
+      Seq("k"), numFiles = 4)
+    def dvDirs() = Option(new java.io.File(s"$root/_log").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("dv-v"))
+      .map(_.getName).toSet
+    t.deleteWhereMor(col("k") <= 5000) // 5000 entries
+    val afterBig = dvDirs()
+    assert(afterBig.size == 1)
+    t.deleteWhereMor(col("k") > 5000 && col("k") <= 5010) // 10 entries
+    val fresh = (dvDirs() -- afterBig).toSeq
+    assert(fresh.size == 1)
+    val freshRows = spark.read
+      .parquet(s"$root/_log/${fresh.head}").count()
+    assert(freshRows == 10,
+      s"the second delete must write its own 10 entries, not the " +
+        s"accumulated 5010 (wrote $freshRows) — O(new), not O(total)")
+    // a pure append adds no DV dir and keeps the accounting exact
+    val beforeAppend = dvDirs()
+    t.append((10001L to 10100L).toDF("k"), numFiles = 1)
+    assert(dvDirs() == beforeAppend, "appends write zero DV metadata")
+    assert(t.read().count() == 10000 - 5010 + 100)
+    // many small MOR deletes: the list folds instead of growing
+    // unboundedly
+    (1 to 10).foreach { i =>
+      t.deleteWhereMor(col("k") === (5010L + i))
+    }
+    assert(t.read().count() == 10000 - 5020 + 100)
+    val listLen = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          s"$root/_log/snapshot-v${t.currentVersion}.txt")), "UTF-8")
+      txt.split("\n").find(_.startsWith("dvs="))
+        .map(_.stripPrefix("dvs=").split(",").count(_.nonEmpty))
+        .getOrElse(0)
+    }
+    assert(listLen <= graft.format.GraftTable.MaxDvListLen,
+      s"the DV list must stay bounded, was $listLen")
+    // reads remain exact through the fold
+    assert(t.read().agg(min(col("k"))).head().getLong(0) == 5021L)
   }
 }

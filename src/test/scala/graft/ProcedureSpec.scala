@@ -177,8 +177,8 @@ class ProcedureSpec extends AnyFunSuite {
     val cat = spark.sessionState.catalogManager.catalog("prc")
       .asInstanceOf[graft.sources.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted
-      .toSeq == Seq("compact", "history", "maintain", "restore",
-        "vacuum", "zorder"))
+      .toSeq == Seq("compact", "drop_tag", "history", "maintain",
+        "restore", "tag", "tags", "vacuum", "zorder"))
   }
 
   test("CALL system.maintain: compacts ONLY when the deletion-vector " +

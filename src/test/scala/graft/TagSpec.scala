@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.format.GraftTable
+
+/** Immutable snapshot TAGS — the dataset-pinning primitive a
+  * training-data pipeline needs: "the exact bytes model X trained
+  * on" survives later mutations AND vacuum. Pins: put-if-absent
+  * immutability, every read surface (API, SQL VERSION AS OF 'name',
+  * path option), and the vacuum protection that makes the pin a
+  * promise rather than a race against retention. */
+class TagSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_tag_spec_").toString + "/t"
+
+  test("a tag pins a version across mutations: API read, SQL VERSION " +
+      "AS OF 'name', and the path option all resolve it; tags are " +
+      "immutable until deleted") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_tag_wh_").toString
+    spark.conf.set("spark.sql.catalog.tagc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tagc.warehouse", wh)
+    val root = s"$wh/pinned"
+    val t = GraftTable.create(spark, root,
+      (1L to 1000L).toDF("k"), Seq("k"), numFiles = 2)
+    spark.sql("CALL tagc.system.tag('pinned', 'train_v1')")
+    t.deleteWhere(col("k") <= 500)
+    t.append((1001L to 1100L).toDF("k"))
+    assert(t.read().count() == 600)
+    // all three read surfaces resolve the tag to the pinned content
+    assert(t.read(t.versionForTag("train_v1")).count() == 1000)
+    assert(spark.sql(
+      "SELECT count(*) FROM tagc.pinned VERSION AS OF 'train_v1'")
+      .head().getLong(0) == 1000)
+    assert(spark.read.format("gtable")
+      .option("versionAsOf", "train_v1").load(root).count() == 1000)
+    // immutable: re-tagging the name fails loudly
+    intercept[IllegalStateException](t.tag("train_v1"))
+    // CALL tags lists it; drop_tag releases the name for re-tagging
+    val listed = spark.sql("CALL tagc.system.tags('pinned')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(listed.toSeq == Seq(("train_v1", 1L)))
+    spark.sql("CALL tagc.system.drop_tag('pinned', 'train_v1')")
+    t.tag("train_v1") // now points at the current version
+    assert(t.read(t.versionForTag("train_v1")).count() == 600)
+  }
+
+  test("vacuum PROTECTS tagged versions outside its horizon: the " +
+      "pinned snapshot stays readable while untagged expired history " +
+      "is reclaimed; dropping the tag releases it") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 1)
+    t.tag("gold", 1L)
+    // churn: replace the content twice (v1's files become unreferenced
+    // by any retained snapshot — only the tag holds them)
+    t.overwrite((201L to 300L).toDF("k"), numFiles = 1) // v2
+    t.overwrite((301L to 400L).toDF("k"), numFiles = 1) // v3
+    val reclaimed1 = t.vacuum(retainLast = 1, minOrphanAgeMs = 0L)
+    // v2's file is expired-and-untagged → reclaimed; v1's is tagged
+    assert(reclaimed1 == 1,
+      s"only the untagged expired file may go, reclaimed $reclaimed1")
+    assert(t.read(1).count() == 100,
+      "the tagged snapshot must remain fully readable after vacuum")
+    assert(t.read().count() == 100 &&
+      t.read().agg(min(col("k"))).head().getLong(0) == 301)
+    // releasing the tag makes the version ordinary expired history
+    t.deleteTag("gold")
+    assert(t.vacuum(retainLast = 1, minOrphanAgeMs = 0L) == 1,
+      "the untagged v1 file must now be reclaimed")
+    assert(t.read().count() == 100)
+  }
+
+  test("tagging a vacuumed version or an out-of-range version fails " +
+      "explicitly; unknown tags resolve to a clear error") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 10L).toDF("k"), Seq("k"), numFiles = 1)
+    intercept[IllegalArgumentException](t.tag("x", 5L))
+    intercept[IllegalArgumentException](t.versionForTag("nope"))
+    t.overwrite((11L to 20L).toDF("k"), numFiles = 1)
+    t.vacuum(retainLast = 1, minOrphanAgeMs = 0L) // v1 record gone
+    intercept[IllegalArgumentException](t.tag("x", 1L))
+  }
+}
