@@ -856,6 +856,15 @@ object OracleSql {
                AS DOUBLE), 2) AS revenue
       FROM orders GROUP BY 1 ORDER BY 1
     """,
+    // q247: the STREAMED change feed's per-key net fold must land on
+    // the live table — orders minus the MOR-deleted seventh keys.
+    "q247_streaming_cdc" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_live
+      FROM orders
+      WHERE o_orderkey % 7 <> 0
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -326,7 +326,8 @@ object SparkEntry {
     "q243_zorder_3d" -> (FormatQueries.q243Zorder3d _),
     "q244_constrained_insert" -> (FormatQueries.q244ConstrainedInsert _),
     "q245_schema_evolution" -> (FormatQueries.q245SchemaEvolution _),
-    "q246_tagged_snapshot" -> (FormatQueries.q246TaggedSnapshot _)
+    "q246_tagged_snapshot" -> (FormatQueries.q246TaggedSnapshot _),
+    "q247_streaming_cdc" -> (FormatQueries.q247StreamingCdc _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1231,6 +1231,48 @@ object FormatQueries {
       GROUP BY 1 ORDER BY 1""")
   }
 
+  /** q247 — STREAMING CHANGE DATA FEED fold: orders land in a
+    * gtable, a MOR delete knocks out every 7th key, then
+    * `readStream(readChangeFeed)` drains the full event history —
+    * 'insert' rows per added file, 'delete' rows materialized from
+    * the deletion-vector window by the emit-only reader — and a
+    * per-key net fold (+1 insert / −1 delete) reconstructs the live
+    * table. Hash-equal to DuckDB over `o_orderkey % 7 <> 0` ⟺ no
+    * event was lost, duplicated, or mistyped: the incremental-
+    * downstream-table contract, gate-checked. */
+  def q247StreamingCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_cdc" +
+      s"_${System.nanoTime}"
+    val ckpt = s"${root}_ckpt"
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    val t = GraftTable.create(s, root, o,
+      statsCols = Seq("o_orderkey"), numFiles = 4)
+    t.deleteWhereMor(col("o_orderkey") % 7 === 0)
+    val evDir = s"${root}_events"
+    val q = s.readStream.format("gtable")
+      .option("readChangeFeed", "true")
+      .load(root)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => df.write.mode("append").parquet(evDir); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(evDir)
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(count(lit(1)).as("n_live"))
+      .orderBy(col("order_year"))
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -168,8 +168,14 @@ object GraftTableSource {
     // .parquet, which treats every column as nullable).
     val schema = t.recordedSchema(version)
       .getOrElse(t.readMerged(version).schema)
+    val base = StructType(schema.fields.map(_.copy(nullable = true)))
+    // CHANGE-DATA-FEED streams surface every event with its type:
+    // the table schema gains the `_change_type` column ('insert' |
+    // 'delete') the CDC partitions fill as a per-partition constant
     (root, version,
-      StructType(schema.fields.map(_.copy(nullable = true))))
+      if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+      else base)
   }
 }
 
@@ -337,7 +343,9 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
       case None =>
         val startingVersion = Option(options.get("startingVersion"))
           .map(_.toLong).getOrElse(0L)
-        new GraftTableScanBuilder(root, version, schema0, startingVersion)
+        new GraftTableScanBuilder(root, version, schema0, startingVersion,
+          cdcFeed =
+            Option(options.get("readChangeFeed")).exists(_.toBoolean))
     }
 
   /** The WRITE path rides the format's own commit protocol: append =
@@ -578,7 +586,8 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
 
 class GraftTableScanBuilder(root: String, version: Long,
     full: StructType, startingVersion: Long = 0L,
-    recorder: Option[GraftRowLevelOperation] = None) extends ScanBuilder
+    recorder: Option[GraftRowLevelOperation] = None,
+    cdcFeed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -661,14 +670,15 @@ class GraftTableScanBuilder(root: String, version: Long,
     version > 0 && !versionHasDv && answerable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (version == 0 || versionHasDv || !answerable(agg)) false
+    // cdcFeed: never push — the CDC guard must reach toBatch
+    if (version == 0 || versionHasDv || cdcFeed || !answerable(agg)) false
     else { pushedAgg = Some(agg); true }
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GraftTableAggScan(root, version, agg, full)
     case None =>
       new GraftTableScan(root, version, required, filters,
-        startingVersion, recorder)
+        startingVersion, recorder, cdcFeed)
   }
 }
 
@@ -750,13 +760,19 @@ class GraftTableAggReaderFactory extends PartitionReaderFactory {
 
 class GraftTableScan(root: String, version: Long, required: StructType,
     filters: Array[sources.Filter], startingVersion: Long = 0L,
-    recorder: Option[GraftRowLevelOperation] = None)
+    recorder: Option[GraftRowLevelOperation] = None,
+    cdcFeed: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (cdcFeed) throw new UnsupportedOperationException(
+      "readChangeFeed is a STREAMING option (readStream.format" +
+        "(\"gtable\")); batch CDC reads use readChangesFrom/To")
+    this
+  }
   override def description(): String =
     s"gtable($root@v$version) filters=[${filters.mkString(", ")}]"
 
@@ -1090,7 +1106,8 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * caveat — stream from append-only tables). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftTableMicroBatchStream(root, required, startingVersion)
+    new GraftTableMicroBatchStream(root, required, startingVersion,
+      cdcFeed)
 
   /** Metadata-only stats, POST-PRUNE: row counts summed over exactly
     * the manifest entries the pushed filters keep (the same envelope
@@ -1145,7 +1162,13 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   * case `partitionKey` is never consulted. */
 case class GraftTableFilePartition(file: String,
     dvPos: Array[Long] = Array.empty,
-    key: InternalRow = null) extends InputPartition
+    key: InternalRow = null,
+    // CHANGE-DATA-FEED fields: `changeType` rides the `_change_type`
+    // constant column; a non-empty `emitPos` INVERTS the reader —
+    // emit ONLY these ordinals (the rows that joined the deletion
+    // vector in the stream window) instead of skipping dvPos
+    changeType: String = null,
+    emitPos: Array[Long] = Array.empty) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1156,7 +1179,7 @@ case class GraftTableOffset(version: Long)
 }
 
 class GraftTableMicroBatchStream(root: String, required: StructType,
-    startingVersion: Long)
+    startingVersion: Long, cdcFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1177,8 +1200,33 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
       : Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftTableOffset].version
     val e0 = end.asInstanceOf[GraftTableOffset].version
-    GraftTableSource.addedFiles(table, s0, e0)
-      .map(f => GraftTableFilePartition(f): InputPartition)
+    val t = table
+    val inserts = GraftTableSource.addedFiles(t, s0, e0)
+      .map(f => GraftTableFilePartition(f,
+        changeType = if (cdcFeed) "insert" else null): InputPartition)
+    if (!cdcFeed) return inserts
+    // CHANGE DATA FEED: also emit a 'delete' event for every row
+    // whose (file, ordinal) joined the deletion vector inside
+    // (s0, e0] — the streaming twin of readCdc. deletionVectors() is
+    // live-restricted per version, so a file both deleted-from and
+    // later rewritten never re-emits. The diff is window-deletes-
+    // sized; per-file sorted ordinals ride the partitions and the
+    // emit-only reader materializes exactly those rows.
+    if (e0 <= 0) return inserts
+    val dvNew = t.deletionVectors(e0)
+      .join(t.deletionVectors(s0), Seq("path", "pos"), "left_anti")
+    val deletes = dvNew
+      .groupBy(col("path"))
+      .agg(org.apache.spark.sql.functions
+        .sort_array(org.apache.spark.sql.functions.collect_list("pos"))
+        .as("ps"))
+      .collect()
+      .map { r =>
+        GraftTableFilePartition(s"$root/${r.getString(0)}",
+          changeType = "delete",
+          emitPos = r.getSeq[Long](1).toArray): InputPartition
+      }
+    inserts ++ deletes
   }
 
   // resolved ONCE at stream start (like `required` itself): a rename/
@@ -1215,7 +1263,8 @@ class GraftTableReaderFactory(root: String, required: StructType,
   private def physOf(name: String): String = l2p.getOrElse(name, name)
 
   private def dataFields: Array[StructField] =
-    required.fields.filterNot(f => f.name == "_file" || f.name == "_pos")
+    required.fields.filterNot(f => f.name == "_file" ||
+      f.name == "_pos" || f.name == "_change_type")
 
   /** VECTORIZED READ (VERDICT r9 missing #3): decode through Spark's
     * own `VectorizedParquetRecordReader` — columnar batches straight
@@ -1234,6 +1283,8 @@ class GraftTableReaderFactory(root: String, required: StructType,
     * constant vector). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !required.fieldNames.contains("_pos") &&
+    !required.fieldNames.contains("_change_type") && // CDC: row reader
+    partition.asInstanceOf[GraftTableFilePartition].emitPos.isEmpty &&
     dataFields.nonEmpty && dataFields.forall(f => f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType | DateType |
@@ -1387,12 +1438,21 @@ class GraftTableReaderFactory(root: String, required: StructType,
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftTableFilePartition].file
+    val p = partition.asInstanceOf[GraftTableFilePartition]
+    val file = p.file
     // deleted row ordinals of THIS file (sorted) — skipped during the
     // sequential decode with one pointer, no lookups
-    val dvPos = partition.asInstanceOf[GraftTableFilePartition].dvPos
-    // `_file` metadata value: the file's root-relative path, a
-    // per-file constant (no pages decoded for it)
+    val dvPos = p.dvPos
+    // CDC delete partitions INVERT the walk: emit ONLY these sorted
+    // ordinals (the rows whose deletion landed in the stream window),
+    // stopping as soon as the last one is out
+    val emitPos = p.emitPos
+    // `_change_type` constant for CDC scans; `_file` metadata value:
+    // the file's root-relative path — per-row constants, no pages
+    // decoded for either
+    val changeTypeU8: UTF8String =
+      if (p.changeType == null) null
+      else UTF8String.fromString(p.changeType)
     val fileRel: UTF8String =
       UTF8String.fromString(file.stripPrefix(root).stripPrefix("/"))
     new PartitionReader[InternalRow] {
@@ -1417,6 +1477,7 @@ class GraftTableReaderFactory(root: String, required: StructType,
       private val kind: Array[Int] = required.fields.map { f =>
         if (f.name == "_file") 2
         else if (f.name == "_pos") 3
+        else if (f.name == "_change_type") 4 // CDC constant column
         else if (fileSchema.containsField(physOf(f.name))) 0
         else 1
       }
@@ -1507,11 +1568,17 @@ class GraftTableReaderFactory(root: String, required: StructType,
         }
       }
 
-      // sequential row ordinal + pointer into the sorted DV
+      // sequential row ordinal + pointers into the sorted DV /
+      // emit-only ordinal arrays
       private var rowPos: Long = -1L
       private var dvIdx: Int = 0
+      private var emitIdx: Int = 0
+      private val emitOnly = emitPos.nonEmpty
 
       override def next(): Boolean = {
+        // emit-only (CDC delete) walk: done once the last target
+        // ordinal is emitted — no need to decode the file's tail
+        if (emitOnly && emitIdx >= emitPos.length) return false
         while (true) {
           // advance one physical row: decoded, or footer-counted when
           // the projection is empty (kind 0 can't occur then)
@@ -1523,18 +1590,26 @@ class GraftTableReaderFactory(root: String, required: StructType,
             if (g == null) return false
           }
           rowPos += 1
-          if (dvIdx < dvPos.length && dvPos(dvIdx) == rowPos) {
-            dvIdx += 1 // logically deleted: skip
-          } else {
+          val emit =
+            if (emitOnly) {
+              if (emitIdx < emitPos.length && emitPos(emitIdx) == rowPos) {
+                emitIdx += 1; true
+              } else false
+            } else if (dvIdx < dvPos.length && dvPos(dvIdx) == rowPos) {
+              dvIdx += 1; false // logically deleted: skip
+            } else true
+          if (emit) {
             val values = required.fields.iterator.zip(kind.iterator).map {
               case (f, 0) => convert(g, physOf(f.name), f.dataType)
               case (_, 1) => null // schema evolution: pre-column file
               case (_, 2) => fileRel // `_file` metadata column
+              case (_, 4) => changeTypeU8 // CDC `_change_type`
               case (_, _) => rowPos // `_pos` metadata column
             }.toIndexedSeq
             row = InternalRow.fromSeq(values)
             return true
           }
+          if (emitOnly && emitIdx >= emitPos.length) return false
         }
         false
       }
