@@ -3147,14 +3147,17 @@ object OracleSql {
         FROM j
       )
       SELECT nation, mi, revenue IS NOT NULL AS observed,
-             ROUND(CASE
+             -- explicit floor-round: identical IEEE tree to the Spark
+             -- side (ROUND(double) disagrees between engines at
+             -- decimal boundaries an interpolant can land on)
+             FLOOR((CASE
                WHEN revenue IS NOT NULL THEN revenue
                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                  prev_v + (next_v - prev_v) *
                    (CAST(mi - prev_mi AS DOUBLE) /
                     CAST(next_mi - prev_mi AS DOUBLE))
-               ELSE COALESCE(prev_v, next_v, 0.0) END, 4)
-               AS revenue_filled
+               ELSE COALESCE(prev_v, next_v, 0.0) END) * 10000 + 0.5)
+               / 10000 AS revenue_filled
       FROM w
     """,
     "q110_embedding_outliers" -> """

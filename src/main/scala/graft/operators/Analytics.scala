@@ -721,7 +721,14 @@ object Analytics {
           .otherwise(coalesce(col("prev_v"), col("next_v"), lit(0.0))))
       .select(col("nation"), col("mi"),
         col("revenue").isNotNull.as("observed"),
-        round(col("filled"), 4).as("revenue_filled"))
+        // EXPLICIT floor-round, not round(x,4): engines disagree on
+        // rounding a raw double near a decimal boundary (Spark rounds
+        // the shortest decimal string HALF_UP, DuckDB rounds the
+        // binary value), and an interpolated double can land exactly
+        // there — floor(x·10⁴+0.5)/10⁴ is the identical IEEE tree on
+        // both sides, so the same input double always rounds the same
+        (floor(col("filled") * 10000 + 0.5) / 10000)
+          .as("revenue_filled"))
   }
 
   /** q73 — GROUPING SETS with GROUPING() markers: one shuffle computes
