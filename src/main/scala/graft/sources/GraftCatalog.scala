@@ -511,6 +511,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else if (smallMax > 0) t.compactSmall(smallMax, n)
       else t.currentVersion
     },
+    // LIVE FILE listing (Iceberg's `files` metadata table as a
+    // procedure): path, row count, and live deletion-vector entry
+    // count per data file, ordered largest-first — the ops view that
+    // answers "is this table's layout healthy" (small-file debt, DV
+    // accumulation) before calling compact/maintain. `max_files` caps
+    // the driver-side collect; the manifest itself stays distributed.
+    "files" -> proc("files", StructType(Seq(
+      StructField("path", DataTypes.StringType),
+      StructField("row_count", DataTypes.LongType),
+      StructField("dv_dels", DataTypes.LongType))), Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("max_files", DataTypes.IntegerType, Some("1000")))) { in =>
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val t = tableForName(in.getUTF8String(0).toString)
+      val cap = if (in.isNullAt(1)) 1000 else in.getInt(1)
+      val dels =
+        if (!t.hasDeletionVectors()) null
+        else t.deletionVectors().groupBy(col("path"))
+          .agg(count(lit(1)).as("dv_dels"))
+      val m0 = t.manifest().select("path", "row_count")
+      val m = (if (dels == null) m0.withColumn("dv_dels", lit(0L))
+        else m0.join(dels, Seq("path"), "left")
+          .na.fill(0L, Seq("dv_dels")))
+        .orderBy(col("row_count").desc, col("path"))
+        .limit(cap)
+      m.collect().map(r => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(0)),
+        r.getLong(1), r.getLong(2)))
+    },
     // IMMUTABLE snapshot tags (dataset pinning): `CALL
     // cat.system.tag('t', 'train_v1')` pins the current (or given)
     // version under a name that vacuum protects and `VERSION AS OF

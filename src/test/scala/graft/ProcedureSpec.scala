@@ -177,8 +177,27 @@ class ProcedureSpec extends AnyFunSuite {
     val cat = spark.sessionState.catalogManager.catalog("prc")
       .asInstanceOf[graft.sources.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted
-      .toSeq == Seq("compact", "drop_tag", "history", "maintain",
-        "restore", "tag", "tags", "vacuum", "zorder"))
+      .toSeq == Seq("compact", "drop_tag", "files", "history",
+        "maintain", "restore", "tag", "tags", "vacuum", "zorder"))
+  }
+
+  test("CALL system.files lists live files with row counts and live " +
+      "DV entry counts, largest first, capped by max_files") {
+    val root = s"$wh/t_files"
+    val t = GraftTable.create(spark, root,
+      (1L to 900L).toDF("k"), Seq("k"), numFiles = 3)
+    t.append((901L to 910L).toDF("k"), numFiles = 1) // small-file tail
+    t.deleteWhereMor(col("k") <= 50)
+    val rows = spark.sql("CALL prc.system.files('t_files')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4)
+    assert(rows.map(_._2).sum == 910L, "row counts must sum to physical")
+    assert(rows.map(_._3).sum == 50L, "live DV entries must sum to 50")
+    assert(rows.head._2 >= rows.last._2, "largest files first")
+    assert(rows.last._2 == 10L, "the small-file tail is visible")
+    val capped = spark.sql(
+      "CALL prc.system.files('t_files', max_files => 2)").collect()
+    assert(capped.length == 2)
   }
 
   test("CALL system.maintain: compacts ONLY when the deletion-vector " +
