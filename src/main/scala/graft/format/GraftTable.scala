@@ -291,17 +291,32 @@ final class GraftTable private (
         def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
         val m = s.fields.map(f => key(f.name) -> GraftTable.physName(f))
           .toMap
-        val taken = s.fields.map(f => key(GraftTable.physName(f)))
-          .toSet ++ snapshot(v).deadCols.map(key)
-        df.columns.foreach { c =>
-          require(m.contains(key(c)) || !taken(key(c)),
-            s"column $c collides with a dropped or renamed column's " +
-              "physical name; run ALTER TABLE ... ADD COLUMN (which " +
-              "assigns it a fresh physical name) before writing it")
-        }
+        requireNoPhysCollision(df.columns.toIndexedSeq, v)
         df.select(df.columns.toSeq.map(c =>
           col(c).as(m.getOrElse(key(c), c))): _*)
       case None => df
+    }
+  }
+
+  /** [[toPhysical]]'s collision refusal, reusable by every write
+    * entry point (the connector's executor write path included): a
+    * NEW column whose name equals a used or dead PHYSICAL name is
+    * refused — the data would land under the stale physical name
+    * while the commit-side schema merge records a fresh one, and
+    * every appended value would silently read back null. */
+  private[graft] def requireNoPhysCollision(cols: Seq[String],
+      v: Long = currentVersion): Unit = {
+    if (isEvolved(v)) recordedSchema(v).foreach { s =>
+      def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+      val known = s.fields.map(f => key(f.name)).toSet
+      val taken = s.fields.map(f => key(GraftTable.physName(f)))
+        .toSet ++ snapshot(v).deadCols.map(key)
+      cols.foreach { c =>
+        require(known(key(c)) || !taken(key(c)),
+          s"column $c collides with a dropped or renamed column's " +
+            "physical name; run ALTER TABLE ... ADD COLUMN (which " +
+            "assigns it a fresh physical name) before writing it")
+      }
     }
   }
 
@@ -327,25 +342,8 @@ final class GraftTable private (
     * physical name in `physical` metadata; no data file is touched —
     * at 100 TB a rename must be O(1), which is why Delta/Iceberg both
     * treat it as a metadata operation (column mapping / field ids). */
-  def renameColumn(oldName: String, newName: String): Long = {
-    val s = recordedSchema().getOrElse(sys.error(
-      "renameColumn: table has no recorded schema"))
-    val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
-    require(idx >= 0, s"renameColumn: no such column $oldName")
-    require(!s.fields.exists(_.name.equalsIgnoreCase(newName)),
-      s"renameColumn: column $newName already exists")
-    val f = s.fields(idx)
-    val nf = f.copy(name = newName,
-      metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-        .putString("physical", GraftTable.physName(f)).build())
-    commitWithRetry("alter",
-      newSchema =
-        Some(org.apache.spark.sql.types.StructType(
-          s.fields.updated(idx, nf))),
-      schemaReplace = true, evolvedOverride = Some(true))(
-      _ => AddRemove())
-  }
+  def renameColumn(oldName: String, newName: String): Long =
+    evolveSchema(renames = Seq(oldName -> newName))
 
   /** ALTER TABLE DROP COLUMN, log-level: the field leaves the
     * recorded schema; files keep the bytes (time travel still sees
@@ -353,20 +351,7 @@ final class GraftTable private (
     * name joins the dead-column set so a later re-add of the same
     * logical name maps to a FRESH physical name — old values can
     * never resurrect. */
-  def dropColumn(name: String): Long = {
-    val s = recordedSchema().getOrElse(sys.error(
-      "dropColumn: table has no recorded schema"))
-    val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(name))
-    require(idx >= 0, s"dropColumn: no such column $name")
-    require(s.fields.length > 1, "dropColumn: cannot drop the last column")
-    commitWithRetry("alter",
-      newSchema =
-        Some(org.apache.spark.sql.types.StructType(
-          s.fields.patch(idx, Nil, 1))),
-      schemaReplace = true, evolvedOverride = Some(true),
-      addDeadCols = Set(GraftTable.physName(s.fields(idx))))(
-      _ => AddRemove())
-  }
+  def dropColumn(name: String): Long = evolveSchema(drops = Seq(name))
 
   /** ALTER TABLE ALTER COLUMN TYPE, WIDENING only (int→long,
     * float→double, short→int/long): log-level — old files keep the
@@ -374,34 +359,71 @@ final class GraftTable private (
     * promotion rule (safe because every narrow value embeds losslessly
     * in the wide type; narrowing is refused). */
   def widenColumn(name: String, to: org.apache.spark.sql.types.DataType)
+      : Long = evolveSchema(widens = Seq(name -> to))
+
+  /** ALL of an ALTER TABLE's renames/drops/widens as ONE atomic
+    * commit: every change is validated against the evolving schema
+    * UP FRONT (applied left to right: renames, then drops, then
+    * widens), so a multi-change ALTER either fully applies or fully
+    * fails — never a half-altered table (a mid-sequence refusal in a
+    * commit-per-change loop would leave earlier changes applied with
+    * no rollback). Log-level like the single-change forms: zero data
+    * movement at any table size. */
+  def evolveSchema(renames: Seq[(String, String)] = Nil,
+      drops: Seq[String] = Nil,
+      widens: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
       : Long = {
     import org.apache.spark.sql.types._
-    val s = recordedSchema().getOrElse(sys.error(
-      "widenColumn: table has no recorded schema"))
-    val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(name))
-    require(idx >= 0, s"widenColumn: no such column $name")
-    val f = s.fields(idx)
-    val ok = (f.dataType, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (ShortType, IntegerType | LongType) => true
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case _ => false
+    val s0 = recordedSchema().getOrElse(sys.error(
+      "evolveSchema: table has no recorded schema"))
+    var fields = s0.fields.toVector
+    var dead = Set.empty[String]
+    renames.foreach { case (oldName, newName) =>
+      val idx = fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"renameColumn: no such column $oldName")
+      require(!fields.exists(_.name.equalsIgnoreCase(newName)),
+        s"renameColumn: column $newName already exists")
+      val f = fields(idx)
+      fields = fields.updated(idx, f.copy(name = newName,
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("physical", GraftTable.physName(f)).build()))
     }
-    require(ok, s"widenColumn: ${f.dataType.simpleString} → " +
-      s"${to.simpleString} is not a widening promotion")
-    // bloom filters hash TYPED values (xxhash64(int) ≠ xxhash64(long));
-    // widening a bloom-indexed column would turn its index into a
-    // silent mis-pruner — refuse, the user must drop the index first
-    require(!bloomCols.contains(GraftTable.physName(f)),
-      s"widenColumn: $name carries a bloom index keyed on the narrow " +
-        "type; rebuild the table (or drop the index) to widen it")
+    drops.foreach { name =>
+      val idx = fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"dropColumn: no such column $name")
+      require(fields.length > 1,
+        "dropColumn: cannot drop the last column")
+      dead += GraftTable.physName(fields(idx))
+      fields = fields.patch(idx, Nil, 1)
+    }
+    widens.foreach { case (name, to) =>
+      val idx = fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"widenColumn: no such column $name")
+      val f = fields(idx)
+      val ok = (f.dataType, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case _ => false
+      }
+      require(ok, s"widenColumn: ${f.dataType.simpleString} → " +
+        s"${to.simpleString} is not a widening promotion")
+      // bloom filters hash TYPED values (xxhash64(int) ≠
+      // xxhash64(long)); widening a bloom-indexed column would turn
+      // its index into a silent mis-pruner — refuse, the user must
+      // drop the index first
+      require(!bloomCols.contains(GraftTable.physName(f)),
+        s"widenColumn: $name carries a bloom index keyed on the " +
+          "narrow type; rebuild the table (or drop the index) to " +
+          "widen it")
+      fields = fields.updated(idx, f.copy(dataType = to))
+    }
     commitWithRetry("alter",
       newSchema =
-        Some(org.apache.spark.sql.types.StructType(
-          s.fields.updated(idx, f.copy(dataType = to)))),
-      schemaReplace = true, evolvedOverride = Some(true))(
-      _ => AddRemove())
+        Some(org.apache.spark.sql.types.StructType(fields.toArray)),
+      schemaReplace = true, evolvedOverride = Some(true),
+      addDeadCols = dead)(_ => AddRemove())
   }
 
   // ---- reads ---------------------------------------------------------
@@ -972,18 +994,57 @@ final class GraftTable private (
       else recordedSchema(version).map(_.fields.map(f =>
         GraftTable.physName(f) -> ((f.name, f.dataType))).toMap)
         .getOrElse(Map.empty)
+    def outName(pre: String, c: String): String =
+      s"${pre}_${p2l.get(c).map(_._1).getOrElse(c)}"
     def out(pre: String, c: String): Column = {
       val agg = if (pre == "min") min(col(s"min_$c"))
         else max(col(s"max_$c"))
       p2l.get(c) match {
-        case Some((l, t)) => agg.cast(t).as(s"${pre}_$l")
-        case None => agg.as(s"${pre}_$c")
+        case Some((l, t)) => agg.cast(t).as(outName(pre, c))
+        case None => agg.as(outName(pre, c))
       }
     }
+    // A manifest row with rows but a NULL envelope (a dir written
+    // before the column carried stats, null-filled by the list union)
+    // means min/max over the manifest is NOT the table's min/max —
+    // answer NULL for that column rather than a silently-wrong value.
+    def incomplete(c: String): Column =
+      max(when(col(s"min_$c").isNull &&
+        coalesce(col("row_count"), lit(1L)) =!= lit(0L),
+        lit(1)).otherwise(lit(0))).as(s"_inc_$c")
     val aggs = (coalesce(sum(col("row_count")), lit(0L)) - lit(dels))
-      .as("n_rows") +:
-      statsCols.flatMap(c => Seq(out("min", c), out("max", c)))
-    manifest(version).agg(aggs.head, aggs.tail: _*)
+      .as("n_rows") +: statsCols.flatMap(c =>
+        Seq(out("min", c), out("max", c), incomplete(c)))
+    val folded = manifest(version).agg(aggs.head, aggs.tail: _*)
+    val outs = col("n_rows") +: statsCols.flatMap { c =>
+      Seq("min", "max").map { pre =>
+        val n = outName(pre, c)
+        when(col(s"_inc_$c") === 1, lit(null)).otherwise(col(n)).as(n)
+      }
+    }
+    folded.select(outs: _*)
+  }
+
+  /** Physical stats columns whose manifest envelope is INCOMPLETE at
+    * `version`: some non-empty file records a NULL min (its dir
+    * predates the column's stats). Pruning keeps such files (null =
+    * unknown = probe), but a metadata-only MIN/MAX would silently
+    * skip their values — callers answering aggregates from metadata
+    * (connector agg pushdown) must decline these columns. One
+    * manifest-sized aggregate. */
+  private[graft] def incompleteEnvelopeCols(
+      version: Long = currentVersion): Set[String] = {
+    if (version == 0 || statsCols.isEmpty) Set.empty
+    else {
+      val aggs = statsCols.map(c =>
+        max(when(col(s"min_$c").isNull &&
+          coalesce(col("row_count"), lit(1L)) =!= lit(0L),
+          lit(1)).otherwise(lit(0))).as(c))
+      val r = manifest(version).agg(aggs.head, aggs.tail: _*).head()
+      statsCols.zipWithIndex.collect {
+        case (c, i) if !r.isNullAt(i) && r.getInt(i) == 1 => c
+      }.toSet
+    }
   }
 
   /** Atomic REPLACE-WHERE (Delta's `replaceWhere`): delete every row
@@ -1131,7 +1192,8 @@ final class GraftTable private (
           val (lo, hi) = keyBounds(k)
           val p = physCol(k, parent)
           if (lo == null) lit(false)
-          else col(s"min_$p") <= lit(hi) && col(s"max_$p") >= lit(lo)
+          else col(s"min_$p").isNull || // null envelope = unknown: probe
+            (col(s"min_$p") <= lit(hi) && col(s"max_$p") >= lit(lo))
         }.reduceOption(_ && _).getOrElse(lit(true))
         val candidates = all.where(candPred)
           .select("path").as[String].collect()
@@ -1761,7 +1823,27 @@ object GraftTable {
     applied: Set[Long] = Set.empty,
     schemaJson: Option[String] = None,
     dvDirs: Seq[DvRef] = Nil, nDels: Long = 0L,
-    evolved: Boolean = false, deadCols: Set[String] = Set.empty)
+    evolved: Boolean = false, deadCols: Set[String] = Set.empty,
+    dataChange: Boolean = true, rewrite: Boolean = false,
+    mergeKeys: Seq[String] = Nil)
+
+  /** Ops whose commits REORGANIZE files without changing the table's
+    * logical content (Delta's `dataChange=false`): a change-data-feed
+    * reader skips them entirely — their rewritten survivor rows are
+    * NOT new data, and emitting them as inserts double-counts every
+    * surviving row in a downstream fold (VERDICT r11 #1). */
+  private[graft] val NonDataChangeOps =
+    Set("compact", "compact_small", "zorder", "alter")
+
+  /** Legacy-snapshot fallback for the `rewrite=1` kv: ops that MAY
+    * drop live files while changing content — a CDC window containing
+    * one cannot be planned from file diffs (the rewrite's survivor
+    * rows would surface as fresh inserts). Conservative: a no-hit
+    * legacy delete is also refused; new commits record the exact
+    * flag. */
+  private[graft] val LegacyRewriteOps =
+    Set("delete", "replace", "overwrite", "restore", "merge",
+      "replace_rows", "update_rows", "delete_rows")
 
   /** A field's PHYSICAL column name — the name its values live under
     * in data files and manifest stats. Differs from the logical name

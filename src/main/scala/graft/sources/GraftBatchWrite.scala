@@ -54,6 +54,10 @@ object GraftParquetIO {
     if (!t.isEvolved()) s
     else t.recordedSchema() match {
       case Some(rec) =>
+        // same refusal as the V1 path (GraftTable.toPhysical): a NEW
+        // column colliding with a used/dead physical name would write
+        // under the stale name while the commit records a fresh one
+        t.requireNoPhysCollision(s.fieldNames.toIndexedSeq)
         val m = rec.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) ->
             graft.format.GraftTable.physName(f)).toMap

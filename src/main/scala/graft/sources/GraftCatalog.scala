@@ -261,10 +261,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           "gtable ALTER TABLE RENAME/DROP/TYPE needs a committed " +
             "table; declare the schema at CREATE for empty tables")
-      val t = graft.format.GraftTable.forPath(SparkSession.active, root)
-      renames.foreach { case (o, n) => t.renameColumn(o, n) }
-      drops.foreach(t.dropColumn)
-      widens.foreach { case (c, dt) => t.widenColumn(c, dt) }
+      // ONE commit for the whole change set: validated up front, so
+      // a refused change (e.g. a widen on a bloom-indexed column)
+      // fails the entire ALTER instead of leaving earlier renames/
+      // drops applied with no rollback
+      graft.format.GraftTable.forPath(SparkSession.active, root)
+        .evolveSchema(renames = renames, drops = drops, widens = widens)
     }
     if (adds.isEmpty) return loadTable(ident)
     val newCols = StructType(adds.toArray)

@@ -636,9 +636,13 @@ class GraftTableScanBuilder(root: String, version: Long,
     lazy val l2p = GraftTableSource.logToPhys(root, version)
     def statsCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Boolean = e match {
-      case f: NamedReference => f.fieldNames.length == 1 &&
-        statsColsOf.contains(
-          l2p.getOrElse(f.fieldNames.head, f.fieldNames.head))
+      case f: NamedReference => f.fieldNames.length == 1 && {
+        val p = l2p.getOrElse(f.fieldNames.head, f.fieldNames.head)
+        // an incomplete envelope (non-empty file with null stats —
+        // its dir predates the column) would make a metadata-only
+        // MIN/MAX skip real values: decline and scan
+        statsColsOf.contains(p) && !incompleteEnvelopes.contains(p)
+      }
       case _ => false
     }
     filters.isEmpty && agg.groupByExpressions.isEmpty &&
@@ -655,6 +659,12 @@ class GraftTableScanBuilder(root: String, version: Long,
     if (version == 0) Set.empty
     else graft.format.GraftTable.forPath(SparkSession.active, root)
       .statsCols.toSet
+
+  // computed at most once per scan build, only when an agg is pushed
+  private lazy val incompleteEnvelopes: Set[String] =
+    if (version == 0) Set.empty
+    else graft.format.GraftTable.forPath(SparkSession.active, root)
+      .incompleteEnvelopeCols(version)
 
   // a DELETION VECTOR breaks metadata exactness: counts are
   // recoverable (physical − n_dels) but MIN/MAX envelopes can name a
