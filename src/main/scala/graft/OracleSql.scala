@@ -865,6 +865,39 @@ object OracleSql {
       WHERE o_orderkey % 7 <> 0
       GROUP BY 1 ORDER BY 1
     """,
+    // q248: a compaction inside the CDC window must be INVISIBLE —
+    // the fold equals raw arithmetic over inserts/deletes alone; the
+    // %35 keys (deleted then re-appended) are live once, the %5
+    // non-%7 keys twice (UNION ALL keeps the multiplicity).
+    "q248_cdc_compaction" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_live
+      FROM (
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderkey % 5 = 0)
+      GROUP BY 1 ORDER BY 1
+    """,
+    // q249: merge CDC events by kind — matched rows as pre/post image
+    // pairs (old and doubled balances), unmatched keys as inserts.
+    "q249_cdc_merge_updates" -> """
+      SELECT change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(bal AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS bal_sum
+      FROM (
+        SELECT 'insert' AS change_type, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 100 = 0
+        UNION ALL
+        SELECT 'update_preimage', c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 'update_postimage', c_acctbal * 2
+        FROM customer WHERE c_custkey % 10 = 0)
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -327,7 +327,9 @@ object SparkEntry {
     "q244_constrained_insert" -> (FormatQueries.q244ConstrainedInsert _),
     "q245_schema_evolution" -> (FormatQueries.q245SchemaEvolution _),
     "q246_tagged_snapshot" -> (FormatQueries.q246TaggedSnapshot _),
-    "q247_streaming_cdc" -> (FormatQueries.q247StreamingCdc _)
+    "q247_streaming_cdc" -> (FormatQueries.q247StreamingCdc _),
+    "q248_cdc_compaction" -> (FormatQueries.q248CdcCompaction _),
+    "q249_cdc_merge_updates" -> (FormatQueries.q249CdcMergeUpdates _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

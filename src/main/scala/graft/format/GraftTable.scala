@@ -120,7 +120,16 @@ final class GraftTable private (
         kv.get("n_dels").map(_.toLong).getOrElse(0L),
         kv.get("evolved").contains("1"),
         kv.get("dead_cols").filter(_.nonEmpty)
-          .map(_.split(",").toSet).getOrElse(Set.empty))
+          .map(_.split(",").toSet).getOrElse(Set.empty),
+        // commit kind for the change feed: new commits record both
+        // flags exactly; legacy records classify by op name (rewrite
+        // conservatively — refusal is safe, a missed rewrite is not)
+        dataChange = kv.get("data_change").map(_ == "1")
+          .getOrElse(!NonDataChangeOps(kv("op"))),
+        rewrite = kv.get("rewrite").map(_ == "1")
+          .getOrElse(LegacyRewriteOps(kv("op"))),
+        mergeKeys = kv.get("merge_keys").filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Nil))
     }
 
   /** The table schema RECORDED AT COMMIT TIME (Delta's metadata
@@ -611,55 +620,178 @@ final class GraftTable private (
       version), version)
   }
 
-  /** CDC-style incremental read: the rows of files ADDED between two
-    * snapshots (exactly the appended rows under append-only history;
-    * under COW rewrites, the post-image of rewritten files). This is
-    * what lets a downstream consumer maintain a derived table without
-    * rescanning — Delta's change-data-feed restated at file
-    * granularity. The file-set diff is manifest-sized. A
+  /** Versions in `(fromVersion, toVersion]` a change-data reader must
+    * materialize. Reorganization commits (`data_change=0` — compact/
+    * zorder/alter) are SKIPPED: their rewritten survivor rows are not
+    * new data, and emitting them as inserts double-counts every
+    * surviving row in a downstream fold (Delta CDF's `dataChange`
+    * contract). A data-changing commit that DROPPED live files
+    * (`rewrite=1` — COW delete/replaceWhere/overwrite/merge/restore)
+    * REFUSES loudly: a file diff cannot tell its survivor rows from
+    * inserts, and a silently wrong increment is worse than a failed
+    * read. Change-fed tables mutate through the MOR row-level ops
+    * ([[deleteWhereMor]]/[[mergeMor]], `delete.mode=mor`). */
+  private[graft] def changeVersions(fromVersion: Long,
+      toVersion: Long): Seq[Long] = {
+    require(fromVersion <= toVersion,
+      s"change window is reversed: ($fromVersion, $toVersion]")
+    ((fromVersion + 1) to toVersion).filter { v =>
+      val s = snapshot(v)
+      if (s.dataChange && s.rewrite)
+        throw new IllegalStateException(
+          s"gtable change feed on $root cannot express v$v " +
+            s"(op=${s.op}): a copy-on-write rewrite dropped live " +
+            "files, so a file diff would emit its surviving rows as " +
+            "fresh inserts. Mutate change-fed tables through MOR ops " +
+            "(deleteWhereMor/mergeMor, TBLPROPERTIES " +
+            "('delete.mode'='mor')) — or restart the feed from " +
+            s"v$v with a full snapshot.")
+      s.dataChange
+    }
+  }
+
+  /** Root-relative paths of the data files ADDED at exactly version
+    * `v` — driver arithmetic over the snapshot's manifest-dir LIST
+    * (delta dirs are immutable and carried by reference, so an
+    * append's added files are its own delta dirs' contents, O(delta)
+    * metadata); only a commit that also FOLDED the list pays a
+    * path-level except over the folded dirs. */
+  private[graft] def addedPathsAt(v: Long): Seq[String] = {
+    import spark.implicits._
+    val prevRefs =
+      if (v <= 1) Nil else snapshot(v - 1).manifestDirs
+    val prev = prevRefs.map(_.dir).toSet
+    val cur = snapshot(v).manifestDirs
+    val newDirs = cur.filterNot(r => prev(r.dir))
+    if (newDirs.isEmpty) Nil
+    else {
+      val added = unionRefs(newDirs).select("path")
+      val curSet = cur.map(_.dir).toSet
+      val gone = prevRefs.filterNot(r => curSet(r.dir))
+      val fresh =
+        if (gone.isEmpty) added
+        else added.except(unionRefs(gone).select("path"))
+      fresh.as[String].collect().toSeq
+    }
+  }
+
+  /** NEW deletion-vector entries `(path, pos)` at exactly version
+    * `v`, restricted to files live at `v` — the same dir-level diff
+    * as [[addedPathsAt]] over the DV delta list (a MOR commit's new
+    * deletes are its own delta dir); only a DV-list fold pays an
+    * entry-level except. */
+  private[graft] def newDvEntriesAt(v: Long): DataFrame = {
+    val prevRefs = if (v <= 1) Nil else snapshot(v - 1).dvDirs
+    val prev = prevRefs.map(_.dir).toSet
+    val cur = snapshot(v).dvDirs
+    val newDirs = cur.filterNot(r => prev(r.dir))
+    if (newDirs.isEmpty) emptyDv
+    else {
+      val added = newDirs
+        .map(r => spark.read.parquet(s"${logDir(root)}/${r.dir}"))
+        .reduce(_ unionByName _).select("path", "pos")
+      val curSet = cur.map(_.dir).toSet
+      val gone = prevRefs.filterNot(r => curSet(r.dir))
+      val fresh =
+        if (gone.isEmpty) added
+        else added.except(gone
+          .map(r => spark.read.parquet(s"${logDir(root)}/${r.dir}"))
+          .reduce(_ unionByName _).select("path", "pos"))
+      fresh.join(manifest(v).select("path"), Seq("path"), "left_semi")
+    }
+  }
+
+  /** Materialize the rows named by `(path, pos)` DV entries, read
+    * under `version`'s schema — only the named files are opened. */
+  private def rowsByPos(dv: DataFrame, version: Long): Option[DataFrame] = {
+    val touched = dv.select("path").distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) None
+    else {
+      val raw = readRaw(touched.toIndexedSeq.map(p => s"$root/$p"),
+        version)
+      val dataCols = raw.columns.toIndexedSeq
+      Some(reconcile(withRowId(raw)
+        .join(dv.select(col("path").as("_gt_path"),
+          col("pos").as("_gt_pos")), Seq("_gt_path", "_gt_pos"),
+          "left_semi")
+        .select(dataCols.map(col): _*), version))
+    }
+  }
+
+  /** CDC-style incremental read: the rows of files ADDED by
+    * data-changing commits between two snapshots — what lets a
+    * downstream consumer maintain a derived table without rescanning
+    * (Delta's change-data-feed restated at file granularity).
+    * Per-version walk: reorganization commits (compact/zorder) are
+    * skipped — their rewritten files are NOT new data — and a COW
+    * rewrite in the window refuses (see [[changeVersions]]).
+    * `fromVersion = 0` is the INITIAL SNAPSHOT: history collapses to
+    * "every live row is new", so no walk and no refusal. A
     * [[deleteWhereMor]] commit adds no files, so MOR deletes do not
-    * surface here (stream/CDC from append-only tables). */
+    * surface here (see [[readCdc]] for delete events). */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
-    val toPaths = manifest(toVersion).select("path")
-    val added = (if (fromVersion == 0) toPaths // v0: everything is new
-      else toPaths.except(manifest(fromVersion).select("path")))
-      .collect().map(r => s"$root/${r.getString(0)}")
+    val added =
+      if (fromVersion == 0)
+        manifest(toVersion).select("path")
+          .collect().map(r => s"$root/${r.getString(0)}").toSeq
+      else changeVersions(fromVersion, toVersion)
+        .flatMap(addedPathsAt).map(p => s"$root/$p")
     if (added.isEmpty) read(toVersion).limit(0)
-    else reconcile(readRaw(added.toSeq, toVersion), toVersion)
+    else reconcile(readRaw(added, toVersion), toVersion)
   }
 
   /** ROW-LEVEL CDC: every change between two snapshots as an event
-    * stream — `_change_type` 'insert' for rows of files ADDED in the
-    * window ([[readChanges]]' file diff), 'delete' for rows whose
-    * (file, ordinal) JOINED THE DELETION VECTOR in the window,
-    * materialized from their files by position. A row appended then
-    * MOR-deleted inside the window emits both events (net zero under
-    * a downstream fold — Delta CDF's contract). The delete
-    * materialization reads only files carrying NEW DV entries. Same
-    * COW caveat as [[readChanges]]: a copy-on-write rewrite surfaces
-    * as its post-image inserts (feed CDC from append+MOR tables). */
+    * stream, walked PER COMMIT — `_change_type` 'insert' for rows of
+    * files added by a data-changing commit, 'delete' for rows whose
+    * (file, ordinal) joined the deletion vector, and for a
+    * [[mergeMor]] commit 'update_preimage'/'update_postimage' for the
+    * matched rows (the recorded `merge_keys` split the commit's
+    * events: DV'd rows are pre-images, inserted rows with a matching
+    * pre-image key are post-images, the rest genuine inserts — Delta
+    * CDF's MERGE contract). A row appended then MOR-deleted inside
+    * the window emits both events (net zero under a fold).
+    * Reorganization commits emit NOTHING (a compaction inside the
+    * window is invisible — it changed no data) and a COW rewrite
+    * refuses ([[changeVersions]]). `fromVersion = 0` is the initial
+    * snapshot: all live rows as inserts, all live DV entries as
+    * deletes, no refusal. Planning is window-delta-sized: added
+    * files and new DV entries resolve from each commit's own delta
+    * dirs. */
   def readCdc(fromVersion: Long, toVersion: Long): DataFrame = {
-    val inserts = readChanges(fromVersion, toVersion)
-      .withColumn("_change_type", lit("insert"))
-    val dvNew = deletionVectors(toVersion)
-      .join(deletionVectors(fromVersion), Seq("path", "pos"), "left_anti")
-      // only files still LIVE at toVersion can materialize their
-      // deleted rows (a file both DV'd and rewritten left the
-      // manifest and its entries with it)
-      .join(manifest(toVersion).select("path"), Seq("path"), "left_semi")
-    val touched = dvNew.select("path").distinct()
-      .collect().map(_.getString(0))
-    if (touched.isEmpty) return inserts
-    val raw = readRaw(touched.toIndexedSeq.map(p => s"$root/$p"),
-      toVersion)
-    val dataCols = raw.columns.toIndexedSeq
-    val deletes = reconcile(withRowId(raw)
-      .join(dvNew.select(col("path").as("_gt_path"),
-        col("pos").as("_gt_pos")), Seq("_gt_path", "_gt_pos"),
-        "left_semi")
-      .select(dataCols.map(col): _*), toVersion)
-      .withColumn("_change_type", lit("delete"))
-    inserts.unionByName(deletes, allowMissingColumns = true)
+    val parts: Seq[DataFrame] =
+      if (fromVersion == 0) {
+        val inserts = readChanges(0, toVersion)
+          .withColumn("_change_type", lit("insert"))
+        val dvAll = deletionVectors(toVersion)
+        inserts +: rowsByPos(dvAll, toVersion)
+          .map(_.withColumn("_change_type", lit("delete"))).toSeq
+      } else changeVersions(fromVersion, toVersion).flatMap { v =>
+        val s = snapshot(v)
+        val addedP = addedPathsAt(v)
+        val inserts =
+          if (addedP.isEmpty) None
+          else Some(reconcile(readRaw(addedP.map(p => s"$root/$p"),
+            toVersion), toVersion))
+        val dels = rowsByPos(newDvEntriesAt(v), toVersion)
+        if (s.op == "merge_mor" && s.mergeKeys.nonEmpty &&
+            dels.nonEmpty && inserts.nonEmpty) {
+          val keys = s.mergeKeys
+          val preKeys = dels.get.select(keys.map(col): _*).distinct()
+          Seq(
+            inserts.get.join(preKeys, keys, "left_anti")
+              .withColumn("_change_type", lit("insert")),
+            inserts.get.join(preKeys, keys, "left_semi")
+              .withColumn("_change_type", lit("update_postimage")),
+            dels.get
+              .withColumn("_change_type", lit("update_preimage")))
+        } else
+          inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
+            dels.map(_.withColumn("_change_type", lit("delete"))).toSeq
+      }
+    if (parts.isEmpty)
+      read(toVersion).limit(0).withColumn("_change_type", lit("insert"))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Physically delete everything the last `retainLast` snapshots no
@@ -788,7 +920,8 @@ final class GraftTable private (
     * silently repointed — reproducibility demands immutability
     * (Iceberg tags; Delta would call it a named version). Re-tagging
     * a name requires an explicit [[deleteTag]] first. */
-  def tag(name: String, version: Long = currentVersion): Unit = {
+  def tag(name: String, version: Long = currentVersion,
+      message: String = ""): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"invalid tag name: $name")
     val cur = currentVersion
@@ -797,24 +930,49 @@ final class GraftTable private (
     require(new java.io.File(
         s"${logDir(root)}/snapshot-v$version.txt").isFile,
       s"tag: snapshot v$version has been vacuumed")
+    // line 1 = the pinned version (the original format — old readers
+    // keep working); optional kv lines carry provenance so "what did
+    // train_v1 pin and why" is answerable from the log alone
+    val body = (s"$version" +:
+      (s"created_ms=${System.currentTimeMillis()}" +:
+        (if (message.nonEmpty)
+          Seq(s"message=${message.replace('\n', ' ')}") else Nil)))
+      .mkString("", "\n", "\n")
     if (!commitIO.putIfAbsent(
         java.nio.file.Paths.get(logDir(root), s"tag-$name.txt"),
-        s"$version\n".getBytes("UTF-8")))
+        body.getBytes("UTF-8")))
       throw new IllegalStateException(
         s"tag $name already exists (tags are immutable; deleteTag " +
           "first to repoint)")
   }
 
-  /** All tags of this table: name → version. */
-  def tags: Map[String, Long] =
+  /** One tag's full record: pinned version, creation epoch millis
+    * (0 for pre-provenance tags), and message (empty if none). */
+  case class TagInfo(name: String, version: Long, createdMs: Long,
+    message: String)
+
+  /** All tags with provenance, name-sorted. */
+  def tagInfos: Seq[TagInfo] =
     Option(new java.io.File(logDir(root)).listFiles())
       .getOrElse(Array.empty).iterator
       .flatMap(f => f.getName match {
         case GraftTable.TagName(n) =>
-          Some(n -> new String(java.nio.file.Files
-            .readAllBytes(f.toPath), "UTF-8").trim.toLong)
+          val lines = new String(java.nio.file.Files
+            .readAllBytes(f.toPath), "UTF-8")
+            .split("\n").map(_.trim).filter(_.nonEmpty)
+          val kv = lines.drop(1).flatMap { l =>
+            val i = l.indexOf('=')
+            if (i < 0) None else Some(l.take(i) -> l.drop(i + 1))
+          }.toMap
+          Some(TagInfo(n, lines.head.toLong,
+            kv.get("created_ms").map(_.toLong).getOrElse(0L),
+            kv.getOrElse("message", "")))
         case _ => None
-      }).toMap
+      }).toSeq.sortBy(_.name)
+
+  /** All tags of this table: name → version. */
+  def tags: Map[String, Long] =
+    tagInfos.map(t => t.name -> t.version).toMap
 
   /** Resolve a tag to its version; explicit error for unknown tags. */
   def versionForTag(name: String): Long =
@@ -1185,6 +1343,9 @@ final class GraftTable private (
       }
     val newFiles = writeData(updates, numFiles = 4)
     commitWithRetry("merge_mor", newSchema = Some(updates.schema),
+      // recorded so the change feed can split this commit's events
+      // into update_preimage/update_postimage vs genuine inserts
+      extraKvs = Seq(s"merge_keys=${keyCols.mkString(",")}"),
       extraDv = Some { parent =>
         val all = manifest(parent)
         lastAuditTotal = all.count()
@@ -1543,7 +1704,8 @@ final class GraftTable private (
       schemaReplace: Boolean = false,
       evolvedOverride: Option[Boolean] = None,
       deadColsOverride: Option[Set[String]] = None,
-      addDeadCols: Set[String] = Set.empty)
+      addDeadCols: Set[String] = Set.empty,
+      extraKvs: Seq[String] = Nil)
       (buildDelta: Long => Delta): Long = {
     import spark.implicits._
     var attempts = 0
@@ -1561,15 +1723,25 @@ final class GraftTable private (
       // decides if the DV live-count must be recomputed (a pure
       // append can carry the parent's DV accounting verbatim)
       var fileSetChanged = false
+      // whether LIVE files actually leave the table at this commit —
+      // a data-changing commit that drops files is a COW REWRITE the
+      // change feed cannot express from file diffs (recorded as
+      // `rewrite=1`; an overwrite of an EMPTY table drops nothing and
+      // stays CDC-plannable as pure inserts)
+      var droppedLive = false
+      val parentHadFiles = parent > 0 && snapshot(parent).nFiles > 0
       var list: Seq[ManifestRef] = buildDelta(parent) match {
         case ReplaceAll(entries) =>
           fileSetChanged = true
+          droppedLive = parentHadFiles
           Seq(writeManifestDir(entries, next))
         case UseList(v) =>
           fileSetChanged = true
+          droppedLive = parentHadFiles
           snapshot(v).manifestDirs.map(ensureCounts)
         case AddRemove(added, removed) =>
           fileSetChanged = removed.nonEmpty
+          droppedLive = removed.nonEmpty
           val parentRefs =
             if (parent == 0) Nil
             else snapshot(parent).manifestDirs.map(ensureCounts)
@@ -1740,7 +1912,14 @@ final class GraftTable private (
             .mkString(",")}",
             s"n_dels=$nDels")
         }
+      val dataChange = !NonDataChangeOps(op)
       val content = (Seq(s"op=$op", s"parent=$parent",
+        // commit kind for the change feed (Delta's dataChange flag):
+        // reorganization commits are skipped by CDC readers, and a
+        // data-changing commit that drops live files is a COW rewrite
+        // CDC refuses — both recorded exactly, per commit
+        s"data_change=${if (dataChange) 1 else 0}",
+        s"rewrite=${if (dataChange && droppedLive) 1 else 0}",
         s"manifests=${list.map(r =>
           s"${r.dir}:${r.entries}:${r.rows}").mkString(",")}",
         s"n_files=$nFiles", s"n_rows=$nRows",
@@ -1749,7 +1928,7 @@ final class GraftTable private (
         (if (deadCols.nonEmpty)
           Seq(s"dead_cols=${deadCols.toSeq.sorted.mkString(",")}")
          else Nil) ++
-        dvLines ++
+        dvLines ++ extraKvs ++
         schemaJson.map(j => s"schema=$j"))
         .mkString("", "\n", "\n")
       beforeSnapshotCreate()
@@ -1842,8 +2021,7 @@ object GraftTable {
     * legacy delete is also refused; new commits record the exact
     * flag. */
   private[graft] val LegacyRewriteOps =
-    Set("delete", "replace", "overwrite", "restore", "merge",
-      "replace_rows", "update_rows", "delete_rows")
+    Set("delete", "replace", "overwrite", "restore", "merge", "update")
 
   /** A field's PHYSICAL column name — the name its values live under
     * in data files and manifest stats. Differs from the logical name

@@ -1273,6 +1273,77 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q248 — CDC UNDER MAINTENANCE (VERDICT r11 #1): inserts at v1, a
+    * MOR delete at v2, a COMPACTION at v3, a re-append at v4. The
+    * change feed walks the window PER COMMIT and must emit ZERO
+    * events for the compaction — its snapshot records
+    * `data_change=0`, and the old file-diff feed would have re-
+    * emitted every surviving row as a fresh insert, double-counting
+    * any downstream fold. The consumer shape is real: an initial
+    * snapshot (`readCdc(0, 1)`) plus an incremental window
+    * (`readCdc(1, current)`), folded per key (net = +insert −delete,
+    * kept while positive, SUMMED for multiplicity — the re-append
+    * makes some keys legitimately live twice). Hash-equal to DuckDB
+    * over the same arithmetic on raw rows ⟺ the compaction was
+    * invisible to the feed. */
+  def q248CdcCompaction(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_cdc_mx"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+      val t = GraftTable.create(s, root, o,
+        statsCols = Seq("o_orderkey"), numFiles = 4)
+      t.deleteWhereMor(col("o_orderkey") % 7 === 0)
+      t.compact()
+      t.append(o.where(col("o_orderkey") % 5 === 0), numFiles = 2)
+      ()
+    }
+    val t = GraftTable.forPath(s, root)
+    val ev = t.readCdc(0, 1).unionByName(
+      t.readCdc(1, t.currentVersion), allowMissingColumns = true)
+    ev.groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(sum(col("net")).cast("long").as("n_live"))
+      .orderBy(col("order_year"))
+  }
+
+  /** q249 — MERGE CDC through the `table_changes` TVF: a MOR merge
+    * doubles matched balances and inserts new keys; the SQL change
+    * feed (`SELECT … FROM table_changes(root, 1, 2)`) must split the
+    * commit's events by the recorded merge keys into
+    * 'update_preimage' (old payloads of matched rows),
+    * 'update_postimage' (new payloads), and 'insert' (unmatched keys)
+    * — Delta CDF's MERGE contract, hash-checked per kind on counts
+    * AND payload sums so a mislabeled or duplicated event cannot
+    * pass. */
+  def q249CdcMergeUpdates(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val root = s"${graft.Scratch.dir(s, "gtable")}/cust_cdc_merge"
+    buildOnce(root) {
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal")
+      val t = GraftTable.create(s, root, c,
+        statsCols = Seq("c_custkey"), numFiles = 4)
+      val upd = c.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(c.where(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal")))
+      t.mergeMor(upd, Seq("c_custkey"))
+      ()
+    }
+    s.sql(s"""
+      SELECT _change_type AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS bal_sum
+      FROM table_changes('$root', 1, 2)
+      GROUP BY 1 ORDER BY 1""")
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

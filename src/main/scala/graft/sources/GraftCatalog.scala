@@ -552,11 +552,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     "tag" -> longProc("tag", "version", Seq(
       inParam("table", DataTypes.StringType),
       inParam("name", DataTypes.StringType),
-      inParam("version", DataTypes.LongType, Some("0")))) { in =>
+      inParam("version", DataTypes.LongType, Some("0")),
+      inParam("message", DataTypes.StringType, Some("''")))) { in =>
       val t = tableForName(in.getUTF8String(0).toString)
       val v = if (in.numFields < 3 || in.isNullAt(2) ||
           in.getLong(2) == 0L) t.currentVersion else in.getLong(2)
-      t.tag(in.getUTF8String(1).toString, v)
+      val msg = if (in.numFields < 4 || in.isNullAt(3)) ""
+        else in.getUTF8String(3).toString
+      t.tag(in.getUTF8String(1).toString, v, msg)
       v
     },
     "drop_tag" -> longProc("drop_tag", "dropped", Seq(
@@ -565,13 +568,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (tableForName(in.getUTF8String(0).toString)
           .deleteTag(in.getUTF8String(1).toString)) 1L else 0L
     },
+    // name, pinned version, creation time, message — "what did
+    // train_v1 pin and why" from SQL alone
     "tags" -> proc("tags", StructType(Seq(
       StructField("name", DataTypes.StringType),
-      StructField("version", DataTypes.LongType))), Seq(
+      StructField("version", DataTypes.LongType),
+      StructField("created_at", DataTypes.TimestampType),
+      StructField("message", DataTypes.StringType))), Seq(
       inParam("table", DataTypes.StringType))) { in =>
-      tableForName(in.getUTF8String(0).toString).tags.toSeq.sorted
-        .map { case (n, v) => InternalRow(
-          org.apache.spark.unsafe.types.UTF8String.fromString(n), v) }
+      tableForName(in.getUTF8String(0).toString).tagInfos
+        .map(t => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t.name),
+          t.version,
+          if (t.createdMs == 0L) null else t.createdMs * 1000L,
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(t.message)))
         .toArray
     },
     // commit log as a result set: version/op/parent/n_files/n_rows,

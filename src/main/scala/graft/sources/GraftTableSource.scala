@@ -107,13 +107,19 @@ object GraftTableSource {
     * inclusive; 0 = before the first commit) — absolute paths.
     * Manifest-sized work; shared by the CDC batch scan and the
     * streaming source. */
+  /** Files an incremental reader must surface for `(fromV, toV]` —
+    * commit-kind-aware: reorganization commits (compact/zorder) are
+    * SKIPPED (their rewritten survivors are not new data) and a COW
+    * rewrite in the window refuses loudly (GraftTable.changeVersions).
+    * `fromV <= 0` is the initial snapshot: every live file, no walk. */
   private[sources] def addedFiles(t: graft.format.GraftTable,
       fromV: Long, toV: Long): Array[String] = {
     if (toV <= 0) return Array.empty
-    val cur = t.manifest(toV).select("path")
-    val diff =
-      if (fromV <= 0) cur else cur.except(t.manifest(fromV).select("path"))
-    diff.collect().map(r => s"${t.root}/${r.getString(0)}")
+    if (fromV <= 0)
+      t.manifest(toV).select("path")
+        .collect().map(r => s"${t.root}/${r.getString(0)}")
+    else t.changeVersions(fromV, toV).flatMap(t.addedPathsAt)
+      .map(p => s"${t.root}/$p").toArray
   }
 
   /** `.option("timestampAsOf", …)` accepts a SQL timestamp/date
@@ -1217,14 +1223,21 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
     if (!cdcFeed) return inserts
     // CHANGE DATA FEED: also emit a 'delete' event for every row
     // whose (file, ordinal) joined the deletion vector inside
-    // (s0, e0] — the streaming twin of readCdc. deletionVectors() is
-    // live-restricted per version, so a file both deleted-from and
-    // later rewritten never re-emits. The diff is window-deletes-
-    // sized; per-file sorted ordinals ride the partitions and the
-    // emit-only reader materializes exactly those rows.
+    // (s0, e0] — the streaming twin of readCdc, commit-kind-aware:
+    // each data-changing commit contributes its OWN new DV entries
+    // (its delta dirs), so a compaction inside the window emits
+    // nothing and a COW rewrite refuses (addedFiles already walked
+    // changeVersions). Window-deletes-sized; per-file sorted ordinals
+    // ride the partitions and the emit-only reader materializes
+    // exactly those rows. Streaming emits fold-equivalent insert/
+    // delete for MERGE commits; the batch readCdc distinguishes
+    // update_preimage/update_postimage.
     if (e0 <= 0) return inserts
-    val dvNew = t.deletionVectors(e0)
-      .join(t.deletionVectors(s0), Seq("path", "pos"), "left_anti")
+    val dvNew =
+      if (s0 <= 0) t.deletionVectors(e0) // initial snapshot
+      else t.changeVersions(s0, e0).map(t.newDvEntriesAt)
+        .reduceOption(_ unionByName _)
+        .getOrElse(t.deletionVectors(e0).limit(0))
     val deletes = dvNew
       .groupBy(col("path"))
       .agg(org.apache.spark.sql.functions

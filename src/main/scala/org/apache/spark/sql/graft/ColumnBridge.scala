@@ -38,4 +38,17 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(id, info, builder)
+
+  /** Register a TABLE-VALUED function (`SELECT * FROM f(...)`) in a
+    * live session — the registry twin of
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .registerFunction(id, info, builder)
 }

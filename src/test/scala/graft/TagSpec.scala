@@ -87,4 +87,67 @@ class TagSpec extends AnyFunSuite {
     t.vacuum(retainLast = 1, minOrphanAgeMs = 0L) // v1 record gone
     intercept[IllegalArgumentException](t.tag("x", 1L))
   }
+
+  test("tags carry provenance — message and creation time ride the " +
+      "tag file and surface through CALL system.tags") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_tag_wh2_").toString
+    spark.conf.set("spark.sql.catalog.tagp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tagp.warehouse", wh)
+    val root = s"$wh/prov"
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 1)
+    val before = System.currentTimeMillis()
+    t.tag("train_v1", message = "frozen for model A run 42")
+    spark.sql(
+      "CALL tagp.system.tag('prov', 'train_v2', message => 'hotfix')")
+    val infos = t.tagInfos
+    assert(infos.map(_.name) == Seq("train_v1", "train_v2"))
+    val v1 = infos.head
+    assert(v1.message == "frozen for model A run 42")
+    assert(v1.createdMs >= before &&
+      v1.createdMs <= System.currentTimeMillis())
+    val rows = spark.sql("CALL tagp.system.tags('prov')")
+      .orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("train_v1", "train_v2"))
+    assert(rows(0).getString(3) == "frozen for model A run 42")
+    assert(rows(1).getString(3) == "hotfix")
+    assert(rows(0).getTimestamp(2) != null)
+    // provenance does not disturb resolution surfaces
+    assert(t.versionForTag("train_v1") == 1L)
+    assert(spark.read.format("gtable")
+      .option("versionAsOf", "train_v1").load(root).count() == 100)
+  }
+
+  test("SELECT * FROM table_changes(root, from[, to]) — the change " +
+      "feed as a SQL table-valued function, update kinds included") {
+    GraftExtensions.register(spark)
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 50L).map(k => (k, k * 10L)).toDF("k", "v"),
+      Seq("k"), numFiles = 2)                       // v1
+    t.deleteWhereMor(col("k") <= 5)                 // v2
+    t.mergeMor(Seq((10L, 111L), (99L, 990L)).toDF("k", "v"),
+      Seq("k"))                                     // v3
+    val tc = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM table_changes('$root', 1) " +
+        "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc == Map("delete" -> 5L, "insert" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), s"got $tc")
+    // explicit to-version bounds the window
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$root', 1, 2)")
+      .head().getLong(0) == 5L)
+    // initial snapshot (from = 0) folds to the live table
+    assert(spark.sql(
+      s"""SELECT count(*) FROM (
+         |  SELECT k FROM table_changes('$root', 0)
+         |  GROUP BY k
+         |  HAVING sum(CASE WHEN _change_type IN
+         |    ('insert','update_postimage') THEN 1 ELSE -1 END) > 0)"""
+        .stripMargin).head().getLong(0) == t.read().count())
+  }
 }
