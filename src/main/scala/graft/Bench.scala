@@ -88,17 +88,25 @@ object Bench {
     // visible in the artifact instead of silently inflating the number.
     val legLoadsEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
     val legWaitSec = sys.env.getOrElse("SPARK_GRAFT_LEG_LOAD_WAIT", "60").toInt
-    def quietLeg[T](name: String)(f: => T): T = {
+    // QUIET flag per sample (VERDICT r11 #2): a sample that started OR
+    // ended above the load threshold is CONTAMINATED — it may stand in
+    // as a reported number only when no quiet sample exists, and it
+    // never counts toward convergence (r11's retail_fullscale shipped
+    // two consistently-slow samples that "converged" at 181.6 s on
+    // byte-identical code that runs in 78 s quiet).
+    def quietLeg[T](name: String)(f: => T): (T, Boolean) = {
       val deadline = System.nanoTime() + legWaitSec * 1000000000L
       while (load1m() > maxLoad && System.nanoTime() < deadline) {
         System.err.println(
           f"BENCH LEG WAIT [$name]: loadavg ${load1m()}%.2f > $maxLoad%.1f")
         Thread.sleep(5000)
       }
-      legLoads(name) = load1m()
+      val ls = load1m()
+      legLoads(name) = ls
       val r = f
-      legLoadsEnd(name) = load1m()
-      r
+      val le = load1m()
+      legLoadsEnd(name) = le
+      (r, ls <= maxLoad && le <= maxLoad)
     }
 
     // Closing-artifact protocol (VERDICT r9 #4): each scale-smoke leg
@@ -109,28 +117,45 @@ object Bench {
     // shared sandbox once misstated a 26 s leg as 182 s.
     val legMaxSamples =
       sys.env.getOrElse("SPARK_GRAFT_LEG_SAMPLES", "3").toInt
+    // extra sample budget that unlocks ONLY while fewer than two quiet
+    // samples exist — bounded re-queue for a contended host
+    val legMaxDirty =
+      sys.env.getOrElse("SPARK_GRAFT_LEG_SAMPLES_DIRTY", "5").toInt
     val legSampleLog =
       scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // per leg: did at least one QUIET sample back the reported number?
+    val legQuietOk =
+      scala.collection.mutable.LinkedHashMap[String, Boolean]()
     def sampled[T](name: String)(primary: T => Double)(f: => T): T = {
-      var best: Option[T] = None
+      var best: Option[(T, Boolean)] = None // (result, was-quiet)
       var times = List.empty[Double]
+      var quietTimes = List.empty[Double]
       var i = 0
       var converged = false
-      while (i < legMaxSamples && !converged) {
+      while (!converged && (i < legMaxSamples ||
+          (quietTimes.length < 2 && i < legMaxDirty))) {
         val tag = if (i == 0) name else s"$name#${i + 1}"
-        val r = quietLeg(tag)(f)
+        val (r, quiet) = quietLeg(tag)(f)
         val p = primary(r)
-        if (p < 0) { if (best.isEmpty) best = Some(r); converged = true }
-        else {
+        if (p < 0) {
+          if (best.isEmpty) best = Some((r, quiet)); converged = true
+        } else {
           times = times :+ p
-          if (best.forall(b => p < primary(b))) best = Some(r)
-          val s = times.sorted
+          if (quiet) quietTimes = quietTimes :+ p
+          // a quiet sample always beats a contaminated one; within the
+          // same class, smaller wins
+          val better = best.forall { case (b, bq) =>
+            if (quiet != bq) quiet else p < primary(b) }
+          if (better) best = Some((r, quiet))
+          // convergence is judged on QUIET samples only
+          val s = quietTimes.sorted
           converged = s.length >= 2 && s(1) <= s(0) * 1.5
         }
         i += 1
       }
       legSampleLog(name) = times
-      best.get
+      legQuietOk(name) = best.exists(_._2)
+      best.get._1
     }
 
     /** Pair-leg variant of the re-sample protocol (VERDICT r10 #2):
@@ -143,18 +168,24 @@ object Bench {
       * must not ride in on a good initial). */
     def sampledPair(name: String)(f: => (Double, Double))
         : (Double, Double) = {
-      var samples = List.empty[(Double, Double)]
+      var samples = List.empty[(Double, Double, Boolean)]
       var i = 0
       var converged = false
-      while (i < legMaxSamples && !converged) {
+      while (!converged && (i < legMaxSamples ||
+          (samples.count(_._3) < 2 && i < legMaxDirty))) {
         val tag = if (i == 0) name else s"$name#${i + 1}"
-        val r = quietLeg(tag)(f)
+        val (r, quiet) = quietLeg(tag)(f)
         if (r._1 < 0 || r._2 < 0) {
-          if (samples.isEmpty) samples = List(r); converged = true
+          if (samples.isEmpty) samples = List((r._1, r._2, quiet))
+          converged = true
         } else {
-          samples = samples :+ r
-          def conv(sel: ((Double, Double)) => Double): Boolean = {
-            val s = samples.map(sel).sorted
+          samples = samples :+ ((r._1, r._2, quiet))
+          // convergence over QUIET samples only — two consistently
+          // slow contended runs must not ship as the round's number
+          val qs = samples.filter(_._3)
+          def conv(sel: ((Double, Double, Boolean)) => Double)
+              : Boolean = {
+            val s = qs.map(sel).sorted
             s.length >= 2 && s(1) <= s(0) * 1.5
           }
           converged = conv(_._1) && conv(_._2)
@@ -163,11 +194,15 @@ object Bench {
       }
       legSampleLog(name) = samples.map(_._1)
       legSampleLog(s"$name.b") = samples.map(_._2)
+      legQuietOk(name) = samples.exists(_._3)
+      // report from quiet samples when any exist
+      val pool = if (samples.exists(_._3)) samples.filter(_._3)
+        else samples
       def minPosOf(xs: List[Double]): Double = {
         val pos = xs.filter(_ >= 0)
         if (pos.isEmpty) -1.0 else pos.min
       }
-      (minPosOf(samples.map(_._1)), minPosOf(samples.map(_._2)))
+      (minPosOf(pool.map(_._1)), minPosOf(pool.map(_._2)))
     }
 
     // Optional dev filter: SPARK_GRAFT_ONLY=q101_pagerank,q21_lsh_pairs
@@ -257,14 +292,9 @@ object Bench {
     }
     // dev filter: naming etl_pipeline in SPARK_GRAFT_ONLY keeps the pair
     val runEtl = only.forall(_.contains("etl_pipeline"))
-    val (e1, e2) =
-      if (!runEtl) ((-1.0, -1.0), (-1.0, -1.0))
-      else (quietLeg("etl_pipeline_a")(etlPair()),
-        quietLeg("etl_pipeline_b")(etlPair()))
-    def minPos(a: Double, b: Double): Double =
-      if (a < 0) b else if (b < 0) a else math.min(a, b)
-    val etlTime = minPos(e1._1, e2._1)
-    val etlIncTime = minPos(e1._2, e2._2)
+    val (etlTime, etlIncTime) =
+      if (!runEtl) (-1.0, -1.0)
+      else sampledPair("etl_pipeline")(etlPair())
 
     // 10× scale smoke: replicate lineitem+orders 10× with shifted order
     // keys (same join/partition structure, 10× the fact volume) and run
@@ -665,6 +695,62 @@ object Bench {
         (t: (Double, Double)) => t._1)(retailFullscaleLake())
       else (-1.0, -1.0)
 
+    // COMMIT-THROUGHPUT MICROBENCH (VERDICT r11 #3): 200 one-file
+    // appends then one incremental maintain (compactSmall), on a
+    // dedicated table — pins the manifest-list FIXED COST per commit
+    // so a commit-heavy setup regression (r11's q238 doubling) is
+    // attributable to the commit path or the host, not guessed.
+    // Reports (total seconds, metadata KB per commit); commits/s =
+    // 201 / seconds, derivable from the artifact.
+    def commitMicro(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var root: String = null
+      try {
+        root = java.nio.file.Files
+          .createTempDirectory("graft_commit_micro_").toString + "/t"
+        import sp.implicits._
+        val n = 200
+        val secs = timed {
+          val t = graft.format.GraftTable.create(sp, root,
+            Seq((0L, 0L)).toDF("k", "v"), statsCols = Seq("k"),
+            numFiles = 1)
+          (1 until n).foreach { i =>
+            t.append(Seq((i.toLong, i * 10L)).toDF("k", "v"),
+              numFiles = 1)
+          }
+          // the mixed-maintenance commit a scheduler would issue
+          t.compactSmall(maxRows = 1000L, numFiles = 4)
+          ()
+        }
+        def dirSize(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .map(dirSize).sum
+          else f.length()
+        val metaKbPerCommit =
+          dirSize(new java.io.File(s"$root/_log")) / 1024.0 / (n + 1)
+        (secs, metaKbPerCommit)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL commit_micro: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (root != null)
+          new Directory(new java.io.File(root).getParentFile)
+            .deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    // dev filter: SPARK_GRAFT_ONLY=commit_micro runs just this leg
+    val runCommitMicro = only.forall(_.contains("commit_micro"))
+    val (commitMicroTime, commitMicroMetaKb) =
+      if (runCommitMicro) sampled("commit_micro")(
+        (t: (Double, Double)) => t._1)(commitMicro())
+      else (-1.0, -1.0)
+
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
     // used to report under _10x) and are excluded from the headline by
     // this explicit list — never by suffix matching.
@@ -674,7 +760,8 @@ object Bench {
       "cow_delete_10x", "mor_delete_10x",
       "bloom_probe_50x", "fullscan_probe_50x",
       "retail_fullscale", "retail_incremental_fullscale",
-      "retail_fullscale_lake", "retail_incremental_fullscale_lake")
+      "retail_fullscale_lake", "retail_incremental_fullscale_lake",
+      "commit_micro_200", "commit_micro_meta_kb")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
@@ -689,7 +776,9 @@ object Bench {
       ("retail_fullscale" -> retailFullTime) :+
       ("retail_incremental_fullscale" -> retailIncTime) :+
       ("retail_fullscale_lake" -> retailLakeTime) :+
-      ("retail_incremental_fullscale_lake" -> retailLakeIncTime)
+      ("retail_incremental_fullscale_lake" -> retailLakeIncTime) :+
+      ("commit_micro_200" -> commitMicroTime) :+
+      ("commit_micro_meta_kb" -> commitMicroMetaKb)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set
@@ -709,8 +798,13 @@ object Bench {
       .map { case (k, vs) =>
         "\"" + k + "\":[" + vs.map(v => f"$v%.1f").mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // false = the leg's reported number has NO quiet backing sample
+    // even after the extended retry budget — discount it on sight
+    val legQuietJson = legQuietOk
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson,"leg_loadavg_end":$legLoadEndJson,"leg_samples":$legSamplesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson,"leg_loadavg_end":$legLoadEndJson,"leg_samples":$legSamplesJson,"leg_quiet":$legQuietJson}"""
     println(line)
     // Also persist the result line: stdout tails can truncate mid-stream
     // (sbt log interleaving), which loses the headline number from the

@@ -77,8 +77,8 @@ final class GraftTable private (
 
   private def snapshot(v: Long): Snapshot =
     GraftTable.snapCached(root, v) {
-      val p = java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt")
-      val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val lines = new String(
+        logStore.read(s"${logDir(root)}/snapshot-v$v.txt"), "UTF-8")
         .split("\n").map(_.trim).filter(_.nonEmpty)
       val kv = lines.map { l =>
         val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
@@ -170,7 +170,13 @@ final class GraftTable private (
   /** Live data-file paths of `version`, memoized per (root, version) —
     * a committed version's file list is immutable, and every plain
     * [[read]] needs it, so the collect job runs once per session
-    * instead of 4–6× per query (vacuum invalidates the root). */
+    * instead of 4–6× per query (vacuum invalidates the root).
+    *
+    * MEASURED BOUND (SURVEY §8.9): the driver array costs ~100 bytes
+    * per path — ~100 MB/10⁶ files, which covers 100 TB at 100 MB
+    * files. Beyond ~10⁸ files, planning must batch from the manifest
+    * Dataset instead of collecting; the manifest is already
+    * distributed, only this materialization is not. */
   private def filePaths(version: Long): Seq[String] =
     GraftTable.pathsCached(root, version) {
       manifest(version).select("path").collect()
@@ -802,12 +808,17 @@ final class GraftTable private (
     * it (Delta's RETAIN contract — vacuum cannot see a remote
     * reader's plan, so the retention window IS the guard).
     *
-    * Files referenced by NO snapshot at all are either crash orphans
-    * or an IN-FLIGHT concurrent writer's not-yet-committed data
-    * (writeData runs before the atomic snapshot create): those are
-    * deleted only when older than `minOrphanAgeMs` (Delta's
-    * retention-hours pattern), so vacuum never races a live commit.
-    * Pass 0 to force-collect known-dead orphans (crash recovery).
+    * Reachability is computed from the RETAINED + TAGGED snapshots
+    * only — one manifest pass per kept version, NEVER a full-history
+    * replay (a 10⁵-commit table must not re-read every version's
+    * manifest to vacuum). Any file outside that live set — expired
+    * history, crash orphans, an IN-FLIGHT concurrent writer's
+    * not-yet-committed data (writeData runs before the atomic
+    * snapshot create) — is deleted only when older than
+    * `minOrphanAgeMs` (Delta's retention-hours contract), so vacuum
+    * never races a live commit. Pass 0 to force-collect expired
+    * history and known-dead orphans now (post-compaction reclaim,
+    * crash recovery).
     *
     * Returns the number of data files deleted. Driver work is
     * file-list-sized, IO is unreferenced-files-sized. */
@@ -822,30 +833,36 @@ final class GraftTable private (
     // reproducibility promise and vacuum must not be able to break it
     val protectedVs = tags.values.filter(v => v < keepFrom).toSet
     val keepVs = (keepFrom to cur) ++ protectedVs.toSeq
+    // REACHABILITY FROM RETAINED + TAGGED SNAPSHOTS ONLY (VERDICT r11
+    // #5): the one manifest pass vacuum pays is O(retained), never a
+    // full-history replay — at a 10⁵-commit table re-reading every
+    // version's manifest was the next metadata wall. A file outside
+    // this live set is reclaimed once older than `minOrphanAgeMs`,
+    // whether it is expired history or a crash orphan: the age guard
+    // ALONE protects in-flight concurrent writers (their files are
+    // always younger than the guard), which is Delta's retention
+    // contract. Expired-history files younger than the guard linger
+    // until it passes — lingering is cheap, a replay is not.
+    lastVacuumManifestReads = keepVs.size.toLong
     val live = keepVs.flatMap(v =>
       manifest(v).select("path").collect().map(_.getString(0))).toSet
-    // referenced by ANY committed snapshot ⇒ deleting it is reclaiming
-    // expired history; referenced by none ⇒ orphan, age-guarded
-    val referencedEver = (1L to cur).flatMap { v =>
-      try manifest(v).select("path").collect().map(_.getString(0))
-      catch { case _: java.nio.file.NoSuchFileException => Array.empty[String] }
-    }.toSet
     val orphanCutoff = System.currentTimeMillis() - minOrphanAgeMs
-    val dataDir = new java.io.File(s"$root/data")
     var deleted = 0
-    val commitDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
+    val commitDirs = logStore.list(s"$root/data")
     commitDirs.foreach { cd =>
-      Option(cd.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val rel = s"data/${cd.getName}/${f.getName}"
-        val collectable = !live.contains(rel) &&
-          (referencedEver.contains(rel) || f.lastModified() < orphanCutoff)
-        if (f.getName.endsWith(".parquet") && collectable) {
-          if (f.delete()) deleted += 1
+      val cdPath = s"$root/data/${cd.name}"
+      logStore.list(cdPath).foreach { f =>
+        val rel = s"data/${cd.name}/${f.name}"
+        val collectable = !live.contains(rel) && f.mtimeMs < orphanCutoff
+        if (f.name.endsWith(".parquet") && collectable) {
+          if (logStore.delete(s"$cdPath/${f.name}")) deleted += 1
         }
       }
-      val left = Option(cd.listFiles()).getOrElse(Array.empty)
-      if (left.forall(f => !f.getName.endsWith(".parquet")))
-        { left.foreach(_.delete()); cd.delete() }
+      val left = logStore.list(cdPath)
+      if (left.forall(f => !f.name.endsWith(".parquet"))) {
+        left.foreach(f => logStore.delete(s"$cdPath/${f.name}"))
+        logStore.delete(cdPath)
+      }
     }
     // manifest AND deletion-vector dirs are SHARED across snapshots
     // (appends/restores carry both lists by reference): an expired
@@ -861,40 +878,34 @@ final class GraftTable private (
       try {
         val s = snapshot(v)
         s.manifestDirs.map(_.dir).filterNot(keptDirs).foreach(d =>
-          deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
+          logStore.deleteRecursively(s"${logDir(root)}/$d"))
         s.dvDirs.map(_.dir).filterNot(keptDirs).foreach(d =>
-          deleteRecursively(new java.io.File(s"${logDir(root)}/$d")))
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(logDir(root), s"snapshot-v$v.txt"))
+          logStore.deleteRecursively(s"${logDir(root)}/$d"))
+        logStore.delete(s"${logDir(root)}/snapshot-v$v.txt")
       } catch { // already vacuumed by an earlier pass
         case _: java.nio.file.NoSuchFileException => ()
       }
     }
     GraftTable.invalidate(root) // memoized snapshots/paths now stale
     // orphaned manifest dirs (written by a commit that never created
-    // its snapshot file) — same age guard as orphan data
-    val namedDirs = (1L to currentVersion).flatMap { v =>
+    // its snapshot file) — same age guard as orphan data. Only the
+    // RETAINED + TAGGED snapshots still have records at this point
+    // (expired ones were just deleted), so reachability over keepVs
+    // is complete, with no (1..cur) probe loop.
+    val namedDirs = keepVs.flatMap { v =>
       try {
         val s = snapshot(v)
         s.manifestDirs.map(_.dir) ++ s.dvDirs.map(_.dir)
       } catch { case _: java.nio.file.NoSuchFileException => Nil }
     }.toSet
-    Option(new java.io.File(logDir(root)).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory &&
-        (d.getName.startsWith("manifest-v") ||
-          d.getName.startsWith("dv-v")) &&
-        !namedDirs.contains(d.getName) &&
-        d.lastModified() < orphanCutoff)
-      .foreach(deleteRecursively)
+    logStore.list(logDir(root))
+      .filter(d => d.isDir &&
+        (d.name.startsWith("manifest-v") ||
+          d.name.startsWith("dv-v")) &&
+        !namedDirs.contains(d.name) &&
+        d.mtimeMs < orphanCutoff)
+      .foreach(d => logStore.deleteRecursively(s"${logDir(root)}/${d.name}"))
     deleted
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
   }
 
   /** Logically-deleted (DV) row count of `version` — with [[rowCount]]
@@ -927,8 +938,7 @@ final class GraftTable private (
     val cur = currentVersion
     require(version >= 1 && version <= cur,
       s"tag: version $version outside committed range 1..$cur")
-    require(new java.io.File(
-        s"${logDir(root)}/snapshot-v$version.txt").isFile,
+    require(logStore.exists(s"${logDir(root)}/snapshot-v$version.txt"),
       s"tag: snapshot v$version has been vacuumed")
     // line 1 = the pinned version (the original format — old readers
     // keep working); optional kv lines carry provenance so "what did
@@ -938,9 +948,7 @@ final class GraftTable private (
         (if (message.nonEmpty)
           Seq(s"message=${message.replace('\n', ' ')}") else Nil)))
       .mkString("", "\n", "\n")
-    if (!commitIO.putIfAbsent(
-        java.nio.file.Paths.get(logDir(root), s"tag-$name.txt"),
-        body.getBytes("UTF-8")))
+    if (!putLogIfAbsent(s"tag-$name.txt", body.getBytes("UTF-8")))
       throw new IllegalStateException(
         s"tag $name already exists (tags are immutable; deleteTag " +
           "first to repoint)")
@@ -953,12 +961,11 @@ final class GraftTable private (
 
   /** All tags with provenance, name-sorted. */
   def tagInfos: Seq[TagInfo] =
-    Option(new java.io.File(logDir(root)).listFiles())
-      .getOrElse(Array.empty).iterator
-      .flatMap(f => f.getName match {
+    logStore.list(logDir(root)).iterator
+      .flatMap(f => f.name match {
         case GraftTable.TagName(n) =>
-          val lines = new String(java.nio.file.Files
-            .readAllBytes(f.toPath), "UTF-8")
+          val lines = new String(
+            logStore.read(s"${logDir(root)}/${f.name}"), "UTF-8")
             .split("\n").map(_.trim).filter(_.nonEmpty)
           val kv = lines.drop(1).flatMap { l =>
             val i = l.indexOf('=')
@@ -983,8 +990,7 @@ final class GraftTable private (
   /** Remove a tag (the version it pinned becomes vacuumable again
     * once outside the retention horizon). */
   def deleteTag(name: String): Boolean =
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(logDir(root), s"tag-$name.txt"))
+    logStore.delete(s"${logDir(root)}/tag-$name.txt")
 
   /** Commit history, newest first: one row per snapshot still on
     * disk (vacuum removes records behind its horizon). */
@@ -1018,6 +1024,10 @@ final class GraftTable private (
     * stats-pruned (reads ≤ envelope-intersecting files), not O(table). */
   @volatile private[graft] var lastAuditScanned: Long = -1L
   @volatile private[graft] var lastAuditTotal: Long = -1L
+
+  /** Manifest passes the last [[vacuum]] planned — spec-pinned to
+    * O(retained + tagged), never O(all versions). */
+  @volatile private[graft] var lastVacuumManifestReads: Long = -1L
 
   /** The shared COW survivor manifest for [[deleteWhere]] /
     * [[replaceWhere]]: files whose stats envelope can't intersect
@@ -1451,8 +1461,7 @@ final class GraftTable private (
     val cur = currentVersion
     require(version >= 1 && version <= cur,
       s"restore: version $version outside committed range 1..$cur")
-    require(new java.io.File(
-        s"${logDir(root)}/snapshot-v$version.txt").isFile,
+    require(logStore.exists(s"${logDir(root)}/snapshot-v$version.txt"),
       s"restore: snapshot v$version has been vacuumed")
     commitWithRetry("restore", newSchema = recordedSchema(version),
       // the restored version's DV delta dirs come back BY REFERENCE —
@@ -1595,9 +1604,8 @@ final class GraftTable private (
       else {
         val nRows = written.count()
         val nFiles = math.max(1,
-          Option(new java.io.File(s"$root/$commitDir").listFiles())
-            .getOrElse(Array.empty)
-            .count(_.getName.endsWith(".parquet")))
+          logStore.list(s"$root/$commitDir")
+            .count(_.name.endsWith(".parquet")))
         val perFile = math.max(1L, nRows / nFiles)
         val target = java.lang.Long.highestOneBit(
           math.max(1L, 10L * perFile - 1L)) * 2L
@@ -1690,10 +1698,31 @@ final class GraftTable private (
     * writer crash mid-commit and prove readers/vacuum behavior. */
   @volatile private[graft] var beforeSnapshotCreate: () => Unit = () => ()
 
+  /** Log-layer storage (snapshot/tag records, vacuum walks) — scheme-
+    * dispatched: plain local paths stay on [[PosixLogStore]], `s3a:`/
+    * `hdfs:`/`file:` roots go through the Hadoop [[HadoopLogStore]].
+    * Swappable per table for tests. */
+  @volatile private[graft] var logStore: LogStore =
+    LogStore.forRoot(root)
+
   /** The storage commit primitive — swap for an object-store
     * conditional-PUT implementation (see [[CommitIO]]); specs inject
-    * contention through it. */
-  @volatile private[graft] var commitIO: CommitIO = PosixCommitIO
+    * contention through it. Defaults to the log store itself. */
+  @volatile private[graft] var commitIO: CommitIO = logStore match {
+    case c: CommitIO => c
+    case _ => PosixCommitIO
+  }
+
+  /** Atomic create of a log record named `name`, through whichever
+    * seam is installed: an injected [[LogStore]] takes the scheme-
+    * capable string path; a bare [[CommitIO]] (spec fakes) keeps its
+    * original `java.nio.file.Path` signature. */
+  private def putLogIfAbsent(name: String,
+      content: Array[Byte]): Boolean = commitIO match {
+    case ls: LogStore => ls.putIfAbsent(s"${logDir(root)}/$name", content)
+    case c => c.putIfAbsent(
+      java.nio.file.Paths.get(logDir(root), name), content)
+  }
 
   private def commitWithRetry(op: String,
       batchLedger: Option[Long] = None,
@@ -1934,8 +1963,7 @@ final class GraftTable private (
       beforeSnapshotCreate()
       // the linearization point, behind the CommitIO seam — POSIX
       // CREATE_NEW here, a conditional PUT on an object store
-      if (commitIO.putIfAbsent(
-          java.nio.file.Paths.get(logDir(root), s"snapshot-v$next.txt"),
+      if (putLogIfAbsent(s"snapshot-v$next.txt",
           content.getBytes("UTF-8")))
         return next
       // lost the race: loop rebases onto the winner's version
@@ -1963,13 +1991,11 @@ object GraftTable {
     * `tableExists` / `loadTable` / `resolve` turned every probe of a
     * wrong path into a phantom namespace (ADVICE r9). All read-side
     * catalog/connector paths go through here. */
-  def versionAt(root: String): Long = {
-    val files = new java.io.File(logDir(root)).listFiles()
-    if (files == null) 0L
-    else files.iterator.map(_.getName).collect {
-      case SnapshotName(v) => v.toLong
-    }.foldLeft(0L)(math.max)
-  }
+  def versionAt(root: String): Long =
+    LogStore.forRoot(root).list(logDir(root)).iterator
+      .map(_.name).collect {
+        case SnapshotName(v) => v.toLong
+      }.foldLeft(0L)(math.max)
 
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
@@ -2097,8 +2123,7 @@ object GraftTable {
       bloomCols: Seq[String] = Nil,
       bloomBits: Int = graft.functions.BloomFilterIndex.DefaultBits)
       : GraftTable = {
-    java.nio.file.Files
-      .createDirectories(java.nio.file.Paths.get(logDir(root)))
+    LogStore.forRoot(root).mkdirs(logDir(root))
     val t = new GraftTable(spark, root, statsCols, bloomCols, bloomBits)
     if (t.currentVersion != 0)
       throw new IllegalStateException(
@@ -2114,8 +2139,7 @@ object GraftTable {
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomBits: Int = graft.functions.BloomFilterIndex.DefaultBits)
       : GraftTable = {
-    java.nio.file.Files
-      .createDirectories(java.nio.file.Paths.get(logDir(root)))
+    LogStore.forRoot(root).mkdirs(logDir(root))
     new GraftTable(spark, root, statsCols, bloomCols, bloomBits)
   }
 

@@ -1,0 +1,189 @@
+package graft.format
+
+/** Storage seam for the ENTIRE log layer (VERDICT r11 #4),
+  * generalizing [[CommitIO]]'s single atomic-create primitive to the
+  * handful of further operations the snapshot log needs: read a
+  * snapshot/tag record, list the `_log` and `data` directories,
+  * delete expired records (vacuum), create the log root. Data and
+  * manifest/DV parquet already flow through Spark (FS-agnostic); the
+  * log records were the one component bound to `java.nio.file` — a
+  * table root can now be any scheme a Hadoop `FileSystem` serves
+  * (`file:`, `hdfs:`, `s3a:`, …), matching the reference's S3
+  * warehouse (aws-glue-etl-sample-hist `document/glue_t0.md:95-117`).
+  *
+  * Contract notes:
+  *  - `read` throws `java.nio.file.NoSuchFileException` for a missing
+  *    path in EVERY implementation — vacuum/history/time-travel use
+  *    that exception to mean "already vacuumed".
+  *  - `putIfAbsent` carries [[CommitIO]]'s atomicity contract (the
+  *    commit linearization point).
+  *  - `list` of a missing directory is `Nil`, never an error.
+  */
+trait LogStore {
+  import LogStore.LogEntry
+
+  def read(path: String): Array[Byte]
+  def exists(path: String): Boolean
+  def list(dir: String): Seq[LogEntry]
+  /** Delete one file; false if absent. */
+  def delete(path: String): Boolean
+  def deleteRecursively(path: String): Unit
+  def mkdirs(dir: String): Unit
+  /** [[CommitIO.putIfAbsent]] with scheme-capable string paths. */
+  def putIfAbsent(path: String, content: Array[Byte]): Boolean
+}
+
+/** Local-filesystem implementation — the default for plain paths,
+  * byte-compatible with the pre-seam behavior. Doubles as a
+  * [[CommitIO]] so the commit path's injection seam keeps working. */
+object PosixLogStore extends LogStore with CommitIO {
+  import java.nio.file.{Files, Paths}
+  import LogStore.LogEntry
+
+  override def read(path: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(path))
+
+  override def exists(path: String): Boolean =
+    Files.exists(Paths.get(path))
+
+  override def list(dir: String): Seq[LogEntry] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .toSeq.map(f => LogEntry(f.getName, f.isDirectory, f.lastModified()))
+
+  override def delete(path: String): Boolean =
+    Files.deleteIfExists(Paths.get(path))
+
+  override def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  override def mkdirs(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir)); ()
+  }
+
+  override def putIfAbsent(path: String, content: Array[Byte]): Boolean =
+    PosixCommitIO.putIfAbsent(Paths.get(path), content)
+
+  override def putIfAbsent(path: java.nio.file.Path,
+      content: Array[Byte]): Boolean =
+    PosixCommitIO.putIfAbsent(path, content)
+}
+
+/** Hadoop-`FileSystem` implementation: one class serves every scheme
+  * the classpath knows (`file:`, `hdfs:`, `s3a:`, `abfs:`, …). The
+  * atomic create is `FileContext.rename(…, Rename.NONE)` over a
+  * hidden temp file — rename-without-overwrite is atomic on HDFS and
+  * on the local FS through `FileContext` (the published HDFS-log-
+  * store recipe); object stores with a native conditional PUT should
+  * subclass and override [[putIfAbsent]] with it. */
+class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
+    extends LogStore with CommitIO {
+  import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+  import LogStore.LogEntry
+
+  // unwrap the checksummed local FS: the log layer's tiny records
+  // don't want crc sidecars (their rename is not atomic with the data
+  // rename, so a racing reader can see a stale checksum)
+  private def fs(p: HPath) = p.getFileSystem(conf()) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  override def read(path: String): Array[Byte] = {
+    val p = new HPath(path)
+    val in =
+      try fs(p).open(p)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new java.nio.file.NoSuchFileException(path) }
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  override def exists(path: String): Boolean = {
+    val p = new HPath(path); fs(p).exists(p)
+  }
+
+  override def list(dir: String): Seq[LogEntry] = {
+    val p = new HPath(dir)
+    try fs(p).listStatus(p).toSeq.map(st =>
+      LogEntry(st.getPath.getName, st.isDirectory,
+        st.getModificationTime))
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  override def delete(path: String): Boolean = {
+    val p = new HPath(path); fs(p).delete(p, false)
+  }
+
+  override def deleteRecursively(path: String): Unit = {
+    val p = new HPath(path); fs(p).delete(p, true); ()
+  }
+
+  override def mkdirs(dir: String): Unit = {
+    val p = new HPath(dir); fs(p).mkdirs(p); ()
+  }
+
+  override def putIfAbsent(path: String, content: Array[Byte])
+      : Boolean = {
+    val p = new HPath(path)
+    val scheme = Option(p.toUri.getScheme).getOrElse(
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(conf()).getScheme)
+    if (scheme == "file")
+      // local: O_EXCL is the native atomic create — and it sidesteps
+      // the checksummed local FS's non-atomic crc-sidecar rename
+      return PosixCommitIO.putIfAbsent(
+        java.nio.file.Paths.get(p.toUri.getPath), content)
+    val fc = FileContext.getFileContext(p.toUri, conf())
+    if (fc.util().exists(p)) return false // cheap early loss
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try { out.write(content) } finally out.close()
+    try { fc.rename(tmp, p, Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException |
+          _: java.io.IOException =>
+        try fc.delete(tmp, false) catch { case _: Exception => () }
+        false
+    }
+  }
+
+  override def putIfAbsent(path: java.nio.file.Path,
+      content: Array[Byte]): Boolean =
+    putIfAbsent(path.toString, content)
+}
+
+object LogStore {
+
+  /** One directory child: bare name, kind, and modification time
+    * (the age guard vacuum's orphan collection needs). */
+  case class LogEntry(name: String, isDir: Boolean, mtimeMs: Long)
+
+  /** Store for a table root: scheme-qualified roots go through the
+    * Hadoop `FileSystem` chain (lazily resolving the active session's
+    * Hadoop conf so `fs.s3a.*` credentials apply), plain local paths
+    * through [[PosixLogStore]]. Swappable for tests and for object-
+    * store implementations with native conditional PUT. */
+  @volatile var provider: String => LogStore = defaultProvider
+
+  def defaultProvider: String => LogStore = root =>
+    if (root.contains("://")) new HadoopLogStore(() =>
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+    else PosixLogStore
+
+  def forRoot(root: String): LogStore = provider(root)
+}

@@ -1079,7 +1079,7 @@ object FormatQueries {
       s.sql("CALL gcat.system.restore('lineitem_proc', 1)").collect()
       s.sql("CALL gcat.system.compact('lineitem_proc', 4, " +
         "'l_orderkey')").collect()
-      s.sql("CALL gcat.system.vacuum('lineitem_proc', 1)").collect()
+      s.sql("CALL gcat.system.vacuum('lineitem_proc', 1, 0)").collect()
       ()
     }
     s.table("gcat.lineitem_proc")

@@ -469,11 +469,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (maxRows > 0) t.compactSmall(maxRows, n, cols)
       else t.compact(n, cols)
     },
+    // min_age_ms: files younger than this are never reclaimed (they
+    // may belong to an in-flight writer); 0 = force-collect expired
+    // history and known-dead orphans now
     "vacuum" -> longProc("vacuum", "deleted_files", Seq(
       inParam("table", DataTypes.StringType),
-      inParam("retain_last", DataTypes.IntegerType, Some("1")))) { in =>
+      inParam("retain_last", DataTypes.IntegerType, Some("1")),
+      inParam("min_age_ms", DataTypes.LongType,
+        Some(graft.format.GraftTable.DefaultOrphanRetentionMs.toString +
+          "L")))) { in =>
       tableForName(in.getUTF8String(0).toString)
-        .vacuum(if (in.isNullAt(1)) 1 else in.getInt(1)).toLong
+        .vacuum(if (in.isNullAt(1)) 1 else in.getInt(1),
+          if (in.numFields < 3 || in.isNullAt(2))
+            graft.format.GraftTable.DefaultOrphanRetentionMs
+          else in.getLong(2)).toLong
     },
     "restore" -> longProc("restore", "version", Seq(
       inParam("table", DataTypes.StringType),

@@ -139,14 +139,19 @@ object GraftTableSource {
     * catalog's `TIMESTAMP AS OF` and the path read's
     * `.option("timestampAsOf", …)`. */
   private[sources] def versionAtTimestamp(root: String,
-      tsMillis: Long): Long =
+      tsMillis: Long): Long = {
+    // one listing serves every probe (name → mtime); missing files
+    // (vacuumed snapshots) simply aren't in the map
+    val mtimes = graft.format.LogStore.forRoot(root)
+      .list(s"$root/_log")
+      .map(e => e.name -> e.mtimeMs).toMap
     (1L to graft.format.GraftTable.versionAt(root)).reverse.find { v =>
-      val f = new java.io.File(s"$root/_log/snapshot-v$v.txt")
-      f.isFile && f.lastModified() <= tsMillis
+      mtimes.get(s"snapshot-v$v.txt").exists(_ <= tsMillis)
     }.getOrElse(throw new IllegalArgumentException(
       s"no retained snapshot of $root at or before $tsMillis ms — " +
         "history before the oldest retained snapshot may have been " +
         "vacuumed"))
+  }
 
   private[sources] def resolve(options: CaseInsensitiveStringMap)
       : (String, Long, StructType) = {

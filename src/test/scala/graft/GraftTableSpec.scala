@@ -226,11 +226,43 @@ class GraftTableSpec extends AnyFunSuite {
       (1L to 400L).toDF("k"), Seq("k"), numFiles = 4)
     t.append((401L to 500L).toDF("k"), numFiles = 2)
     t.compact(numFiles = 1) // v3: all data in 1 file; v1/v2 files dead
-    val deleted = t.vacuum(retainLast = 1)
+    // age guard 0: reclaim expired history NOW (the default 7-day
+    // guard would let these young dead files linger — Delta's
+    // retention contract, O(retained) planning)
+    val deleted = t.vacuum(retainLast = 1, minOrphanAgeMs = 0L)
     assert(deleted == 6, s"expected the 6 pre-compact files, got $deleted")
     assert(t.read().count() == 500, "current snapshot must be intact")
     intercept[java.nio.file.NoSuchFileException](t.read(1).count())
     assert(t.history().collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("vacuum plans O(retained + tagged) manifest passes, never a " +
+      "full-history replay; expired-history files younger than the " +
+      "age guard linger (Delta's retention contract)") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).toDF("k"), Seq("k"), numFiles = 1)
+    (1 to 20).foreach(i =>
+      t.append((100L * i + 1 to 100L * i + 100).toDF("k"), numFiles = 1))
+    t.compact(numFiles = 1)                      // v22: 1 file
+    t.append((2101L to 2200L).toDF("k"), numFiles = 1) // v23
+    t.tag("pin", 5L)
+    // retained = v22 (compacted) + v23; tagged = v5 (files 1–5).
+    // Files 6–21 are expired history but YOUNG — the age guard keeps
+    // them, and planning touched exactly 3 manifests, not all 23
+    assert(t.vacuum(retainLast = 2) == 0,
+      "young expired-history files must survive the age guard")
+    assert(t.lastVacuumManifestReads == 3L,
+      "one manifest pass per retained (2) + tagged (1) version, " +
+        s"got ${t.lastVacuumManifestReads}")
+    assert(t.read().count() == 2200)
+    assert(t.read(5).count() == 500, "tagged version still readable")
+    // force-collect: everything outside retained+tagged reachability
+    assert(t.vacuum(retainLast = 2, minOrphanAgeMs = 0L) == 16,
+      "files 6–21 are outside retained+tagged reachability")
+    assert(t.lastVacuumManifestReads == 3L)
+    assert(t.read().count() == 2200)
+    assert(t.read(5).count() == 500)
   }
 
   test("metadataAggregates answers count/min/max from the manifest " +

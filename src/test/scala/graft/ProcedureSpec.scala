@@ -112,7 +112,9 @@ class ProcedureSpec extends AnyFunSuite {
       (1L to 1000L).toDF("k"), Seq("k"), numFiles = 4)
     t.compact(numFiles = 1)
     assert(dataFiles(root) == 5) // 4 original + 1 compacted
-    val res = spark.sql("CALL prc.system.vacuum('t_vacuum', 1)")
+    // min_age_ms = 0: reclaim the expired history NOW (the default
+    // guard keeps young dead files for a possible in-flight writer)
+    val res = spark.sql("CALL prc.system.vacuum('t_vacuum', 1, 0)")
       .collect()
     assert(res.map(_.getLong(0)).toSeq == Seq(4L),
       "vacuum must report the 4 reclaimed files")
