@@ -1586,8 +1586,49 @@ final class GraftTable private (
     // files always carry physical names, reads always map back
     val phys = if (translate) toPhysical(df) else df
     val staged = if (numFiles > 0) phys.repartition(numFiles) else phys
+    // ONE-PASS WRITE: all-scalar schemas ride the connector's
+    // map-side-stats writer (graft.sources.GraftDataWriter) — per-file
+    // row counts and min/max envelopes are tracked DURING the write
+    // and come back in commit messages, so the commit never re-reads
+    // what it just wrote (the two-pass fallback below re-scans every
+    // written byte for one stats aggregate — 2× write-path IO at
+    // 100 TB). Bloom-indexed tables keep the fallback: bloom width is
+    // auto-sized from actual rows-per-file, which a streaming writer
+    // cannot know up front. Scheme'd roots (s3a:/hdfs:) also fall
+    // back — the Group writer resolves paths through a bare local
+    // Hadoop conf, like the rest of the connector write path.
+    val schema = staged.schema
+    val onePass = bloomCols.isEmpty && !root.contains("://") &&
+      statsCols.forall(schema.fieldNames.contains) &&
+      schema.fields.forall(f =>
+        graft.sources.GraftParquetIO.supportedScalar(f.dataType))
+    if (onePass) {
+      val (rootL, cd, schemaJson, sc) =
+        (root, commitDir, schema.json, statsCols)
+      val msgs = staged.queryExecution.toRdd.mapPartitions { iter =>
+        if (iter.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val w = new graft.sources.GraftDataWriter(rootL, cd,
+            org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            sc, tc.partitionId(), tc.taskAttemptId())
+          try { iter.foreach(w.write); Iterator.single(w.commit()) }
+          catch { case e: Throwable => w.abort(); throw e }
+        }
+      }.collect()
+      return graft.sources.GraftParquetIO.manifestEntries(
+        spark, root, msgs.toArray, schema, statsCols)
+    }
     staged.write.parquet(s"$root/$commitDir")
-    val written = spark.read.parquet(s"$root/$commitDir")
+    // the files' schema is exactly what we just wrote — declaring it
+    // skips footer-driven schema inference (one fewer job per commit)
+    val nFiles = math.max(1, logStore.list(s"$root/$commitDir")
+      .count(_.name.endsWith(".parquet")))
+    val written = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        staged.schema.fields.map(_.copy(nullable = true))))
+      .parquet(s"$root/$commitDir")
     // bloom indexes ride the same single aggregate as min/max; a
     // bloom column the incoming frame doesn't carry (schema
     // evolution) records null = "might contain anything"
@@ -1602,10 +1643,13 @@ final class GraftTable private (
     val effBloomBits: Int =
       if (bloomCols.isEmpty) bloomBits
       else {
-        val nRows = written.count()
-        val nFiles = math.max(1,
-          logStore.list(s"$root/$commitDir")
-            .count(_.name.endsWith(".parquet")))
+        // row count off the parquet FOOTERS for small commits (driver
+        // metadata reads, no Spark job); a big rewrite amortizes the
+        // count job so it keeps the scan-side counter
+        val nRows =
+          if (nFiles <= GraftTable.SmallCommitFiles)
+            footerRowCount(s"$root/$commitDir")
+          else written.count()
         val perFile = math.max(1L, nRows / nFiles)
         val target = java.lang.Long.highestOneBit(
           math.max(1L, 10L * perFile - 1L)) * 2L
@@ -1619,11 +1663,37 @@ final class GraftTable private (
         (if (present(c))
           graft.functions.BloomFilterIndex.buildAgg(col(c), effBloomBits)
         else first(lit(null).cast("array<bigint>"))).as(s"bloom_$c"))
-    written.groupBy(input_file_name().as("path"))
+    val entries = written.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
       // URI → root-relative path, as a codegen'd builtin (no UDF)
       .withColumn("path",
         regexp_extract(col("path"), "(data/c[^/]+/[^/]+)$", 1))
+    // SMALL-COMMIT FAST PATH: a few-file delta's entry rows fit on the
+    // driver (bounded below by file count × bloom width), so collect
+    // them into a LocalRelation — the manifest write becomes one local
+    // single-task job, its counts become driver math instead of a
+    // read-back job, and a commit-race retry re-stages for free
+    // instead of re-running the stats aggregate.
+    val bloomBytes =
+      nFiles.toLong * bloomCols.size * (effBloomBits.toLong / 8L)
+    if (nFiles <= GraftTable.SmallCommitFiles &&
+        bloomBytes <= 64L * 1024 * 1024) {
+      val rows = entries.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), entries.schema)
+    } else entries
+  }
+
+  /** Sum of the parquet footers' row counts under `dir` — driver-side
+    * metadata reads (one small footer per file), no Spark job. */
+  private def footerRowCount(dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    logStore.list(dir).filter(_.name.endsWith(".parquet")).map { e =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/${e.name}"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** What a commit CHANGES, not the manifest it results in — the
@@ -1666,12 +1736,39 @@ final class GraftTable private (
       (statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ bloomKept))
       .filter(c => present(c) || c.startsWith("bloom_") ||
         c == "path" || c == "row_count")
-    withBlooms.select(cols.map(col): _*)
-      .write.parquet(s"${logDir(root)}/$dir")
-    val t = readManifestDir(dir)
-      .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
-      .head()
-    ManifestRef(dir, t.getLong(0), t.getLong(1))
+    val finalDf = withBlooms.select(cols.map(col): _*)
+    finalDf.queryExecution.optimizedPlan match {
+      // writeData's small-commit fast path hands us a LocalRelation
+      // (projections over it collapse via ConvertToLocalRelation):
+      // write it as one local single-task file and take the exact
+      // counts off the driver rows — no read-back aggregate job
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val mSchema = org.apache.spark.sql.types.StructType(lr.output
+          .map(a => org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable)))
+        val allScalar = !root.contains("://") && mSchema.fields
+          .forall(f => graft.sources.GraftParquetIO
+            .supportedScalar(f.dataType))
+        if (allScalar) {
+          // bloom-less manifest rows are plain scalars: stream them
+          // through the Group writer ON THE DRIVER — the manifest
+          // write costs zero Spark jobs (an append's only job is then
+          // the data write itself)
+          val w = new graft.sources.GraftDataWriter(
+            logDir(root), dir, mSchema, Nil, 0, 0L)
+          try { lr.data.foreach(w.write); w.commit() }
+          catch { case e: Throwable => w.abort(); throw e }
+        } else finalDf.coalesce(1).write.parquet(s"${logDir(root)}/$dir")
+        val rcIdx = lr.output.indexWhere(_.name == "row_count")
+        ManifestRef(dir, lr.data.length.toLong,
+          lr.data.map(_.getLong(rcIdx)).sum)
+      case _ =>
+        finalDf.write.parquet(s"${logDir(root)}/$dir")
+        val t = readManifestDir(dir)
+          .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
+          .head()
+        ManifestRef(dir, t.getLong(0), t.getLong(1))
+    }
   }
 
   /** Counts for a legacy single-dir ref (pre-list snapshots store no
@@ -1976,6 +2073,14 @@ final class GraftTable private (
 object GraftTable {
 
   val MaxCommitAttempts = 10
+
+  /** Commits adding at most this many data files take the driver-local
+    * manifest path (entry rows collected into a LocalRelation): the
+    * stats aggregate is the commit's last distributed job, the
+    * manifest write is a single local task, and its counts are driver
+    * arithmetic. Bounded: 64 entries × ≤1 MiB bloom each stays far
+    * under driver headroom; bigger rewrites keep the scan-side path. */
+  val SmallCommitFiles = 64
 
   /** Orphan (never-committed) files younger than this survive vacuum:
     * they may belong to an in-flight concurrent writer whose atomic

@@ -83,6 +83,15 @@ object GraftParquetIO {
     * annotations Spark's own parquet writer would emit (so files this
     * path writes are indistinguishable to any reader — including
     * Spark's vectorized scan and the DuckDB oracle). */
+  /** Types the Group-API writer (and its stats tracker) handles — the
+    * gate for [[graft.format.GraftTable]]'s one-pass write path. */
+  def supportedScalar(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+        FloatType | BooleanType | StringType | BinaryType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
