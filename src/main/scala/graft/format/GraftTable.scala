@@ -2061,8 +2061,18 @@ final class GraftTable private (
       // the linearization point, behind the CommitIO seam — POSIX
       // CREATE_NEW here, a conditional PUT on an object store
       if (putLogIfAbsent(s"snapshot-v$next.txt",
-          content.getBytes("UTF-8")))
+          content.getBytes("UTF-8"))) {
+        // advisory latest-version hint (Delta's `_last_checkpoint`
+        // pattern): committed AFTER the snapshot so it can only lag,
+        // never lead — [[GraftTable.versionAt]] probes forward from
+        // it instead of LISTing the whole log dir (O(1) vs O(commits)
+        // on an object store). Best-effort: a lost race or failed
+        // write just leaves a staler lower bound.
+        try logStore.put(s"${logDir(root)}/${GraftTable.LatestHint}",
+          next.toString.getBytes("UTF-8"))
+        catch { case _: Exception => () }
         return next
+      }
       // lost the race: loop rebases onto the winner's version
     }
     throw new ConcurrentCommitException(
@@ -2096,11 +2106,40 @@ object GraftTable {
     * `tableExists` / `loadTable` / `resolve` turned every probe of a
     * wrong path into a phantom namespace (ADVICE r9). All read-side
     * catalog/connector paths go through here. */
-  def versionAt(root: String): Long =
-    LogStore.forRoot(root).list(logDir(root)).iterator
-      .map(_.name).collect {
-        case SnapshotName(v) => v.toLong
-      }.foldLeft(0L)(math.max)
+  def versionAt(root: String): Long = {
+    val ls = LogStore.forRoot(root)
+    // HINTED resolution: read the advisory `_latest.hint` (written
+    // after every commit) and probe FORWARD with exists() until the
+    // first missing snapshot — versions above a committed one are
+    // contiguous, and the hint is always ≤ current (written after the
+    // snapshot), so the walk is exact and usually zero steps. A
+    // missing/corrupt/expired hint falls back to the full listing.
+    // At 10⁵ commits this turns every table resolution from an
+    // O(commits) object-store LIST into a GET + one or two HEADs.
+    val hinted: Option[Long] =
+      try {
+        val h = new String(
+          ls.read(s"${logDir(root)}/$LatestHint"), "UTF-8").trim.toLong
+        if (h >= 1 && ls.exists(s"${logDir(root)}/snapshot-v$h.txt"))
+          Some(h)
+        else None
+      } catch { case _: Exception => None }
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (ls.exists(s"${logDir(root)}/snapshot-v${v + 1}.txt"))
+          v += 1
+        v
+      case None =>
+        ls.list(logDir(root)).iterator
+          .map(_.name).collect {
+            case SnapshotName(v) => v.toLong
+          }.foldLeft(0L)(math.max)
+    }
+  }
+
+  /** Advisory latest-version hint file name (under `_log`). */
+  private[graft] val LatestHint = "_latest.hint"
 
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)

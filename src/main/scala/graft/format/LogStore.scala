@@ -31,6 +31,16 @@ trait LogStore {
   def mkdirs(dir: String): Unit
   /** [[CommitIO.putIfAbsent]] with scheme-capable string paths. */
   def putIfAbsent(path: String, content: Array[Byte]): Boolean
+
+  /** Unconditional small-record overwrite, last-writer-wins — for
+    * ADVISORY state only (the latest-version hint): correctness must
+    * never depend on its atomicity, ordering, or success. Default:
+    * delete-then-create (fine for fakes); real stores override with a
+    * native overwrite. */
+  def put(path: String, content: Array[Byte]): Unit = {
+    try delete(path) catch { case _: Exception => () }
+    putIfAbsent(path, content); ()
+  }
 }
 
 /** Local-filesystem implementation — the default for plain paths,
@@ -68,6 +78,10 @@ object PosixLogStore extends LogStore with CommitIO {
 
   override def putIfAbsent(path: String, content: Array[Byte]): Boolean =
     PosixCommitIO.putIfAbsent(Paths.get(path), content)
+
+  override def put(path: String, content: Array[Byte]): Unit = {
+    Files.write(Paths.get(path), content); () // CREATE + TRUNCATE
+  }
 
   override def putIfAbsent(path: java.nio.file.Path,
       content: Array[Byte]): Boolean =
@@ -164,6 +178,12 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
   override def putIfAbsent(path: java.nio.file.Path,
       content: Array[Byte]): Boolean =
     putIfAbsent(path.toString, content)
+
+  override def put(path: String, content: Array[Byte]): Unit = {
+    val p = new HPath(path)
+    val out = fs(p).create(p, true) // overwrite
+    try out.write(content) finally out.close()
+  }
 }
 
 object LogStore {
