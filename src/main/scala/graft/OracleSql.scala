@@ -898,6 +898,21 @@ object OracleSql {
         FROM customer WHERE c_custkey % 10 = 0)
       GROUP BY 1 ORDER BY 1
     """,
+    // q250: after the predicate-scoped compaction of the low key band
+    // the table must read as lineitem minus the MOR-deleted low-band
+    // rows — the windowed fold drops DV'd rows and changes nothing
+    // else.
+    "q250_compact_where" -> """
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS qty_sum
+      FROM lineitem
+      WHERE NOT (l_orderkey % 10 = 0 AND l_orderkey <=
+        (SELECT CAST(FLOOR(MAX(l_orderkey) / 2.0) AS BIGINT)
+         FROM lineitem))
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

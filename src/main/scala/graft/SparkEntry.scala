@@ -329,7 +329,8 @@ object SparkEntry {
     "q246_tagged_snapshot" -> (FormatQueries.q246TaggedSnapshot _),
     "q247_streaming_cdc" -> (FormatQueries.q247StreamingCdc _),
     "q248_cdc_compaction" -> (FormatQueries.q248CdcCompaction _),
-    "q249_cdc_merge_updates" -> (FormatQueries.q249CdcMergeUpdates _)
+    "q249_cdc_merge_updates" -> (FormatQueries.q249CdcMergeUpdates _),
+    "q250_compact_where" -> (FormatQueries.q250CompactWhere _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

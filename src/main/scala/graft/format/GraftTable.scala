@@ -1517,29 +1517,66 @@ final class GraftTable private (
       val small = m.where(col("row_count") < maxRows)
       val paths = small.select("path").collect().map(_.getString(0))
       if (paths.isEmpty) AddRemove() // raced: debt was compacted away
-      else {
-        // evolved: explicit-physical-schema read (mergeSchema refuses
-        // the int-vs-long merges widening creates)
-        val raw =
-          if (isEvolved(parent))
-            readRaw(paths.toIndexedSeq.map(p => s"$root/$p"), parent)
-          else spark.read.option("mergeSchema", "true")
-            .parquet(paths.toIndexedSeq.map(p => s"$root/$p"): _*)
-        val rec = reconcile(minusDv(withRowId(raw), parent), parent)
-        val dataCols = rec.columns.toIndexedSeq
-          .filterNot(_.startsWith("_gt_"))
-        val live = rec.select(dataCols.map(col): _*)
-        val staged =
-          if (clusterBy.isEmpty) live
-          else live
-            .repartitionByRange(math.max(numFiles, 1),
-              clusterBy.map(col): _*)
-            .sortWithinPartitions(clusterBy.map(col): _*)
-        AddRemove(
-          added = Some(
-            writeData(staged, if (clusterBy.isEmpty) numFiles else 0)),
-          removedPaths = paths.toSeq)
-      }
+      else rewriteSlice(parent, paths, numFiles, clusterBy)
+    }
+  }
+
+  /** Shared slice-rewrite for the incremental compactors: read ONLY
+    * `paths` (evolved tables via explicit physical schema — mergeSchema
+    * refuses the int-vs-long merges widening creates), drop DV'd rows,
+    * restore logical names, optionally re-cluster for zone-map
+    * locality, and stage the AddRemove delta. */
+  private def rewriteSlice(parent: Long, paths: Array[String],
+      numFiles: Int, clusterBy: Seq[String]): Delta = {
+    val raw =
+      if (isEvolved(parent))
+        readRaw(paths.toIndexedSeq.map(p => s"$root/$p"), parent)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(paths.toIndexedSeq.map(p => s"$root/$p"): _*)
+    val rec = reconcile(minusDv(withRowId(raw), parent), parent)
+    val dataCols = rec.columns.toIndexedSeq
+      .filterNot(_.startsWith("_gt_"))
+    val live = rec.select(dataCols.map(col): _*)
+    val staged =
+      if (clusterBy.isEmpty) live
+      else live
+        .repartitionByRange(math.max(numFiles, 1),
+          clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    AddRemove(
+      added = Some(
+        writeData(staged, if (clusterBy.isEmpty) numFiles else 0)),
+      removedPaths = paths.toSeq)
+  }
+
+  /** Predicate-scoped incremental compaction (Delta's `OPTIMIZE …
+    * WHERE`): fold file debt ONLY in the table slice whose stats
+    * envelope can intersect `cond` — at 100 TB maintenance is always
+    * windowed (yesterday's ingest range, one tenant, one key band),
+    * never a table-wide rewrite. Candidates are the stats-intersecting
+    * files with `row_count < maxRows` (the default takes every
+    * intersecting file); every other file carries by reference with
+    * zero IO. The rewrite keeps ALL rows of the candidate files
+    * (compaction preserves content; `cond` only SELECTS files), drops
+    * their DV'd rows like [[compactSmall]], and commits as
+    * `data_change=0`, so a CDC window over it emits nothing.
+    * Zero-IO no-op (current version, no commit) when the slice holds
+    * nothing to fold. */
+  def compactWhere(cond: Column, maxRows: Long = Long.MaxValue,
+      numFiles: Int = 1, clusterBy: Seq[String] = Nil): Long = {
+    val parent0 = currentVersion
+    if (parent0 == 0) return 0L
+    def cands(v: Long): Array[String] =
+      manifest(v).where(statsKeep(cond, v) &&
+        col("row_count") < maxRows)
+        .select("path").collect().map(_.getString(0))
+    // a single un-clustered candidate folds into itself: skip
+    val minFold = if (clusterBy.isEmpty) 2 else 1
+    if (cands(parent0).length < minFold) return parent0
+    commitWithRetry("compact_where") { parent =>
+      val paths = cands(parent)
+      if (paths.length < minFold) AddRemove() // raced away
+      else rewriteSlice(parent, paths, numFiles, clusterBy)
     }
   }
 
@@ -1599,9 +1636,8 @@ final class GraftTable private (
     // Hadoop conf, like the rest of the connector write path.
     val schema = staged.schema
     val onePass = bloomCols.isEmpty && !root.contains("://") &&
-      statsCols.forall(schema.fieldNames.contains) &&
-      schema.fields.forall(f =>
-        graft.sources.GraftParquetIO.supportedScalar(f.dataType))
+      statsCols.forall(c => schema.fieldNames.contains(c) &&
+        graft.sources.GraftParquetIO.supportedScalar(schema(c).dataType))
     if (onePass) {
       val (rootL, cd, schemaJson, sc) =
         (root, commitDir, schema.json, statsCols)
@@ -1746,14 +1782,11 @@ final class GraftTable private (
         val mSchema = org.apache.spark.sql.types.StructType(lr.output
           .map(a => org.apache.spark.sql.types.StructField(
             a.name, a.dataType, a.nullable)))
-        val allScalar = !root.contains("://") && mSchema.fields
-          .forall(f => graft.sources.GraftParquetIO
-            .supportedScalar(f.dataType))
-        if (allScalar) {
-          // bloom-less manifest rows are plain scalars: stream them
-          // through the Group writer ON THE DRIVER — the manifest
-          // write costs zero Spark jobs (an append's only job is then
-          // the data write itself)
+        if (!root.contains("://")) {
+          // stream the delta-sized manifest rows through Spark's
+          // parquet WriteSupport ON THE DRIVER (bloom array columns
+          // included) — the manifest write costs zero Spark jobs (an
+          // append's only job is then the data write itself)
           val w = new graft.sources.GraftDataWriter(
             logDir(root), dir, mSchema, Nil, 0, 0L)
           try { lr.data.foreach(w.write); w.commit() }
@@ -2182,7 +2215,7 @@ object GraftTable {
     * NOT new data, and emitting them as inserts double-counts every
     * surviving row in a downstream fold (VERDICT r11 #1). */
   private[graft] val NonDataChangeOps =
-    Set("compact", "compact_small", "zorder", "alter")
+    Set("compact", "compact_small", "compact_where", "zorder", "alter")
 
   /** Legacy-snapshot fallback for the `rewrite=1` kv: ops that MAY
     * drop live files while changing content — a CDC window containing

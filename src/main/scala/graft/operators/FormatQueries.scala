@@ -1362,4 +1362,44 @@ object FormatQueries {
           .as("total_value"))
       .orderBy(col("event_type"))
   }
+
+  /** q250 — PREDICATE-SCOPED COMPACTION (`CALL system.compact_where`,
+    * Delta's `OPTIMIZE … WHERE`): the low half of the key space
+    * accretes small-file debt plus a MOR deletion vector, then ONE
+    * windowed maintenance call folds exactly that slice (the high
+    * band's files carry by reference — at 100 TB maintenance is
+    * always windowed, never a table-wide rewrite). Hash-gated on the
+    * full table content: the fold must drop the DV'd rows into the
+    * rewrite and change nothing else. */
+  def q250CompactWhere(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.Scratch.dir(s, "gcatcw")
+    s.conf.set("spark.sql.catalog.gcatcw",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcatcw.warehouse", wh)
+    val root = s"$wh/lineitem_cw"
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val cut = li.agg(max("l_orderkey")).head().getLong(0) / 2
+    buildOnce(root) {
+      val t = GraftTable.create(s, root,
+        li.where(col("l_orderkey") > cut),
+        statsCols = Seq("l_orderkey"), numFiles = 4)
+      // low band lands as 4 small appends → 8 files of debt
+      (0 to 3).foreach(i => t.append(
+        li.where(col("l_orderkey") <= cut &&
+          col("l_orderkey") % 4 === i), numFiles = 2))
+      t.deleteWhereMor(col("l_orderkey") % 10 === 0 &&
+        col("l_orderkey") <= cut)
+      s.sql(s"CALL gcatcw.system.compact_where('lineitem_cw', " +
+        s"'l_orderkey <= $cut', 9223372036854775807, 2, " +
+        "'l_orderkey')").collect()
+      ()
+    }
+    s.table("gcatcw.lineitem_cw")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("double"), 2).as("qty_sum"))
+      .orderBy(col("l_returnflag"))
+  }
 }

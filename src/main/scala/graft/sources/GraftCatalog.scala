@@ -522,6 +522,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else if (smallMax > 0) t.compactSmall(smallMax, n)
       else t.currentVersion
     },
+    // PREDICATE-SCOPED COMPACTION (Delta's OPTIMIZE … WHERE): fold
+    // file debt only in the slice whose stats envelope intersects the
+    // SQL predicate — windowed maintenance for tables too big to ever
+    // rewrite whole. max_rows < MaxValue restricts to small-file debt;
+    // cluster_by re-sorts the slice for zone-map locality.
+    "compact_where" -> longProc("compact_where", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("where", DataTypes.StringType),
+      inParam("max_rows", DataTypes.LongType,
+        Some("9223372036854775807")),
+      inParam("num_files", DataTypes.IntegerType, Some("1")),
+      inParam("cluster_by", DataTypes.StringType, Some("''")))) { in =>
+      val t = tableForName(in.getUTF8String(0).toString)
+      val cond = org.apache.spark.sql.functions
+        .expr(in.getUTF8String(1).toString)
+      val maxRows =
+        if (in.numFields < 3 || in.isNullAt(2)) Long.MaxValue
+        else in.getLong(2)
+      val n = if (in.numFields < 4 || in.isNullAt(3)) 1 else in.getInt(3)
+      val cluster =
+        if (in.numFields < 5 || in.isNullAt(4)) Nil
+        else in.getUTF8String(4).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      t.compactWhere(cond, maxRows, n, cluster)
+    },
     // LIVE FILE listing (Iceberg's `files` metadata table as a
     // procedure): path, row count, and live deletion-vector entry
     // count per data file, ordered largest-first — the ops view that

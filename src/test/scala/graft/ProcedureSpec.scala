@@ -179,8 +179,9 @@ class ProcedureSpec extends AnyFunSuite {
     val cat = spark.sessionState.catalogManager.catalog("prc")
       .asInstanceOf[graft.sources.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted
-      .toSeq == Seq("compact", "drop_tag", "files", "history",
-        "maintain", "restore", "tag", "tags", "vacuum", "zorder"))
+      .toSeq == Seq("compact", "compact_where", "drop_tag", "files",
+        "history", "maintain", "restore", "tag", "tags", "vacuum",
+        "zorder"))
   }
 
   test("CALL system.files lists live files with row counts and live " +
