@@ -83,8 +83,46 @@ object GraftParquetIO {
     * annotations Spark's own parquet writer would emit (so files this
     * path writes are indistinguishable to any reader — including
     * Spark's vectorized scan and the DuckDB oracle). */
-  /** Types the Group-API writer (and its stats tracker) handles — the
-    * gate for [[graft.format.GraftTable]]'s one-pass write path. */
+  /** A parquet-hadoop writer that consumes Spark [[InternalRow]]s
+    * through Spark's OWN public `ParquetWriteSupport` — the same
+    * record-consumer Spark's native FileFormatWriter drives, so the
+    * map-side-stats write path runs at engine-native throughput and
+    * supports the full Spark type system. Rebase modes are pinned to
+    * CORRECTED (proleptic Gregorian, Spark 3+ default) and timestamps
+    * to INT64 micros, matching what `df.write.parquet` produces under
+    * default session conf. */
+  def internalRowWriter(path: String, schema: StructType)
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    val conf = new org.apache.hadoop.conf.Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    class B(p: org.apache.hadoop.fs.Path)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+          InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+    }
+    new B(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  /** Types the one-pass stats tracker compares — the gate for
+    * [[graft.format.GraftTable]]'s one-pass write path applies this to
+    * STATS columns (the writer itself, [[internalRowWriter]], handles
+    * every Spark type). */
   def supportedScalar(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
         FloatType | BooleanType | StringType | BinaryType | DateType |
@@ -191,23 +229,17 @@ class GraftDataWriter(root: String, commitDir: String,
     bloomCols: Seq[String] = Nil, bloomBits: Int = 0)
     extends DataWriter[InternalRow] {
 
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.metadata.CompressionCodecName
-  import org.apache.parquet.io.api.Binary
-
   private val fileName =
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
   private val relPath = s"$commitDir/$fileName"
-  private val messageType = GraftParquetIO.messageType(schema)
-  private val factory = new SimpleGroupFactory(messageType)
 
-  private val writer = ExampleParquetWriter
-    .builder(new org.apache.hadoop.fs.Path(s"$root/$relPath"))
-    .withType(messageType)
-    .withCompressionCodec(CompressionCodecName.SNAPPY)
-    .withConf(new org.apache.hadoop.conf.Configuration())
-    .build()
+  // Spark's OWN parquet WriteSupport (public API): consumes
+  // InternalRow directly with codegen'd field writers — no per-row
+  // Group object building — at the throughput of Spark's native
+  // FileFormatWriter, and with the full Spark type system (arrays,
+  // maps, structs, decimals), not just scalars.
+  private val writer =
+    GraftParquetIO.internalRowWriter(s"$root/$relPath", schema)
 
   private var rows = 0L
   // stats envelope per stats column, tracked over INTERNAL values
@@ -255,30 +287,7 @@ class GraftDataWriter(root: String, commitDir: String,
     require(row.numFields == schema.length,
       s"gtable writer: row arity ${row.numFields} != schema " +
         s"${schema.length} — unprojected rewrite row reached the writer")
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val name = schema(i).name
-        schema(i).dataType match {
-          case LongType | TimestampType | TimestampNTZType =>
-            g.add(name, row.getLong(i))
-          case IntegerType | DateType => g.add(name, row.getInt(i))
-          case ShortType => g.add(name, row.getShort(i).toInt)
-          case ByteType => g.add(name, row.getByte(i).toInt)
-          case DoubleType => g.add(name, row.getDouble(i))
-          case FloatType => g.add(name, row.getFloat(i))
-          case BooleanType => g.add(name, row.getBoolean(i))
-          case StringType => g.add(name,
-            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-          case BinaryType => g.add(name,
-            Binary.fromConstantByteArray(row.getBinary(i)))
-          case other => sys.error(s"unreachable: $other")
-        }
-      }
-      i += 1
-    }
-    writer.write(g)
+    writer.write(row)
     rows += 1
     var s = 0
     while (s < statIdx.length) {
