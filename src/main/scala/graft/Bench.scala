@@ -103,32 +103,37 @@ object Bench {
     // for the PREVIOUS leg's loadavg to decay.
     val maxExtCores =
       sys.env.getOrElse("SPARK_GRAFT_MAX_EXT_CORES", "2.0").toDouble
-    def busyJiffies(): Long =
+    // USER time only, host and self: kernel writeback threads
+    // (kworkers) flush OUR page-cache writes in system time and would
+    // read as ~2.5 "external" cores during every write-heavy leg —
+    // that IO is the leg's own work, not contention. What actually
+    // contaminates a sample is another PROCESS computing (a second
+    // JVM, DuckDB, a build), and that shows in user time.
+    def userJiffies(): Long =
       try {
         // cpu user nice system idle iowait irq softirq steal …
         val f = scala.io.Source.fromFile("/proc/stat")
         val t = try f.getLines().next() finally f.close()
         val v = t.split("\\s+").drop(1).map(_.toLong)
-        v.sum - v(3) - v(4) // minus idle, iowait
+        v(0) + v(1) // user + nice
       } catch { case _: Throwable => -1L }
-    def processCpuNs(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean =>
-          os.getProcessCpuTime
-        case _ => -1L
-      }
-    /** Average EXTERNAL busy cores over `sampleMs` (we are idle between
-      * legs, so between-legs this is pure ambient contention). */
+    def selfUserJiffies(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/self/stat")
+        val t = try f.mkString finally f.close()
+        // field 14 (1-based) = utime; fields 2 can contain spaces in
+        // parens — split after the closing paren
+        t.substring(t.lastIndexOf(')') + 2).split("\\s+")(11).toLong
+      } catch { case _: Throwable => -1L }
+    /** Average EXTERNAL user-cpu cores over `sampleMs` (we are idle
+      * between legs, so between-legs this is pure ambient load). */
     def externalCoresNow(sampleMs: Long = 500): Double = {
-      val b0 = busyJiffies(); val p0 = processCpuNs()
+      val b0 = userJiffies(); val p0 = selfUserJiffies()
       Thread.sleep(sampleMs)
-      val b1 = busyJiffies(); val p1 = processCpuNs()
-      if (b0 < 0 || b1 < 0) 0.0
-      else {
-        val busySec = (b1 - b0) / 100.0 // USER_HZ = 100
-        val ourSec = if (p0 < 0 || p1 < 0) 0.0 else (p1 - p0) / 1e9
-        math.max(0.0, (busySec - ourSec) / (sampleMs / 1000.0))
-      }
+      val b1 = userJiffies(); val p1 = selfUserJiffies()
+      if (b0 < 0 || b1 < 0 || p0 < 0 || p1 < 0) 0.0
+      else math.max(0.0,
+        ((b1 - b0) - (p1 - p0)) / 100.0 / (sampleMs / 1000.0))
     }
     val legExtCores = scala.collection.mutable.LinkedHashMap[String, Double]()
     // QUIET flag per sample (VERDICT r11 #2): a sample contaminated by
@@ -149,16 +154,15 @@ object Bench {
         ext = externalCoresNow()
       }
       legLoads(name) = load1m()
-      val b0 = busyJiffies(); val p0 = processCpuNs()
+      val b0 = userJiffies(); val p0 = selfUserJiffies()
       val t0 = System.nanoTime()
       val r = f
       val wallSec = (System.nanoTime() - t0) / 1e9
-      val b1 = busyJiffies(); val p1 = processCpuNs()
+      val b1 = userJiffies(); val p1 = selfUserJiffies()
       legLoadsEnd(name) = load1m()
       val legExt =
         if (b0 < 0 || b1 < 0 || p0 < 0 || p1 < 0 || wallSec <= 0) 0.0
-        else math.max(0.0,
-          ((b1 - b0) / 100.0 - (p1 - p0) / 1e9) / wallSec)
+        else math.max(0.0, ((b1 - b0) - (p1 - p0)) / 100.0 / wallSec)
       legExtCores(name) = legExt
       (r, ext <= maxExtCores && legExt <= maxExtCores)
     }
