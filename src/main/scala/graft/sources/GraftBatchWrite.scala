@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * all (SURVEY §1.2) — extension tier. */
 case class GraftWriteCommit(relPath: String, rowCount: Long,
     mins: Array[Any], maxs: Array[Any],
-    blooms: Array[Array[Long]] = Array.empty) extends WriterCommitMessage
+    blooms: Array[Array[Long]] = Array.empty,
+    nulls: Array[Long] = Array.empty) extends WriterCommitMessage
 
 object GraftParquetIO {
 
@@ -192,14 +193,16 @@ object GraftParquetIO {
         StructField("row_count", LongType) ::
         (statsCols.toList.flatMap { c =>
           val dt = writeSchema(c).dataType
-          StructField(s"min_$c", dt) :: StructField(s"max_$c", dt) :: Nil
+          StructField(s"min_$c", dt) :: StructField(s"max_$c", dt) ::
+            StructField(s"nulls_$c", LongType) :: Nil
         } ++ bloomCols.toList.map(c =>
           StructField(s"bloom_$c", ArrayType(LongType)))))
     val rows: java.util.List[Row] = live.map { m =>
       Row.fromSeq((m.relPath +: m.rowCount +:
         statsCols.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
           val dt = writeSchema(c).dataType
-          Seq(external(m.mins(i), dt), external(m.maxs(i), dt))
+          Seq(external(m.mins(i), dt), external(m.maxs(i), dt),
+            if (i < m.nulls.length) m.nulls(i) else null)
         }) ++ bloomCols.indices.map(i =>
           if (i < m.blooms.length && m.blooms(i) != null)
             m.blooms(i).toSeq
@@ -249,6 +252,11 @@ class GraftDataWriter(root: String, commitDir: String,
     statsCols.map(c => schema.fieldIndex(c)).toArray
   private val mins = Array.fill[Any](statIdx.length)(null)
   private val maxs = Array.fill[Any](statIdx.length)(null)
+  // per-file null count per stats column — the STATS-PRESENT marker:
+  // a null envelope with nulls == row_count is a genuinely-computed
+  // all-null file, not a dir that predates the stats column, so
+  // metadata-only MIN/MAX stays answerable (ADVICE r12)
+  private val nullsArr = Array.fill[Long](statIdx.length)(0L)
   // per-file bloom maintenance rides the write too: the hash is the
   // SAME Catalyst XxHash64 the read side's probe literal folds through
   // (type-identical internal values → identical bits), so files
@@ -269,10 +277,27 @@ class GraftDataWriter(root: String, commitDir: String,
     case (x: Int, y: Int) => x < y
     case (x: Short, y: Short) => x < y
     case (x: Byte, y: Byte) => x < y
-    case (x: Double, y: Double) => x < y
-    case (x: Float, y: Float) => x < y
+    // Double/Float via j.l.*.compare, NOT primitive '<': primitive
+    // comparisons with NaN are always false, so NaN would never enter
+    // the envelope and statsKeep would prune files that contain it.
+    // java.lang ordering ranks NaN greatest — same as Spark SQL's —
+    // so a NaN-bearing file records max=NaN and survives 'd = NaN'
+    // and upper-range predicates. (-0.0 < 0.0 under this order is a
+    // harmless widening of the envelope.)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y) < 0
     case (x: Boolean, y: Boolean) => !x && y
     case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+    // unsigned lexicographic, shorter-prefix-first — Spark's
+    // BinaryType ordering (PhysicalBinaryType)
+    case (x: Array[Byte], y: Array[Byte]) =>
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
+      }
+      (if (r == 0) x.length - y.length else r) < 0
     case (x, y) => sys.error(s"gtable stats: incomparable $x / $y")
   }
 
@@ -292,6 +317,7 @@ class GraftDataWriter(root: String, commitDir: String,
     var s = 0
     while (s < statIdx.length) {
       val ci = statIdx(s)
+      if (row.isNullAt(ci)) nullsArr(s) += 1
       if (!row.isNullAt(ci)) {
         val v: Any = schema(ci).dataType match {
           case LongType | TimestampType | TimestampNTZType => row.getLong(ci)
@@ -302,6 +328,7 @@ class GraftDataWriter(root: String, commitDir: String,
           case FloatType => row.getFloat(ci)
           case BooleanType => row.getBoolean(ci)
           case StringType => row.getUTF8String(ci).clone()
+          case BinaryType => row.getBinary(ci).clone()
           case other => sys.error(s"gtable stats: unsupported $other")
         }
         if (mins(s) == null || lt(v, mins(s))) mins(s) = v
@@ -324,7 +351,8 @@ class GraftDataWriter(root: String, commitDir: String,
       case u: UTF8String => u.toString
       case x => x
     }
-    GraftWriteCommit(relPath, rows, ext(mins), ext(maxs), blooms)
+    GraftWriteCommit(relPath, rows, ext(mins), ext(maxs), blooms,
+      nullsArr)
   }
 
   override def abort(): Unit = {

@@ -96,6 +96,51 @@ class OnePassWriteSpec extends AnyFunSuite {
     assert(ta.manifest().agg(sum("row_count")).as[Long].head() == 50L)
   }
 
+  test("NaN enters the one-pass envelope as the GREATEST double — " +
+      "statsKeep never prunes a NaN-bearing file (ADVICE r12 high)") {
+    val root = tmp()
+    // file 1: plain values; file 2 (separate append): contains NaN.
+    // Primitive '<' would leave file 2's max at 3.0 (NaN compares
+    // false both ways), and 'd > 5' or 'd = NaN' would skip it.
+    val t = GraftTable.create(spark, root,
+      Seq(1.0, 2.0).toDF("d"), Seq("d"), numFiles = 1)
+    t.append(Seq(3.0, Double.NaN).toDF("d"), numFiles = 1)
+    val maxes = t.manifest().select("max_d").as[Double].collect()
+    assert(maxes.exists(_.isNaN),
+      s"NaN-bearing file must record max=NaN, got ${maxes.mkString(",")}")
+    // upper-range predicate keeps the NaN file (Spark orders NaN > 5)
+    val (gt, keptG, totG) = t.prunedWhere(col("d") > 5.0)
+    assert(totG == 2 && keptG == 1, s"kept $keptG of $totG")
+    assert(gt.count() == 1, "the NaN row satisfies d > 5 in Spark SQL")
+    // equality probe on NaN itself keeps exactly the NaN file
+    val (eq, keptE, _) = t.prunedWhere(col("d") === Double.NaN)
+    assert(keptE == 1 && eq.count() == 1)
+    // and an unrelated probe still prunes it (the envelope is real,
+    // not degraded to keep-everything)
+    val (_, keptLo, _) = t.prunedWhere(col("d") === 1.0)
+    assert(keptLo == 1)
+  }
+
+  test("a BinaryType stats column rides the one-pass path with " +
+      "unsigned lexicographic envelopes (ADVICE r12 medium)") {
+    val root = tmp()
+    // 0x80 > 0x7f only under UNSIGNED compare — pins the ordering
+    val df = Seq(
+      (1L, Array[Byte](0x10)), (2L, Array[Byte](0x7f)),
+      (3L, Array[Byte](0x80.toByte)), (4L, Array[Byte](0x10, 0x01))
+    ).toDF("k", "b")
+    val t = GraftTable.create(spark, root, df, Seq("k", "b"),
+      numFiles = 1)
+    val jobs = jobsDuring { t.append(df, numFiles = 1) }
+    assert(jobs <= 2, s"binary stats must stay one-pass, ran $jobs")
+    val row = t.manifest().agg(min("min_b"), max("max_b")).head()
+    assert(row.getAs[Array[Byte]](0).toSeq == Seq[Byte](0x10),
+      "min must be the shortest-prefix smallest value")
+    assert(row.getAs[Array[Byte]](1).toSeq == Seq(0x80.toByte),
+      "max must rank 0x80 above 0x7f (unsigned order)")
+    assert(t.read().count() == 8)
+  }
+
   test("one-pass appends compose with COW delete and compact: counts " +
       "and envelopes stay exact through mixed commit kinds") {
     val root = tmp()
