@@ -147,6 +147,13 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
     val p = new HPath(dir); fs(p).mkdirs(p); ()
   }
 
+  /** The rename step alone — overridable so tests can inject
+    * transient failures at the exact point a flaky store would
+    * surface them. Must rename WITHOUT overwrite (throw
+    * `FileAlreadyExistsException` if `dst` exists). */
+  protected def renameNoOverwrite(fc: FileContext, tmp: HPath,
+      dst: HPath): Unit = { fc.rename(tmp, dst, Options.Rename.NONE); () }
+
   override def putIfAbsent(path: String, content: Array[Byte])
       : Boolean = {
     val p = new HPath(path)
@@ -157,6 +164,27 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
       // the checksummed local FS's non-atomic crc-sidecar rename
       return PosixCommitIO.putIfAbsent(
         java.nio.file.Paths.get(p.toUri.getPath), content)
+    // SCHEME GATE (ADVICE r12): exists() + rename(Rename.NONE) is the
+    // commit linearization point, and it is only atomic where the
+    // store gives rename-without-overwrite POSIX semantics (HDFS &
+    // friends). On S3-semantics stores rename is copy+delete — two
+    // racing committers can BOTH win and silently lose a commit.
+    // Refuse loudly unless the scheme is known-atomic or the user
+    // declares it so; object stores should install a LogStore with a
+    // native conditional PUT (S3 `If-None-Match: *`,
+    // GCS `ifGenerationMatch=0`) via LogStore.provider — see
+    // [[ConditionalPutLogStore]].
+    val declared = conf().getTrimmedStrings(
+      "graft.logstore.atomic.rename.schemes")
+    val atomicOk = HadoopLogStore.AtomicRenameSchemes.contains(scheme) ||
+      (declared != null && declared.contains(scheme))
+    require(atomicOk,
+      s"scheme '$scheme' has no atomic rename-without-overwrite — a " +
+        "commit race would be silently lost. Install a LogStore with " +
+        "a native conditional PUT via LogStore.provider, or declare " +
+        "the scheme atomic with hadoop conf " +
+        s"'graft.logstore.atomic.rename.schemes=$scheme' if the store " +
+        "guarantees it (e.g. abfs with hierarchical namespace)")
     val fc = FileContext.getFileContext(p.toUri, conf())
     if (fc.util().exists(p)) return false // cheap early loss
     val tmp = new HPath(p.getParent,
@@ -165,13 +193,30 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try { out.write(content) } finally out.close()
-    try { fc.rename(tmp, p, Options.Rename.NONE); true }
+    try { renameNoOverwrite(fc, tmp, p); true }
     catch {
+      // the ONLY exception that means "lost the race"
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
           _: java.nio.file.FileAlreadyExistsException |
-          _: java.io.IOException =>
+          _: org.apache.hadoop.fs.PathExistsException =>
         try fc.delete(tmp, false) catch { case _: Exception => () }
         false
+      // any OTHER IO failure is ambiguous (an RPC may have failed
+      // AFTER the rename landed): re-verify the destination. Ours →
+      // we won; someone else's → lost; missing → genuinely transient,
+      // RETHROW — mapping it to 'false' would make the caller retry
+      // at the next version and silently orphan this commit
+      // (ADVICE/VERDICT r12 #3).
+      case e: java.io.IOException =>
+        val landed =
+          try fc.util().exists(p) &&
+            java.util.Arrays.equals(read(path), content)
+          catch { case _: Exception => false }
+        try fc.delete(tmp, false) catch { case _: Exception => () }
+        if (landed) true
+        else if (try fc.util().exists(p)
+          catch { case _: Exception => false }) false
+        else throw e
     }
   }
 
@@ -184,6 +229,44 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
     val out = fs(p).create(p, true) // overwrite
     try out.write(content) finally out.close()
   }
+}
+
+object HadoopLogStore {
+  /** Schemes whose `FileContext.rename(Rename.NONE)` is atomic
+    * rename-without-overwrite (the commit linearization primitive).
+    * Anything else must come in through
+    * `graft.logstore.atomic.rename.schemes` or a conditional-PUT
+    * [[LogStore]] installed via [[LogStore.provider]]. */
+  val AtomicRenameSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs")
+}
+
+/** Base for object-store log stores whose atomicity primitive is a
+  * NATIVE conditional create — S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`, Azure `If-None-Match: *` — rather than
+  * rename. One abstract method carries the entire commit-safety
+  * contract: [[conditionalCreate]] must atomically create `path` with
+  * `content` iff it does not exist, returning false (and writing
+  * nothing) if it does — two racing callers must never both return
+  * true. Everything else (reads, listings, deletes) has no atomicity
+  * requirement and defaults through the Hadoop `FileSystem` chain, so
+  * a concrete store only implements the one call its SDK makes
+  * conditional. */
+abstract class ConditionalPutLogStore(
+    conf: () => org.apache.hadoop.conf.Configuration)
+    extends HadoopLogStore(conf) {
+
+  /** Atomic create-if-absent via the store's native conditional PUT.
+    * MUST be all-or-nothing: true = this call created the object with
+    * exactly `content`; false = the object already existed and
+    * nothing was written. A transient failure where the outcome is
+    * unknown must THROW, never return false. */
+  protected def conditionalCreate(path: String,
+      content: Array[Byte]): Boolean
+
+  final override def putIfAbsent(path: String,
+      content: Array[Byte]): Boolean =
+    conditionalCreate(path, content)
 }
 
 object LogStore {
