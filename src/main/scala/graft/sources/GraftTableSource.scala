@@ -586,7 +586,7 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
       val added = GraftTableSource.addedFiles(t, fromV, toV)
       GraftTableSource.lastPlannedFiles = added.length.toLong
       GraftTableSource.lastLiveFiles =
-        if (toV <= 0) 0L else t.manifest(toV).count()
+        if (toV <= 0) 0L else t.fileCount(toV)
       added.map(f => GraftTableFilePartition(f): InputPartition)
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -964,16 +964,27 @@ class GraftTableScan(root: String, version: Long, required: StructType,
       return Array.empty
     }
     val t = graft.format.GraftTable.forPath(SparkSession.active, root)
-    // NOT cached: the live count reads only parquet footers, and the
-    // filter job reads each referenced column once — caching would
-    // materialize the manifest's bloom arrays (MBs per thousand
-    // files) into the block manager on every planning pass
+    // live count off the SNAPSHOT RECORD (per-dir entry counts ride
+    // it) — zero jobs; previously a count() job per planning pass
+    val live = t.fileCount(version)
+    // NOT cached: the filter job reads each referenced column once —
+    // caching would materialize the manifest's bloom arrays (MBs per
+    // thousand files) into the block manager on every planning pass
     val m = t.manifest(version)
-    val live = m.count()
     val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet, t.bloomCols.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val rel = m.where(pred).select("path").collect()
-      .map(_.getString(0))
+    val sel = m.where(pred).select("path")
+    // BATCHED PLANNING (VERDICT r12 #1): the InputPartition array is
+    // the DSv2 contract, but collect()'s transient Row/batch buffers
+    // are not — past the collect limit, stream partition-by-partition
+    val rel =
+      if (live <= graft.format.GraftTable.PlanCollectLimit)
+        sel.collect().map(_.getString(0))
+      else {
+        val b = Array.newBuilder[String]
+        sel.toLocalIterator().forEachRemaining(r => b += r.getString(0))
+        b.result()
+      }
     // row-level operation scan: the planned set IS the replace set
     recorder.foreach(_.scannedFiles = rel)
     val paths = rel.map(r => s"$root/$r")
