@@ -103,37 +103,56 @@ object Bench {
     // for the PREVIOUS leg's loadavg to decay.
     val maxExtCores =
       sys.env.getOrElse("SPARK_GRAFT_MAX_EXT_CORES", "2.0").toDouble
-    // USER time only, host and self: kernel writeback threads
-    // (kworkers) flush OUR page-cache writes in system time and would
-    // read as ~2.5 "external" cores during every write-heavy leg —
-    // that IO is the leg's own work, not contention. What actually
-    // contaminates a sample is another PROCESS computing (a second
-    // JVM, DuckDB, a build), and that shows in user time.
-    def userJiffies(): Long =
+    // USER time counts fully; SYSTEM time counts above an allowance
+    // (ADVICE r12). Kernel writeback threads (kworkers) flush OUR
+    // page-cache writes in system time and would read as ~2.5
+    // "external" cores during every write-heavy leg — that IO is the
+    // leg's own work, not contention — so external system time only
+    // contaminates once it clears SPARK_GRAFT_SYS_ALLOWANCE_CORES.
+    // That closes the r12 blind spot where an IO/kernel-heavy rival
+    // (cp, gzip -d, a build's kernel time) was invisible to a
+    // user-only gate. Self measurement includes REAPED CHILDREN
+    // (cutime/cstime, fields 16/17) so anything the bench itself
+    // spawns (sync below) never reads as external load.
+    def hostJiffies(): (Long, Long) =
       try {
         // cpu user nice system idle iowait irq softirq steal …
         val f = scala.io.Source.fromFile("/proc/stat")
         val t = try f.getLines().next() finally f.close()
         val v = t.split("\\s+").drop(1).map(_.toLong)
-        v(0) + v(1) // user + nice
-      } catch { case _: Throwable => -1L }
-    def selfUserJiffies(): Long =
+        (v(0) + v(1), v(2)) // (user+nice, system)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def selfJiffies(): (Long, Long) =
       try {
         val f = scala.io.Source.fromFile("/proc/self/stat")
         val t = try f.mkString finally f.close()
-        // field 14 (1-based) = utime; fields 2 can contain spaces in
-        // parens — split after the closing paren
-        t.substring(t.lastIndexOf(')') + 2).split("\\s+")(11).toLong
-      } catch { case _: Throwable => -1L }
-    /** Average EXTERNAL user-cpu cores over `sampleMs` (we are idle
-      * between legs, so between-legs this is pure ambient load). */
+        // fields 14-17 (1-based) = utime stime cutime cstime; field 2
+        // can contain spaces in parens — split after the closing paren
+        val v = t.substring(t.lastIndexOf(')') + 2).split("\\s+")
+        (v(11).toLong + v(13).toLong, v(12).toLong + v(14).toLong)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val sysAllowanceCores = sys.env
+      .getOrElse("SPARK_GRAFT_SYS_ALLOWANCE_CORES", "2.5").toDouble
+    /** External cores from host/self jiffie deltas over `sec`:
+      * external user counts fully, external system above the
+      * writeback allowance. */
+    def extCoresFrom(h0: (Long, Long), s0: (Long, Long),
+        h1: (Long, Long), s1: (Long, Long), sec: Double): Double = {
+      if (h0._1 < 0 || h1._1 < 0 || s0._1 < 0 || s1._1 < 0 || sec <= 0)
+        return 0.0
+      val extUser =
+        math.max(0.0, ((h1._1 - h0._1) - (s1._1 - s0._1)) / 100.0 / sec)
+      val extSys =
+        math.max(0.0, ((h1._2 - h0._2) - (s1._2 - s0._2)) / 100.0 / sec)
+      extUser + math.max(0.0, extSys - sysAllowanceCores)
+    }
+    /** Average EXTERNAL cores over `sampleMs` (we are idle between
+      * legs, so between-legs this is pure ambient load). */
     def externalCoresNow(sampleMs: Long = 500): Double = {
-      val b0 = userJiffies(); val p0 = selfUserJiffies()
+      val h0 = hostJiffies(); val s0 = selfJiffies()
       Thread.sleep(sampleMs)
-      val b1 = userJiffies(); val p1 = selfUserJiffies()
-      if (b0 < 0 || b1 < 0 || p0 < 0 || p1 < 0) 0.0
-      else math.max(0.0,
-        ((b1 - b0) - (p1 - p0)) / 100.0 / (sampleMs / 1000.0))
+      val h1 = hostJiffies(); val s1 = selfJiffies()
+      extCoresFrom(h0, s0, h1, s1, sampleMs / 1000.0)
     }
     val legExtCores = scala.collection.mutable.LinkedHashMap[String, Double]()
     // QUIET flag per sample (VERDICT r11 #2): a sample contaminated by
@@ -144,6 +163,15 @@ object Bench {
     // samples that "converged" at 181.6 s on byte-identical code that
     // runs in 78 s quiet).
     def quietLeg[T](name: String)(f: => T): (T, Boolean) = {
+      // PAGE-CACHE SETTLE (VERDICT r12 #9): a leg following ~30 GB of
+      // writes starts with the kernel still flushing the PREVIOUS
+      // leg's dirty pages — r12's retail_fullscale first sample ran
+      // 2.4× its quiet twin at 0.00 external user-CPU. `sync` moves
+      // that writeback OUT of the measured window, synchronously.
+      try {
+        val p = Runtime.getRuntime.exec(Array("sync"))
+        p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS); ()
+      } catch { case _: Throwable => () }
       val deadline = System.nanoTime() + legWaitSec * 1000000000L
       var ext = externalCoresNow()
       while (ext > maxExtCores && System.nanoTime() < deadline) {
@@ -154,15 +182,13 @@ object Bench {
         ext = externalCoresNow()
       }
       legLoads(name) = load1m()
-      val b0 = userJiffies(); val p0 = selfUserJiffies()
+      val h0 = hostJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
       val r = f
       val wallSec = (System.nanoTime() - t0) / 1e9
-      val b1 = userJiffies(); val p1 = selfUserJiffies()
+      val h1 = hostJiffies(); val s1 = selfJiffies()
       legLoadsEnd(name) = load1m()
-      val legExt =
-        if (b0 < 0 || b1 < 0 || p0 < 0 || p1 < 0 || wallSec <= 0) 0.0
-        else math.max(0.0, ((b1 - b0) - (p1 - p0)) / 100.0 / wallSec)
+      val legExt = extCoresFrom(h0, s0, h1, s1, wallSec)
       legExtCores(name) = legExt
       (r, ext <= maxExtCores && legExt <= maxExtCores)
     }
@@ -711,9 +737,12 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
+    // sampledPair, not sampled-on-initial (VERDICT r12 #2): r12's
+    // 117.4 s incremental was an unconverged ride-along on whichever
+    // sample won the initial — BOTH published metrics must converge
+    // on quiet samples and report their own per-component minimum.
     val (retailFullTime, retailIncTime) =
-      if (runEtl) sampled("retail_fullscale")(
-        (t: (Double, Double)) => t._1)(retailFullscale())
+      if (runEtl) sampledPair("retail_fullscale")(retailFullscale())
       else (-1.0, -1.0)
 
     // The same DAG at the same volume through the LAKEHOUSE tier
@@ -749,8 +778,8 @@ object Bench {
       }
     }
     val (retailLakeTime, retailLakeIncTime) =
-      if (runEtl) sampled("retail_fullscale_lake")(
-        (t: (Double, Double)) => t._1)(retailFullscaleLake())
+      if (runEtl)
+        sampledPair("retail_fullscale_lake")(retailFullscaleLake())
       else (-1.0, -1.0)
 
     // COMMIT-THROUGHPUT MICROBENCH (VERDICT r11 #3): 200 one-file
@@ -805,8 +834,7 @@ object Bench {
     // dev filter: SPARK_GRAFT_ONLY=commit_micro runs just this leg
     val runCommitMicro = only.forall(_.contains("commit_micro"))
     val (commitMicroTime, commitMicroMetaKb) =
-      if (runCommitMicro) sampled("commit_micro")(
-        (t: (Double, Double)) => t._1)(commitMicro())
+      if (runCommitMicro) sampledPair("commit_micro")(commitMicro())
       else (-1.0, -1.0)
 
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
