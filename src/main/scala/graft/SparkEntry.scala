@@ -330,7 +330,9 @@ object SparkEntry {
     "q247_streaming_cdc" -> (FormatQueries.q247StreamingCdc _),
     "q248_cdc_compaction" -> (FormatQueries.q248CdcCompaction _),
     "q249_cdc_merge_updates" -> (FormatQueries.q249CdcMergeUpdates _),
-    "q250_compact_where" -> (FormatQueries.q250CompactWhere _)
+    "q250_compact_where" -> (FormatQueries.q250CompactWhere _),
+    "q251_table_changes_named" ->
+      (FormatQueries.q251TableChangesNamed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

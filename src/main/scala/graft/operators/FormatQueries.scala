@@ -1344,6 +1344,38 @@ object FormatQueries {
       GROUP BY 1 ORDER BY 1""")
   }
 
+  /** q251 — NAME-BASED `table_changes` (VERDICT r12 #5): the change
+    * feed addresses the table by CATALOG IDENTIFIER, like every other
+    * SQL surface — `table_changes('gcattc.orders_tc', 1)` — so
+    * physical layout never leaks into consumer SQL. The window
+    * `(1, current]` carries one append commit (inserts) and one MOR
+    * delete commit (deletes, including re-appended duplicates);
+    * hash-gated per change kind on counts AND payload sums. */
+  def q251TableChangesNamed(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val wh = graft.Scratch.dir(s, "gcattc")
+    s.conf.set("spark.sql.catalog.gcattc",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcattc.warehouse", wh)
+    val root = s"$wh/orders_tc"
+    buildOnce(root) {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val t = GraftTable.create(s, root, o,
+        statsCols = Seq("o_orderkey"), numFiles = 4) // v1
+      t.append(o.where(col("o_orderkey") % 5 === 0), numFiles = 2) // v2
+      t.deleteWhereMor(col("o_orderkey") % 7 === 0) // v3
+      ()
+    }
+    s.sql("""
+      SELECT _change_type AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS price_sum
+      FROM table_changes('gcattc.orders_tc', 1)
+      GROUP BY 1 ORDER BY 1""")
+  }
+
   /** q210 — EXACTLY-ONCE STREAMING APPEND into the table format: the
     * event stream lands via `foreachBatch` → [[GraftTable
     * .appendIfAbsent]], the batch id riding the same atomic

@@ -124,7 +124,7 @@ object GraftTableSource {
 
   /** `.option("timestampAsOf", …)` accepts a SQL timestamp/date
     * string or epoch millis. */
-  private[sources] def parseTsMillis(s: String): Long = {
+  private[graft] def parseTsMillis(s: String): Long = {
     val t = s.trim
     if (t.matches("\\d{13,}")) t.toLong
     else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
@@ -138,7 +138,7 @@ object GraftTableSource {
     * all retained history is an explicit error. Shared by the
     * catalog's `TIMESTAMP AS OF` and the path read's
     * `.option("timestampAsOf", …)`. */
-  private[sources] def versionAtTimestamp(root: String,
+  private[graft] def versionAtTimestamp(root: String,
       tsMillis: Long): Long = {
     // one listing serves every probe (name → mtime); missing files
     // (vacuumed snapshots) simply aren't in the map

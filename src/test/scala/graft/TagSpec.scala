@@ -150,4 +150,48 @@ class TagSpec extends AnyFunSuite {
          |    ('insert','update_postimage') THEN 1 ELSE -1 END) > 0)"""
         .stripMargin).head().getLong(0) == t.read().count())
   }
+
+  test("table_changes by CATALOG NAME and by TIMESTAMP bounds " +
+      "(VERDICT r12 #5): the feed is reachable without physical " +
+      "paths, and bounds resolve timestampAsOf-style") {
+    GraftExtensions.register(spark)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_tvfname_").toString
+    spark.conf.set("spark.sql.catalog.tvfn",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tvfn.warehouse", wh)
+    val root = s"$wh/t"
+    val t = GraftTable.create(spark, root,
+      (1L to 50L).toDF("k"), Seq("k"), numFiles = 1)   // v1
+    Thread.sleep(1100) // snapshot mtimes have second granularity
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    t.append((51L to 60L).toDF("k"), numFiles = 1)     // v2
+    t.deleteWhereMor(col("k") <= 3)                    // v3
+
+    // by qualified catalog name
+    val byName = spark.sql(
+      "SELECT _change_type, count(*) AS n " +
+        "FROM table_changes('tvfn.t', 1) GROUP BY 1 ORDER BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName == Map("insert" -> 10L, "delete" -> 3L), s"$byName")
+
+    // a timestamp FROM bound between v1 and v2 resolves to v1 →
+    // window (v1, current] — same events as above
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val tsStr = fmt.format(new java.util.Date(betweenMs))
+    val byTs = spark.sql(
+      s"SELECT count(*) FROM table_changes('tvfn.t', '$tsStr')")
+      .head().getLong(0)
+    assert(byTs == 13L, s"timestamp from-bound saw $byTs events")
+
+    // a non-path, non-catalog name refuses with guidance
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('no.such.cat', 1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("table root path") ||
+      e.getMessage.contains("no committed gtable"),
+      s"unhelpful error: ${e.getMessage}")
+  }
 }
