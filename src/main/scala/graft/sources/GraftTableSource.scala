@@ -356,7 +356,9 @@ class GraftTableV2(root: String, version: Long, schema0: StructType,
           .map(_.toLong).getOrElse(0L)
         new GraftTableScanBuilder(root, version, schema0, startingVersion,
           cdcFeed =
-            Option(options.get("readChangeFeed")).exists(_.toBoolean))
+            Option(options.get("readChangeFeed")).exists(_.toBoolean),
+          initialSnapshot =
+            Option(options.get("initialSnapshot")).exists(_.toBoolean))
     }
 
   /** The WRITE path rides the format's own commit protocol: append =
@@ -598,7 +600,8 @@ class GraftTableChangesScanBuilder(root: String, fromV: Long, toV: Long,
 class GraftTableScanBuilder(root: String, version: Long,
     full: StructType, startingVersion: Long = 0L,
     recorder: Option[GraftRowLevelOperation] = None,
-    cdcFeed: Boolean = false) extends ScanBuilder
+    cdcFeed: Boolean = false,
+    initialSnapshot: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -699,7 +702,7 @@ class GraftTableScanBuilder(root: String, version: Long,
     case Some(agg) => new GraftTableAggScan(root, version, agg, full)
     case None =>
       new GraftTableScan(root, version, required, filters,
-        startingVersion, recorder, cdcFeed)
+        startingVersion, recorder, cdcFeed, initialSnapshot)
   }
 }
 
@@ -782,7 +785,8 @@ class GraftTableAggReaderFactory extends PartitionReaderFactory {
 class GraftTableScan(root: String, version: Long, required: StructType,
     filters: Array[sources.Filter], startingVersion: Long = 0L,
     recorder: Option[GraftRowLevelOperation] = None,
-    cdcFeed: Boolean = false)
+    cdcFeed: Boolean = false,
+    initialSnapshot: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -1139,7 +1143,7 @@ class GraftTableScan(root: String, version: Long, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(root, required, startingVersion,
-      cdcFeed)
+      cdcFeed, initialSnapshot)
 
   /** Metadata-only stats, POST-PRUNE: row counts summed over exactly
     * the manifest entries the pushed filters keep (the same envelope
@@ -1205,20 +1209,34 @@ case class GraftTableFilePartition(file: String,
   override def partitionKey(): InternalRow = key
 }
 
-case class GraftTableOffset(version: Long)
+case class GraftTableOffset(version: Long, snap: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json: String = s"""{"version":$version}"""
+  override def json: String =
+    if (snap) s"""{"version":$version,"snap":true}"""
+    else s"""{"version":$version}"""
 }
 
 class GraftTableMicroBatchStream(root: String, required: StructType,
-    startingVersion: Long, cdcFeed: Boolean = false)
+    startingVersion: Long, cdcFeed: Boolean = false,
+    initialSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def table =
     graft.format.GraftTable.forPath(SparkSession.active, root)
 
-  override def initialOffset(): Offset = GraftTableOffset(startingVersion)
+  /** `startingVersion=N, initialSnapshot=true` (VERDICT r12 #7 — the
+    * restart verb the COW-rewrite refusal message promises): the
+    * FIRST micro-batch materializes the full LIVE content of version
+    * N (DV'd rows skipped, `_change_type='insert'` under the CDC
+    * flag), and subsequent batches stream deltas from `(N, …]` — so a
+    * feed refused at a rewrite resumes by re-seeding downstream state
+    * instead of hand-rolling the catch-up. The snap marker lives only
+    * in the initial offset; once the first batch commits, checkpoints
+    * carry plain version offsets. */
+  override def initialOffset(): Offset =
+    GraftTableOffset(startingVersion,
+      snap = initialSnapshot && startingVersion > 0)
 
   override def latestOffset(): Offset =
     GraftTableOffset(table.currentVersion)
@@ -1226,14 +1244,33 @@ class GraftTableMicroBatchStream(root: String, required: StructType,
   override def deserializeOffset(json: String): Offset =
     GraftTableOffset("\"version\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toLong)
-      .getOrElse(sys.error(s"bad gtable offset: $json")))
+      .getOrElse(sys.error(s"bad gtable offset: $json")),
+      snap = json.contains("\"snap\":true"))
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s0 = start.asInstanceOf[GraftTableOffset].version
+    val so = start.asInstanceOf[GraftTableOffset]
+    val s0 = so.version
     val e0 = end.asInstanceOf[GraftTableOffset].version
     val t = table
-    val inserts = GraftTableSource.addedFiles(t, s0, e0)
+    // initial-snapshot batch: full content of v s0 as inserts (live
+    // rows only — DV ordinals ride dvPos and are skipped like any
+    // batch read), then the normal delta walk from (s0, e0]
+    val snapParts: Array[InputPartition] =
+      if (!so.snap || s0 <= 0) Array.empty
+      else {
+        val dvMap = t.deletionVectors(s0).collect()
+          .groupBy(_.getString(0))
+          .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
+        t.manifest(s0).select("path").collect().map { r =>
+          val rel = r.getString(0)
+          GraftTableFilePartition(s"${t.root}/$rel",
+            dvPos = dvMap.getOrElse(rel, Array.empty),
+            changeType = if (cdcFeed) "insert" else null)
+            : InputPartition
+        }
+      }
+    val inserts = snapParts ++ GraftTableSource.addedFiles(t, s0, e0)
       .map(f => GraftTableFilePartition(f,
         changeType = if (cdcFeed) "insert" else null): InputPartition)
     if (!cdcFeed) return inserts

@@ -172,6 +172,64 @@ class StreamingCdcSpec extends AnyFunSuite {
       .where(col("_change_type") === "insert").count() == 90)
   }
 
+  test("refused feed restarts with startingVersion+initialSnapshot: " +
+      "the first batch re-seeds the full live state, later commits " +
+      "stream as deltas, and the fold equals the live table") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k * 10L)).toDF("k", "v"),
+      Seq("k"), numFiles = 2)                      // v1
+    t.deleteWhereMor(col("k") <= 5)                // v2: MOR (feed-safe)
+    t.deleteWhere(col("k") > 95)                   // v3: COW — refusal
+    val vRewrite = t.currentVersion
+    // a plain feed over the window refuses (the scenario under test)
+    intercept[IllegalStateException] { t.readCdc(1, vRewrite) }
+    // the restart verb the refusal message names: snapshot at the
+    // rewrite version, deltas after it
+    val out = s"$root-restart-ev"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdcstream_ckpt4_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("gtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", vRewrite.toString)
+        .option("initialSnapshot", "true")
+        .load(root)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val snap = spark.read.parquet(out)
+    // snapshot = live content at vRewrite: 100 − 5 MOR − 5 COW = 90
+    // inserts, zero deletes (DV'd rows are skipped, not emitted)
+    assert(snap.where(col("_change_type") === "insert").count() == 90)
+    assert(snap.where(col("_change_type") === "delete").count() == 0)
+    assert(snap.agg(min("k"), max("k")).head() ==
+      org.apache.spark.sql.Row(6L, 95L))
+    // later commits stream as ordinary deltas over the same checkpoint
+    t.append(Seq((201L, 2010L)).toDF("k", "v"), numFiles = 1)
+    t.deleteWhereMor(col("k") === 10L)
+    drain()
+    val all = spark.read.parquet(out)
+    val folded = all.groupBy(col("k"))
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+    assert(folded.count() == t.read().count(),
+      "restart-fold must land exactly on the live table")
+    assert(all.where(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(10L))
+  }
+
   test("mergeMor commits surface as update_preimage/update_postimage " +
       "pairs for matched keys and plain inserts for new keys (batch " +
       "readCdc; Delta CDF's MERGE contract)") {
