@@ -446,4 +446,30 @@ class GraftTableSpec extends AnyFunSuite {
     assert(h.toSeq == Seq((3L, 2L), (2L, 1L), (1L, 0L)),
       "parent chain must be linear")
   }
+
+  test("protocol gate: a snapshot demanding a newer reader protocol " +
+      "refuses with upgrade guidance; older versions stay readable") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_proto_").toString + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, root,
+      (1L to 10L).toDF("k"), Seq("k"), numFiles = 1)
+    // hand-craft a v2 written by a 'future' library: same content,
+    // but demanding a reader protocol this build does not implement
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v1.txt")), "UTF-8")
+    val v2 = v1.replace("parent=0", "parent=1")
+      .replace("min_reader_version=1", "min_reader_version=99")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v2.txt"),
+      v2.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      GraftTable.forPath(spark, root).read().count()
+    }
+    assert(e.getMessage.contains("upgrade") &&
+      e.getMessage.contains("99"), s"unhelpful: ${e.getMessage}")
+    // time travel to the old, readable version still works
+    assert(t.read(1).count() == 10)
+    assert(t.currentVersion == 2)
+  }
 }
