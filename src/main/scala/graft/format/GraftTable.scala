@@ -1729,7 +1729,10 @@ final class GraftTable private (
     // logical→physical rename on evolved tables (identity otherwise):
     // files always carry physical names, reads always map back
     val phys = if (translate) toPhysical(df) else df
-    val staged = if (numFiles > 0) phys.repartition(numFiles) else phys
+    // staged is DEFERRED (lazy): the micro-append path never builds
+    // the repartitioned frame, so a one-row commit pays ONE Catalyst
+    // analysis (phys), not two
+    lazy val staged = if (numFiles > 0) phys.repartition(numFiles) else phys
     // ONE-PASS WRITE: all-scalar schemas ride the connector's
     // map-side-stats writer (graft.sources.GraftDataWriter) — per-file
     // row counts and min/max envelopes are tracked DURING the write
@@ -1741,7 +1744,7 @@ final class GraftTable private (
     // cannot know up front. Scheme'd roots (s3a:/hdfs:) also fall
     // back — the Group writer resolves paths through a bare local
     // Hadoop conf, like the rest of the connector write path.
-    val schema = staged.schema
+    val schema = phys.schema // == staged.schema (repartition preserves)
     val onePass = bloomCols.isEmpty && !root.contains("://") &&
       statsCols.forall(c => schema.fieldNames.contains(c) &&
         graft.sources.GraftParquetIO.supportedScalar(schema(c).dataType))
@@ -1915,6 +1918,9 @@ final class GraftTable private (
           logDir(root), dir, mSchema, Nil, 0, 0L)
         try { lr.data.foreach(w.write); w.commit() }
         catch { case e: Throwable => w.abort(); throw e }
+        // remember the rows: a future FOLD over this (immutable) dir
+        // can then run entirely on the driver (see foldInput)
+        GraftTable.cacheManifestRows(root, dir, mSchema, lr.data)
         val rcIdx = lr.output.indexWhere(_.name == "row_count")
         return ManifestRef(dir, lr.data.length.toLong,
           lr.data.map(_.getLong(rcIdx)).sum)
@@ -1985,18 +1991,33 @@ final class GraftTable private (
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Fold input, sized to its job: a SMALL fold (the common case —
-    * the delta tail small appends accrete) reads all dirs in ONE
-    * mergeSchema scan and collects to a LocalRelation, so (a) schema
-    * inference runs once instead of per dir, and (b)
-    * [[writeManifestDir]] takes its driver-local zero-job path with
-    * driver-side counts. The profiler attributed ~1.3 s per fold to
-    * the per-dir reads + write job + count job this replaces. Big
+    * the delta tail small appends accrete) avoids the distributed
+    * union. Best case, every input dir was written driver-locally by
+    * THIS process (micro-commits) and its rows are still in the
+    * manifest-rows cache — the fold is then pure driver work, ZERO
+    * Spark jobs (manifest dirs are immutable once written, so the
+    * cache can never be stale; vacuum invalidates the root). Next
+    * best, one mergeSchema scan collects all dirs (schema inference
+    * once, not per dir) so [[writeManifestDir]] still takes its
+    * driver-local path. The profiler attributed ~1.3 s per fold to
+    * the per-dir reads + write job + count job these replace. Big
     * folds keep the distributed union. */
   private def foldInput(refs: Seq[ManifestRef]): DataFrame = {
     val counted = refs.forall(_.entries >= 0)
     val total = refs.map(_.entries).sum
     if (!counted || total > 10000L)
       return unionRefs(refs)
+    val cached = refs.map(r => GraftTable.manifestRows(root, r.dir))
+    if (cached.forall(_.isDefined) &&
+        cached.flatMap(_.map(_._1)).distinct.size == 1) {
+      val schema = cached.head.get._1
+      val attrs = schema.map(f =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          f.name, f.dataType, f.nullable)())
+      return org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          attrs, cached.flatMap(_.get._2)))
+    }
     val u = spark.read.option("mergeSchema", "true")
       .parquet(refs.map(r => s"${logDir(root)}/${r.dir}"): _*)
     val rows = u.collect()
@@ -2326,7 +2347,12 @@ private[graft] object CommitProfile {
 
 object GraftTable {
 
-  val MaxCommitAttempts = 10
+  /** Per-writer retry budget for lost commit races. Every loss means
+    * a RIVAL committed (system-wide progress is guaranteed), so this
+    * bounds only one straggler's patience — on a loaded host a slow
+    * writer racing several fast ones can legitimately lose many in a
+    * row (a full-suite run flaked at 10). */
+  val MaxCommitAttempts = 20
 
   /** Reader protocol this library implements. Commits stamp it as
     * `min_reader_version` (bump ONLY when a new snapshot feature
@@ -2515,7 +2541,30 @@ object GraftTable {
     snapCache.keySet.removeIf(_._1 == root)
     pathsCache.keySet.removeIf(_._1 == root)
     colsCache.keySet.removeIf(_._1 == root)
+    manifestRowsCache.keySet.removeIf(_._1 == root)
   }
+
+  /** Rows of manifest dirs THIS process wrote driver-locally —
+    * immutable once written, so never stale; lets [[foldInput]] fold
+    * micro-commit debt with zero Spark jobs. Bounded: ≤1024 rows per
+    * dir cached, ≤4096 dirs total (≈ a few MB), evicted wholesale on
+    * [[invalidate]] (vacuum/drop). */
+  private val manifestRowsCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, String),
+      (org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.catalyst.InternalRow])]()
+
+  private[format] def cacheManifestRows(root: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit =
+    if (rows.length <= 1024 && manifestRowsCache.size < 4096) {
+      manifestRowsCache.put((root, dir), (schema, rows)); ()
+    }
+
+  private[format] def manifestRows(root: String, dir: String)
+      : Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.catalyst.InternalRow])] =
+    Option(manifestRowsCache.get((root, dir)))
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
   private val TagName = "tag-(.+)\\.txt".r

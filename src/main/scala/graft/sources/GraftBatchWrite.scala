@@ -92,10 +92,16 @@ object GraftParquetIO {
     * CORRECTED (proleptic Gregorian, Spark 3+ default) and timestamps
     * to INT64 micros, matching what `df.write.parquet` produces under
     * default session conf. */
+  // `new Configuration()` parses the Hadoop default XML resources —
+  // 10-20 ms, and the profiler showed it dominating micro-commit
+  // manifest writes. The copy constructor clones a loaded template
+  // in microseconds; every writer still gets its own mutable conf.
+  private lazy val confTemplate = new org.apache.hadoop.conf.Configuration()
+
   def internalRowWriter(path: String, schema: StructType)
       : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = new org.apache.hadoop.conf.Configuration(confTemplate)
     ParquetWriteSupport.setSchema(schema, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
