@@ -1836,11 +1836,31 @@ final class GraftTable private (
         (if (present(c))
           graft.functions.BloomFilterIndex.buildAgg(col(c), effBloomBits)
         else first(lit(null).cast("array<bigint>"))).as(s"bloom_$c"))
-    val entries = written.groupBy(input_file_name().as("path"))
+    val entries0 = written.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
       // URI → root-relative path, as a codegen'd builtin (no UDF)
       .withColumn("path",
         regexp_extract(col("path"), "(data/c[^/]+/[^/]+)$", 1))
+    // file sizes off the SAME commit-dir listing nFiles already paid
+    // for (driver, delta-sized): recorded as manifest `size_bytes`,
+    // which scan planning bin-packs partitions by and the CBO sums
+    // for post-prune sizeInBytes
+    val sizeRows = logStore.list(s"$root/$commitDir")
+      .filter(e => !e.isDir && e.name.endsWith(".parquet") &&
+        e.sizeBytes >= 0L)
+      .map(e => org.apache.spark.sql.Row(
+        s"$commitDir/${e.name}", e.sizeBytes))
+    val entries =
+      if (sizeRows.isEmpty) entries0
+      else entries0.join(
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(sizeRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("size_bytes",
+              org.apache.spark.sql.types.LongType))))),
+        Seq("path"), "left")
     // SMALL-COMMIT FAST PATH: a few-file delta's entry rows fit on the
     // driver (bounded below by file count × bloom width), so collect
     // them into a LocalRelation — the manifest write becomes one local
@@ -1902,7 +1922,7 @@ final class GraftTable private (
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           if !root.contains("://") && lr.data.length <= 1024 && {
             val names = lr.output.map(_.name)
-            val want = ("path" +: "row_count" +:
+            val want = ("path" +: "row_count" +: "size_bytes" +:
               (statsCols.flatMap(c =>
                 Seq(s"min_$c", s"max_$c", s"nulls_$c")) ++
                 bloomCols.map(c => s"bloom_$c")))
@@ -1938,11 +1958,14 @@ final class GraftTable private (
     // written for this dir — manifest()'s unionByName null-fills them
     // and the null-safe envelope tests keep such files. Selecting an
     // unresolvable min_<c> would abort the commit instead.
-    val cols = ("path" +: "row_count" +:
+    val cols = ("path" +: "row_count" +: "size_bytes" +:
       (statsCols.flatMap(c =>
         Seq(s"min_$c", s"max_$c", s"nulls_$c")) ++ bloomKept))
-      .filter(c => present(c) || c.startsWith("bloom_") ||
-        c == "path" || c == "row_count")
+      .filter(c => (present(c) || c.startsWith("bloom_") ||
+        c == "path" || c == "row_count") &&
+        // entries that predate size recording simply omit the column
+        // (manifest() null-fills; planning treats null = unknown)
+        !(c == "size_bytes" && !present(c)))
     val finalDf = withBlooms.select(cols.map(col): _*)
     finalDf.queryExecution.optimizedPlan match {
       // writeData's small-commit fast path hands us a LocalRelation

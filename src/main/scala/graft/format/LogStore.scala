@@ -58,7 +58,8 @@ object PosixLogStore extends LogStore with CommitIO {
 
   override def list(dir: String): Seq[LogEntry] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .toSeq.map(f => LogEntry(f.getName, f.isDirectory, f.lastModified()))
+      .toSeq.map(f => LogEntry(f.getName, f.isDirectory, f.lastModified(),
+        if (f.isDirectory) -1L else f.length()))
 
   override def delete(path: String): Boolean =
     Files.deleteIfExists(Paths.get(path))
@@ -131,7 +132,8 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
     val p = new HPath(dir)
     try fs(p).listStatus(p).toSeq.map(st =>
       LogEntry(st.getPath.getName, st.isDirectory,
-        st.getModificationTime))
+        st.getModificationTime,
+        if (st.isDirectory) -1L else st.getLen))
     catch { case _: java.io.FileNotFoundException => Nil }
   }
 
@@ -271,9 +273,13 @@ abstract class ConditionalPutLogStore(
 
 object LogStore {
 
-  /** One directory child: bare name, kind, and modification time
-    * (the age guard vacuum's orphan collection needs). */
-  case class LogEntry(name: String, isDir: Boolean, mtimeMs: Long)
+  /** One directory child: bare name, kind, modification time (the
+    * age guard vacuum's orphan collection needs) and byte size (−1
+    * for directories / stores that don't report it) — the write path
+    * reads data-file sizes off this listing so the manifest can
+    * record `size_bytes` without a second stat round. */
+  case class LogEntry(name: String, isDir: Boolean, mtimeMs: Long,
+      sizeBytes: Long = -1L)
 
   /** Store for a table root: scheme-qualified roots go through the
     * Hadoop `FileSystem` chain (lazily resolving the active session's

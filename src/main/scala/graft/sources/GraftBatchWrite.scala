@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GraftWriteCommit(relPath: String, rowCount: Long,
     mins: Array[Any], maxs: Array[Any],
     blooms: Array[Array[Long]] = Array.empty,
-    nulls: Array[Long] = Array.empty) extends WriterCommitMessage
+    nulls: Array[Long] = Array.empty,
+    sizeBytes: Long = -1L) extends WriterCommitMessage
 
 object GraftParquetIO {
 
@@ -97,6 +98,11 @@ object GraftParquetIO {
   // manifest writes. The copy constructor clones a loaded template
   // in microseconds; every writer still gets its own mutable conf.
   private lazy val confTemplate = new org.apache.hadoop.conf.Configuration()
+
+  /** A fresh mutable Hadoop conf cloned from the loaded template —
+    * microseconds instead of the 10–20 ms XML parse. */
+  def freshConf: org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration(confTemplate)
 
   def internalRowWriter(path: String, schema: StructType)
       : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
@@ -197,6 +203,7 @@ object GraftParquetIO {
     val entrySchema = StructType(
       StructField("path", StringType) ::
         StructField("row_count", LongType) ::
+        StructField("size_bytes", LongType) ::
         (statsCols.toList.flatMap { c =>
           val dt = writeSchema(c).dataType
           StructField(s"min_$c", dt) :: StructField(s"max_$c", dt) ::
@@ -205,6 +212,7 @@ object GraftParquetIO {
           StructField(s"bloom_$c", ArrayType(LongType)))))
     val rows: java.util.List[Row] = live.map { m =>
       Row.fromSeq((m.relPath +: m.rowCount +:
+        (if (m.sizeBytes >= 0) m.sizeBytes else null) +:
         statsCols.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
           val dt = writeSchema(c).dataType
           Seq(external(m.mins(i), dt), external(m.maxs(i), dt),
@@ -357,8 +365,20 @@ class GraftDataWriter(root: String, commitDir: String,
       case u: UTF8String => u.toString
       case x => x
     }
+    // the file's on-disk size rides the commit message → manifest
+    // `size_bytes`, which planning bin-packs scan partitions by and
+    // the CBO sums for post-prune sizeInBytes. Local roots stat via
+    // java.io (free); scheme'd roots through the Hadoop FS.
+    val sizeBytes: Long = {
+      val f = new java.io.File(s"$root/$relPath")
+      if (f.isFile) f.length()
+      else try {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$relPath")
+        p.getFileSystem(GraftParquetIO.freshConf).getFileStatus(p).getLen
+      } catch { case _: Exception => -1L }
+    }
     GraftWriteCommit(relPath, rows, ext(mins), ext(maxs), blooms,
-      nullsArr)
+      nullsArr, sizeBytes)
   }
 
   override def abort(): Unit = {

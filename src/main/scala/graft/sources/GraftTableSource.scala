@@ -83,6 +83,62 @@ object GraftTableSource {
   @volatile var lastPlannedFiles: Long = -1L
   @volatile var lastLiveFiles: Long = -1L
 
+  /** InputPartitions of the most recent batch planning — ≤ planned
+    * files once bin-packing coalesces small files into shared tasks
+    * (spec hook for PackedScanSpec). */
+  @volatile var lastPlannedPartitions: Long = -1L
+
+  /** Session kill-switch for scan bin-packing
+    * (`graft.scan.pack.enabled`) — on by default; per-file planning
+    * is always recoverable for debugging a task-granularity issue. */
+  def packEnabled: Boolean =
+    SparkSession.active.conf
+      .get("graft.scan.pack.enabled", "true").equalsIgnoreCase("true")
+
+  /** Spark's own `FilePartition` packing restated over manifest
+    * `size_bytes` (no FS listing — planning stays a metadata job):
+    * target = min(maxPartitionBytes, max(openCostInBytes,
+    * totalBytes/defaultParallelism)), files first-fit-packed in
+    * descending size order after charging each the open cost. Files
+    * whose manifest entry predates size recording (size −1) are
+    * charged the full target, i.e. they keep a partition each — the
+    * pre-packing behavior, never a mis-sized task. At 10⁴ one-row
+    * streaming micro-files this is ~300 tasks instead of 10⁴; at
+    * 100 TB of 100 MB files packing is a no-op (every file already
+    * fills a task), so the plan converges to Spark's parquet source
+    * shape at both extremes. */
+  private[graft] def packPartitions(
+      parts: Array[(GraftTableFilePartition, Long)])
+      : Array[InputPartition] = {
+    if (parts.length <= 1) return parts.map(_._1: InputPartition)
+    val spark = SparkSession.active
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val defaultMax = conf.filesMaxPartitionBytes
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val sized = parts.map { case (p, sz) =>
+      (p, if (sz >= 0L) sz else defaultMax) }
+    val total = sized.iterator.map(_._2 + openCost).sum
+    val target = math.min(defaultMax,
+      math.max(openCost, total / math.max(1, minParts)))
+    val out = Array.newBuilder[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer
+      .empty[GraftTableFilePartition]
+    var bytes = 0L
+    def close(): Unit = if (cur.nonEmpty) {
+      out += (if (cur.length == 1) cur.head
+              else GraftTablePackedPartition(cur.toArray))
+      cur.clear(); bytes = 0L
+    }
+    for ((p, sz) <- sized.sortBy(-_._2)) {
+      if (cur.nonEmpty && bytes + sz + openCost > target) close()
+      cur += p; bytes += sz + openCost
+    }
+    close()
+    out.result()
+  }
+
   /** Logical→physical column-name map of an EVOLVED table at
     * `version` (empty for never-evolved tables — the common case pays
     * one boolean). Scans translate pushed-filter/stats references
@@ -957,7 +1013,10 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * arrive between an initial plan and an AQE re-plan, and each pass
     * must see the tightest file set. The manifest scan is
     * metadata-sized. */
-  private def plannedFiles: Array[String] = {
+  /** (root-relative path, size_bytes or −1 when the entry predates
+    * size recording) per planned file — the −1s keep legacy files
+    * un-packable (each gets its own partition, the old behavior). */
+  private def plannedFiles: Array[(String, Long)] = {
     if (version == 0) {
       // CREATE TABLE before first INSERT: zero files, zero rows —
       // a SELECT must answer empty, not fail on the missing snapshot
@@ -977,24 +1036,29 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     val m = t.manifest(version)
     val pred = (filters ++ runtimeFilters).map(keep(t.statsCols.toSet, t.bloomCols.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val sel = m.where(pred).select("path")
+    val sizeCol =
+      if (m.columns.contains("size_bytes"))
+        org.apache.spark.sql.functions
+          .coalesce(col("size_bytes"), lit(-1L))
+      else lit(-1L)
+    val sel = m.where(pred).select(col("path"), sizeCol.as("sz"))
     // BATCHED PLANNING (VERDICT r12 #1): the InputPartition array is
     // the DSv2 contract, but collect()'s transient Row/batch buffers
     // are not — past the collect limit, stream partition-by-partition
     val rel =
       if (live <= graft.format.GraftTable.PlanCollectLimit)
-        sel.collect().map(_.getString(0))
+        sel.collect().map(r => (r.getString(0), r.getLong(1)))
       else {
-        val b = Array.newBuilder[String]
-        sel.toLocalIterator().forEachRemaining(r => b += r.getString(0))
+        val b = Array.newBuilder[(String, Long)]
+        sel.toLocalIterator().forEachRemaining(r =>
+          b += ((r.getString(0), r.getLong(1))))
         b.result()
       }
     // row-level operation scan: the planned set IS the replace set
-    recorder.foreach(_.scannedFiles = rel)
-    val paths = rel.map(r => s"$root/$r")
-    GraftTableSource.lastPlannedFiles = paths.length.toLong
+    recorder.foreach(_.scannedFiles = rel.map(_._1))
+    GraftTableSource.lastPlannedFiles = rel.length.toLong
     GraftTableSource.lastLiveFiles = live
-    paths
+    rel
   }
 
   // ---- storage-partitioned joins (SPJ) -----------------------------
@@ -1120,10 +1184,27 @@ class GraftTableScan(root: String, version: Long, required: StructType,
         }
       case None => _ => null
     }
-    files.map { f =>
-      val rel = f.stripPrefix(root).stripPrefix("/")
-      GraftTableFilePartition(f, dvMap.getOrElse(rel, Array.empty),
-        keyOf(rel)): InputPartition
+    val parts = files.map { case (rel, sz) =>
+      (GraftTableFilePartition(s"$root/$rel",
+        dvMap.getOrElse(rel, Array.empty), keyOf(rel)), sz)
+    }
+    // BIN-PACKED PARTITIONS: small files coalesce into multi-file
+    // tasks, mirroring Spark's own FilePartition packing (the same
+    // maxPartitionBytes / openCostInBytes / minPartitionNum math), so
+    // a table of streaming micro-commits costs tasks ~ bytes/128 MB,
+    // not tasks = file count. Skipped when the scan reports
+    // KeyGroupedPartitioning (Spark groups same-key files itself —
+    // packing across keys would break SPJ alignment), for row-level
+    // operation scans (the replace set stays per-file), and for CDC
+    // scans (per-file change semantics ride the partition).
+    if (spj.isDefined || recorder.nonEmpty || cdcFeed ||
+        !GraftTableSource.packEnabled) {
+      GraftTableSource.lastPlannedPartitions = parts.length.toLong
+      parts.map(_._1: InputPartition)
+    } else {
+      val packed = GraftTableSource.packPartitions(parts)
+      GraftTableSource.lastPlannedPartitions = packed.length.toLong
+      packed
     }
   }
 
@@ -1153,8 +1234,8 @@ class GraftTableScan(root: String, version: Long, required: StructType,
     * filtered side. Still a driver-side manifest aggregate;
     * conservative (superset) because envelope pruning is. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows =
-      if (version == 0) 0L
+    private val (rows, bytes): (Long, Option[Long]) =
+      if (version == 0) (0L, Some(0L))
       else {
         val t = graft.format.GraftTable.forPath(SparkSession.active, root)
         // envelope-only: stats are a conservative superset by contract,
@@ -1163,21 +1244,37 @@ class GraftTableScan(root: String, version: Long, required: StructType,
         val pred = filters.map(keep(t.statsCols.toSet, Set.empty))
           .reduceOption(_ && _).getOrElse(lit(true))
         val keptM = t.manifest(version).where(pred)
-        val phys = keptM
-          .agg(org.apache.spark.sql.functions
-            .coalesce(org.apache.spark.sql.functions.sum(col("row_count")),
-              lit(0L)))
-          .head().getLong(0)
+        // size_bytes rides the same single agg job: post-prune
+        // physical bytes, reported only when EVERY kept entry records
+        // a size (a null would understate the scan and could flip a
+        // 100 TB side to broadcast — conservative silence instead)
+        val hasSize = keptM.columns.contains("size_bytes")
+        val aggCols = org.apache.spark.sql.functions
+          .coalesce(org.apache.spark.sql.functions.sum(col("row_count")),
+            lit(0L)) +: (
+          if (hasSize)
+            Seq(org.apache.spark.sql.functions
+                .coalesce(org.apache.spark.sql.functions
+                  .sum(col("size_bytes")), lit(0L)),
+              org.apache.spark.sql.functions
+                .count(lit(1)) - org.apache.spark.sql.functions
+                .count(col("size_bytes")))
+          else Nil)
+        val r = keptM.agg(aggCols.head, aggCols.tail: _*).head()
+        val phys = r.getLong(0)
+        val sz =
+          if (hasSize && r.getLong(2) == 0L) Some(r.getLong(1)) else None
         // subtract the deletion-vector entries that fall in kept files
         val dels =
           if (!t.hasDeletionVectors(version)) 0L
           else t.deletionVectors(version)
             .join(keptM.select("path"), Seq("path"), "left_semi")
             .count()
-        phys - dels
+        (phys - dels, sz)
       }
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.empty()
+      bytes.map(util.OptionalLong.of)
+        .getOrElse(util.OptionalLong.empty())
     override def numRows(): util.OptionalLong =
       util.OptionalLong.of(rows)
   }
@@ -1207,6 +1304,43 @@ case class GraftTableFilePartition(file: String,
     emitPos: Array[Long] = Array.empty) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** Several bin-packed small files served by ONE task — the readers
+  * chain per-file (each keeps its own DV slice, `_file` constant and
+  * `_pos` ordinal, so every per-file semantic is preserved verbatim).
+  * Never used for SPJ scans (no partition key) or CDC scans. */
+case class GraftTablePackedPartition(
+    parts: Array[GraftTableFilePartition]) extends InputPartition
+
+/** Sequential reader chain over a packed partition's files: at most
+  * one inner reader open at a time, each created lazily when the
+  * previous file drains (so a LIMIT that stops early never opens the
+  * tail files at all). */
+class GraftChainedReader[T](
+    makers: Array[() => PartitionReader[T]])
+    extends PartitionReader[T] {
+  private var i = 0
+  private var cur: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (i >= makers.length) return false
+        cur = makers(i)(); i += 1
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+
+  override def close(): Unit = {
+    if (cur != null) { cur.close(); cur = null }
+    i = makers.length
+  }
 }
 
 case class GraftTableOffset(version: Long, snap: Boolean = false)
@@ -1360,7 +1494,10 @@ class GraftTableReaderFactory(root: String, required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !required.fieldNames.contains("_pos") &&
     !required.fieldNames.contains("_change_type") && // CDC: row reader
-    partition.asInstanceOf[GraftTableFilePartition].emitPos.isEmpty &&
+    (partition match {
+      case p: GraftTablePackedPartition => p.parts.forall(_.emitPos.isEmpty)
+      case p: GraftTableFilePartition => p.emitPos.isEmpty
+    }) &&
     dataFields.nonEmpty && dataFields.forall(f => f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType | DateType |
@@ -1372,6 +1509,14 @@ class GraftTableReaderFactory(root: String, required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+    partition match {
+      case p: GraftTablePackedPartition =>
+        // packed partition: chain the per-file readers LAZILY — one
+        // open file at a time, the same per-file DV/metadata handling
+        return new GraftChainedReader[ColumnarBatch](
+          p.parts.map(fp => () => createColumnarReader(fp)))
+      case _ => ()
+    }
     val file = partition.asInstanceOf[GraftTableFilePartition].file
     val fileRel =
       UTF8String.fromString(file.stripPrefix(root).stripPrefix("/"))
@@ -1514,6 +1659,12 @@ class GraftTableReaderFactory(root: String, required: StructType,
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
+    partition match {
+      case pk: GraftTablePackedPartition =>
+        return new GraftChainedReader[InternalRow](
+          pk.parts.map(fp => () => createReader(fp)))
+      case _ => ()
+    }
     val p = partition.asInstanceOf[GraftTableFilePartition]
     val file = p.file
     // deleted row ordinals of THIS file (sorted) — skipped during the
