@@ -837,6 +837,52 @@ object Bench {
       if (runCommitMicro) sampledPair("commit_micro")(commitMicro())
       else (-1.0, -1.0)
 
+    // Packed-scan smoke (round 13): 2048 small files in one table,
+    // the many-micro-commits read shape. Reports (packed, per_file):
+    // the same 3-scan aggregate loop under bin-packed planning (~32
+    // tasks) and under the kill-switch (2048 tasks, the pre-round-13
+    // plan) — the delta is the per-task fixed cost packing removes.
+    def packedScan(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var root: String = null
+      try {
+        root = java.nio.file.Files
+          .createTempDirectory("graft_packed_scan_").toString + "/t"
+        graft.format.GraftTable.create(sp, root,
+          sp.range(0L, 1000000L)
+            .selectExpr("id as k", "id % 97 as v"),
+          statsCols = Seq("k"), numFiles = 2048)
+        def scanOnce(): Unit = {
+          sp.read.format("gtable").load(root)
+            .agg(org.apache.spark.sql.functions.sum("v"),
+              org.apache.spark.sql.functions.count("*"))
+            .collect(); ()
+        }
+        scanOnce() // warm: plan caches + page cache for both arms
+        val packed = timed((1 to 3).foreach(_ => scanOnce()))
+        sp.conf.set("graft.scan.pack.enabled", "false")
+        val perFile = timed((1 to 3).foreach(_ => scanOnce()))
+        sp.conf.unset("graft.scan.pack.enabled")
+        (packed, perFile)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL packed_scan: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (root != null)
+          new Directory(new java.io.File(root).getParentFile)
+            .deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val runPackedScan = only.forall(_.contains("packed_scan"))
+    val (packedScanTime, perFileScanTime) =
+      if (runPackedScan) sampledPair("packed_scan")(packedScan())
+      else (-1.0, -1.0)
+
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
     // used to report under _10x) and are excluded from the headline by
     // this explicit list — never by suffix matching.
@@ -847,7 +893,8 @@ object Bench {
       "bloom_probe_50x", "fullscan_probe_50x",
       "retail_fullscale", "retail_incremental_fullscale",
       "retail_fullscale_lake", "retail_incremental_fullscale_lake",
-      "commit_micro_200", "commit_micro_meta_kb")
+      "commit_micro_200", "commit_micro_meta_kb",
+      "packed_scan_2048", "per_file_scan_2048")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
@@ -864,7 +911,9 @@ object Bench {
       ("retail_fullscale_lake" -> retailLakeTime) :+
       ("retail_incremental_fullscale_lake" -> retailLakeIncTime) :+
       ("commit_micro_200" -> commitMicroTime) :+
-      ("commit_micro_meta_kb" -> commitMicroMetaKb)
+      ("commit_micro_meta_kb" -> commitMicroMetaKb) :+
+      ("packed_scan_2048" -> packedScanTime) :+
+      ("per_file_scan_2048" -> perFileScanTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set

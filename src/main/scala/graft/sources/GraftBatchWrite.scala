@@ -125,8 +125,16 @@ object GraftParquetIO {
           : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
         new ParquetWriteSupport
     }
+    // row-group size: default 128 MB; the system property lets tests
+    // (and bulk loaders tuning group-level parallelism) shrink it —
+    // split planning parallelizes at row-group granularity, so group
+    // size bounds a single file's scan parallelism
+    val rowGroupBytes = java.lang.Long.getLong(
+      "graft.parquet.rowgroup.bytes",
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     new B(new org.apache.hadoop.fs.Path(path))
       .withConf(conf)
+      .withRowGroupSize(rowGroupBytes)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()

@@ -95,6 +95,28 @@ object GraftTableSource {
     SparkSession.active.conf
       .get("graft.scan.pack.enabled", "true").equalsIgnoreCase("true")
 
+  /** Row ordinals before a split's byte offset: row counts of the
+    * row groups whose MIDPOINT (`startingPos + compressedSize/2` —
+    * parquet-mr's `filterFileMetaDataByMidpoint` rule, the same one a
+    * ranged read selects row groups by) falls before `offset`. One
+    * footer read; DV'd or `_pos`-projecting splits pay it to keep
+    * file-global ordinals exact. */
+  private[sources] def rowsBeforeOffset(
+      path: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      offset: Long): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      var n = 0L
+      r.getFooter.getBlocks.forEach { b =>
+        if (b.getStartingPos + b.getCompressedSize / 2 < offset)
+          n += b.getRowCount
+      }
+      n
+    } finally r.close()
+  }
+
   /** Spark's own `FilePartition` packing restated over manifest
     * `size_bytes` (no FS listing — planning stays a metadata job):
     * target = min(maxPartitionBytes, max(openCostInBytes,
@@ -110,7 +132,7 @@ object GraftTableSource {
   private[graft] def packPartitions(
       parts: Array[(GraftTableFilePartition, Long)])
       : Array[InputPartition] = {
-    if (parts.length <= 1) return parts.map(_._1: InputPartition)
+    if (parts.isEmpty) return Array.empty
     val spark = SparkSession.active
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -118,10 +140,27 @@ object GraftTableSource {
     val minParts = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
     val sized = parts.map { case (p, sz) =>
-      (p, if (sz >= 0L) sz else defaultMax) }
+      (p, if (sz >= 0L) sz else defaultMax, sz >= 0L) }
     val total = sized.iterator.map(_._2 + openCost).sum
     val target = math.min(defaultMax,
       math.max(openCost, total / math.max(1, minParts)))
+    // SPLIT first: a known-size file larger than the target plans as
+    // byte-range partitions (row groups assigned by parquet's
+    // midpoint rule — disjoint, covering), so one post-compaction
+    // 10 GB file parallelizes like Spark's own parquet source instead
+    // of serializing a task. Unknown-size files never split (charged
+    // the full target, one partition each — the legacy behavior).
+    val expanded = sized.flatMap { case (p, sz, known) =>
+      if (!known || sz <= target) Array((p, sz))
+      else {
+        val n = ((sz + target - 1L) / target).toInt
+        Array.tabulate(n) { i =>
+          val off = i.toLong * target
+          val len = math.min(target, sz - off)
+          (p.copy(splitStart = off, splitLength = len), len)
+        }
+      }
+    }
     val out = Array.newBuilder[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer
       .empty[GraftTableFilePartition]
@@ -131,7 +170,7 @@ object GraftTableSource {
               else GraftTablePackedPartition(cur.toArray))
       cur.clear(); bytes = 0L
     }
-    for ((p, sz) <- sized.sortBy(-_._2)) {
+    for ((p, sz) <- expanded.sortBy(-_._2)) {
       if (cur.nonEmpty && bytes + sz + openCost > target) close()
       cur += p; bytes += sz + openCost
     }
@@ -1301,7 +1340,16 @@ case class GraftTableFilePartition(file: String,
     // emit ONLY these ordinals (the rows that joined the deletion
     // vector in the stream window) instead of skipping dvPos
     changeType: String = null,
-    emitPos: Array[Long] = Array.empty) extends InputPartition
+    emitPos: Array[Long] = Array.empty,
+    // ROW-GROUP SPLIT range: a large file plans as several byte-range
+    // partitions; parquet's midpoint rule assigns each row group to
+    // exactly one range, so the splits cover the file disjointly.
+    // `splitLength` −1 = whole file (the default everywhere splitting
+    // does not apply). Readers recover the split's starting ROW
+    // ordinal from the footer's block metadata, so DV skipping and
+    // `_pos` stay file-global and exact.
+    splitStart: Long = 0L,
+    splitLength: Long = -1L) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1540,11 +1588,14 @@ class GraftTableReaderFactory(root: String, required: StructType,
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, /* capacity = */ 4096)
     val hPath = new org.apache.hadoop.fs.Path(file)
-    val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
+    val fPart = partition.asInstanceOf[GraftTableFilePartition]
+    val (splitOff, len) =
+      if (fPart.splitLength >= 0L) (fPart.splitStart, fPart.splitLength)
+      else (0L, hPath.getFileSystem(conf).getFileStatus(hPath).getLen)
     // the base reader casts to the old-API FileSplit (which extends
     // the mapreduce one)
     val split = new org.apache.hadoop.mapred
-      .FileSplit(hPath, 0, len, Array.empty[String])
+      .FileSplit(hPath, splitOff, len, Array.empty[String])
     val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
       new org.apache.hadoop.mapreduce.TaskID(
         new org.apache.hadoop.mapreduce.JobID("gtable", 0),
@@ -1562,10 +1613,20 @@ class GraftTableReaderFactory(root: String, required: StructType,
         reader.getCurrentValue.asInstanceOf[ColumnarBatch]
       override def close(): Unit = reader.close()
     }
-    val dvPos = partition.asInstanceOf[GraftTableFilePartition].dvPos
+    val dvPos = fPart.dvPos
     if (dvPos.isEmpty) inner
-    else new DvFilteredBatchReader(inner,
-      StructType(dataFields ++ metaFields), dvPos)
+    else {
+      // DV ordinals are FILE-global; a split's first batch row is the
+      // ordinal count of the row groups before the range (the same
+      // midpoint rule the range read selects by) — one footer read,
+      // paid only by DV'd splits
+      val base =
+        if (fPart.splitLength < 0L || fPart.splitStart == 0L) 0L
+        else GraftTableSource.rowsBeforeOffset(hPath, conf,
+          fPart.splitStart)
+      new DvFilteredBatchReader(inner,
+        StructType(dataFields ++ metaFields), dvPos, base)
+    }
   }
 
   /** Columnar merge-on-read: compacts a batch against THIS file's
@@ -1581,11 +1642,12 @@ class GraftTableReaderFactory(root: String, required: StructType,
   private class DvFilteredBatchReader(
       inner: PartitionReader[ColumnarBatch],
       schema: StructType,
-      dvPos: Array[Long]) extends PartitionReader[ColumnarBatch] {
+      dvPos: Array[Long],
+      baseStart: Long = 0L) extends PartitionReader[ColumnarBatch] {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-    private var base = 0L               // file ordinal of current batch's row 0
+    private var base = baseStart        // file ordinal of current batch's row 0
     private var owned: ColumnarBatch = _ // last compacted batch (vectors ours)
 
     // per-column typed copier: (srcVec, srcRow, dstVec, dstRow)
@@ -1692,11 +1754,27 @@ class GraftTableReaderFactory(root: String, required: StructType,
       private val conf = new org.apache.hadoop.conf.Configuration()
       private val hPath = new org.apache.hadoop.fs.Path(file)
 
-      // projection: required columns present in THIS file's schema
-      private val (fileSchema: MessageType, fileRowCount: Long) = {
+      // projection: required columns present in THIS file's schema;
+      // for a SPLIT partition also the split's starting row ordinal
+      // and row count (row groups assigned by the midpoint rule, so
+      // DV skipping and `_pos` stay file-global)
+      private val (fileSchema: MessageType, baseRows: Long,
+          splitRows: Long) = {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-        try (r.getFooter.getFileMetaData.getSchema, r.getRecordCount)
-        finally r.close()
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          if (p.splitLength < 0L) (schema, 0L, r.getRecordCount)
+          else {
+            var before = 0L; var in = 0L
+            r.getFooter.getBlocks.forEach { b =>
+              val mid = b.getStartingPos + b.getCompressedSize / 2
+              if (mid < p.splitStart) before += b.getRowCount
+              else if (mid < p.splitStart + p.splitLength)
+                in += b.getRowCount
+            }
+            (schema, before, in)
+          }
+        } finally r.close()
       }
       // 0 = present in this file, 1 = absent (schema evolution →
       // null), 2 = the `_file` metadata column (per-file constant),
@@ -1729,8 +1807,13 @@ class GraftTableReaderFactory(root: String, required: StructType,
 
       private val reader: ParquetReader[Group] =
         if (emptyProjection) null
-        else ParquetReader
-          .builder(new GroupReadSupport(), hPath).withConf(conf).build()
+        else {
+          val b = ParquetReader
+            .builder(new GroupReadSupport(), hPath).withConf(conf)
+          (if (p.splitLength >= 0L)
+            b.withFileRange(p.splitStart, p.splitStart + p.splitLength)
+          else b).build()
+        }
 
       private var row: InternalRow = _
 
@@ -1795,11 +1878,21 @@ class GraftTableReaderFactory(root: String, required: StructType,
         }
       }
 
-      // sequential row ordinal + pointers into the sorted DV /
-      // emit-only ordinal arrays
-      private var rowPos: Long = -1L
-      private var dvIdx: Int = 0
-      private var emitIdx: Int = 0
+      // sequential row ordinal (file-global — a split starts at its
+      // preceding row groups' count) + pointers into the sorted DV /
+      // emit-only ordinal arrays, advanced past the ordinals that
+      // belong to earlier splits
+      private var rowPos: Long = baseRows - 1L
+      private def lowerBound(a: Array[Long], x: Long): Int = {
+        var lo = 0; var hi = a.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (a(m) < x) lo = m + 1 else hi = m
+        }
+        lo
+      }
+      private var dvIdx: Int = lowerBound(dvPos, baseRows)
+      private var emitIdx: Int = lowerBound(emitPos, baseRows)
       private val emitOnly = emitPos.nonEmpty
 
       override def next(): Boolean = {
@@ -1811,7 +1904,7 @@ class GraftTableReaderFactory(root: String, required: StructType,
           // the projection is empty (kind 0 can't occur then)
           var g: Group = null
           if (emptyProjection) {
-            if (rowPos + 1 >= fileRowCount) return false
+            if (rowPos + 1 >= baseRows + splitRows) return false
           } else {
             g = reader.read()
             if (g == null) return false

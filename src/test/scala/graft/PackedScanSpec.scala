@@ -126,16 +126,26 @@ class PackedScanSpec extends AnyFunSuite {
     val packed = GraftTableSource.packPartitions(parts)
     assert(packed.length < parts.length)
     val singles = packed.collect { case p: GraftTableFilePartition => p.file }
-    assert(singles.contains("legacy") && singles.contains("jumbo"),
-      "unknown-size and full-size files must not share a task")
+    assert(singles.contains("legacy"),
+      "unknown-size files must not share a task")
     val grouped = packed.collect { case p: GraftTablePackedPartition => p }
     assert(grouped.nonEmpty, "tiny files must share tasks")
-    // every input file appears exactly once across the plan
+    // every input file appears across the plan; the jumbo file may
+    // split into ranges, each other file exactly once and whole
     val all = packed.flatMap {
-      case p: GraftTablePackedPartition => p.parts.map(_.file)
-      case p: GraftTableFilePartition => Array(p.file)
+      case p: GraftTablePackedPartition => p.parts
+      case p: GraftTableFilePartition => Array(p)
     }
-    assert(all.sorted.toSeq == parts.map(_._1.file).sorted.toSeq)
+    val jumboLen = all.filter(_.file == "jumbo").map { s =>
+      assert(s.splitLength >= 0L, "an over-target file must split")
+      s.splitLength
+    }.sum
+    assert(jumboLen == big, "jumbo ranges must cover the file")
+    val others = all.filter(_.file != "jumbo")
+    assert(others.forall(_.splitLength == -1L),
+      "under-target files stay whole")
+    assert(others.map(_.file).sorted.toSeq ==
+      parts.map(_._1.file).filter(_ != "jumbo").sorted.toSeq)
     // no packed group exceeds the target budget
     val minParts = spark.sessionState.conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
@@ -163,6 +173,71 @@ class PackedScanSpec extends AnyFunSuite {
       assert(df.groupBy("k").agg(sum("v")).collect().length == 3)
     } finally
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
+  test("packPartitions splits a known-size jumbo file into disjoint " +
+      "covering byte ranges; unknown sizes never split") {
+    def fp(n: String) = GraftTableFilePartition(n)
+    val big = spark.sessionState.conf.filesMaxPartitionBytes
+    val parts = Array((fp("jumbo"), big * 3L + 7L), (fp("legacy"), -1L))
+    val packed = GraftTableSource.packPartitions(parts)
+    val splits = packed.collect {
+      case p: GraftTableFilePartition if p.file == "jumbo" => p
+      case p: GraftTablePackedPartition =>
+        assert(!p.parts.exists(_.file == "jumbo"),
+          "a full-size split must not share a task"); null
+    }.filter(_ != null).sortBy(_.splitStart)
+    assert(splits.length >= 4, "3x+ max bytes must plan several ranges")
+    assert(splits.head.splitStart == 0L)
+    splits.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0).splitStart + w(0).splitLength == w(1).splitStart,
+        "ranges must be contiguous")
+    }
+    assert(splits.map(_.splitLength).sum == big * 3L + 7L,
+      "ranges must cover the file exactly")
+    val legacy = packed.collect {
+      case p: GraftTableFilePartition if p.file == "legacy" => p }
+    assert(legacy.length == 1 && legacy.head.splitLength == -1L,
+      "unknown-size files stay whole")
+  }
+
+  test("a multi-row-group file reads identically through ranged " +
+      "splits — DV, _pos and _file stay file-global") {
+    val root = tmp()
+    // ~64 KB row groups → a dozen groups in one file; then plan with
+    // a small target so the file genuinely splits
+    System.setProperty("graft.parquet.rowgroup.bytes", "65536")
+    try {
+      val t = GraftTable.create(spark, root,
+        (1L to 40000L).map(k => (k, s"pad-$k-${"y" * 30}")).toDF("k", "s"),
+        Seq("k"), numFiles = 1)
+      assert(t.fileCount() == 1L)
+      val fileBytes = t.manifest().agg(sum("size_bytes")).head().getLong(0)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (fileBytes / 6L).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "4096")
+      try {
+        val df = spark.read.format("gtable").load(root)
+        assert(numParts(df) > 1, "the jumbo file must split")
+        assert(df.count() == 40000L)
+        assert(df.agg(sum("k")).head().getLong(0) ==
+          (1L to 40000L).sum)
+        // row ordinals stay file-global and unique through the ranges
+        val pos = spark.read.format("gtable").load(root)
+          .select(col("_pos")).collect().map(_.getLong(0))
+        assert(pos.length == 40000 && pos.toSet.size == 40000)
+        assert(pos.min == 0L && pos.max == 39999L)
+        // MOR delete: the DV applies exactly once across the splits
+        t.deleteWhereMor(col("k") % 100L === 7L)
+        val afterDel = spark.read.format("gtable").load(root)
+        assert(afterDel.count() == 39600L)
+        assert(afterDel.where(col("k") % 100L === 7L).count() == 0L)
+        assert(afterDel.select("_file").distinct().count() == 1L)
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    } finally System.clearProperty("graft.parquet.rowgroup.bytes")
   }
 
   test("post-prune CBO stats report physical sizeInBytes off the " +
