@@ -1628,6 +1628,53 @@ final class GraftTable private (
     }
   }
 
+  /** SIZE-TARGETED incremental compaction (Delta OPTIMIZE's
+    * contract, expressible now that manifests record `size_bytes`):
+    * fold live files smaller than `smallBytes` into outputs of
+    * ~`targetBytes` each, auto-sizing the output count from the
+    * candidates' RECORDED bytes instead of asking the caller to guess
+    * `numFiles`. Entries that predate size recording (null
+    * `size_bytes`) are candidates too — folding them is exactly how a
+    * legacy table acquires sized, split-planable files — and are
+    * charged the mean known candidate size (or `smallBytes/2` when no
+    * size is known) for output sizing. Carried files, DV handling and
+    * the `data_change=0` commit kind are [[compactSmall]]'s. */
+  def compactToSize(smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Long = {
+    require(smallBytes > 0 && targetBytes > 0,
+      "compactToSize: byte thresholds must be positive")
+    val parent0 = currentVersion
+    if (parent0 == 0) return 0L
+    def cands(v: Long): Array[(String, Long)] = {
+      val m = manifest(v)
+      val sz =
+        if (m.columns.contains("size_bytes")) col("size_bytes")
+        else lit(null).cast("bigint")
+      m.select(col("path"), sz.as("sz"))
+        .where(col("sz").isNull || col("sz") < smallBytes)
+        .collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    }
+    val minFold = if (clusterBy.isEmpty) 2 else 1
+    if (cands(parent0).length < minFold) return parent0
+    commitWithRetry("compact_to_size") { parent =>
+      val cs = cands(parent)
+      if (cs.length < minFold) AddRemove() // raced: debt folded away
+      else {
+        val known = cs.collect { case (_, s) if s >= 0 => s }
+        val meanKnown =
+          if (known.isEmpty) smallBytes / 2
+          else known.sum / known.length
+        val totalBytes = cs.map { case (_, s) =>
+          if (s >= 0) s else meanKnown }.sum
+        val nOut = math.max(1L,
+          (totalBytes + targetBytes - 1L) / targetBytes).toInt
+        rewriteSlice(parent, cs.map(_._1), nOut, clusterBy)
+      }
+    }
+  }
+
   /** Shared slice-rewrite for the incremental compactors: read ONLY
     * `paths` (evolved tables via explicit physical schema — mergeSchema
     * refuses the int-vs-long merges widening creates), drop DV'd rows,
@@ -2494,7 +2541,8 @@ object GraftTable {
     * NOT new data, and emitting them as inserts double-counts every
     * surviving row in a downstream fold (VERDICT r11 #1). */
   private[graft] val NonDataChangeOps =
-    Set("compact", "compact_small", "compact_where", "zorder", "alter")
+    Set("compact", "compact_small", "compact_where", "compact_to_size",
+      "zorder", "alter")
 
   /** Legacy-snapshot fallback for the `rewrite=1` kv: ops that MAY
     * drop live files while changing content — a CDC window containing

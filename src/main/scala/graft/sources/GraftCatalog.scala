@@ -547,6 +547,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(_.nonEmpty).toSeq
       t.compactWhere(cond, maxRows, n, cluster)
     },
+    // SIZE-TARGETED compaction (Delta OPTIMIZE's contract over the
+    // manifest's size_bytes): fold files under small_bytes into
+    // ~target_bytes outputs, output count auto-sized from recorded
+    // bytes — the "compact to healthy 128 MB files" maintenance verb,
+    // no num_files guessing.
+    "compact_to_size" -> longProc("compact_to_size", "version", Seq(
+      inParam("table", DataTypes.StringType),
+      inParam("small_bytes", DataTypes.LongType,
+        Some((32L << 20).toString)),
+      inParam("target_bytes", DataTypes.LongType,
+        Some((128L << 20).toString)),
+      inParam("cluster_by", DataTypes.StringType, Some("''")))) { in =>
+      val t = tableForName(in.getUTF8String(0).toString)
+      val small =
+        if (in.numFields < 2 || in.isNullAt(1)) 32L << 20
+        else in.getLong(1)
+      val target =
+        if (in.numFields < 3 || in.isNullAt(2)) 128L << 20
+        else in.getLong(2)
+      val cluster =
+        if (in.numFields < 4 || in.isNullAt(3)) Nil
+        else in.getUTF8String(3).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      t.compactToSize(small, target, cluster)
+    },
     // LIVE FILE listing (Iceberg's `files` metadata table as a
     // procedure): path, row count, and live deletion-vector entry
     // count per data file, ordered largest-first — the ops view that
