@@ -932,6 +932,30 @@ object OracleSql {
         FROM orders WHERE o_orderkey % 35 = 0)
       GROUP BY 1 ORDER BY 1
     """,
+    // q252: the bin-packed scan of ~240 micro files (minus the %11
+    // MOR band) must read exactly orders minus that band — chained
+    // readers lose/duplicate nothing, each DV slice applies once.
+    "q252_packed_scan" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS price_sum
+      FROM orders
+      WHERE o_orderkey % 11 <> 0
+      GROUP BY 1 ORDER BY 1
+    """,
+    // q253: one multi-row-group file scanned as byte-range splits
+    // (minus the %13 MOR band) must read exactly lineitem minus that
+    // band — ranges are disjoint/covering, DV ordinals stay global.
+    "q253_split_scan" -> """
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS qty_sum
+      FROM lineitem
+      WHERE l_orderkey % 13 <> 0
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -332,7 +332,9 @@ object SparkEntry {
     "q249_cdc_merge_updates" -> (FormatQueries.q249CdcMergeUpdates _),
     "q250_compact_where" -> (FormatQueries.q250CompactWhere _),
     "q251_table_changes_named" ->
-      (FormatQueries.q251TableChangesNamed _)
+      (FormatQueries.q251TableChangesNamed _),
+    "q252_packed_scan" -> (FormatQueries.q252PackedScan _),
+    "q253_split_scan" -> (FormatQueries.q253SplitScan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1416,6 +1416,85 @@ object FormatQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q252 — BIN-PACKED SCAN (round 13): orders lands as ~240 micro
+    * files (the streaming-micro-commit layout) plus a MOR deletion
+    * band; the scan must plan FEWER partitions than files (packing
+    * engaged — `require`d, so a silent regression fails the gate, not
+    * just slows it) and still hash-match a plain aggregate over the
+    * original parquet minus the deleted band: the chained readers
+    * lose no file, duplicate no file, and apply every per-file DV
+    * slice exactly once. */
+  def q252PackedScan(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_packed"
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    buildOnce(root) {
+      val t = GraftTable.create(s, root, o.where(col("o_orderkey") % 5 === 0),
+        statsCols = Seq("o_orderkey"), numFiles = 48)
+      (1 to 4).foreach(i => t.append(
+        o.where(col("o_orderkey") % 5 === i), numFiles = 48))
+      t.deleteWhereMor(col("o_orderkey") % 11 === 0)
+      ()
+    }
+    val df = s.read.format("gtable").load(root)
+    val files = GraftTable.forPath(s, root).fileCount()
+    val parts = df.rdd.getNumPartitions
+    require(parts < files,
+      s"q252: packing must plan fewer partitions than files " +
+        s"($parts vs $files)")
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("price_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q253 — ROW-GROUP SPLIT SCAN (round 13): lineitem written as ONE
+    * file of many small row groups, then scanned under a shrunken
+    * `maxPartitionBytes` so planning carves it into byte-range
+    * partitions (`require`d > 1); a MOR deletion vector spans the
+    * whole file, so the hash gate proves ranges are disjoint and
+    * covering AND file-global DV ordinals land in exactly one range.
+    * The aggregate materializes while the conf override is in force
+    * (planning happens at action time), then returns as a local
+    * frame. */
+  def q253SplitScan(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.dir(s, "gtable")}/lineitem_split"
+    buildOnce(root) {
+      System.setProperty("graft.parquet.rowgroup.bytes", "65536")
+      try {
+        val t = GraftTable.create(s, root,
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_quantity"),
+          statsCols = Seq("l_orderkey"), numFiles = 1)
+        t.deleteWhereMor(col("l_orderkey") % 13 === 0)
+        ()
+      } finally System.clearProperty("graft.parquet.rowgroup.bytes")
+    }
+    val t = GraftTable.forPath(s, root)
+    val fileBytes = t.manifest()
+      .agg(sum(col("size_bytes"))).head().getLong(0)
+    s.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(1L << 16, fileBytes / 6L).toString)
+    s.conf.set("spark.sql.files.openCostInBytes", "4096")
+    try {
+      val df = s.read.format("gtable").load(root)
+      require(df.rdd.getNumPartitions > 1,
+        "q253: the single file must split into byte ranges")
+      val agg = df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("decimal(18,4)"))
+            .cast("double"), 2).as("qty_sum"))
+        .orderBy(col("l_returnflag"))
+      val rows = agg.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally {
+      s.conf.unset("spark.sql.files.maxPartitionBytes")
+      s.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   /** q250 — PREDICATE-SCOPED COMPACTION (`CALL system.compact_where`,
     * Delta's `OPTIMIZE … WHERE`): the low half of the key space
     * accretes small-file debt plus a MOR deletion vector, then ONE
