@@ -37,12 +37,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Column pruning**: the required schema reaches the parquet
   *    readers, which project at the page level (a 2-column read of a
   *    16-column table decodes 2 columns).
-  *  - **Stats reporting**: `estimateStatistics` answers row counts
-  *    from the manifest alone (metadata-only, feeds the CBO/AQE the
-  *    same way a catalog table's stats would).
+  *  - **Stats reporting**: `estimateStatistics` answers post-prune
+  *    row counts AND physical bytes from the manifest alone
+  *    (metadata-only, feeds the CBO/AQE the same way a catalog
+  *    table's stats would — a windowed side under the broadcast
+  *    threshold auto-broadcasts without a hint).
   *
-  * One InputPartition PER LIVE FILE — scan parallelism = file count,
-  * executors read independently. Readers use parquet-hadoop's Group
+  * Partitions plan at BYTE granularity off the manifest's
+  * `size_bytes` (round 13 — Spark's own FilePartition math restated
+  * over pure metadata): small files bin-pack into multi-file tasks
+  * served by chained readers, over-target files split into row-group
+  * byte ranges, so scan parallelism tracks bytes/target at both
+  * extremes (10⁴ micro-commits ≠ 10⁴ tasks; one 10 GB file ≠ 1
+  * task). SPJ, row-level-op and CDC scans keep one partition per
+  * file by construction. Readers use parquet-hadoop's Group
   * API (per-file footers, so SCHEMA EVOLUTION works: a column missing
   * from an old file surfaces as null, matching [[graft.format
   * .GraftTable.readMerged]]). The reference has no table format at
