@@ -697,6 +697,37 @@ final class GraftTable private (
     }
   }
 
+  /** Entry count of the manifest dirs ADDED at exactly `v` —
+    * snapshot-record arithmetic (per-dir entry counts ride the
+    * records, ZERO jobs). The streaming source's admission-control
+    * cost model: close enough for a rate cap (a folded dir counts
+    * its full entries; legacy -1 counts as 0), never used for
+    * semantics. */
+  private[graft] def addedEntryCountAt(v: Long): Long = {
+    val prev = (if (v <= 1) Nil else snapshot(v - 1).manifestDirs)
+      .map(_.dir).toSet
+    snapshot(v).manifestDirs.filterNot(r => prev(r.dir))
+      .map(r => math.max(0L, r.entries)).sum
+  }
+
+  /** Bytes of the manifest dirs ADDED at exactly `v` — one delta-
+    * sized manifest read (`size_bytes` summed over the new dirs;
+    * legacy null sizes count 0). Paid ONLY by streams that set
+    * `maxBytesPerTrigger`; like [[addedEntryCountAt]] this is a rate
+    * cap's cost model, never semantics. */
+  private[graft] def addedBytesAt(v: Long): Long = {
+    val prev = (if (v <= 1) Nil else snapshot(v - 1).manifestDirs)
+      .map(_.dir).toSet
+    val newDirs = snapshot(v).manifestDirs.filterNot(r => prev(r.dir))
+    if (newDirs.isEmpty) 0L
+    else {
+      val u = unionRefs(newDirs)
+      if (!u.columns.contains("size_bytes")) 0L
+      else u.agg(coalesce(sum(col("size_bytes")), lit(0L)))
+        .head().getLong(0)
+    }
+  }
+
   /** Root-relative paths of the data files ADDED at exactly version
     * `v` — driver arithmetic over the snapshot's manifest-dir LIST
     * (delta dirs are immutable and carried by reference, so an

@@ -581,6 +581,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     "files" -> proc("files", StructType(Seq(
       StructField("path", DataTypes.StringType),
       StructField("row_count", DataTypes.LongType),
+      StructField("size_bytes", DataTypes.LongType),
       StructField("dv_dels", DataTypes.LongType))), Seq(
       inParam("table", DataTypes.StringType),
       inParam("max_files", DataTypes.IntegerType, Some("1000")))) { in =>
@@ -591,7 +592,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (!t.hasDeletionVectors()) null
         else t.deletionVectors().groupBy(col("path"))
           .agg(count(lit(1)).as("dv_dels"))
-      val m0 = t.manifest().select("path", "row_count")
+      val m00 = t.manifest()
+      // size_bytes (round 13): the ops view answers "is this layout
+      // healthy" in BYTES — null for entries predating size recording
+      val m0 = m00.select(col("path"), col("row_count"),
+        (if (m00.columns.contains("size_bytes")) col("size_bytes")
+         else lit(null).cast("bigint")).as("size_bytes"))
       val m = (if (dels == null) m0.withColumn("dv_dels", lit(0L))
         else m0.join(dels, Seq("path"), "left")
           .na.fill(0L, Seq("dv_dels")))
@@ -600,7 +606,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       m.collect().map(r => InternalRow(
         org.apache.spark.unsafe.types.UTF8String
           .fromString(r.getString(0)),
-        r.getLong(1), r.getLong(2)))
+        r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        r.getLong(3)))
     },
     // IMMUTABLE snapshot tags (dataset pinning): `CALL
     // cat.system.tag('t', 'train_v1')` pins the current (or given)

@@ -240,6 +240,67 @@ class PackedScanSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.parquet.rowgroup.bytes")
   }
 
+  test("a small gtable join side auto-broadcasts WITHOUT a hint off " +
+      "the reported physical bytes") {
+    val bigRoot = tmp(); val dimRoot = tmp()
+    GraftTable.create(spark, bigRoot,
+      (1L to 50000L).map(k => (k, k % 997)).toDF("k", "fk"),
+      Seq("k"), numFiles = 4)
+    GraftTable.create(spark, dimRoot,
+      (0L to 996L).map(d => (d, s"dim-$d")).toDF("d", "name"),
+      Seq("d"), numFiles = 1)
+    val big = spark.read.format("gtable").load(bigRoot)
+    val dim = spark.read.format("gtable").load(dimRoot)
+    val joined = big.join(dim, big("fk") === dim("d"))
+    // static plan (pre-AQE): only the reported sizeInBytes can put
+    // the dim side under the broadcast threshold — without it a DSv2
+    // relation defaults to "huge" and plans a sort-merge join
+    assert(joined.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      "the sub-threshold gtable side must auto-broadcast:\n" +
+        joined.queryExecution.sparkPlan)
+    assert(joined.count() == 50000L)
+  }
+
+  test("an initial-snapshot stream over a micro-file table packs its " +
+      "seed batch and folds to the exact live content") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 40L).map(k => (k, k * 10L)).toDF("k", "v"),
+      Seq("k"), numFiles = 1)
+    (1 to 19).foreach(i =>
+      t.append((1L to 40L).map(k => (i * 1000L + k, k)).toDF("k", "v"),
+        numFiles = 1))
+    t.deleteWhereMor(col("k") % 10L === 7L)
+    val from = t.currentVersion
+    val out = s"$root-snapseed"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_packseed_ckpt_").toString
+    val q = spark.readStream.format("gtable")
+      .option("startingVersion", from.toString)
+      .option("initialSnapshot", "true")
+      .load(root)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val seeded = spark.read.parquet(out)
+    val live = t.read()
+    assert(seeded.count() == live.count())
+    assert(seeded.agg(sum("v")).head().getLong(0) ==
+      live.agg(sum("v")).head().getLong(0))
+    assert(seeded.where(col("k") % 10L === 7L).count() == 0L,
+      "DV'd rows must not be re-seeded")
+  }
+
   test("post-prune CBO stats report physical sizeInBytes off the " +
       "manifest") {
     val root = tmp()

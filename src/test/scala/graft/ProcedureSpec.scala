@@ -179,9 +179,9 @@ class ProcedureSpec extends AnyFunSuite {
     val cat = spark.sessionState.catalogManager.catalog("prc")
       .asInstanceOf[graft.sources.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted
-      .toSeq == Seq("compact", "compact_where", "drop_tag", "files",
-        "history", "maintain", "restore", "tag", "tags", "vacuum",
-        "zorder"))
+      .toSeq == Seq("compact", "compact_to_size", "compact_where",
+        "drop_tag", "files", "history", "maintain", "restore", "tag",
+        "tags", "vacuum", "zorder"))
   }
 
   test("CALL system.files lists live files with row counts and live " +
@@ -192,12 +192,18 @@ class ProcedureSpec extends AnyFunSuite {
     t.append((901L to 910L).toDF("k"), numFiles = 1) // small-file tail
     t.deleteWhereMor(col("k") <= 50)
     val rows = spark.sql("CALL prc.system.files('t_files')")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.length == 4)
     assert(rows.map(_._2).sum == 910L, "row counts must sum to physical")
-    assert(rows.map(_._3).sum == 50L, "live DV entries must sum to 50")
+    assert(rows.map(_._4).sum == 50L, "live DV entries must sum to 50")
     assert(rows.head._2 >= rows.last._2, "largest files first")
     assert(rows.last._2 == 10L, "the small-file tail is visible")
+    // size_bytes (round 13): the ops view reports real on-disk bytes
+    rows.foreach { case (p, _, sz, _) =>
+      assert(sz == new java.io.File(s"$root/$p").length(),
+        s"size_bytes must be the file's on-disk bytes for $p")
+    }
     val capped = spark.sql(
       "CALL prc.system.files('t_files', max_files => 2)").collect()
     assert(capped.length == 2)

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.format.GraftTable
+import graft.sources.{GraftTableMicroBatchStream, GraftTableOffset}
+
+/** Streaming admission control (round 13): a restarted stream against
+  * a deep commit backlog drains in RATE-LIMITED micro-batches —
+  * `maxVersionsPerTrigger` caps versions per batch,
+  * `maxFilesPerTrigger` caps by added-file count (snapshot-record
+  * arithmetic, zero jobs) — and `Trigger.AvailableNow` is
+  * first-class: target pinned at prepare, drained in bounded batches,
+  * then termination. Delta's rate-limit contract restated. */
+class StreamRateLimitSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_rate_").toString + "/t"
+
+  private def drain(root: String, out: String,
+      opts: Map[String, String]): Seq[Long] = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rate_ckpt_").toString
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var reader = spark.readStream.format("gtable")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val n = df.count()
+          batchSizes.synchronized { batchSizes += n }
+          df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchSizes.toSeq
+  }
+
+  test("maxVersionsPerTrigger drains a 6-commit backlog in capped " +
+      "batches under AvailableNow, losing and duplicating nothing") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      numFiles = 2)
+    (1 to 5).foreach(i => t.append(
+      (1L to 100L).map(k => (i * 1000L + k, k)).toDF("k", "v"),
+      numFiles = 2))
+    val out = s"$root-mv"
+    val sizes = drain(root, out, Map("maxVersionsPerTrigger" -> "2"))
+    // 6 versions / 2 per trigger = 3 non-empty batches (AvailableNow
+    // may add a trailing empty batch; ignore zeros)
+    assert(sizes.filter(_ > 0) == Seq(200L, 200L, 200L),
+      s"got batches $sizes")
+    val all = spark.read.parquet(out)
+    assert(all.count() == 600L)
+    assert(all.select("k").distinct().count() == 600L)
+  }
+
+  test("maxFilesPerTrigger caps batches by added-file count at " +
+      "version granularity") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 50L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      numFiles = 2)
+    (1 to 4).foreach(i => t.append(
+      (1L to 50L).map(k => (i * 1000L + k, k)).toDF("k", "v"),
+      numFiles = 2))
+    val out = s"$root-mf"
+    // 2 files per version, cap 3 → each batch takes 2 versions
+    // (4 files — overshoot by at most the crossing version)
+    val sizes = drain(root, out, Map("maxFilesPerTrigger" -> "3"))
+    val nonEmpty = sizes.filter(_ > 0)
+    assert(nonEmpty.length == 3, s"got batches $sizes")
+    assert(nonEmpty.sum == 250L)
+    assert(nonEmpty.max == 100L, "a batch holds at most 2 versions")
+    assert(spark.read.parquet(out).select("k").distinct()
+      .count() == 250L)
+  }
+
+  test("initial snapshot seeds ALONE, then the backlog drains under " +
+      "the version cap") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 80L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      numFiles = 4)
+    val seedV = t.currentVersion
+    (1 to 4).foreach(i => t.append(
+      (1L to 10L).map(k => (i * 100L + k, k)).toDF("k", "v"),
+      numFiles = 1))
+    val out = s"$root-snap"
+    val sizes = drain(root, out, Map(
+      "startingVersion" -> seedV.toString,
+      "initialSnapshot" -> "true",
+      "maxVersionsPerTrigger" -> "2"))
+    val nonEmpty = sizes.filter(_ > 0)
+    assert(nonEmpty == Seq(80L, 20L, 20L),
+      s"seed batch must stand alone, then capped deltas: $sizes")
+    assert(spark.read.parquet(out).count() == 120L)
+  }
+
+  test("latestOffset math: unlimited jumps to current; caps apply; " +
+      "no-progress returns the start offset") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      Seq((1L, 1L)).toDF("k", "v"), Seq("k"), numFiles = 1)
+    (1 to 9).foreach(i =>
+      t.append(Seq((i + 1L, 1L)).toDF("k", "v"), numFiles = 1))
+    val required = t.read().schema
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val unlimited = new GraftTableMicroBatchStream(root, required, 0L)
+    assert(unlimited.latestOffset(GraftTableOffset(0L),
+      ReadLimit.allAvailable()) == GraftTableOffset(10L))
+    assert(unlimited.latestOffset(GraftTableOffset(10L),
+      ReadLimit.allAvailable()) == GraftTableOffset(10L))
+    val capped = new GraftTableMicroBatchStream(root, required, 0L,
+      maxVersionsPerTrigger = 3L)
+    assert(capped.latestOffset(GraftTableOffset(0L),
+      ReadLimit.allAvailable()) == GraftTableOffset(3L))
+    assert(capped.latestOffset(GraftTableOffset(9L),
+      ReadLimit.allAvailable()) == GraftTableOffset(10L))
+    val byFiles = new GraftTableMicroBatchStream(root, required, 0L,
+      maxFilesPerTrigger = 2L)
+    assert(byFiles.latestOffset(GraftTableOffset(0L),
+      ReadLimit.allAvailable()) == GraftTableOffset(2L))
+    // maxBytesPerTrigger: one-row commits of ~equal size — a cap of
+    // 1.5 file-bytes takes 2 versions per batch (overshoot by at most
+    // the crossing version)
+    val oneBytes = GraftTable.forPath(spark, root)
+      .manifest().agg(min(col("size_bytes"))).head().getLong(0)
+    val byBytes = new GraftTableMicroBatchStream(root, required, 0L,
+      maxBytesPerTrigger = oneBytes * 3L / 2L)
+    assert(byBytes.latestOffset(GraftTableOffset(0L),
+      ReadLimit.allAvailable()) == GraftTableOffset(2L))
+    // AvailableNow pin: commits after prepare are not consumed
+    val pinned = new GraftTableMicroBatchStream(root, required, 0L)
+    pinned.prepareForTriggerAvailableNow()
+    t.append(Seq((99L, 1L)).toDF("k", "v"), numFiles = 1)
+    assert(pinned.latestOffset(GraftTableOffset(0L),
+      ReadLimit.allAvailable()) == GraftTableOffset(10L),
+      "the prepare-time cap must hold")
+  }
+}
