@@ -956,6 +956,17 @@ object OracleSql {
       WHERE l_orderkey % 13 <> 0
       GROUP BY 1 ORDER BY 1
     """,
+    // q254: draining the 5-commit backlog in >=3 rate-limited batches
+    // must fold to exactly orders — no version lost at a batch
+    // boundary, none replayed across one.
+    "q254_rate_limited_stream" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS revenue
+      FROM orders
+      GROUP BY 1 ORDER BY 1
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -334,7 +334,9 @@ object SparkEntry {
     "q251_table_changes_named" ->
       (FormatQueries.q251TableChangesNamed _),
     "q252_packed_scan" -> (FormatQueries.q252PackedScan _),
-    "q253_split_scan" -> (FormatQueries.q253SplitScan _)
+    "q253_split_scan" -> (FormatQueries.q253SplitScan _),
+    "q254_rate_limited_stream" ->
+      (FormatQueries.q254RateLimitedStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

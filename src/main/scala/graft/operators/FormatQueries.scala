@@ -482,6 +482,55 @@ object FormatQueries {
       .orderBy(col("order_year"))
   }
 
+  /** q254 — RATE-LIMITED STREAM DRAIN (round 13 admission control):
+    * orders lands over five commits, then an AvailableNow stream
+    * drains the backlog under `maxVersionsPerTrigger=2` — at least
+    * three bounded micro-batches instead of one giant catch-up batch
+    * (`require`d, so a silently-uncapped source fails the gate). The
+    * fold hash-matching a plain aggregate over orders ⟺ the capped
+    * batches partition the backlog exactly: no version lost at a
+    * batch boundary, none replayed across one. */
+  def q254RateLimitedStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = s"${graft.Scratch.dir(s, "gtable")}/orders_rate"
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    buildOnce(root) {
+      val t = GraftTable.create(s, root, o.where(col("o_orderkey") % 5 === 0),
+        statsCols = Seq("o_orderkey"), numFiles = 2)
+      (1 to 4).foreach(i => t.append(
+        o.where(col("o_orderkey") % 5 === i), numFiles = 2))
+      ()
+    }
+    val out = s"${graft.Scratch.dir(s, "gtable")}" +
+      s"/q254_fold_${System.nanoTime}"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream
+      .format(classOf[graft.sources.GraftTableSource].getName)
+      .option("maxVersionsPerTrigger", "2")
+      .load(root)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val n = df.count()
+          if (n > 0) batches.incrementAndGet()
+          df.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(batches.get() >= 3,
+      s"q254: 5 versions / 2 per trigger must drain in >=3 bounded " +
+        s"batches, got ${batches.get()}")
+    s.read.parquet(out)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("order_year"))
+  }
+
   /** q225 — the table format BY NAME through the `GraftCatalog`
     * TableCatalog plugin: the shared orders table resolves as
     * `glake.orders` and the aggregate runs as plain SQL over the
