@@ -142,7 +142,8 @@ final class GraftTable private (
         rewrite = kv.get("rewrite").map(_ == "1")
           .getOrElse(LegacyRewriteOps(kv("op"))),
         mergeKeys = kv.get("merge_keys").filter(_.nonEmpty)
-          .map(_.split(",").toSeq).getOrElse(Nil))
+          .map(_.split(",").toSeq).getOrElse(Nil),
+        statsTruncated = kv.get("stats_truncated").contains("1"))
     }
 
   /** The table schema RECORDED AT COMMIT TIME (Delta's metadata
@@ -1304,8 +1305,15 @@ final class GraftTable private (
         if (mcols.contains(s"nulls_$c"))
           col(s"nulls_$c") <=> col("row_count")
         else lit(false)
-      max(when(col(s"min_$c").isNull &&
-        coalesce(col("row_count"), lit(1L)) =!= lit(0L) && !allNull,
+      // a TRUNCATED envelope (StatsTrunc) is a valid bound but not an
+      // exact extreme — metadata MIN/MAX must decline it like a
+      // missing one
+      val truncd =
+        if (mcols.contains(s"trunc_$c")) col(s"trunc_$c") <=> lit(true)
+        else lit(false)
+      max(when((col(s"min_$c").isNull &&
+        coalesce(col("row_count"), lit(1L)) =!= lit(0L) && !allNull) ||
+        truncd,
         lit(1)).otherwise(lit(0))).as(s"_inc_$c")
     }
     val aggs = (coalesce(sum(col("row_count")), lit(0L)) - lit(dels))
@@ -1342,8 +1350,15 @@ final class GraftTable private (
           if (mcols.contains(s"nulls_$c"))
             col(s"nulls_$c") <=> col("row_count")
           else lit(false)
-        max(when(col(s"min_$c").isNull &&
-          coalesce(col("row_count"), lit(1L)) =!= lit(0L) && !allNull,
+        // truncated envelopes (StatsTrunc) are bounds, not extremes —
+        // agg pushdown must decline them too
+        val truncd =
+          if (mcols.contains(s"trunc_$c"))
+            col(s"trunc_$c") <=> lit(true)
+          else lit(false)
+        max(when((col(s"min_$c").isNull &&
+          coalesce(col("row_count"), lit(1L)) =!= lit(0L) && !allNull)
+          || truncd,
           lit(1)).otherwise(lit(0))).as(c)
       }
       val r = mdf.agg(aggs.head, aggs.tail: _*).head()
@@ -1939,6 +1954,46 @@ final class GraftTable private (
             org.apache.spark.sql.types.StructField("size_bytes",
               org.apache.spark.sql.types.LongType))))),
         Seq("path"), "left")
+    // Bounded string/binary envelopes for the two-pass path — the
+    // same [[StatsTrunc]] contract the one-pass writer applies at
+    // commit: min → code-point prefix, max → prefix with last code
+    // point incremented, `trunc_<c>` marks the envelope inexact.
+    // Entry-count-sized work (one UDF pass over manifest rows, never
+    // data rows).
+    val truncCols = statsCols.filter(c =>
+      staged.schema.fieldNames.contains(c) &&
+        (staged.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType ||
+         staged.schema(c).dataType ==
+          org.apache.spark.sql.types.BinaryType))
+    val entriesT = truncCols.foldLeft(entries) { (d, c) =>
+      staged.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val fMin = udf((s: String) =>
+            if (s == null) null else StatsTrunc.minStr(s)._1)
+          val fMax = udf((s: String) =>
+            if (s == null) null else StatsTrunc.maxStr(s)._1)
+          val fFlag = udf((mn: String, mx: String) =>
+            (mn != null && StatsTrunc.minStr(mn)._2) ||
+              (mx != null && StatsTrunc.maxStr(mx)._2))
+          d.withColumn(s"trunc_$c",
+              fFlag(col(s"min_$c"), col(s"max_$c")))
+            .withColumn(s"min_$c", fMin(col(s"min_$c")))
+            .withColumn(s"max_$c", fMax(col(s"max_$c")))
+        case _ =>
+          val fMin = udf((b: Array[Byte]) =>
+            if (b == null) null else StatsTrunc.minBin(b)._1)
+          val fMax = udf((b: Array[Byte]) =>
+            if (b == null) null else StatsTrunc.maxBin(b)._1)
+          val fFlag = udf((mn: Array[Byte], mx: Array[Byte]) =>
+            (mn != null && StatsTrunc.minBin(mn)._2) ||
+              (mx != null && StatsTrunc.maxBin(mx)._2))
+          d.withColumn(s"trunc_$c",
+              fFlag(col(s"min_$c"), col(s"max_$c")))
+            .withColumn(s"min_$c", fMin(col(s"min_$c")))
+            .withColumn(s"max_$c", fMax(col(s"max_$c")))
+      }
+    }
     // SMALL-COMMIT FAST PATH: a few-file delta's entry rows fit on the
     // driver (bounded below by file count × bloom width), so collect
     // them into a LocalRelation — the manifest write becomes one local
@@ -1949,10 +2004,10 @@ final class GraftTable private (
       nFiles.toLong * bloomCols.size * (effBloomBits.toLong / 8L)
     if (nFiles <= GraftTable.SmallCommitFiles &&
         bloomBytes <= 64L * 1024 * 1024) {
-      val rows = entries.collect()
+      val rows = entriesT.collect()
       spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), entries.schema)
-    } else entries
+        java.util.Arrays.asList(rows: _*), entriesT.schema)
+    } else entriesT
   }
 
   /** Sum of the parquet footers' row counts under `dir` — driver-side
@@ -2002,7 +2057,7 @@ final class GraftTable private (
             val names = lr.output.map(_.name)
             val want = ("path" +: "row_count" +: "size_bytes" +:
               (statsCols.flatMap(c =>
-                Seq(s"min_$c", s"max_$c", s"nulls_$c")) ++
+                Seq(s"min_$c", s"max_$c", s"nulls_$c", s"trunc_$c")) ++
                 bloomCols.map(c => s"bloom_$c")))
             // every declared bloom col must be present (the slow path
             // null-fills missing ones so reads can resolve them)
@@ -2020,8 +2075,12 @@ final class GraftTable private (
         // can then run entirely on the driver (see foldInput)
         GraftTable.cacheManifestRows(root, dir, mSchema, lr.data)
         val rcIdx = lr.output.indexWhere(_.name == "row_count")
+        val tIdx = lr.output.zipWithIndex.collect {
+          case (a, i) if a.name.startsWith("trunc_") => i }
         return ManifestRef(dir, lr.data.length.toLong,
-          lr.data.map(_.getLong(rcIdx)).sum)
+          lr.data.map(_.getLong(rcIdx)).sum,
+          trunc = lr.data.exists(r => tIdx.exists(i =>
+            !r.isNullAt(i) && r.getBoolean(i))))
       case _ => ()
     }
     val present = entries.columns.toSet
@@ -2038,12 +2097,14 @@ final class GraftTable private (
     // unresolvable min_<c> would abort the commit instead.
     val cols = ("path" +: "row_count" +: "size_bytes" +:
       (statsCols.flatMap(c =>
-        Seq(s"min_$c", s"max_$c", s"nulls_$c")) ++ bloomKept))
+        Seq(s"min_$c", s"max_$c", s"nulls_$c", s"trunc_$c")) ++
+        bloomKept))
       .filter(c => (present(c) || c.startsWith("bloom_") ||
         c == "path" || c == "row_count") &&
-        // entries that predate size recording simply omit the column
-        // (manifest() null-fills; planning treats null = unknown)
-        !(c == "size_bytes" && !present(c)))
+        // entries that predate size/trunc recording simply omit the
+        // column (manifest() null-fills; readers treat null as
+        // unknown size / not-truncated)
+        !((c == "size_bytes" || c.startsWith("trunc_")) && !present(c)))
     val finalDf = withBlooms.select(cols.map(col): _*)
     finalDf.queryExecution.optimizedPlan match {
       // writeData's small-commit fast path hands us a LocalRelation
@@ -2065,14 +2126,25 @@ final class GraftTable private (
           catch { case e: Throwable => w.abort(); throw e }
         } else finalDf.coalesce(1).write.parquet(s"${logDir(root)}/$dir")
         val rcIdx = lr.output.indexWhere(_.name == "row_count")
+        val tIdx = lr.output.zipWithIndex.collect {
+          case (a, i) if a.name.startsWith("trunc_") => i }
         ManifestRef(dir, lr.data.length.toLong,
-          lr.data.map(_.getLong(rcIdx)).sum)
+          lr.data.map(_.getLong(rcIdx)).sum,
+          trunc = lr.data.exists(r => tIdx.exists(i =>
+            !r.isNullAt(i) && r.getBoolean(i))))
       case _ =>
         finalDf.write.parquet(s"${logDir(root)}/$dir")
+        val truncCols = finalDf.columns.filter(_.startsWith("trunc_"))
+        val truncAgg: Column =
+          if (truncCols.isEmpty) max(lit(0))
+          else max(when(truncCols.map(c => col(c) <=> lit(true))
+            .reduce(_ || _), 1).otherwise(0))
         val t = readManifestDir(dir)
-          .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
+          .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)),
+            truncAgg)
           .head()
-        ManifestRef(dir, t.getLong(0), t.getLong(1))
+        ManifestRef(dir, t.getLong(0), t.getLong(1),
+          trunc = !t.isNullAt(2) && t.getInt(2) == 1)
     }
   }
 
@@ -2196,6 +2268,10 @@ final class GraftTable private (
       // stays CDC-plannable as pure inserts)
       var droppedLive = false
       val parentHadFiles = parent > 0 && snapshot(parent).nFiles > 0
+      // StatsTrunc protocol flag: inherited from whatever list this
+      // commit builds on (carried dirs keep their truncated entries),
+      // OR'd with the dirs written by this very commit below
+      var inheritedTrunc = false
       var list: Seq[ManifestRef] = buildDelta(parent) match {
         case ReplaceAll(entries) =>
           fileSetChanged = true
@@ -2204,10 +2280,12 @@ final class GraftTable private (
         case UseList(v) =>
           fileSetChanged = true
           droppedLive = parentHadFiles
+          inheritedTrunc = snapshot(v).statsTruncated
           snapshot(v).manifestDirs.map(ensureCounts)
         case AddRemove(added, removed) =>
           fileSetChanged = removed.nonEmpty
           droppedLive = removed.nonEmpty
+          inheritedTrunc = parent > 0 && snapshot(parent).statsTruncated
           val parentRefs =
             if (parent == 0) Nil
             else snapshot(parent).manifestDirs.map(ensureCounts)
@@ -2389,8 +2467,15 @@ final class GraftTable private (
         s"manifests=${list.map(r =>
           s"${r.dir}:${r.entries}:${r.rows}").mkString(",")}",
         s"n_files=$nFiles", s"n_rows=$nRows",
-        s"min_reader_version=${GraftTable.ReaderVersion}",
+        // protocol: truncated envelopes demand a reader that knows
+        // min/max are bounds, not extremes (StatsTrunc) — stamp 2
+        // only then, so untouched tables stay readable by protocol-1
+        // libraries
+        s"min_reader_version=${
+          if (inheritedTrunc || list.exists(_.trunc)) 2 else 1}",
         s"applied=${applied.toSeq.sorted.mkString(",")}") ++
+        (if (inheritedTrunc || list.exists(_.trunc))
+          Seq("stats_truncated=1") else Nil) ++
         (if (evolvedFlag) Seq("evolved=1") else Nil) ++
         (if (deadCols.nonEmpty)
           Seq(s"dead_cols=${deadCols.toSeq.sorted.mkString(",")}")
@@ -2458,8 +2543,11 @@ object GraftTable {
   /** Reader protocol this library implements. Commits stamp it as
     * `min_reader_version` (bump ONLY when a new snapshot feature
     * would be silently misread by an older reader, Delta's protocol
-    * rule); [[snapshot]] refuses records demanding a newer one. */
-  val ReaderVersion = 1
+    * rule); [[snapshot]] refuses records demanding a newer one.
+    * History: 1 = base; 2 = StatsTrunc'd string/binary envelopes
+    * (a v1 reader would fold a truncated max as an exact extreme —
+    * stamped only on snapshots that actually carry one). */
+  val ReaderVersion = 2
 
   /** Commits adding at most this many data files take the driver-local
     * manifest path (entry rows collected into a LocalRelation): the
@@ -2539,8 +2627,13 @@ object GraftTable {
     * fold policy and n_files/n_rows totals are driver arithmetic,
     * never a manifest read. entries = -1 marks a legacy pre-list ref
     * whose counts resolve lazily. */
+  /** `trunc` = this dir (as WRITTEN by this process) carries at least
+    * one StatsTrunc'd envelope — commit-time only, never serialized
+    * (the snapshot-level `stats_truncated` kv is the durable form;
+    * refs parsed back from a snapshot read as false and the parent's
+    * flag inherits instead). */
   private[graft] case class ManifestRef(dir: String, entries: Long,
-    rows: Long)
+    rows: Long, trunc: Boolean = false)
 
   /** List length that triggers a fold (merge of the smallest dirs)… */
   val MaxManifestListLen = 16
@@ -2564,7 +2657,11 @@ object GraftTable {
     dvDirs: Seq[DvRef] = Nil, nDels: Long = 0L,
     evolved: Boolean = false, deadCols: Set[String] = Set.empty,
     dataChange: Boolean = true, rewrite: Boolean = false,
-    mergeKeys: Seq[String] = Nil)
+    mergeKeys: Seq[String] = Nil,
+    // some live manifest dir carries StatsTrunc'd envelopes — the
+    // snapshot demands reader protocol ≥2 (an older reader would
+    // fold a truncated max as an exact extreme)
+    statsTruncated: Boolean = false)
 
   /** Ops whose commits REORGANIZE files without changing the table's
     * logical content (Delta's `dataChange=false`): a change-data-feed

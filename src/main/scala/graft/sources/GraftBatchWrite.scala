@@ -34,7 +34,8 @@ case class GraftWriteCommit(relPath: String, rowCount: Long,
     mins: Array[Any], maxs: Array[Any],
     blooms: Array[Array[Long]] = Array.empty,
     nulls: Array[Long] = Array.empty,
-    sizeBytes: Long = -1L) extends WriterCommitMessage
+    sizeBytes: Long = -1L,
+    truncs: Array[Boolean] = Array.empty) extends WriterCommitMessage
 
 object GraftParquetIO {
 
@@ -215,7 +216,11 @@ object GraftParquetIO {
         (statsCols.toList.flatMap { c =>
           val dt = writeSchema(c).dataType
           StructField(s"min_$c", dt) :: StructField(s"max_$c", dt) ::
-            StructField(s"nulls_$c", LongType) :: Nil
+            StructField(s"nulls_$c", LongType) ::
+            // truncation marker only for the types that truncate
+            (if (dt == StringType || dt == BinaryType)
+              StructField(s"trunc_$c", BooleanType) :: Nil
+            else Nil)
         } ++ bloomCols.toList.map(c =>
           StructField(s"bloom_$c", ArrayType(LongType)))))
     val rows: java.util.List[Row] = live.map { m =>
@@ -224,7 +229,10 @@ object GraftParquetIO {
         statsCols.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
           val dt = writeSchema(c).dataType
           Seq(external(m.mins(i), dt), external(m.maxs(i), dt),
-            if (i < m.nulls.length) m.nulls(i) else null)
+            if (i < m.nulls.length) m.nulls(i) else null) ++
+            (if (dt == StringType || dt == BinaryType)
+              Seq(if (i < m.truncs.length) m.truncs(i) else false)
+            else Nil)
         }) ++ bloomCols.indices.map(i =>
           if (i < m.blooms.length && m.blooms(i) != null)
             m.blooms(i).toSeq
@@ -368,6 +376,26 @@ class GraftDataWriter(root: String, commitDir: String,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    // bounded string/binary envelopes (round 13 — see
+    // [[graft.format.StatsTrunc]]): applied once at commit so the
+    // per-row tracker stays comparison-only; the flag marks the
+    // envelope as valid-but-inexact for metadata-aggregate consumers
+    val truncs = new Array[Boolean](statIdx.length)
+    var ts = 0
+    while (ts < statIdx.length) {
+      (mins(ts), maxs(ts)) match {
+        case (mn: UTF8String, mx: UTF8String) =>
+          val (a, f1) = graft.format.StatsTrunc.minUtf8(mn)
+          val (b, f2) = graft.format.StatsTrunc.maxUtf8(mx)
+          mins(ts) = a; maxs(ts) = b; truncs(ts) = f1 || f2
+        case (mn: Array[Byte], mx: Array[Byte]) =>
+          val (a, f1) = graft.format.StatsTrunc.minBin(mn)
+          val (b, f2) = graft.format.StatsTrunc.maxBin(mx)
+          mins(ts) = a; maxs(ts) = b; truncs(ts) = f1 || f2
+        case _ => ()
+      }
+      ts += 1
+    }
     // UTF8String → String for the serialized message
     def ext(a: Array[Any]): Array[Any] = a.map {
       case u: UTF8String => u.toString
@@ -386,7 +414,7 @@ class GraftDataWriter(root: String, commitDir: String,
       } catch { case _: Exception => -1L }
     }
     GraftWriteCommit(relPath, rows, ext(mins), ext(maxs), blooms,
-      nullsArr, sizeBytes)
+      nullsArr, sizeBytes, truncs)
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.format.{GraftTable, StatsTrunc}
+
+/** Bounded string/binary stats envelopes (round 13): long values
+  * truncate to ≤64-byte bounds in the manifest (min = code-point
+  * prefix, max = prefix with last code point incremented — valid
+  * bounds in UTF-8 byte order, Iceberg's truncate contract), entries
+  * carry a `trunc_<c>` marker, exactness consumers decline marked
+  * columns, and snapshots that carry truncation demand reader
+  * protocol 2. Without this a 1 MB document value writes two 1 MB
+  * manifest values per file — at 100 TB the manifest becomes the
+  * table. */
+class StatsTruncSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_trunc_").toString + "/t"
+
+  test("truncated bounds hold in UTF-8 byte order for adversarial " +
+      "strings; short values pass through untouched") {
+    val rnd = new scala.util.Random(7)
+    val pool = "abé世😀z￿" // ascii, 2/3/4-byte
+    val cases = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(60)
+      (1 to n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } ++ Seq("x" * 200, "￿" * 100, "😀" * 40,
+      "a" * 63 + "世世")
+    cases.foreach { s =>
+      val u = UTF8String.fromString(s)
+      val (mn, fMn) = StatsTrunc.minUtf8(u)
+      val (mx, fMx) = StatsTrunc.maxUtf8(u)
+      assert(mn.compareTo(u) <= 0, s"min bound broken for ${s.take(20)}")
+      assert(mx.compareTo(u) >= 0, s"max bound broken for ${s.take(20)}")
+      if (u.getBytes.length <= StatsTrunc.maxBytes) {
+        assert(!fMn && !fMx && mn == u && mx == u)
+      } else {
+        assert(mn.getBytes.length <= StatsTrunc.maxBytes)
+        assert(mx.getBytes.length <= StatsTrunc.maxBytes + 4)
+      }
+    }
+    // binary: 0xFF carry
+    val b = Array.fill[Byte](100)(0x41)
+    val (bmx, bf) = StatsTrunc.maxBin(b)
+    assert(bf && bmx.length <= StatsTrunc.maxBytes)
+    assert(java.util.Arrays.compare(bmx, b) > 0)
+    val ff = Array.fill[Byte](100)(0xFF.toByte)
+    assert(StatsTrunc.maxBin(ff)._1.sameElements(ff),
+      "an all-0xFF prefix keeps the full value")
+  }
+
+  test("one-pass writer: long-string envelopes are bounded and " +
+      "flagged; pruning stays exact; metadata MIN/MAX declines; the " +
+      "snapshot demands reader protocol 2") {
+    val root = tmp()
+    val doc = (i: Long) => f"doc-$i%05d-" + ("lorem" * 40) // ~210 B
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(i => (i, doc(i))).toDF("k", "body"),
+      Seq("k", "body"), numFiles = 4)
+    val m = t.manifest()
+    assert(m.columns.contains("trunc_body"))
+    val rows = m.select(length(col("min_body")),
+      length(col("max_body")), col("trunc_body")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) <= 64 && r.getInt(1) <= 68,
+        "manifest envelopes must be bounded")
+      assert(r.getBoolean(2), "truncation must be flagged")
+    }
+    // non-string stats columns carry no marker at all (exact always)
+    assert(!m.columns.contains("trunc_k"))
+    // equality probe on a full-length value still finds its row (the
+    // truncated envelope is a valid superset bound)
+    val probe = doc(37L)
+    val (df, kept, total) = t.prunedWhere(col("body") === probe)
+    assert(df.count() == 1L && df.head().getLong(0) == 37L)
+    assert(kept <= total)
+    // range predicate over the truncated column stays exact
+    assert(t.read().where(col("body") >= doc(90L)).count() == 11L)
+    // metadata MIN/MAX declines the truncated column, answers the key
+    val agg = t.metadataAggregates()
+    assert(agg.select("min_body", "max_body").head() ==
+      org.apache.spark.sql.Row(null, null),
+      "a truncated envelope must not answer as an exact extreme")
+    assert(agg.select("min_k", "max_k").head() ==
+      org.apache.spark.sql.Row(1L, 100L))
+    assert(agg.select("n_rows").head().getLong(0) == 100L)
+    // protocol: the snapshot demands reader 2 and records the flag
+    val snap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v1.txt")), "UTF-8")
+    assert(snap.contains("min_reader_version=2"))
+    assert(snap.contains("stats_truncated=1"))
+    // the flag inherits across later short-string commits
+    t.append(Seq((101L, "short")).toDF("k", "body"), numFiles = 1)
+    val snap2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v2.txt")), "UTF-8")
+    assert(snap2.contains("min_reader_version=2"),
+      "carried truncated dirs must keep the protocol demand")
+  }
+
+  test("two-pass (bloom) writer truncates identically") {
+    val root = tmp()
+    val doc = (i: Long) => f"blob-$i%04d-" + ("ipsum" * 50)
+    val t = GraftTable.create(spark, root,
+      (1L to 200L).map(i => (i, doc(i))).toDF("k", "body"),
+      Seq("k", "body"), numFiles = 2, bloomCols = Seq("k"))
+    val m = t.manifest()
+    assert(m.select("trunc_body").collect().forall(_.getBoolean(0)))
+    m.select(length(col("min_body")), length(col("max_body")))
+      .collect().foreach { r =>
+        assert(r.getInt(0) <= 64 && r.getInt(1) <= 68)
+      }
+    assert(t.read().where(col("body") === doc(123L)).count() == 1L)
+    assert(t.read().count() == 200L)
+  }
+
+  test("short-string tables stay protocol 1 with exact metadata " +
+      "extremes") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "s"),
+      Seq("k", "s"), numFiles = 2)
+    val agg = t.metadataAggregates()
+    assert(agg.select("min_s", "max_s").head() ==
+      org.apache.spark.sql.Row("v1", "v9"))
+    val snap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v1.txt")), "UTF-8")
+    assert(snap.contains("min_reader_version=1"))
+    assert(!snap.contains("stats_truncated"))
+  }
+}
