@@ -860,9 +860,10 @@ object Bench {
         }
         scanOnce() // warm: plan caches + page cache for both arms
         val packed = timed((1 to 3).foreach(_ => scanOnce()))
-        sp.conf.set("graft.scan.pack.enabled", "false")
-        val perFile = timed((1 to 3).foreach(_ => scanOnce()))
-        sp.conf.unset("graft.scan.pack.enabled")
+        val perFile = try {
+          sp.conf.set("graft.scan.pack.enabled", "false")
+          timed((1 to 3).foreach(_ => scanOnce()))
+        } finally sp.conf.unset("graft.scan.pack.enabled")
         (packed, perFile)
       } catch {
         case e: Throwable =>

@@ -2,6 +2,7 @@ package graft.format
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A minimal Delta/Iceberg-style TABLE FORMAT over plain parquet —
   * the unified manifest+snapshot layer VERDICT r7 named as the one
@@ -75,6 +76,11 @@ final class GraftTable private (
   /** Highest committed version (max over snapshot files), 0 = none. */
   def currentVersion: Long = GraftTable.versionAt(root)
 
+  /** Commit wall-clock of `v` (recorded since r14); None on older
+    * records. Throws NoSuchFileException for a vacuumed snapshot. */
+  private[graft] def commitTsMillis(v: Long): Option[Long] =
+    snapshot(v).tsMillis
+
   private def snapshot(v: Long): Snapshot =
     GraftTable.snapCached(root, v) {
       val lines = new String(
@@ -105,7 +111,13 @@ final class GraftTable private (
         kv.get("manifests").filter(_.nonEmpty).map(_.split(",").toSeq
           .map { s =>
             val p = s.split(":")
-            ManifestRef(p(0), p(1).toLong, p(2).toLong)
+            // optional 4th field (round 14): the dir's exact
+            // StatsTrunc state — records that predate it parse as
+            // UNKNOWN and keep the conservative snapshot-level
+            // inheritance
+            ManifestRef(p(0), p(1).toLong, p(2).toLong,
+              trunc = p.length > 3 && p(3) == "1",
+              truncKnown = p.length > 3)
           })
         .orElse(kv.get("manifest").filter(_.nonEmpty)
           .map(d => Seq(ManifestRef(d, -1L, -1L))))
@@ -143,7 +155,10 @@ final class GraftTable private (
           .getOrElse(LegacyRewriteOps(kv("op"))),
         mergeKeys = kv.get("merge_keys").filter(_.nonEmpty)
           .map(_.split(",").toSeq).getOrElse(Nil),
-        statsTruncated = kv.get("stats_truncated").contains("1"))
+        statsTruncated = kv.get("stats_truncated").contains("1"),
+        addedEntries = kv.get("added_entries").map(_.toLong),
+        foldDir = kv.get("fold_dir").filter(_.nonEmpty),
+        tsMillis = kv.get("ts").map(_.toLong))
     }
 
   /** The table schema RECORDED AT COMMIT TIME (Delta's metadata
@@ -505,15 +520,37 @@ final class GraftTable private (
     // omit stats for NaN-bearing double columns).
     val keep = col(s"min_$pc").isNull ||
       !(col(s"max_$pc") < lo || col(s"min_$pc") > hi)
-    val flags = manifest().select(col("path"), keep.as("keep")).collect()
-    val total = flags.length.toLong
-    val live = flags.filter(_.getBoolean(1))
-      .map(r => s"$root/${r.getString(0)}")
+    val (live, total) = keptPaths(keep, v)
     val df =
       if (live.isEmpty) read().limit(0)
-      else reconcile(applyDv(readRaw(live.toSeq, v), v), v)
+      else reconcile(applyDv(readRaw(live, v), v), v)
     (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
       live.length.toLong, total)
+  }
+
+  /** Evaluate a manifest KEEP flag into (live paths, total entries).
+    * Past [[GraftTable.PlanCollectLimit]] the flags STREAM
+    * partition-by-partition (`toLocalIterator`) instead of one
+    * whole-result collect — the kept-path Seq is unavoidable (the
+    * reader API takes paths) but the transient Row/batch buffers of a
+    * full collect are 2-3x the steady footprint at 2e5+ entries
+    * (VERDICT r13 #6). One uncached job either way — see prunedRead's
+    * NaN-envelope caveat for why the manifest is never cached here. */
+  private def keptPaths(keepCol: Column, version: Long)
+      : (Seq[String], Long) = {
+    val sel = manifest(version)
+      .select(col("path"), keepCol.as("keep"))
+    var total = 0L
+    val b = Seq.newBuilder[String]
+    def add(r: org.apache.spark.sql.Row): Unit = {
+      total += 1
+      if (r.getBoolean(1)) b += s"$root/${r.getString(0)}"
+    }
+    if (fileCount(version) <= GraftTable.PlanCollectLimit)
+      sel.collect().foreach(add)
+    else
+      sel.toLocalIterator().forEachRemaining(r => add(r))
+    (b.result(), total)
   }
 
   /** GENERAL predicate-driven zone maps: translate an arbitrary data
@@ -531,15 +568,11 @@ final class GraftTable private (
     // one uncached job (see prunedRead: cached batch stats mishandle
     // NaN envelopes — the cache's batch pruning would skip a file
     // whose max is NaN for upper-range predicates)
-    val flags = manifest()
-      .select(col("path"),
-        coalesce(statsKeep(cond, v), lit(true)).as("keep")).collect()
-    val total = flags.length.toLong
-    val live = flags.filter(_.getBoolean(1))
-      .map(r => s"$root/${r.getString(0)}")
+    val (live, total) =
+      keptPaths(coalesce(statsKeep(cond, v), lit(true)), v)
     val df =
       if (live.isEmpty) read().limit(0)
-      else reconcile(applyDv(readRaw(live.toSeq, v), v), v)
+      else reconcile(applyDv(readRaw(live, v), v), v)
     (df.where(cond), live.length.toLong, total)
   }
 
@@ -698,17 +731,24 @@ final class GraftTable private (
     }
   }
 
-  /** Entry count of the manifest dirs ADDED at exactly `v` —
-    * snapshot-record arithmetic (per-dir entry counts ride the
-    * records, ZERO jobs). The streaming source's admission-control
-    * cost model: close enough for a rate cap (a folded dir counts
-    * its full entries; legacy -1 counts as 0), never used for
-    * semantics. */
+  /** Entry count of the data files ADDED at exactly `v` —
+    * snapshot-record arithmetic (ZERO jobs). New commits record the
+    * exact count (`added_entries=` kv, the fresh delta dir's size
+    * BEFORE any fold swallowed it) so a version whose commit also
+    * FOLDED the manifest list no longer charges the rate cap with the
+    * whole table (ADVICE r13: a maxFilesPerTrigger stream crossing a
+    * fold collapsed to one-version batches). Legacy records fall back
+    * to the dir-level diff (fold over-charges → over-throttles, never
+    * under). The streaming source's admission-control cost model,
+    * never used for semantics. */
   private[graft] def addedEntryCountAt(v: Long): Long = {
-    val prev = (if (v <= 1) Nil else snapshot(v - 1).manifestDirs)
-      .map(_.dir).toSet
-    snapshot(v).manifestDirs.filterNot(r => prev(r.dir))
-      .map(r => math.max(0L, r.entries)).sum
+    val s = snapshot(v)
+    s.addedEntries.getOrElse {
+      val prev = (if (v <= 1) Nil else snapshot(v - 1).manifestDirs)
+        .map(_.dir).toSet
+      s.manifestDirs.filterNot(r => prev(r.dir))
+        .map(r => math.max(0L, r.entries)).sum
+    }
   }
 
   /** Bytes of the manifest dirs ADDED at exactly `v` — one delta-
@@ -717,9 +757,13 @@ final class GraftTable private (
     * `maxBytesPerTrigger`; like [[addedEntryCountAt]] this is a rate
     * cap's cost model, never semantics. */
   private[graft] def addedBytesAt(v: Long): Long = {
+    val s = snapshot(v)
     val prev = (if (v <= 1) Nil else snapshot(v - 1).manifestDirs)
       .map(_.dir).toSet
-    val newDirs = snapshot(v).manifestDirs.filterNot(r => prev(r.dir))
+    // a fold dir's entries were all carried from prior dirs — its
+    // bytes are not new data (ADVICE r13)
+    val newDirs = s.manifestDirs.filterNot(r =>
+      prev(r.dir) || s.foldDir.contains(r.dir))
     if (newDirs.isEmpty) 0L
     else {
       val u = unionRefs(newDirs)
@@ -1969,17 +2013,31 @@ final class GraftTable private (
     val entriesT = truncCols.foldLeft(entries) { (d, c) =>
       staged.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType =>
-          val fMin = udf((s: String) =>
-            if (s == null) null else StatsTrunc.minStr(s)._1)
-          val fMax = udf((s: String) =>
-            if (s == null) null else StatsTrunc.maxStr(s)._1)
-          val fFlag = udf((mn: String, mx: String) =>
-            (mn != null && StatsTrunc.minStr(mn)._2) ||
-              (mx != null && StatsTrunc.maxStr(mx)._2))
+          // byte-level through a binary cast: a String-typed UDF
+          // would decode the UTF8String through java.lang.String,
+          // silently replacing invalid UTF-8 with U+FFFD BEFORE
+          // StatsTrunc runs — the stored envelope could then exclude
+          // the true extreme and pruning would skip live files
+          // (ADVICE r13). string↔binary casts and the manifest
+          // parquet round-trip are all byte-exact.
+          val fMin = udf((b: Array[Byte]) => if (b == null) null else
+            StatsTrunc.minUtf8(UTF8String.fromBytes(b))._1.getBytes)
+          val fMax = udf((b: Array[Byte]) => if (b == null) null else
+            StatsTrunc.maxUtf8(UTF8String.fromBytes(b))._1.getBytes)
+          val fFlag = udf((mn: Array[Byte], mx: Array[Byte]) =>
+            (mn != null &&
+              StatsTrunc.minUtf8(UTF8String.fromBytes(mn))._2) ||
+            (mx != null &&
+              StatsTrunc.maxUtf8(UTF8String.fromBytes(mx))._2))
+          val binT = org.apache.spark.sql.types.BinaryType
+          val strT = org.apache.spark.sql.types.StringType
           d.withColumn(s"trunc_$c",
-              fFlag(col(s"min_$c"), col(s"max_$c")))
-            .withColumn(s"min_$c", fMin(col(s"min_$c")))
-            .withColumn(s"max_$c", fMax(col(s"max_$c")))
+              fFlag(col(s"min_$c").cast(binT),
+                col(s"max_$c").cast(binT)))
+            .withColumn(s"min_$c",
+              fMin(col(s"min_$c").cast(binT)).cast(strT))
+            .withColumn(s"max_$c",
+              fMax(col(s"max_$c").cast(binT)).cast(strT))
         case _ =>
           val fMin = udf((b: Array[Byte]) =>
             if (b == null) null else StatsTrunc.minBin(b)._1)
@@ -2004,9 +2062,12 @@ final class GraftTable private (
       nFiles.toLong * bloomCols.size * (effBloomBits.toLong / 8L)
     if (nFiles <= GraftTable.SmallCommitFiles &&
         bloomBytes <= 64L * 1024 * 1024) {
-      val rows = entriesT.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), entriesT.schema)
+      // collect INTERNAL rows: an external collect() decodes string
+      // stats through java.lang.String, silently replacing invalid
+      // UTF-8 with U+FFFD — the re-encoded envelope could then
+      // exclude the true extreme and pruning would skip live files
+      // (ADVICE r13)
+      GraftTable.localFrame(spark, entriesT)
     } else entriesT
   }
 
@@ -2080,7 +2141,8 @@ final class GraftTable private (
         return ManifestRef(dir, lr.data.length.toLong,
           lr.data.map(_.getLong(rcIdx)).sum,
           trunc = lr.data.exists(r => tIdx.exists(i =>
-            !r.isNullAt(i) && r.getBoolean(i))))
+            !r.isNullAt(i) && r.getBoolean(i))),
+          truncKnown = true)
       case _ => ()
     }
     val present = entries.columns.toSet
@@ -2131,7 +2193,8 @@ final class GraftTable private (
         ManifestRef(dir, lr.data.length.toLong,
           lr.data.map(_.getLong(rcIdx)).sum,
           trunc = lr.data.exists(r => tIdx.exists(i =>
-            !r.isNullAt(i) && r.getBoolean(i))))
+            !r.isNullAt(i) && r.getBoolean(i))),
+          truncKnown = true)
       case _ =>
         finalDf.write.parquet(s"${logDir(root)}/$dir")
         val truncCols = finalDf.columns.filter(_.startsWith("trunc_"))
@@ -2144,7 +2207,8 @@ final class GraftTable private (
             truncAgg)
           .head()
         ManifestRef(dir, t.getLong(0), t.getLong(1),
-          trunc = !t.isNullAt(2) && t.getInt(2) == 1)
+          trunc = !t.isNullAt(2) && t.getInt(2) == 1,
+          truncKnown = true)
     }
   }
 
@@ -2156,7 +2220,8 @@ final class GraftTable private (
       val t = readManifestDir(r.dir)
         .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)))
         .head()
-      ManifestRef(r.dir, t.getLong(0), t.getLong(1))
+      ManifestRef(r.dir, t.getLong(0), t.getLong(1),
+        r.trunc, r.truncKnown)
     }
 
   private def unionRefs(refs: Seq[ManifestRef]): DataFrame =
@@ -2193,9 +2258,9 @@ final class GraftTable private (
     }
     val u = spark.read.option("mergeSchema", "true")
       .parquet(refs.map(r => s"${logDir(root)}/${r.dir}"): _*)
-    val rows = u.collect()
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), u.schema)
+    // internal rows — see the small-commit fast path: a java-String
+    // hop would corrupt invalid-UTF-8 stats envelopes (ADVICE r13)
+    GraftTable.localFrame(spark, u)
   }
 
   /** The single commit point: build the new manifest off the CURRENT
@@ -2272,11 +2337,17 @@ final class GraftTable private (
       // commit builds on (carried dirs keep their truncated entries),
       // OR'd with the dirs written by this very commit below
       var inheritedTrunc = false
+      // files genuinely ADDED by this commit (the fresh delta dir's
+      // count, captured BEFORE the fold below can swallow the dir) —
+      // rides the record as `added_entries=` for the stream rate cap
+      var addedEntriesRec: Option[Long] = None
       var list: Seq[ManifestRef] = buildDelta(parent) match {
         case ReplaceAll(entries) =>
           fileSetChanged = true
           droppedLive = parentHadFiles
-          Seq(writeManifestDir(entries, next))
+          val ref = writeManifestDir(entries, next)
+          addedEntriesRec = Some(ref.entries)
+          Seq(ref)
         case UseList(v) =>
           fileSetChanged = true
           droppedLive = parentHadFiles
@@ -2311,8 +2382,13 @@ final class GraftTable private (
                   .join(removedDf, Seq("path"), "left_anti"), next)
             }
           added match {
-            case Some(a) => afterRemove :+ writeManifestDir(a, next)
-            case None => afterRemove
+            case Some(a) =>
+              val ref = writeManifestDir(a, next)
+              addedEntriesRec = Some(ref.entries)
+              afterRemove :+ ref
+            case None =>
+              addedEntriesRec = Some(0L)
+              afterRemove
           }
       }
       // FOLD: bound the list so reads/planning stay O(few dirs) — when
@@ -2320,11 +2396,13 @@ final class GraftTable private (
       // delta tail appends accrete) down to the target. Amortized
       // O(live/target) metadata per commit in the worst case; big dirs
       // from compactions are never re-copied.
+      var foldDirRec: Option[String] = None
       if (list.length > MaxManifestListLen) CommitProfile.time("fold") {
         val sorted = list.sortBy(_.entries)
         val nMerge = list.length - TargetManifestListLen + 1
-        list = sorted.drop(nMerge) :+
-          writeManifestDir(foldInput(sorted.take(nMerge)), next)
+        val folded = writeManifestDir(foldInput(sorted.take(nMerge)), next)
+        foldDirRec = Some(folded.dir)
+        list = sorted.drop(nMerge) :+ folded
       }
       val nFiles = list.map(_.entries).sum
       val nRows = list.map(_.rows).sum
@@ -2457,7 +2535,14 @@ final class GraftTable private (
             s"n_dels=$nDels")
         }
       val dataChange = !NonDataChangeOps(op)
+      val snapTrunc = list.exists(r => r.truncKnown && r.trunc) ||
+        (list.exists(!_.truncKnown) && inheritedTrunc)
       val content = (Seq(s"op=$op", s"parent=$parent",
+        // commit wall-clock for timestamp travel (VERDICT r13 #7);
+        // commits linearize through putIfAbsent, so stamps are
+        // non-decreasing up to cross-writer clock skew (the same
+        // caveat Delta's timestamp resolution documents)
+        s"ts=${System.currentTimeMillis}",
         // commit kind for the change feed (Delta's dataChange flag):
         // reorganization commits are skipped by CDC readers, and a
         // data-changing commit that drops live files is a COW rewrite
@@ -2465,17 +2550,23 @@ final class GraftTable private (
         s"data_change=${if (dataChange) 1 else 0}",
         s"rewrite=${if (dataChange && droppedLive) 1 else 0}",
         s"manifests=${list.map(r =>
-          s"${r.dir}:${r.entries}:${r.rows}").mkString(",")}",
+          s"${r.dir}:${r.entries}:${r.rows}" +
+            (if (r.truncKnown) s":${if (r.trunc) 1 else 0}" else ""))
+          .mkString(",")}",
         s"n_files=$nFiles", s"n_rows=$nRows",
         // protocol: truncated envelopes demand a reader that knows
         // min/max are bounds, not extremes (StatsTrunc) — stamp 2
         // only then, so untouched tables stay readable by protocol-1
-        // libraries
-        s"min_reader_version=${
-          if (inheritedTrunc || list.exists(_.trunc)) 2 else 1}",
+        // libraries. The flag is EXACT when every dir's trunc state
+        // is recorded (list.exists) — a compaction that rewrites the
+        // last truncated dir away drops the demand back to 1; only
+        // refs carried from pre-r14 records fall back to the sticky
+        // parent inheritance (ADVICE r13).
+        s"min_reader_version=${if (snapTrunc) 2 else 1}",
         s"applied=${applied.toSeq.sorted.mkString(",")}") ++
-        (if (inheritedTrunc || list.exists(_.trunc))
-          Seq("stats_truncated=1") else Nil) ++
+        (if (snapTrunc) Seq("stats_truncated=1") else Nil) ++
+        addedEntriesRec.map(n => s"added_entries=$n").toSeq ++
+        foldDirRec.map(d => s"fold_dir=$d").toSeq ++
         (if (evolvedFlag) Seq("evolved=1") else Nil) ++
         (if (deadCols.nonEmpty)
           Seq(s"dead_cols=${deadCols.toSeq.sorted.mkString(",")}")
@@ -2627,13 +2718,16 @@ object GraftTable {
     * fold policy and n_files/n_rows totals are driver arithmetic,
     * never a manifest read. entries = -1 marks a legacy pre-list ref
     * whose counts resolve lazily. */
-  /** `trunc` = this dir (as WRITTEN by this process) carries at least
-    * one StatsTrunc'd envelope — commit-time only, never serialized
-    * (the snapshot-level `stats_truncated` kv is the durable form;
-    * refs parsed back from a snapshot read as false and the parent's
-    * flag inherits instead). */
+  /** `trunc` = this dir carries at least one StatsTrunc'd envelope.
+    * Serialized per-dir since round 14 (optional 4th `manifests=`
+    * field) so a commit whose list no longer contains any truncated
+    * dir — a compaction that rewrote the long values away — can DROP
+    * the protocol-2 demand instead of inheriting it forever (ADVICE
+    * r13). `truncKnown=false` marks a ref parsed from a pre-r14
+    * record: its state is unknown, so the snapshot-level flag falls
+    * back to conservative parent inheritance. */
   private[graft] case class ManifestRef(dir: String, entries: Long,
-    rows: Long, trunc: Boolean = false)
+    rows: Long, trunc: Boolean = false, truncKnown: Boolean = false)
 
   /** List length that triggers a fold (merge of the smallest dirs)… */
   val MaxManifestListLen = 16
@@ -2661,7 +2755,19 @@ object GraftTable {
     // some live manifest dir carries StatsTrunc'd envelopes — the
     // snapshot demands reader protocol ≥2 (an older reader would
     // fold a truncated max as an exact extreme)
-    statsTruncated: Boolean = false)
+    statsTruncated: Boolean = false,
+    // exact count of data files this commit ADDED (recorded before
+    // any manifest fold) — the stream rate cap's cost model; None on
+    // pre-r14 records (falls back to the dir-level diff)
+    addedEntries: Option[Long] = None,
+    // the manifest dir a FOLD at this commit wrote (entries all
+    // carried from prior dirs) — excluded from the rate cap's
+    // byte-cost diff so a fold version doesn't charge the whole table
+    foldDir: Option[String] = None,
+    // commit wall-clock (epoch millis), recorded since r14 — lets
+    // timestamp travel binary-search records instead of LISTing the
+    // whole log dir for mtimes; None on older records
+    tsMillis: Option[Long] = None)
 
   /** Ops whose commits REORGANIZE files without changing the table's
     * logical content (Delta's `dataChange=false`): a change-data-feed
@@ -2764,6 +2870,22 @@ object GraftTable {
       : Option[(org.apache.spark.sql.types.StructType,
         Seq[org.apache.spark.sql.catalyst.InternalRow])] =
     Option(manifestRowsCache.get((root, dir)))
+
+  /** Collect `df` into a driver-local frame WITHOUT the external-Row
+    * hop: `collect()` + `createDataFrame` decodes every string column
+    * through java.lang.String, silently replacing invalid UTF-8 with
+    * U+FFFD — for stats envelopes that re-encoded value can exclude
+    * the true extreme and pruning then skips live files (ADVICE r13).
+    * `executeCollect` keeps catalyst rows (UTF8String bytes) intact. */
+  private[format] def localFrame(spark: SparkSession,
+      df: DataFrame): DataFrame = {
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    val rows = qe.executedPlan.executeCollect()
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        qe.analyzed.output, rows.toIndexedSeq))
+  }
 
   private val SnapshotName = "snapshot-v(\\d+)\\.txt".r
   private val TagName = "tag-(.+)\\.txt".r

@@ -49,12 +49,29 @@ object StatsTrunc {
       java.util.Arrays.copyOf(b, utf8PrefixLen(b))), true)
   }
 
-  /** (upper bound, wasTruncated) for a UTF-8 string value. */
+  /** (upper bound, wasTruncated) for a UTF-8 string value.
+    *
+    * Spark never validates UTF8String contents, and decoding through
+    * java.lang.String replaces invalid sequences with U+FFFD — an
+    * "incremented" U+FFFD prefix can compare BELOW the true value in
+    * byte order and pruning would silently skip its file (ADVICE
+    * r13). The decode is therefore verified by re-encoding: on any
+    * mismatch the prefix is not valid UTF-8 and the increment falls
+    * back to byte level ([[maxBin]] semantics — a correct byte-order
+    * bound that is itself not valid UTF-8, which UTF8String stores
+    * and compares byte-exactly). */
   def maxUtf8(u: UTF8String): (UTF8String, Boolean) = {
     val b = u.getBytes
     if (b.length <= maxBytes) return (u, false)
-    var s = new String(b, 0, utf8PrefixLen(b),
+    val pLen = utf8PrefixLen(b)
+    var s = new String(b, 0, pLen,
       java.nio.charset.StandardCharsets.UTF_8)
+    if (!java.util.Arrays.equals(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.util.Arrays.copyOf(b, pLen))) {
+      val (bm, f) = maxBin(b)
+      return (if (f) UTF8String.fromBytes(bm) else u, f)
+    }
     while (s.nonEmpty) {
       val cp = s.codePointBefore(s.length)
       val cut = s.length - Character.charCount(cp)

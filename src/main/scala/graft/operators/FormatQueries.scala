@@ -1523,10 +1523,16 @@ object FormatQueries {
     val t = GraftTable.forPath(s, root)
     val fileBytes = t.manifest()
       .agg(sum(col("size_bytes"))).head().getLong(0)
-    s.conf.set("spark.sql.files.maxPartitionBytes",
-      math.max(1L << 16, fileBytes / 6L).toString)
-    s.conf.set("spark.sql.files.openCostInBytes", "4096")
+    // session-global overrides SCOPED (ADVICE r13): set inside the
+    // try so a failure between set and try can't strand them, and
+    // restore PRIOR values rather than blind-unsetting
+    val prior = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k =>
+        k -> s.conf.getOption(k))
     try {
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        math.max(1L << 16, fileBytes / 6L).toString)
+      s.conf.set("spark.sql.files.openCostInBytes", "4096")
       val df = s.read.format("gtable").load(root)
       require(df.rdd.getNumPartitions > 1,
         "q253: the single file must split into byte ranges")
@@ -1538,9 +1544,9 @@ object FormatQueries {
       val rows = agg.collect()
       s.createDataFrame(
         java.util.Arrays.asList(rows: _*), agg.schema)
-    } finally {
-      s.conf.unset("spark.sql.files.maxPartitionBytes")
-      s.conf.unset("spark.sql.files.openCostInBytes")
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 

@@ -396,7 +396,27 @@ class GraftDataWriter(root: String, commitDir: String,
       }
       ts += 1
     }
-    // UTF8String → String for the serialized message
+    // UTF8String → String for the serialized message. The decode is
+    // verified by re-encoding: invalid UTF-8 (which Spark stores and
+    // compares byte-exactly but java.lang.String replaces with
+    // U+FFFD) cannot ride the String channel without corrupting the
+    // bound — such a column's envelope is dropped to null (null =
+    // unknown = pruning probes the file, always safe) and flagged
+    // inexact so metadata MIN/MAX declines it too (ADVICE r13).
+    var lossyI = 0
+    while (lossyI < statIdx.length) {
+      def lossy(v: Any): Boolean = v match {
+        case u: UTF8String =>
+          !java.util.Arrays.equals(u.getBytes, u.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        case _ => false
+      }
+      if (lossy(mins(lossyI)) || lossy(maxs(lossyI))) {
+        mins(lossyI) = null; maxs(lossyI) = null
+        truncs(lossyI) = true
+      }
+      lossyI += 1
+    }
     def ext(a: Array[Any]): Array[Any] = a.map {
       case u: UTF8String => u.toString
       case x => x

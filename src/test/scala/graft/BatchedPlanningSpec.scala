@@ -57,6 +57,32 @@ class BatchedPlanningSpec extends AnyFunSuite {
     }
   }
 
+  test("API-path pruned reads (prunedRead/prunedWhere) stream past " +
+      "the collect limit with identical answers (VERDICT r13 #6)") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 2000L).map(k => (k, k % 13)).toDF("k", "m"),
+      Seq("k"), numFiles = 16)
+    t.deleteWhereMor(col("k") % 17 === 0) // DV must survive the path
+    val (dfC, keptC, totC) = t.prunedRead("k", lit(500L), lit(900L))
+    val wantRows = dfC.count()
+    val wantSum = dfC.agg(sum("k")).head().getLong(0)
+    val (_, keptWC, totWC) = t.prunedWhere(col("k").between(500, 900))
+    forceScale {
+      GraftTable.invalidate(root)
+      val t2 = GraftTable.forPath(spark, root)
+      val (dfS, keptS, totS) = t2.prunedRead("k", lit(500L), lit(900L))
+      assert((keptS, totS) == (keptC, totC),
+        "streamed prunedRead must skip identically")
+      assert(dfS.count() == wantRows)
+      assert(dfS.agg(sum("k")).head().getLong(0) == wantSum)
+      val (dfWS, keptWS, totWS) =
+        t2.prunedWhere(col("k").between(500, 900))
+      assert((keptWS, totWS) == (keptWC, totWC))
+      assert(dfWS.count() == wantRows)
+    }
+  }
+
   test("fileCount answers from the snapshot record and matches the " +
       "manifest") {
     val root = tmp()

@@ -117,6 +117,104 @@ class StatsTruncSpec extends AnyFunSuite {
     assert(t.read().count() == 200L)
   }
 
+  test("invalid UTF-8 never corrupts a bound: maxUtf8 verifies its " +
+      "decode and falls back to byte-level increment (ADVICE r13)") {
+    // Spark stores/compares UTF8String byte-wise without validating;
+    // decoding through java.lang.String replaces invalid sequences
+    // with U+FFFD, and an incremented U+FFFD prefix can compare BELOW
+    // the true value (0xFF > 0xEF) — the old path would prune a live
+    // file. Adversarial byte soups:
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      Array.fill[Byte](100)(0xFF.toByte),              // all-0xFF
+      Array.fill[Byte](100)(0x80.toByte),              // bare continuations
+      ("a" * 60).getBytes("UTF-8") ++
+        Array.fill[Byte](40)(0xFE.toByte),             // valid→invalid
+      Array.fill[Byte](63)(0x41.toByte) ++
+        Array.fill[Byte](37)(0xF5.toByte)              // invalid at cut
+    ) ++ (1 to 200).map { _ =>
+      Array.fill[Byte](65 + rnd.nextInt(60))(rnd.nextInt(256).toByte)
+    }
+    cases.foreach { b =>
+      val u = UTF8String.fromBytes(b)
+      val (mn, _) = StatsTrunc.minUtf8(u)
+      val (mx, _) = StatsTrunc.maxUtf8(u)
+      assert(mn.compareTo(u) <= 0, "min bound broken on invalid UTF-8")
+      assert(mx.compareTo(u) >= 0, "max bound broken on invalid UTF-8")
+      assert(mn.getBytes.length <= StatsTrunc.maxBytes)
+      assert(mx.getBytes.length <= StatsTrunc.maxBytes + 4 ||
+        (mx eq u), "non-full max must stay bounded")
+    }
+  }
+
+  test("end-to-end: invalid-UTF-8 string values keep pruning exact " +
+      "through BOTH writers (one-pass nulls the lossy envelope; " +
+      "two-pass stays byte-exact through binary casts)") {
+    // 100-byte values of 96 raw 0xFF bytes + the id, built via
+    // unhex → binary → string casts (byte-exact, no java.lang.String
+    // anywhere). Every value sorts ABOVE every valid UTF-8 string —
+    // the old lossy envelope (U+FFFD-based, EF BF BD…) sat BELOW
+    // them, so `s >= "￿"` pruned away files that match.
+    def mk(n: Int) = spark.range(1, n + 1)
+      .selectExpr("id as k",
+        "cast(unhex(concat(repeat('FF', 96), " +
+          "lpad(hex(id), 8, '0'))) as string) as s")
+    Seq(Seq.empty[String], Seq("k")).foreach { blooms =>
+      val root = tmp()
+      val t = GraftTable.create(spark, root, mk(80),
+        Seq("k", "s"), numFiles = 4, bloomCols = blooms)
+      assert(t.read().count() == 80L)
+      // the dangerous direction: a pushable range predicate every
+      // row satisfies — a corrupted max envelope would prune all 4
+      // files and answer 0
+      val (df, kept, total) = t.prunedWhere(col("s") >= "￿")
+      assert(df.count() == 80L,
+        s"bloom=$blooms: pruning dropped live files under invalid " +
+          "UTF-8 envelopes")
+      assert(kept <= total)
+      // byte-exact equality probe still finds its row
+      val probeBytes = Array.fill[Byte](96)(0xFF.toByte) ++
+        Array[Byte](0, 0, 0, 37)
+      assert(t.read()
+        .where(col("s").cast("binary") === lit(probeBytes))
+        .head().getLong(0) == 37L,
+        s"bloom=$blooms: probe lost under invalid UTF-8")
+      // metadata MIN/MAX must decline (inexact or nulled envelope)
+      val agg = t.metadataAggregates()
+      assert(agg.select("min_s", "max_s").head() ==
+        org.apache.spark.sql.Row(null, null),
+        s"bloom=$blooms: lossy envelope must not answer as exact")
+    }
+  }
+
+  test("a rewrite that drops the last truncated dir DROPS the " +
+      "protocol-2 demand (per-dir trunc recorded since r14)") {
+    val root = tmp()
+    val long = (i: Long) => f"doc-$i%05d-" + ("lorem" * 40)
+    val t = GraftTable.create(spark, root,
+      (1L to 40L).map(i => (i, long(i))).toDF("k", "body"),
+      Seq("k", "body"), numFiles = 2)
+    t.append((41L to 60L).map(i => (i, s"short-$i")).toDF("k", "body"),
+      numFiles = 1)
+    def snap(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v$v.txt")), "UTF-8")
+    assert(snap(2).contains("min_reader_version=2"),
+      "carried truncated dir must keep the demand")
+    // COW-delete every long row, then compact: the rewrite's new dirs
+    // hold only short values, so no live dir is truncated any more
+    t.deleteWhere(col("k") <= 40L)
+    t.compact()
+    val v = t.currentVersion
+    assert(snap(v).contains("min_reader_version=1"),
+      s"v$v still demands protocol 2 after the truncated values left:" +
+        s"\n${snap(v)}")
+    assert(!snap(v).contains("stats_truncated"))
+    assert(t.read().count() == 20L)
+    // and exact metadata extremes come back
+    val agg = t.metadataAggregates()
+    assert(agg.select("min_body").head().getString(0) == "short-41")
+  }
+
   test("short-string tables stay protocol 1 with exact metadata " +
       "extremes") {
     val root = tmp()

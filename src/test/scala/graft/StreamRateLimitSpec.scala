@@ -85,6 +85,39 @@ class StreamRateLimitSpec extends AnyFunSuite {
       .count() == 250L)
   }
 
+  test("a FOLD version charges the rate cap only its OWN added " +
+      "files, so a fold-crossing backlog keeps draining in capped " +
+      "batches (ADVICE r13)") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      numFiles = 2)
+    // 20 appends of 2 files push the manifest list past
+    // MaxManifestListLen — at least one commit folds
+    (1 to 20).foreach(i => t.append(
+      (1L to 100L).map(k => (i * 1000L + k, k)).toDF("k", "v"),
+      numFiles = 2))
+    def snapTxt(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/snapshot-v$v.txt")), "UTF-8")
+    val foldVs = (1L to t.currentVersion)
+      .filter(v => snapTxt(v).contains("fold_dir="))
+    assert(foldVs.nonEmpty, "backlog too shallow — no fold fired")
+    // the fold version's cost is its own delta (2 files), not the
+    // merged dir's full entry count
+    foldVs.foreach(v => assert(t.addedEntryCountAt(v) == 2L,
+      s"fold v$v over-charged: ${t.addedEntryCountAt(v)}"))
+    // and the stream drains 2 versions per batch ACROSS the folds
+    // (pre-fix: the fold version's whole-table cost forced it into a
+    // lone batch)
+    val out = s"$root-fold"
+    val sizes = drain(root, out, Map("maxFilesPerTrigger" -> "4"))
+    val nonEmpty = sizes.filter(_ > 0)
+    assert(nonEmpty == Seq.fill(10)(200L) :+ 100L,
+      s"fold must not break the cadence: $sizes")
+    assert(spark.read.parquet(out).select("k").distinct()
+      .count() == 2100L)
+  }
+
   test("initial snapshot seeds ALONE, then the backlog drains under " +
       "the version cap") {
     val root = tmp()
