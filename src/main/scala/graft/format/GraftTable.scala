@@ -2591,7 +2591,15 @@ final class GraftTable private (
         catch { case _: Exception => () }
         return next
       }
-      // lost the race: loop rebases onto the winner's version
+      // lost the race: JITTERED BACKOFF before rebasing — immediate
+      // retry makes the same losers collide again, and against an
+      // object store each attempt is a wire round trip (the r14 HTTP
+      // conditional-PUT races showed a writer can lose all 20
+      // immediate retries under a 4-writer herd); linear-capped +
+      // uniform jitter, ≤ ~0.4 s at the last attempt
+      val base = math.min(200L, 5L * attempts)
+      Thread.sleep(base + java.util.concurrent.ThreadLocalRandom
+        .current().nextLong(base + 1))
     }
     throw new ConcurrentCommitException(
       s"lost $MaxCommitAttempts commit races on $root")

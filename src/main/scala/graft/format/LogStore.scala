@@ -183,8 +183,10 @@ class HadoopLogStore(conf: () => org.apache.hadoop.conf.Configuration)
     require(atomicOk,
       s"scheme '$scheme' has no atomic rename-without-overwrite — a " +
         "commit race would be silently lost. Install a LogStore with " +
-        "a native conditional PUT via LogStore.provider, or declare " +
-        "the scheme atomic with hadoop conf " +
+        "a native conditional PUT via LogStore.provider (e.g. " +
+        "graft.format.S3ConditionalPutLogStore, S3's " +
+        "`If-None-Match: *` shape), or declare the scheme atomic " +
+        "with hadoop conf " +
         s"'graft.logstore.atomic.rename.schemes=$scheme' if the store " +
         "guarantees it (e.g. abfs with hierarchical namespace)")
     val fc = FileContext.getFileContext(p.toUri, conf())

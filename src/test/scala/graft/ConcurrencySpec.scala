@@ -13,12 +13,38 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * parent. These cases prove it under REAL thread interleaving:
   * gapless linear history, no lost rows, exactly-once ledger, and DV
   * integrity across every mutation pairing. */
-class ConcurrencySpec extends AnyFunSuite {
+class ConcurrencySpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import TestSpark.spark
   import spark.implicits._
 
-  private def tmp(): String = java.nio.file.Files
-    .createTempDirectory("graft_conc_spec_").toString + "/t"
+  /** Override to route every table this suite builds through an
+    * alternate [[graft.format.LogStore]] — S3ConditionalCommitSpec
+    * re-runs the full race matrix through the conditional-PUT store
+    * against an S3-semantics HTTP fake (VERDICT r13 #3). */
+  protected def raceStore: Option[graft.format.LogStore] = None
+
+  private val base = java.nio.file.Files
+    .createTempDirectory("graft_conc_spec_").toString
+  private var prevProvider: String => graft.format.LogStore = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    raceStore.foreach { s =>
+      prevProvider = graft.format.LogStore.provider
+      graft.format.LogStore.provider =
+        r => if (r.startsWith(base)) s else prevProvider(r)
+    }
+  }
+
+  override def afterAll(): Unit = {
+    if (raceStore.isDefined)
+      graft.format.LogStore.provider = prevProvider
+    super.afterAll()
+  }
+
+  protected def tmp(): String =
+    s"$base/${java.util.UUID.randomUUID.toString.take(8)}/t"
 
   /** history() must be a gapless linear parent chain 1..cur. */
   private def assertLinear(t: GraftTable): Unit = {

