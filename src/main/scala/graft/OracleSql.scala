@@ -967,6 +967,59 @@ object OracleSql {
       FROM orders
       GROUP BY 1 ORDER BY 1
     """,
+    // q255: the CDC-driven nightly curation pipeline (3 ingest
+    // commits → change-feed stream → quarantine + incremental dedup
+    // verdicts → index fold → mart upsert) must land EXACTLY on this
+    // one-shot recomputation from raw documents: the duplicate
+    // injection (every 7th doc re-posted in the last batch, every
+    // 11th in its own), the quarantine rule, q168's verdict
+    // precedence, and the merge-maintained per-language mart.
+    "q255_cdc_curation" -> """
+      WITH corpus AS (
+        SELECT doc_id, text, lang, CAST(doc_id % 3 AS INT) AS b
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, 2
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text, lang, CAST(doc_id % 3 AS INT)
+        FROM documents WHERE doc_id % 11 = 0
+      ), d AS (
+        SELECT doc_id, lang, b,
+               CAST(length(text) AS BIGINT) AS nch,
+               length(trim(text)) < 120 AS quar,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                 AS fp
+        FROM corpus
+      ), marked AS (
+        SELECT *,
+               MIN(b) OVER (PARTITION BY fp) AS min_b,
+               MIN(doc_id) OVER (PARTITION BY fp, b) AS min_id_b
+        FROM d WHERE NOT quar
+      ), v AS (
+        SELECT lang, nch,
+               CASE WHEN b > min_b THEN 'dup_of_history'
+                    WHEN doc_id > min_id_b THEN 'dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM marked
+        UNION ALL
+        SELECT lang, nch, 'quarantined' FROM d WHERE quar
+      )
+      SELECT lang,
+             CAST(COUNT(*) FILTER (status = 'quarantined') AS BIGINT)
+               AS n_quarantined,
+             CAST(COUNT(*) FILTER (status = 'dup_of_history') AS BIGINT)
+               AS n_dup_hist,
+             CAST(COUNT(*) FILTER (status = 'dup_in_batch') AS BIGINT)
+               AS n_dup_batch,
+             CAST(COUNT(*) FILTER (status = 'novel') AS BIGINT)
+               AS n_novel,
+             CAST(COUNT(*) FILTER (status = 'novel') AS BIGINT)
+               AS mart_docs,
+             CAST(COALESCE(SUM(nch) FILTER (status = 'novel'), 0)
+               AS BIGINT) AS mart_chars
+      FROM v GROUP BY lang ORDER BY lang
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

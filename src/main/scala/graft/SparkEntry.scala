@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
-  Dedup, FormatQueries, Governance, Graph, JdbcQueries, KpiQueries, Profiling,
-  RangeJoin, RetailQueries, ScaleOps, Similarity, Skew, Stats, TextQueries}
+  CurationGate, Dedup, FormatQueries, Governance, Graph, JdbcQueries,
+  KpiQueries, Profiling, RangeJoin, RetailQueries, ScaleOps, Similarity,
+  Skew, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -336,7 +337,8 @@ object SparkEntry {
     "q252_packed_scan" -> (FormatQueries.q252PackedScan _),
     "q253_split_scan" -> (FormatQueries.q253SplitScan _),
     "q254_rate_limited_stream" ->
-      (FormatQueries.q254RateLimitedStream _)
+      (FormatQueries.q254RateLimitedStream _),
+    "q255_cdc_curation" -> (CurationGate.q255CdcCuration _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
