@@ -56,19 +56,25 @@ class TimestampTravelSpec extends AnyFunSuite {
     val stamps = (1L to 24L).map(v => v -> t.commitTsMillis(v).get)
     // commits in one process: stamps must be non-decreasing
     assert(stamps.map(_._2) == stamps.map(_._2).sorted)
+    // recorded-stamp comparisons allow the coarse-clock slack (a
+    // file-mtime cutoff can precede its own commit's precise-clock
+    // stamp) — the exhaustive twin allows the same window
+    val slack = GraftTableSource.CommitTsSlackMs
     def exhaustive(cut: Long): Long =
       stamps.filter(_._2 <= cut).map(_._1).max
     stamps.foreach { case (_, cut) =>
       val got = GraftTableSource.versionAtTimestamp(root, cut)
-      assert(got == exhaustive(cut),
-        s"cutoff $cut: got v$got want v${exhaustive(cut)}")
+      assert(got >= exhaustive(cut) && got == exhaustive(cut + slack),
+        s"cutoff $cut: got v$got want v${exhaustive(cut)}" +
+          s"..v${exhaustive(cut + slack)}")
       assert(t.read(got).count() == got) // one row per commit
     }
     // after the last commit → current; before the first → error
     assert(GraftTableSource.versionAtTimestamp(root,
       stamps.last._2 + 60000L) == 24L)
     intercept[IllegalArgumentException] {
-      GraftTableSource.versionAtTimestamp(root, stamps.head._2 - 1L)
+      GraftTableSource.versionAtTimestamp(root,
+        stamps.head._2 - slack - 1L)
     }
   }
 
