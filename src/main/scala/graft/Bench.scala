@@ -424,6 +424,11 @@ object Bench {
     }
     // dev filter: naming etl_pipeline in SPARK_GRAFT_ONLY keeps the pair
     val runEtl = only.forall(_.contains("etl_pipeline"))
+    // per-leg dev filter: SPARK_GRAFT_ONLY=gtable_10x runs JUST that
+    // scale leg (A/B attribution runs must not drag the fullscale
+    // pair along)
+    def legOn(key: String): Boolean =
+      runEtl || only.exists(_.contains(key))
     val (etlTime, etlIncTime) =
       if (!runEtl) (-1.0, -1.0)
       else sampledPair("etl_pipeline")(etlPair())
@@ -531,7 +536,7 @@ object Bench {
       }
     }
     val dedup10xTime =
-      if (runEtl) sampled("dedup_10x")((t: Double) => t)(dedup10x())
+      if (legOn("dedup_10x")) sampled("dedup_10x")((t: Double) => t)(dedup10x())
       else -1.0
 
     // 50× scale smoke for the ANN family: embeddings replicated 50×
@@ -570,7 +575,7 @@ object Bench {
       }
     }
     val ann50xTime =
-      if (runEtl) sampled("ann_50x")((t: Double) => t)(ann50x())
+      if (legOn("ann_50x")) sampled("ann_50x")((t: Double) => t)(ann50x())
       else -1.0
 
     // 10× scale smoke for the TABLE FORMAT: orders replicated 10×,
@@ -629,7 +634,7 @@ object Bench {
       }
     }
     val gtable10xTime =
-      if (runEtl) sampled("gtable_10x")((t: Double) => t)(gtable10x())
+      if (legOn("gtable_10x")) sampled("gtable_10x")((t: Double) => t)(gtable10x())
       else -1.0
 
     // COW vs MOR on the SAME 10× accreted table: two equivalent
@@ -681,7 +686,7 @@ object Bench {
       }
     }
     val (cowDel10xTime, morDel10xTime) =
-      if (runEtl) sampledPair("mor_10x")(mor10x())
+      if (legOn("mor_10x")) sampledPair("mor_10x")(mor10x())
       else (-1.0, -1.0)
 
     // BLOOM-INDEX probe at 50×: the same point lookup on a UNIQUE
@@ -744,7 +749,7 @@ object Bench {
       }
     }
     val (bloomProbe50xTime, fullscanProbe50xTime) =
-      if (runEtl) sampled("bloom_50x")(
+      if (legOn("bloom_50x")) sampled("bloom_50x")(
         (t: (Double, Double)) => t._1)(bloom50x())
       else (-1.0, -1.0)
 
