@@ -794,8 +794,21 @@ object Bench {
     // 117.4 s incremental was an unconverged ride-along on whichever
     // sample won the initial — BOTH published metrics must converge
     // on quiet samples and report their own per-component minimum.
+    // THROWAWAY WARM PASS (VERDICT r13 #4): across r12-r14 the FIRST
+    // fullscale sample ran 1.4-2.4x its quiet twin at zero external
+    // CPU — cold FS/page-cache state, not contention (the PSI-io
+    // stamps confirm low stall). One un-timed run moves the cold
+    // state out of every measured sample so the published SPREAD
+    // reflects the hardware, not the warmup; min-of-quiet already
+    // ignored the cold sample, but convergence burned a sample slot
+    // on it every round.
+    val runRetail = legOn("retail_fullscale")
+    if (runRetail) {
+      System.err.println("BENCH WARM retail_fullscale (untimed)")
+      try { retailFullscale(); () } catch { case _: Throwable => () }
+    }
     val (retailFullTime, retailIncTime) =
-      if (runEtl) sampledPair("retail_fullscale")(retailFullscale())
+      if (runRetail) sampledPair("retail_fullscale")(retailFullscale())
       else (-1.0, -1.0)
 
     // The same DAG at the same volume through the LAKEHOUSE tier
@@ -830,8 +843,15 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
+    // same throwaway warm as the raw-dir pair (the lake tier writes a
+    // different warehouse shape, so the raw pair's warm does not
+    // cover it)
+    if (runRetail) {
+      System.err.println("BENCH WARM retail_fullscale_lake (untimed)")
+      try { retailFullscaleLake(); () } catch { case _: Throwable => () }
+    }
     val (retailLakeTime, retailLakeIncTime) =
-      if (runEtl)
+      if (runRetail)
         sampledPair("retail_fullscale_lake")(retailFullscaleLake())
       else (-1.0, -1.0)
 
