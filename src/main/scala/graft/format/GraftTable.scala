@@ -1160,9 +1160,14 @@ final class GraftTable private (
     (1L to currentVersion).flatMap { v =>
       try {
         val s = snapshot(v)
-        Some((s.version, s.op, s.parent, s.nFiles, s.nRows))
+        // commit_ts = the RECORDED commit wall-clock (r14) — the
+        // timeline `timestampAsOf` resolves against, surfaced so
+        // users pick cutoffs from it (DESCRIBE HISTORY's contract);
+        // null on pre-r14 records
+        Some((s.version, s.op, s.parent, s.nFiles, s.nRows,
+          s.tsMillis.map(m => new java.sql.Timestamp(m))))
       } catch { case _: java.nio.file.NoSuchFileException => None }
-    }.toDF("version", "op", "parent", "n_files", "n_rows")
+    }.toDF("version", "op", "parent", "n_files", "n_rows", "commit_ts")
       .orderBy(col("version").desc)
   }
 

@@ -659,13 +659,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructField("op", DataTypes.StringType),
       StructField("parent", DataTypes.LongType),
       StructField("n_files", DataTypes.LongType),
-      StructField("n_rows", DataTypes.LongType))), Seq(
+      StructField("n_rows", DataTypes.LongType),
+      // the recorded commit wall-clock (r14) — what TIMESTAMP AS OF
+      // resolves against; null on pre-r14 records
+      StructField("commit_ts", DataTypes.TimestampType))), Seq(
       inParam("table", DataTypes.StringType))) { in =>
       tableForName(in.getUTF8String(0).toString).history()
         .collect().map(r => InternalRow(r.getLong(0),
           org.apache.spark.unsafe.types.UTF8String
             .fromString(r.getString(1)),
-          r.getLong(2), r.getLong(3), r.getLong(4)))
+          r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null
+          else r.getTimestamp(5).getTime * 1000L))
     })
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {

@@ -170,6 +170,20 @@ class ProcedureSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(h.toSeq == Seq((3L, "delete", 190L), (2L, "append", 200L),
       (1L, "append", 100L)))
+    // commit_ts (r14): the recorded wall-clock each version committed
+    // at — the exact timeline TIMESTAMP AS OF resolves against —
+    // surfaces through the procedure AND the API, non-null and
+    // non-decreasing
+    val ts = spark.sql("CALL prc.system.history('t_history')")
+      .orderBy(col("version"))
+      .select("commit_ts").collect().map(_.getTimestamp(0))
+    assert(ts.forall(_ != null) &&
+      ts.sliding(2).forall(p => !p(1).before(p(0))),
+      s"commit_ts must be recorded and non-decreasing: ${ts.toSeq}")
+    assert(t.history().orderBy(col("version"))
+      .select("commit_ts").collect().map(_.getTimestamp(0).getTime)
+      .toSeq == (1L to 3L).map(v => t.commitTsMillis(v).get),
+      "history() commit_ts must equal the recorded stamp")
   }
 
   test("unknown procedures and wrong namespaces fail loudly; SHOW " +
