@@ -81,6 +81,10 @@ final class GraftTable private (
   private[graft] def commitTsMillis(v: Long): Option[Long] =
     snapshot(v).tsMillis
 
+  /** The manifest dir a FOLD at commit `v` wrote, if any. */
+  private[graft] def foldDirAt(v: Long): Option[String] =
+    snapshot(v).foldDir
+
   private def snapshot(v: Long): Snapshot =
     GraftTable.snapCached(root, v) {
       val lines = new String(
@@ -157,6 +161,7 @@ final class GraftTable private (
           .map(_.split(",").toSeq).getOrElse(Nil),
         statsTruncated = kv.get("stats_truncated").contains("1"),
         addedEntries = kv.get("added_entries").map(_.toLong),
+        addedBytes = kv.get("added_bytes").map(_.toLong),
         foldDir = kv.get("fold_dir").filter(_.nonEmpty),
         tsMillis = kv.get("ts").map(_.toLong))
     }
@@ -188,13 +193,47 @@ final class GraftTable private (
     * "might contain anything"). */
   def manifest(version: Long = currentVersion): DataFrame = {
     val refs = snapshot(version).manifestDirs
-    if (refs.isEmpty) spark.emptyDataFrame
-    else refs.map(r => readManifestDir(r.dir))
+    if (refs.isEmpty) return spark.emptyDataFrame
+    // Every dir's rows still in the driver-local manifest-rows cache
+    // under ONE schema (the commit-heavy same-process case: each dir
+    // was written by this process's micro-commits or folds): ONE
+    // LocalRelation, ZERO jobs. Without this, every state-table read
+    // paid one parquet-read-plus-schema-inference PER manifest dir —
+    // O(list length) jobs per read, which the r15 curation-at-history
+    // bench exposed as the leading per-batch term (a sawtooth rising
+    // ~0.3 s per accumulated dir until each fold reset the list).
+    // Cross-process dirs miss the cache and take the union below.
+    val cached = refs.map(r => GraftTable.manifestRows(root, r.dir))
+    if (cached.forall(_.isDefined) &&
+        cached.flatMap(_.map(_._1)).distinct.size == 1) {
+      val schema = cached.head.get._1
+      val attrs = schema.map(f =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          f.name, f.dataType, f.nullable)())
+      return org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          attrs, cached.flatMap(_.get._2)))
+    }
+    refs.map(r => readManifestDir(r.dir))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def readManifestDir(dir: String): DataFrame =
-    spark.read.parquet(s"${logDir(root)}/$dir")
+    // dirs are immutable; rows written by THIS process are served
+    // from the driver-local cache as a LocalRelation — zero jobs,
+    // zero footer reads. The merge/delete removal path reads every
+    // parent dir per commit, so without this a table maintained by
+    // micro-commits paid O(list length) parquet reads PER COMMIT
+    // (the r15 curation-at-history sawtooth).
+    GraftTable.manifestRows(root, dir) match {
+      case Some((schema, rows)) =>
+        org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            schema.map(f => org.apache.spark.sql.catalyst.expressions
+              .AttributeReference(f.name, f.dataType, f.nullable)()),
+            rows))
+      case None => spark.read.parquet(s"${logDir(root)}/$dir")
+    }
 
   /** Live data-file paths of `version`, memoized per (root, version) —
     * a committed version's file list is immutable, and every plain
@@ -493,6 +532,7 @@ final class GraftTable private (
   /** The table at `version` (defaults to current) — time travel is
     * just resolving an older manifest. */
   def read(version: Long = currentVersion): DataFrame = {
+    ReadCounter.bump(root)
     val paths = filePaths(version)
     if (paths.isEmpty) spark.emptyDataFrame
     else reconcile(applyDv(readRaw(paths, version), version), version)
@@ -751,13 +791,19 @@ final class GraftTable private (
     }
   }
 
-  /** Bytes of the manifest dirs ADDED at exactly `v` — one delta-
-    * sized manifest read (`size_bytes` summed over the new dirs;
-    * legacy null sizes count 0). Paid ONLY by streams that set
-    * `maxBytesPerTrigger`; like [[addedEntryCountAt]] this is a rate
-    * cap's cost model, never semantics. */
+  /** Bytes of the data files ADDED at exactly `v` — the recorded
+    * pre-fold exact count (`added_bytes=` kv since r15: when a fold
+    * swallows the commit's own fresh delta dir — usually the smallest
+    * — the dir-level diff below sees no new dir and would charge 0,
+    * letting a maxBytesPerTrigger stream admit the version for free,
+    * ADVICE r14); legacy records fall back to a delta-sized manifest
+    * read over the new dirs (null sizes count 0). Paid ONLY by
+    * streams that set `maxBytesPerTrigger`; like
+    * [[addedEntryCountAt]] this is a rate cap's cost model, never
+    * semantics. */
   private[graft] def addedBytesAt(v: Long): Long = {
     val s = snapshot(v)
+    s.addedBytes.foreach(b => return b)
     val prev = (if (v <= 1) Nil else snapshot(v - 1).manifestDirs)
       .map(_.dir).toSet
     // a fold dir's entries were all carried from prior dirs — its
@@ -1458,7 +1504,25 @@ final class GraftTable private (
     * table, and at scale the probe join broadcasts when the update
     * set is small (Catalyst's size-based choice). */
   def merge(updates: DataFrame, keyCols: Seq[String],
-      numFiles: Int = 4): Long = {
+      numFiles: Int = 4): Long =
+    mergeImpl(updates, keyCols, numFiles, batchLedger = None)
+
+  /** EXACTLY-ONCE streaming upsert: [[merge]] whose commit carries a
+    * streaming batch id in the snapshot's applied-batch ledger — the
+    * merge twin of [[appendIfAbsent]]. A `foreachBatch` that
+    * delta-merges running totals is at-least-once under retries;
+    * checking the ledger first (and in the same atomic commit as the
+    * data) makes a replayed batch a no-op instead of double-adding
+    * its deltas (VERDICT r14 #1: the curation mart's scale-safe
+    * maintenance is read-current + add-delta + ledgered merge). */
+  def mergeIfAbsent(updates: DataFrame, keyCols: Seq[String],
+      batchId: Long, numFiles: Int = 4): Long = {
+    if (appliedBatches.contains(batchId)) return currentVersion
+    mergeImpl(updates, keyCols, numFiles, batchLedger = Some(batchId))
+  }
+
+  private def mergeImpl(updates: DataFrame, keyCols: Seq[String],
+      numFiles: Int, batchLedger: Option[Long]): Long = {
     import spark.implicits._
     val keyed = updates.select(keyCols.map(col): _*).distinct()
     // Envelope of the update keys on stats-carrying key columns — ONE
@@ -1479,7 +1543,8 @@ final class GraftTable private (
           k -> ((r.get(2 * i), r.get(2 * i + 1)))
         }.toMap
       }
-    commitWithRetry("merge", newSchema = Some(updates.schema)) { parent =>
+    commitWithRetry("merge", batchLedger = batchLedger,
+        newSchema = Some(updates.schema)) { parent =>
       val all = manifest(parent)
       lastAuditTotal = all.count()
       val candPred = statKeys.map { k =>
@@ -2141,13 +2206,17 @@ final class GraftTable private (
         // can then run entirely on the driver (see foldInput)
         GraftTable.cacheManifestRows(root, dir, mSchema, lr.data)
         val rcIdx = lr.output.indexWhere(_.name == "row_count")
+        val sbIdx = lr.output.indexWhere(_.name == "size_bytes")
         val tIdx = lr.output.zipWithIndex.collect {
           case (a, i) if a.name.startsWith("trunc_") => i }
         return ManifestRef(dir, lr.data.length.toLong,
           lr.data.map(_.getLong(rcIdx)).sum,
           trunc = lr.data.exists(r => tIdx.exists(i =>
             !r.isNullAt(i) && r.getBoolean(i))),
-          truncKnown = true)
+          truncKnown = true,
+          bytes = if (sbIdx < 0) -1L
+            else lr.data.map(r =>
+              if (r.isNullAt(sbIdx)) 0L else r.getLong(sbIdx)).sum)
       case _ => ()
     }
     val present = entries.columns.toSet
@@ -2191,15 +2260,23 @@ final class GraftTable private (
             logDir(root), dir, mSchema, Nil, 0, 0L)
           try { lr.data.foreach(w.write); w.commit() }
           catch { case e: Throwable => w.abort(); throw e }
+          // cache the rows like the micro-commit path above: fold
+          // output dirs must stay cache-resident or one fold evicts
+          // the whole table from manifest()'s zero-job fast path
+          GraftTable.cacheManifestRows(root, dir, mSchema, lr.data)
         } else finalDf.coalesce(1).write.parquet(s"${logDir(root)}/$dir")
         val rcIdx = lr.output.indexWhere(_.name == "row_count")
+        val sbIdx = lr.output.indexWhere(_.name == "size_bytes")
         val tIdx = lr.output.zipWithIndex.collect {
           case (a, i) if a.name.startsWith("trunc_") => i }
         ManifestRef(dir, lr.data.length.toLong,
           lr.data.map(_.getLong(rcIdx)).sum,
           trunc = lr.data.exists(r => tIdx.exists(i =>
             !r.isNullAt(i) && r.getBoolean(i))),
-          truncKnown = true)
+          truncKnown = true,
+          bytes = if (sbIdx < 0) -1L
+            else lr.data.map(r =>
+              if (r.isNullAt(sbIdx)) 0L else r.getLong(sbIdx)).sum)
       case _ =>
         finalDf.write.parquet(s"${logDir(root)}/$dir")
         val truncCols = finalDf.columns.filter(_.startsWith("trunc_"))
@@ -2207,13 +2284,18 @@ final class GraftTable private (
           if (truncCols.isEmpty) max(lit(0))
           else max(when(truncCols.map(c => col(c) <=> lit(true))
             .reduce(_ || _), 1).otherwise(0))
+        val hasBytes = finalDf.columns.contains("size_bytes")
+        val bytesAgg: Column =
+          if (hasBytes) coalesce(sum(col("size_bytes")), lit(0L))
+          else max(lit(-1L))
         val t = readManifestDir(dir)
           .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)),
-            truncAgg)
+            truncAgg, bytesAgg)
           .head()
         ManifestRef(dir, t.getLong(0), t.getLong(1),
           trunc = !t.isNullAt(2) && t.getInt(2) == 1,
-          truncKnown = true)
+          truncKnown = true,
+          bytes = if (!hasBytes || t.isNullAt(3)) -1L else t.getLong(3))
     }
   }
 
@@ -2346,12 +2428,19 @@ final class GraftTable private (
       // count, captured BEFORE the fold below can swallow the dir) —
       // rides the record as `added_entries=` for the stream rate cap
       var addedEntriesRec: Option[Long] = None
+      // the byte twin (`added_bytes=`), same capture point (ADVICE
+      // r14: when the fold swallows the fresh delta dir — the common
+      // case, it is usually the smallest — the dir-level diff in
+      // addedBytesAt sees no new dir and charged the version ZERO
+      // bytes, so a maxBytesPerTrigger stream admitted it for free)
+      var addedBytesRec: Option[Long] = None
       var list: Seq[ManifestRef] = buildDelta(parent) match {
         case ReplaceAll(entries) =>
           fileSetChanged = true
           droppedLive = parentHadFiles
           val ref = writeManifestDir(entries, next)
           addedEntriesRec = Some(ref.entries)
+          if (ref.bytes >= 0) addedBytesRec = Some(ref.bytes)
           Seq(ref)
         case UseList(v) =>
           fileSetChanged = true
@@ -2382,17 +2471,45 @@ final class GraftTable private (
                 .select("_src").distinct().as[String].collect().toSet
               val carried = parentRefs.filterNot(r => affected(r.dir))
               if (affected.isEmpty) carried
-              else carried :+ writeManifestDir(
-                unionRefs(parentRefs.filter(r => affected(r.dir)))
-                  .join(removedDf, Seq("path"), "left_anti"), next)
+              else {
+                val affectedRefs =
+                  parentRefs.filter(r => affected(r.dir))
+                val replacement = unionRefs(affectedRefs)
+                  .join(removedDf, Seq("path"), "left_anti")
+                // SMALL REWRITE FAST PATH (r15: the curation bench's
+                // growing cur_mart term): collect the survivor
+                // entries to a LocalRelation so (a) a rewrite that
+                // removed EVERY entry carries NO dir at all — a
+                // repeatedly-merged small table used to accrete one
+                // empty dir per merge until the fold — and (b)
+                // writeManifestDir takes its driver-local cached
+                // path instead of a write job + read-back aggregate
+                if (affectedRefs.forall(_.entries >= 0) &&
+                    affectedRefs.map(_.entries).sum <= 10000L) {
+                  val lf = GraftTable.localFrame(spark, replacement)
+                  val empty = lf.queryExecution.logical match {
+                    case l: org.apache.spark.sql.catalyst.plans
+                        .logical.LocalRelation => l.data.isEmpty
+                    case _ => false
+                  }
+                  // keep ONE (schema-carrying) dir when the rewrite
+                  // emptied the whole table — a zero-dir snapshot
+                  // would make manifest() a column-less frame and
+                  // break schema-dependent consumers (TRUNCATE)
+                  if (empty && carried.nonEmpty) carried
+                  else carried :+ writeManifestDir(lf, next)
+                } else carried :+ writeManifestDir(replacement, next)
+              }
             }
           added match {
             case Some(a) =>
               val ref = writeManifestDir(a, next)
               addedEntriesRec = Some(ref.entries)
+              if (ref.bytes >= 0) addedBytesRec = Some(ref.bytes)
               afterRemove :+ ref
             case None =>
               addedEntriesRec = Some(0L)
+              addedBytesRec = Some(0L)
               afterRemove
           }
       }
@@ -2571,6 +2688,7 @@ final class GraftTable private (
         s"applied=${applied.toSeq.sorted.mkString(",")}") ++
         (if (snapTrunc) Seq("stats_truncated=1") else Nil) ++
         addedEntriesRec.map(n => s"added_entries=$n").toSeq ++
+        addedBytesRec.map(n => s"added_bytes=$n").toSeq ++
         foldDirRec.map(d => s"fold_dir=$d").toSeq ++
         (if (evolvedFlag) Seq("evolved=1") else Nil) ++
         (if (deadCols.nonEmpty)
@@ -2584,6 +2702,7 @@ final class GraftTable private (
       // CREATE_NEW here, a conditional PUT on an object store
       if (CommitProfile.time("snapshot_put")(putLogIfAbsent(
           s"snapshot-v$next.txt", content.getBytes("UTF-8")))) {
+        CommitProfile.recordAttempts(attempts)
         // advisory latest-version hint (Delta's `_last_checkpoint`
         // pattern): committed AFTER the snapshot so it can only lag,
         // never lead — [[GraftTable.versionAt]] probes forward from
@@ -2611,6 +2730,24 @@ final class GraftTable private (
   }
 }
 
+/** Always-on per-root [[GraftTable.read]] counter — one concurrent-map
+  * bump per read() call, negligible next to any query it fronts.
+  * Exists so specs can PIN an incremental pipeline's access pattern
+  * (VERDICT r14 #1: the curation batch loop must never rescan the
+  * verdict history — `count(verdictRoot) == 0` across the whole drain
+  * is that claim as an assertion, not a scaladoc promise). */
+private[graft] object ReadCounter {
+  private val counts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  def bump(root: String): Unit = {
+    counts.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet(); ()
+  }
+  def count(root: String): Long =
+    Option(counts.get(root)).map(_.get).getOrElse(0L)
+}
+
 /** Opt-in nanosecond accounting of the commit path's phases —
   * `CommitProfile.on.set(true)`, run commits, read [[snapshotNs]].
   * Zero overhead when off (one atomic read per wrap point). Exists so
@@ -2628,10 +2765,23 @@ private[graft] object CommitProfile {
         _ => new java.util.concurrent.atomic.AtomicLong)
         .addAndGet(System.nanoTime() - t0)
     }
-  def reset(): Unit = ns.clear()
+  def reset(): Unit = { ns.clear(); attemptsLog.clear() }
   def snapshotNs: Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     ns.asScala.map { case (k, v) => k -> v.get }.toMap
+  }
+
+  // Attempt count of each SUCCESSFUL commit (1 = no race lost),
+  // recorded when `on` — the multi-writer commit-throughput bench
+  // (VERDICT r14 #4) reads the retry distribution off it instead of
+  // guessing from aggregate PUT counts.
+  private val attemptsLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  def recordAttempts(n: Int): Unit =
+    if (on.get) { attemptsLog.add(n); () }
+  def attemptCounts: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    attemptsLog.asScala.map(_.intValue).toSeq
   }
 }
 
@@ -2740,7 +2890,12 @@ object GraftTable {
     * record: its state is unknown, so the snapshot-level flag falls
     * back to conservative parent inheritance. */
   private[graft] case class ManifestRef(dir: String, entries: Long,
-    rows: Long, trunc: Boolean = false, truncKnown: Boolean = false)
+    rows: Long, trunc: Boolean = false, truncKnown: Boolean = false,
+    // data bytes listed by this dir's entries (sum of size_bytes),
+    // known only for dirs written by THIS commit path since r15 — the
+    // byte twin of the entry count, captured so `added_bytes=` can be
+    // recorded pre-fold (-1 = unknown: carried/legacy dir)
+    bytes: Long = -1L)
 
   /** List length that triggers a fold (merge of the smallest dirs)… */
   val MaxManifestListLen = 16
@@ -2773,6 +2928,10 @@ object GraftTable {
     // any manifest fold) — the stream rate cap's cost model; None on
     // pre-r14 records (falls back to the dir-level diff)
     addedEntries: Option[Long] = None,
+    // exact data BYTES this commit added, same pre-fold capture
+    // (ADVICE r14: the dir-diff fallback charges 0 when the fold
+    // swallowed the fresh delta dir); None on pre-r15 records
+    addedBytes: Option[Long] = None,
     // the manifest dir a FOLD at this commit wrote (entries all
     // carried from prior dirs) — excluded from the rate cap's
     // byte-cost diff so a fold version doesn't charge the whole table

@@ -255,21 +255,20 @@ object GraftTableSource {
     * through the conditional PUT; same caveat Delta documents).
     * Tables with pre-r14 records, or vacuum holes from tag-pinned old
     * versions, fall back to the exact mtime-listing walk. */
-  /** Recorded commit stamps come from the PRECISE clock
-    * (System.currentTimeMillis) while file mtimes come from the
-    * kernel's COARSE clock, which lags by up to a jiffy — a cutoff
-    * taken from a snapshot file's mtime can precede its own commit's
-    * recorded stamp by a few ms and would resolve to "nothing
-    * retained". Recorded-stamp comparisons therefore allow this
-    * slack (mtime comparisons stay exact); commits spaced closer
-    * than the slack may resolve one version late — the same
-    * tolerance Delta's in-commit-timestamp adjustment trades. */
-  private[graft] val CommitTsSlackMs = 15L
-
+  /** Resolution is EXACT against the recorded stamps: the newest
+    * version with `ts <= tsMillis`, no forward slack (ADVICE r14: a
+    * +15 ms slack applied to every cutoff let a user-supplied exact
+    * timestamp resolve to a version committed AFTER it — two commits
+    * within the slack made TIMESTAMP AS OF non-deterministically
+    * read future data; Delta/reference semantics are `ts <= t`).
+    * Callers whose cutoff derives from a snapshot file's MTIME (the
+    * kernel's coarse clock, which can lag the precise recorded stamp
+    * by a few ms) must add their own slack at the call site — no
+    * such caller exists in the library today. */
   private[graft] def versionAtTimestamp(root: String,
       tsMillis: Long): Long = {
     val cur = graft.format.GraftTable.versionAt(root)
-    val cutRec = tsMillis + CommitTsSlackMs // recorded-stamp cutoff
+    val cutRec = tsMillis // recorded-stamp cutoff, exact
     val fast: Option[Long] =
       if (cur == 0) None
       else {

@@ -38,17 +38,17 @@ class GtableSourceSpec extends AnyFunSuite {
       .load(root).count()
     assert(v1Src == v1Api && v1Src ==
       orders.where(col("o_orderkey") <= 2000).count())
-    // timestampAsOf: a cutoff between the two commits resolves v1
-    // (snapshot-file mtimes, vacuumed-snapshot-safe — same resolver
-    // as the catalog's TIMESTAMP AS OF); accepts epoch millis and
-    // SQL timestamp strings
-    val v1Mtime = new java.io.File(s"$root/_log/snapshot-v1.txt")
-      .lastModified()
+    // timestampAsOf: a cutoff at v1's RECORDED commit stamp resolves
+    // v1 exactly (ADVICE r14: resolution is `ts <= t` with no
+    // forward slack, so cutoffs come from the recorded timeline —
+    // history()'s commit_ts — not from coarse file mtimes); accepts
+    // epoch millis and SQL timestamp strings
+    val v1Ts = t.commitTsMillis(1L).get
     val tsSrc = spark.read.format(fmt)
-      .option("timestampAsOf", v1Mtime.toString).load(root).count()
+      .option("timestampAsOf", v1Ts.toString).load(root).count()
     assert(tsSrc == v1Api)
     val fmtTs = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
-      .format(new java.util.Date(v1Mtime))
+      .format(new java.util.Date(v1Ts))
     assert(spark.read.format(fmt).option("timestampAsOf", fmtTs)
       .load(root).count() == v1Api)
     // older than all retained history: explicit error, not a crash

@@ -180,4 +180,56 @@ class StreamRateLimitSpec extends AnyFunSuite {
       ReadLimit.allAvailable()) == GraftTableOffset(10L),
       "the prepare-time cap must hold")
   }
+
+  test("a commit whose fresh delta dir is swallowed by a manifest " +
+      "fold still charges its true bytes (ADVICE r14: the dir-level " +
+      "diff saw no new dir and admitted the version at zero cost)") {
+    val root = tmp()
+    // two-file sibling appends, then ONE strictly smaller (one-file)
+    // append that tips the list over MaxManifestListLen: the fold
+    // merges the smallest dirs, so the folding commit's own fresh
+    // delta dir — the unique 1-entry dir — is always among them
+    val t = GraftTable.create(spark, root,
+      (1L to 16L).map((_, 1L)).toDF("k", "v"), Seq("k"), numFiles = 4)
+    var foldV = -1L
+    var v = 1L
+    while (foldV < 0 && v < 64L) {
+      val big = (1L to 16L).map(i => (v * 100L + i, 1L)).toDF("k", "v")
+      v = t.append(big, numFiles = 4)
+      if (t.foldDirAt(v).isDefined) foldV = v
+      else if (v >= GraftTable.MaxManifestListLen) {
+        // one dir below the threshold: the next (small) append folds
+        v = t.append(Seq((9999L, 1L)).toDF("k", "v"), numFiles = 1)
+        if (t.foldDirAt(v).isDefined) foldV = v
+      }
+    }
+    assert(foldV > 0, "no fold triggered within 64 appends")
+    val prevBytes = t.addedBytesAt(foldV - 1) // a 4-file append
+    assert(prevBytes > 0L)
+    val foldBytes = t.addedBytesAt(foldV)
+    assert(foldBytes > 0L,
+      s"fold version v$foldV charged $foldBytes bytes — the " +
+        "pre-fold added_bytes record must survive the fold")
+    // a one-file, one-row append: strictly smaller than the 4-file
+    // sibling but the same order of magnitude
+    assert(foldBytes < prevBytes && foldBytes >= prevBytes / 8,
+      s"v$foldV charged $foldBytes vs 4-file sibling $prevBytes")
+    // and a LEGACY record (added_bytes stripped) falls back to the
+    // dir-diff — the documented over/under behavior, not a crash
+    val p = java.nio.file.Paths.get(
+      s"$root/_log/snapshot-v$foldV.txt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(p),
+      "UTF-8").linesIterator
+      .filterNot(_.startsWith("added_bytes="))
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    GraftTable.invalidate(root)
+    val t2 = GraftTable.forPath(spark, root)
+    val rec = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("schema="))
+      .mkString(" | ")
+    assert(t2.addedBytesAt(foldV) == 0L,
+      s"legacy fold records keep the (documented) zero-charge " +
+        s"dir-diff; v$foldV record: $rec")
+  }
 }

@@ -56,17 +56,15 @@ class TimestampTravelSpec extends AnyFunSuite {
     val stamps = (1L to 24L).map(v => v -> t.commitTsMillis(v).get)
     // commits in one process: stamps must be non-decreasing
     assert(stamps.map(_._2) == stamps.map(_._2).sorted)
-    // recorded-stamp comparisons allow the coarse-clock slack (a
-    // file-mtime cutoff can precede its own commit's precise-clock
-    // stamp) — the exhaustive twin allows the same window
-    val slack = GraftTableSource.CommitTsSlackMs
+    // resolution is EXACT: the newest version with ts <= cutoff, no
+    // forward slack (ADVICE r14 — slack let an exact user timestamp
+    // read a version committed after it)
     def exhaustive(cut: Long): Long =
       stamps.filter(_._2 <= cut).map(_._1).max
     stamps.foreach { case (_, cut) =>
       val got = GraftTableSource.versionAtTimestamp(root, cut)
-      assert(got >= exhaustive(cut) && got == exhaustive(cut + slack),
-        s"cutoff $cut: got v$got want v${exhaustive(cut)}" +
-          s"..v${exhaustive(cut + slack)}")
+      assert(got == exhaustive(cut),
+        s"cutoff $cut: got v$got want v${exhaustive(cut)}")
       assert(t.read(got).count() == got) // one row per commit
     }
     // after the last commit → current; before the first → error
@@ -74,8 +72,27 @@ class TimestampTravelSpec extends AnyFunSuite {
       stamps.last._2 + 60000L) == 24L)
     intercept[IllegalArgumentException] {
       GraftTableSource.versionAtTimestamp(root,
-        stamps.head._2 - slack - 1L)
+        stamps.head._2 - 1L)
     }
+  }
+
+  test("two commits a few ms apart: an exact cutoff at the first " +
+      "commit's stamp never reads the second (ADVICE r14)") {
+    val (root, t) = build(2)
+    // pin the recorded stamps 10 ms apart — inside the old +15 ms
+    // slack window that made resolution non-deterministic
+    val t0 = t.commitTsMillis(1L).get
+    val p2 = java.nio.file.Paths.get(s"$root/_log/snapshot-v2.txt")
+    val repinned = new String(java.nio.file.Files.readAllBytes(p2),
+      "UTF-8").linesIterator.map(l =>
+        if (l.startsWith("ts=")) s"ts=${t0 + 10L}" else l)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(p2, repinned.getBytes("UTF-8"))
+    GraftTable.invalidate(root)
+    assert(GraftTableSource.versionAtTimestamp(root, t0) == 1L,
+      "cutoff == v1's stamp must resolve v1, not the +10 ms v2")
+    assert(GraftTableSource.versionAtTimestamp(root, t0 + 9L) == 1L)
+    assert(GraftTableSource.versionAtTimestamp(root, t0 + 10L) == 2L)
   }
 
   test("resolution does ZERO log-dir listings and O(log V) record " +
