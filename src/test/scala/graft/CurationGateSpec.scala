@@ -86,6 +86,83 @@ class CurationGateSpec extends AnyFunSuite {
     assert(got == want, s"mart drifted from verdicts:\n$got\n$want")
   }
 
+  test("the batch loop is O(batch): it NEVER reads the verdict " +
+      "history, and index/mart reads are one per batch (VERDICT r14 " +
+      "#1 — the mart previously recomputed totals from the full " +
+      "verdict table every night)") {
+    val (_, idxR, verR, martR) = runPipeline()
+    import graft.format.ReadCounter
+    // the drain processed 3 batches; the loop itself must never have
+    // opened the verdict table (appends + ledger checks only), and
+    // the index/mart state reads are one KEY-SIZED read per batch
+    // that has prior state (batches 1 and 2)
+    assert(ReadCounter.count(verR) == 0L,
+      s"the batch loop read the verdict table " +
+        s"${ReadCounter.count(verR)} times — mart maintenance must " +
+        "be a ledgered delta-merge, not a history recompute")
+    assert(ReadCounter.count(idxR) == 2L,
+      s"expected 2 index reads (batches 1,2), got " +
+        s"${ReadCounter.count(idxR)}")
+    assert(ReadCounter.count(martR) == 2L,
+      s"expected 2 mart reads (batches 1,2), got " +
+        s"${ReadCounter.count(martR)}")
+  }
+
+  test("a crash BETWEEN the index append and the verdict append " +
+      "replays exactly-once: tonight's own index rows are not read " +
+      "as history, the mart never double-adds (ADVICE r14)") {
+    val c = CurationGate.corpus(spark, sfDir).cache()
+    try {
+      def bdf(k: Int) = c.where(col("b") === k).drop("b")
+        .withColumn("_change_type", lit("insert"))
+      def state(idxR: String, verR: String, martR: String) = (
+        GraftTable.forPath(spark, verR).read()
+          .select("doc_id", "b", "lang", "nch", "status",
+            "canonical_id")
+          .collect().map(_.toSeq).toSet,
+        GraftTable.forPath(spark, idxR).read()
+          .collect().map(_.toSeq).toSet,
+        GraftTable.forPath(spark, martR).read()
+          .collect().map(_.toSeq).toSet)
+
+      // reference: a clean batch-by-batch run
+      val a = tmp()
+      (0 to 2).foreach(k => CurationGate.curateBatch(spark, bdf(k),
+        k.toLong, s"$a/idx", s"$a/ver", s"$a/mart"))
+      val want = state(s"$a/idx", s"$a/ver", s"$a/mart")
+
+      // crashy run: batch 1 dies right after its index fold landed
+      val b = tmp()
+      CurationGate.curateBatch(spark, bdf(0), 0L,
+        s"$b/idx", s"$b/ver", s"$b/mart")
+      intercept[RuntimeException] {
+        CurationGate.curateBatch(spark, bdf(1), 1L,
+          s"$b/idx", s"$b/ver", s"$b/mart",
+          onAfterIndexFold = () => throw new RuntimeException("crash"))
+      }
+      // the crash window is real: the index holds batch 1, the
+      // verdict ledger does not
+      assert(GraftTable.forPath(spark, s"$b/idx")
+        .appliedBatches == Set(0L, 1L))
+      assert(GraftTable.forPath(spark, s"$b/ver")
+        .appliedBatches == Set(0L))
+      // replay batch 1 (at-least-once delivery), then batch 2
+      CurationGate.curateBatch(spark, bdf(1), 1L,
+        s"$b/idx", s"$b/ver", s"$b/mart")
+      CurationGate.curateBatch(spark, bdf(2), 2L,
+        s"$b/idx", s"$b/ver", s"$b/mart")
+      val got = state(s"$b/idx", s"$b/ver", s"$b/mart")
+      assert(got == want,
+        "the crash-replayed run must land byte-identical state")
+      // and the replayed batch's novels stayed novel — none were
+      // reclassified as dups of their own index rows
+      val selfDup = GraftTable.forPath(spark, s"$b/ver").read()
+        .where(col("canonical_id") === col("doc_id")).count()
+      assert(selfDup == 0L, s"$selfDup docs are duplicates of " +
+        "themselves — the replay read its own batch as history")
+    } finally { c.unpersist(); () }
+  }
+
   test("replaying the FULL feed (fresh checkpoint, same state roots) " +
       "is a no-op: ledgers skip every batch, nothing double-counts") {
     val (ingest, idxR, verR, martR) = runPipeline()
