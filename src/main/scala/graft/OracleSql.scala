@@ -1020,6 +1020,123 @@ object OracleSql {
                AS BIGINT) AS mart_chars
       FROM v GROUP BY lang ORDER BY lang
     """,
+    // q256: the CDC near-dup pipeline (3 ingest commits → change-feed
+    // stream → MinHash-band verdicts against a persisted novel-only
+    // band index → index fold → mart delta-merge) must land exactly
+    // on this one-shot recomputation: the same md5 lanes/band keys as
+    // q54/q55, the SEQUENTIAL novel-only index evolution unrolled
+    // batch by batch (a doc colliding only with a non-novel doc of an
+    // earlier batch stays novel — the index never held that doc), the
+    // within-batch lowest-id-collision rule, and the delta-merged
+    // per-language mart.
+    "q256_cdc_neardup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text, lang, CAST(doc_id % 3 AS INT) AS b
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' near duplicate repost',
+               lang, 2
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'forwarded note ' || text, lang,
+               CAST(doc_id % 3 AS INT)
+        FROM documents WHERE doc_id % 11 = 0
+      ), t AS (
+        SELECT doc_id, lang, b,
+               CAST(length(text) AS BIGINT) AS nch,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM corpus
+      ), sh AS (
+        SELECT doc_id, lang, b, nch,
+               CASE WHEN len(toks) < 2
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                      range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))
+               END AS s
+        FROM t
+      ), lanes AS (
+        SELECT doc_id, lang, b, nch,
+               [list_min(list_transform(s,
+                  x -> md5(i::VARCHAR || '|' || x)))
+                for i in generate_series(0, 15)] AS lanes
+        FROM sh
+      ), bands AS (
+        SELECT doc_id, lang, b, nch, g.band,
+               md5(array_to_string(
+                 lanes[g.band * 4 + 1 : g.band * 4 + 4], ''))
+                 AS band_key
+        FROM lanes, generate_series(0, 3) AS g(band)
+      ), batch_hit AS (
+        SELECT x.doc_id, MIN(y.doc_id) AS batch_first
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.band = y.band
+         AND x.band_key = y.band_key AND y.doc_id < x.doc_id
+        GROUP BY x.doc_id
+      ), v0 AS (
+        SELECT d.doc_id, d.lang, d.nch,
+               CASE WHEN bh.batch_first IS NOT NULL
+                    THEN 'near_dup_in_batch' ELSE 'novel' END AS status
+        FROM t d LEFT JOIN batch_hit bh USING (doc_id)
+        WHERE d.b = 0
+      ), idx0 AS (
+        SELECT bd.band, bd.band_key, bd.doc_id AS canonical
+        FROM bands bd JOIN v0 ON v0.doc_id = bd.doc_id
+        WHERE v0.status = 'novel'
+      ), h1 AS (
+        SELECT p.doc_id, MIN(i.canonical) AS hist_canonical
+        FROM bands p JOIN idx0 i
+          ON p.band = i.band AND p.band_key = i.band_key
+        WHERE p.b = 1 GROUP BY p.doc_id
+      ), v1 AS (
+        SELECT d.doc_id, d.lang, d.nch,
+               CASE WHEN h.hist_canonical IS NOT NULL
+                      THEN 'near_dup_of_history'
+                    WHEN bh.batch_first IS NOT NULL
+                      THEN 'near_dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM t d LEFT JOIN h1 h USING (doc_id)
+        LEFT JOIN batch_hit bh USING (doc_id)
+        WHERE d.b = 1
+      ), idx1 AS (
+        SELECT * FROM idx0
+        UNION ALL
+        SELECT bd.band, bd.band_key, bd.doc_id
+        FROM bands bd JOIN v1 ON v1.doc_id = bd.doc_id
+        WHERE v1.status = 'novel'
+      ), h2 AS (
+        SELECT p.doc_id, MIN(i.canonical) AS hist_canonical
+        FROM bands p JOIN idx1 i
+          ON p.band = i.band AND p.band_key = i.band_key
+        WHERE p.b = 2 GROUP BY p.doc_id
+      ), v2 AS (
+        SELECT d.doc_id, d.lang, d.nch,
+               CASE WHEN h.hist_canonical IS NOT NULL
+                      THEN 'near_dup_of_history'
+                    WHEN bh.batch_first IS NOT NULL
+                      THEN 'near_dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM t d LEFT JOIN h2 h USING (doc_id)
+        LEFT JOIN batch_hit bh USING (doc_id)
+        WHERE d.b = 2
+      ), v AS (
+        SELECT * FROM v0 UNION ALL
+        SELECT * FROM v1 UNION ALL
+        SELECT * FROM v2
+      )
+      SELECT lang,
+             CAST(COUNT(*) FILTER (status = 'near_dup_of_history')
+               AS BIGINT) AS n_dup_hist,
+             CAST(COUNT(*) FILTER (status = 'near_dup_in_batch')
+               AS BIGINT) AS n_dup_batch,
+             CAST(COUNT(*) FILTER (status = 'novel') AS BIGINT)
+               AS n_novel,
+             CAST(COUNT(*) FILTER (status = 'novel') AS BIGINT)
+               AS mart_docs,
+             CAST(COALESCE(SUM(nch) FILTER (status = 'novel'), 0)
+               AS BIGINT) AS mart_chars
+      FROM v GROUP BY lang ORDER BY lang
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
   CurationGate, Dedup, FormatQueries, Governance, Graph, JdbcQueries,
-  KpiQueries, Profiling, RangeJoin, RetailQueries, ScaleOps, Similarity,
-  Skew, Stats, TextQueries}
+  KpiQueries, NeardupGate, Profiling, RangeJoin, RetailQueries, ScaleOps,
+  Similarity, Skew, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -338,7 +338,8 @@ object SparkEntry {
     "q253_split_scan" -> (FormatQueries.q253SplitScan _),
     "q254_rate_limited_stream" ->
       (FormatQueries.q254RateLimitedStream _),
-    "q255_cdc_curation" -> (CurationGate.q255CdcCuration _)
+    "q255_cdc_curation" -> (CurationGate.q255CdcCuration _),
+    "q256_cdc_neardup" -> (NeardupGate.q256CdcNeardup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -150,6 +150,17 @@ object Dedup {
             md5(concat(i.cast("string"), lit("|"), x)))))),
       1)
 
+  /** The LSH band keys of an md5-lane signature: band `b` is
+    * `md5(lanes[4b+1] || … || lanes[4b+4])` — q55/q169's banding law
+    * (4 bands × 4 lanes), shared so the CDC near-dup stage (q256)
+    * probes its persisted index with EXACTLY the keys these queries
+    * band on. */
+  def bandKeys(lanes: Column): Column =
+    transform(sequence(lit(0), lit(OracleBands - 1)), b =>
+      md5(concat_ws("",
+        slice(lanes, b * lit(OracleLanes / OracleBands) + lit(1),
+          lit(OracleLanes / OracleBands)))))
+
   /** q54 — oracle-checkable MinHash signature digest per document. */
   def q54MinhashMd5(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
