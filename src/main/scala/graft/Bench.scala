@@ -82,6 +82,22 @@ object Bench {
     // smaller per-leg budget, and (b) stamps the 1-minute loadavg it
     // actually started under, so each number is individually
     // discountable.
+    // Page-cache size (/proc/meminfo Cached, MB) — stamped at each
+    // leg sample start and around the fullscale warm passes (VERDICT
+    // r14 #5: attribute the cold first fullscale sample — either the
+    // warm pass holds the cache and the first timed sample is ≤1.3×
+    // the min, or the stamps name the displacing phase).
+    def cachedMb(): Double =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("Cached:"))
+        .map(_.trim.split("\\s+")(1).toDouble / 1024.0).getOrElse(-1.0)
+      catch { case _: Throwable => -1.0 }
+    val legCachedMb =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
+    // fullscale warm passes: own duration + cache before/after
+    val warmInfo =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+
     val legLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
     // loadavg at leg END too (VERDICT r9 #4): a leg stamped "quiet" at
     // start can absorb mid-leg contention — the end stamp makes that
@@ -209,6 +225,7 @@ object Bench {
         ioPct = psiIo()._1
       }
       legLoads(name) = load1m()
+      legCachedMb(name) = cachedMb()
       val io0 = psiIo()._2
       val h0 = hostJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
@@ -802,10 +819,21 @@ object Bench {
     // reflects the hardware, not the warmup; min-of-quiet already
     // ignored the cold sample, but convergence burned a sample slot
     // on it every round.
+    // WARM-PASS STAMPING (VERDICT r14 #5): the warm run's own wall
+    // time and the page-cache level before/after ride the artifact —
+    // if the first timed sample still runs >1.3× the min, the stamps
+    // say whether the warm pass's cache survived to the sample or
+    // what displaced it.
     val runRetail = legOn("retail_fullscale")
     if (runRetail) {
       System.err.println("BENCH WARM retail_fullscale (untimed)")
-      try { retailFullscale(); () } catch { case _: Throwable => () }
+      val cb = cachedMb()
+      val w = timed {
+        try { retailFullscale(); () } catch { case _: Throwable => () }
+      }
+      warmInfo("retail_fullscale") =
+        f"""{"warm_sec":$w%.1f,"cached_mb_before":$cb%.0f,""" +
+          f""""cached_mb_after":${cachedMb()}%.0f}"""
     }
     val (retailFullTime, retailIncTime) =
       if (runRetail) sampledPair("retail_fullscale")(retailFullscale())
@@ -848,7 +876,14 @@ object Bench {
     // cover it)
     if (runRetail) {
       System.err.println("BENCH WARM retail_fullscale_lake (untimed)")
-      try { retailFullscaleLake(); () } catch { case _: Throwable => () }
+      val cb = cachedMb()
+      val w = timed {
+        try { retailFullscaleLake(); () }
+        catch { case _: Throwable => () }
+      }
+      warmInfo("retail_fullscale_lake") =
+        f"""{"warm_sec":$w%.1f,"cached_mb_before":$cb%.0f,""" +
+          f""""cached_mb_after":${cachedMb()}%.0f}"""
     }
     val (retailLakeTime, retailLakeIncTime) =
       if (runRetail)
@@ -1019,9 +1054,12 @@ object Bench {
     // AND the driver-heap PEAK over baseline while planning — the
     // number that says a 10⁶-commit table's scan is plannable without
     // sizing the driver by the manifest.
-    var planCollectMb = -1.0
-    var planStreamMb = -1.0
-    def manifestPlanning(): (Double, Double) = {
+    val planCollectMb =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
+    val planStreamMb =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
+    def manifestPlanning(nEntries: Long, leg: String)
+        : (Double, Double) = {
       val sp = newSession(cpus)
       var base: String = null
       val prevLimit = graft.format.GraftTable.PlanCollectLimit
@@ -1032,7 +1070,7 @@ object Bench {
         val t = graft.format.GraftTable.create(sp, root,
           sp.range(0L, 1000L).selectExpr("id as k", "id as v"),
           statsCols = Seq("k"), numFiles = 1)
-        val fake = sp.range(0L, 200000L).selectExpr(
+        val fake = sp.range(0L, nEntries).selectExpr(
           "concat('data/cfake/part-', lpad(cast(id as string), 7, " +
             "'0'), '.parquet') as path",
           "cast(50 as bigint) as row_count",
@@ -1040,7 +1078,7 @@ object Bench {
           "id * 50 + 1000000 as min_k", "id * 50 + 1000049 as max_k",
           "cast(0 as bigint) as nulls_k")
         t.commitReplaceFiles("append", Nil, fake, expectedParent = 1L)
-        require(t.fileCount() == 200001L,
+        require(t.fileCount() == nEntries + 1L,
           s"fabricated manifest holds ${t.fileCount()} entries")
         def planOnce(): Unit = {
           sp.read.format("gtable").load(root).rdd.getNumPartitions
@@ -1076,12 +1114,14 @@ object Bench {
         graft.format.GraftTable.PlanCollectLimit = 0L
         val sSec = timed(planOnce())
         val sMb = livePeak(planOnce())
-        planCollectMb = math.max(planCollectMb, cMb)
-        planStreamMb = math.max(planStreamMb, sMb)
+        planCollectMb(leg) =
+          math.max(planCollectMb.getOrElse(leg, -1.0), cMb)
+        planStreamMb(leg) =
+          math.max(planStreamMb.getOrElse(leg, -1.0), sMb)
         (cSec, sSec)
       } catch {
         case e: Throwable =>
-          System.err.println(s"BENCH FAIL manifest_plan_200k: $e")
+          System.err.println(s"BENCH FAIL $leg: $e")
           (-1.0, -1.0)
       } finally {
         graft.format.GraftTable.PlanCollectLimit = prevLimit
@@ -1095,7 +1135,154 @@ object Bench {
     }
     val runPlanMem = only.forall(_.contains("manifest_plan_200k"))
     val (planCollectSec, planStreamSec) =
-      if (runPlanMem) sampledPair("manifest_plan_200k")(manifestPlanning())
+      if (runPlanMem) sampledPair("manifest_plan_200k")(
+        manifestPlanning(200000L, "manifest_plan_200k"))
+      else (-1.0, -1.0)
+
+    // THE STREAMED BRANCH'S DESIGN REGIME (VERDICT r14 #7): a 10⁶-
+    // entry manifest — at 200k entries the streamed branch saves only
+    // ~18-35 MB for ~3× wall; this leg publishes the wall/heap pair
+    // at the scale PlanCollectLimit exists for, so the crossover
+    // claim next to the knob is measured, not asserted.
+    val runPlan1m = only.forall(_.contains("manifest_plan_1m"))
+    val (plan1mCollectSec, plan1mStreamSec) =
+      if (runPlan1m) sampledPair("manifest_plan_1m")(
+        manifestPlanning(1000000L, "manifest_plan_1m"))
+      else (-1.0, -1.0)
+
+    // CURATION AT HISTORY (VERDICT r14 #3): ten nightly batches of
+    // the full documents table (re-keyed per night; 1 doc in 5 is an
+    // exact re-post of night 0 → dup_of_history, the rest are novel)
+    // through the SAME change-feed drain and curateBatch as q255 —
+    // history grows ~0.8·|batch| fingerprints per night while each
+    // batch stays constant-sized, so a flat per-batch series IS the
+    // O(batch) maintenance claim (the pre-r15 mart recompute read the
+    // full verdict history every night and would show here as a
+    // rising series). Reports (first batch, last batch) seconds; the
+    // full per-batch series of every sample rides the artifact as
+    // `curation_batches`.
+    var curationSeries = List.empty[String]
+    def curationHistory(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var base: String = null
+      try {
+        base = java.nio.file.Files
+          .createTempDirectory("graft_cur_hist_").toString
+        val times = graft.operators.CurationGate
+          .benchHistory(sp, sfDir, base,
+            nBatches = sys.env
+              .getOrElse("SPARK_GRAFT_CURATION_BATCHES", "10").toInt,
+            mult = sys.env
+              .getOrElse("SPARK_GRAFT_CURATION_MULT", "8").toInt)
+        curationSeries = curationSeries :+
+          times.map(t => f"$t%.2f").mkString("[", ",", "]")
+        if (times.exists(_ < 0)) (-1.0, -1.0)
+        else (times.head, times.last)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL curation_history: $e")
+          (-1.0, -1.0)
+      } finally {
+        import scala.reflect.io.Directory
+        if (base != null)
+          new Directory(new java.io.File(base)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val runCuration = only.forall(_.contains("curation_history"))
+    val (curationFirstSec, curationLastSec) =
+      if (runCuration) sampledPair("curation_history")(curationHistory())
+      else (-1.0, -1.0)
+
+    // MULTI-WRITER COMMIT THROUGHPUT THROUGH THE S3 FAKE (VERDICT r14
+    // #4): 6 writer threads × 20 one-file appends race ONE table
+    // whose commits linearize through S3ConditionalPutLogStore
+    // against the in-process conditional-PUT fake, with 2 ms injected
+    // wire latency per attempt (the round trip a real store charges).
+    // Publishes (wall seconds for all 120 commits → commits/s =
+    // 120/s, derivable like commit_micro's) and MEAN commit attempts
+    // per successful commit; the full attempt histogram rides the
+    // artifact (`commit_tput_attempts`: [[attempts, n_commits], …]) —
+    // the jittered-backoff claim measured, not asserted. Any
+    // ConcurrentCommitException fails the leg to -1.
+    var commitTputHist = "[]"
+    def commitThroughput(): (Double, Double) = {
+      val sp = newSession(cpus)
+      var fake: graft.format.S3FakeServer = null
+      var base: String = null
+      val prevProvider = graft.format.LogStore.provider
+      try {
+        base = java.nio.file.Files
+          .createTempDirectory("graft_commit_tput_").toString
+        val root = s"$base/t"
+        fake = new graft.format.S3FakeServer
+        fake.latencyMs.set(2)
+        val store = new graft.format.S3ConditionalPutLogStore(
+          fake.endpoint, () => sp.sparkContext.hadoopConfiguration)
+        val bp = base
+        graft.format.LogStore.provider =
+          r => if (r.startsWith(bp)) store else prevProvider(r)
+        import sp.implicits._
+        graft.format.GraftTable.create(sp, root,
+          Seq((0L, 0L)).toDF("k", "v"), statsCols = Seq("k"),
+          numFiles = 1)
+        val writers = 6
+        val per = 20
+        graft.format.CommitProfile.reset()
+        graft.format.CommitProfile.on.set(true)
+        val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+        val secs = timed {
+          val ths = (0 until writers).map { w =>
+            new Thread(() => {
+              try {
+                val t = graft.format.GraftTable.forPath(sp, root)
+                (0 until per).foreach { i =>
+                  t.append(Seq((w * 1000L + i + 1L, i.toLong))
+                    .toDF("k", "v"), numFiles = 1); ()
+                }
+              } catch {
+                case e: Throwable =>
+                  errors.incrementAndGet()
+                  System.err.println(
+                    s"BENCH commit_tput writer $w FAILED: $e")
+              }
+            })
+          }
+          ths.foreach(_.start()); ths.foreach(_.join())
+        }
+        graft.format.CommitProfile.on.set(false)
+        val attempts = graft.format.CommitProfile.attemptCounts
+        if (errors.get() > 0 ||
+            attempts.length != writers * per) (-1.0, -1.0)
+        else {
+          commitTputHist = attempts.groupBy(identity).toSeq
+            .sortBy(_._1)
+            .map { case (k, v) => s"[$k,${v.size}]" }
+            .mkString("[", ",", "]")
+          (secs, attempts.sum.toDouble / attempts.size)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL commit_throughput: $e")
+          (-1.0, -1.0)
+      } finally {
+        graft.format.LogStore.provider = prevProvider
+        graft.format.CommitProfile.on.set(false)
+        if (fake != null) fake.stop()
+        import scala.reflect.io.Directory
+        if (base != null)
+          new Directory(new java.io.File(base)).deleteRecursively()
+        sp.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val runCommitTput = only.forall(_.contains("commit_throughput"))
+    val (commitTputSec, commitTputAttempts) =
+      if (runCommitTput)
+        sampledPair("commit_throughput")(commitThroughput())
       else (-1.0, -1.0)
 
     // Scale-smoke legs carry their TRUE factor in the key (a 48× run
@@ -1113,7 +1300,11 @@ object Bench {
       "packed_scan_20k", "per_file_scan_20k",
       "packed_tasks_20k", "per_file_tasks_20k",
       "manifest_plan_200k_collect", "manifest_plan_200k_stream",
-      "manifest_plan_200k_collect_mb", "manifest_plan_200k_stream_mb")
+      "manifest_plan_200k_collect_mb", "manifest_plan_200k_stream_mb",
+      "manifest_plan_1m_collect", "manifest_plan_1m_stream",
+      "manifest_plan_1m_collect_mb", "manifest_plan_1m_stream_mb",
+      "curation_hist_first_s", "curation_hist_last_s",
+      "commit_tput_120_s", "commit_tput_attempts_mean")
     val all = queryTimes :+ ("etl_pipeline" -> etlTime) :+
       ("etl_incremental" -> etlIncTime) :+
       (s"etl_pipeline_${etlX}x" -> etl10xTime) :+
@@ -1139,8 +1330,20 @@ object Bench {
       ("per_file_tasks_20k" -> perFileTasks20k) :+
       ("manifest_plan_200k_collect" -> planCollectSec) :+
       ("manifest_plan_200k_stream" -> planStreamSec) :+
-      ("manifest_plan_200k_collect_mb" -> planCollectMb) :+
-      ("manifest_plan_200k_stream_mb" -> planStreamMb)
+      ("manifest_plan_200k_collect_mb" ->
+        planCollectMb.getOrElse("manifest_plan_200k", -1.0)) :+
+      ("manifest_plan_200k_stream_mb" ->
+        planStreamMb.getOrElse("manifest_plan_200k", -1.0)) :+
+      ("manifest_plan_1m_collect" -> plan1mCollectSec) :+
+      ("manifest_plan_1m_stream" -> plan1mStreamSec) :+
+      ("manifest_plan_1m_collect_mb" ->
+        planCollectMb.getOrElse("manifest_plan_1m", -1.0)) :+
+      ("manifest_plan_1m_stream_mb" ->
+        planStreamMb.getOrElse("manifest_plan_1m", -1.0)) :+
+      ("curation_hist_first_s" -> curationFirstSec) :+
+      ("curation_hist_last_s" -> curationLastSec) :+
+      ("commit_tput_120_s" -> commitTputSec) :+
+      ("commit_tput_attempts_mean" -> commitTputAttempts)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total keeps the PRE-round-7 metric definition (query set
@@ -1180,8 +1383,15 @@ object Bench {
       s"""{"p1":${passJson(p1)},"p2":${passJson(p2)},""" +
       f""""p1_ext_cores":$p1Ext%.2f,"p2_ext_cores":$p2Ext%.2f,""" +
       s""""p1_loadavg":"$p1Load","p2_loadavg":"$p2Load"}"""
+    val legCachedJson = legCachedMb
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+      .mkString("{", ",", "}")
+    val warmJson = warmInfo
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val curationJson = curationSeries.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson,"leg_loadavg_end":$legLoadEndJson,"leg_ext_cores":$legExtJson,"leg_samples":$legSamplesJson,"leg_quiet":$legQuietJson,"leg_io_stall_pct":$legIoJson,"query_passes":$passesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ok":$loadOk,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","leg_loadavg":$legLoadJson,"leg_loadavg_end":$legLoadEndJson,"leg_ext_cores":$legExtJson,"leg_samples":$legSamplesJson,"leg_quiet":$legQuietJson,"leg_io_stall_pct":$legIoJson,"leg_cached_mb":$legCachedJson,"warm_info":$warmJson,"curation_batches":$curationJson,"commit_tput_attempts":$commitTputHist,"query_passes":$passesJson}"""
     println(line)
     // Also persist the result line: stdout tails can truncate mid-stream
     // (sbt log interleaving), which loses the headline number from the
