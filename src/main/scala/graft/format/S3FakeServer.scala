@@ -47,9 +47,28 @@ class S3FakeServer {
         val cond =
           Option(x.getRequestHeaders.getFirst("If-None-Match"))
             .contains("*")
-        if (!cond) { // unconditional PUT: last writer wins
+        // All writes land via temp-file + ATOMIC_MOVE: an object
+        // store's PUT is all-or-nothing — a GET never observes a
+        // half-written object. A direct Files.write(CREATE_NEW) made
+        // the key visible BEFORE its bytes landed, and the r15
+        // commit-throughput bench (120 racing commits) caught a
+        // reader parsing an empty snapshot record ("key not found:
+        // op") — a fake artifact no real store exhibits.
+        def atomicPut(replace: Boolean): Unit = {
           java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, body)
+          val tmp = java.nio.file.Files.createTempFile(
+            p.getParent, ".s3put_", ".tmp")
+          java.nio.file.Files.write(tmp, body)
+          val opts: Seq[java.nio.file.CopyOption] =
+            if (replace)
+              Seq(java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            else Seq(java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.move(tmp, p, opts: _*)
+          ()
+        }
+        if (!cond) { // unconditional PUT: last writer wins
+          atomicPut(replace = true)
           respond(x, 200)
         } else {
           conditionalPuts.incrementAndGet()
@@ -61,9 +80,7 @@ class S3FakeServer {
             val (code, applied) = lock.synchronized {
               if (java.nio.file.Files.exists(p)) (412, false)
               else {
-                java.nio.file.Files.createDirectories(p.getParent)
-                java.nio.file.Files.write(p, body,
-                  java.nio.file.StandardOpenOption.CREATE_NEW)
+                atomicPut(replace = false)
                 (201, true)
               }
             }
