@@ -156,9 +156,15 @@ object NeardupGate {
     val idxT = GraftTable.openOrCreate(s, idxR, Seq("band_key"))
     val martT = GraftTable.openOrCreate(s, martR, Seq("lang"))
 
+    // repartition like q54/q55/q169: a change-feed micro-batch
+    // arrives in as few partitions as the commit wrote files (2
+    // here), which would run the 16-lane md5 signature on 2 of the
+    // cluster's cores — the signature is the batch's dominant
+    // compute and must spread
     val batch = bdf.where(col("_change_type") === "insert")
       .select(col("doc_id"), col("text"), col("lang"))
       .withColumn("nch", length(col("text")).cast("long"))
+      .repartition(s.sparkContext.defaultParallelism)
       .cache()
     try {
       // 4 band rows per doc; the signature is computed ONCE per doc
