@@ -146,11 +146,14 @@ object NeardupGate {
     * mart delta-merge → verdict append. Exactly-once exactly as
     * q255's [[CurationGate.curateBatch]]: every state write carries
     * the batch id in its own table's ledger, and the history probe
-    * reads only strictly-earlier batches (`b < batchId`). */
+    * reads only strictly-earlier batches (`b < batchId`).
+    * `onAfterIndexFold` is the same crash-injection seam the q255
+    * spec drives — a replay after a crash there must not read
+    * tonight's own band rows as history. */
   private[graft] def curateBatch(s: SparkSession,
       bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long, idxR: String, verR: String,
-      martR: String): Unit = {
+      martR: String, onAfterIndexFold: () => Unit = () => ()): Unit = {
     val verT = GraftTable.openOrCreate(s, verR, Seq("doc_id"))
     if (verT.appliedBatches.contains(batchId)) return // replayed batch
     val idxT = GraftTable.openOrCreate(s, idxR, Seq("band_key"))
@@ -217,6 +220,7 @@ object NeardupGate {
               col("doc_id").as("canonical"),
               lit(batchId).cast("long").as("b")),
           batchId, numFiles = 1)
+        onAfterIndexFold()
 
         CurationGate.martDeltaMerge(martT, martR,
           novel.select(col("lang"), col("nch")), batchId)

@@ -124,6 +124,57 @@ class NeardupGateSpec extends AnyFunSuite {
     assert(ReadCounter.count(martR) == 2L)
   }
 
+  test("a crash BETWEEN the index fold and the verdict append " +
+      "replays exactly-once: tonight's own band rows are not read " +
+      "as history, the mart never double-adds") {
+    val c = NeardupGate.corpus(spark, sfDir).cache()
+    try {
+      def bdf(k: Int) = c.where(col("b") === k).drop("b")
+        .withColumn("_change_type", lit("insert"))
+      def state(idxR: String, verR: String, martR: String) = (
+        GraftTable.forPath(spark, verR).read()
+          .select("doc_id", "b", "lang", "nch", "status",
+            "canonical_id")
+          .collect().map(_.toSeq).toSet,
+        GraftTable.forPath(spark, idxR).read()
+          .collect().map(_.toSeq).toSet,
+        GraftTable.forPath(spark, martR).read()
+          .collect().map(_.toSeq).toSet)
+
+      val a = tmp()
+      (0 to 2).foreach(k => NeardupGate.curateBatch(spark, bdf(k),
+        k.toLong, s"$a/idx", s"$a/ver", s"$a/mart"))
+      val want = state(s"$a/idx", s"$a/ver", s"$a/mart")
+
+      val b = tmp()
+      NeardupGate.curateBatch(spark, bdf(0), 0L,
+        s"$b/idx", s"$b/ver", s"$b/mart")
+      intercept[RuntimeException] {
+        NeardupGate.curateBatch(spark, bdf(1), 1L,
+          s"$b/idx", s"$b/ver", s"$b/mart",
+          onAfterIndexFold = () => throw new RuntimeException("crash"))
+      }
+      // the crash window is real: the index holds batch 1, the
+      // verdict ledger does not
+      assert(GraftTable.forPath(spark, s"$b/idx")
+        .appliedBatches == Set(0L, 1L))
+      assert(GraftTable.forPath(spark, s"$b/ver")
+        .appliedBatches == Set(0L))
+      NeardupGate.curateBatch(spark, bdf(1), 1L,
+        s"$b/idx", s"$b/ver", s"$b/mart")
+      NeardupGate.curateBatch(spark, bdf(2), 2L,
+        s"$b/idx", s"$b/ver", s"$b/mart")
+      assert(state(s"$b/idx", s"$b/ver", s"$b/mart") == want,
+        "the crash-replayed run must land byte-identical state")
+      // replayed novels stayed novel: no doc is a near-dup of its
+      // own just-folded band rows
+      val selfDup = GraftTable.forPath(spark, s"$b/ver").read()
+        .where(col("canonical_id") === col("doc_id")).count()
+      assert(selfDup == 0L, s"$selfDup docs matched their own " +
+        "batch's index rows on replay")
+    } finally { c.unpersist(); () }
+  }
+
   test("replaying the FULL feed (fresh checkpoint, same state " +
       "roots) is a no-op through the three ledgers") {
     val (ingest, idxR, verR, martR) = runPipeline()
