@@ -1137,6 +1137,120 @@ object OracleSql {
                AS BIGINT) AS mart_chars
       FROM v GROUP BY lang ORDER BY lang
     """,
+    // q257: the CDC SEMANTIC dedup pipeline (3 embedding batches →
+    // change-feed stream → md5-plane LSH bucket probe → exact-cosine
+    // verify at τ=0.30 → novel-only vector index fold → per-label
+    // mart delta-merge) must land exactly on this recomputation:
+    // q24's planes give both engines identical buckets, the cosine
+    // is double-exact on identical inputs (re-posts are ×0.98/×1.02
+    // double-scaled copies — bucket- and cosine-preserving), and the
+    // sequential novel-only index evolution unrolls batch by batch
+    // exactly as q256's oracle does.
+    "q257_cdc_semdedup" -> """
+      WITH corpus AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(vec_id % 3 AS INT) AS b
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 0.98), 2
+        FROM embeddings WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id + 2000000, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 1.02),
+               CAST(vec_id % 3 AS INT)
+        FROM embeddings WHERE vec_id % 11 = 0
+      ), planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          CASE CAST(concat('0x', substring(md5(concat('q24_',
+                 CAST(p AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1))
+               AS INT) % 4
+            WHEN 0 THEN -3.0 WHEN 1 THEN -1.0 WHEN 2 THEN 1.0
+            ELSE 3.0 END) AS pv
+        FROM range(0, 4) t(p)
+      ), n AS (
+        SELECT vec_id, label, b, v,
+               sqrt(list_dot_product(v, v)) AS nrm
+        FROM corpus
+      ), nb AS (
+        SELECT n.vec_id, n.label, n.b, n.v, n.nrm, bkt.bucket
+        FROM n JOIN (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                               THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM n CROSS JOIN planes GROUP BY vec_id) bkt
+          USING (vec_id)
+      ), batch_hit AS (
+        SELECT DISTINCT x.vec_id
+        FROM nb x JOIN nb y
+          ON x.b = y.b AND x.bucket = y.bucket
+         AND y.vec_id < x.vec_id
+        WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.30
+      ), v0 AS (
+        SELECT d.vec_id, d.label,
+               CASE WHEN bh.vec_id IS NOT NULL
+                    THEN 'near_dup_in_batch' ELSE 'novel' END AS status
+        FROM nb d LEFT JOIN batch_hit bh ON bh.vec_id = d.vec_id
+        WHERE d.b = 0
+      ), idx0 AS (
+        SELECT i.* FROM nb i JOIN v0 ON v0.vec_id = i.vec_id
+        WHERE v0.status = 'novel'
+      ), h1 AS (
+        SELECT DISTINCT p.vec_id
+        FROM nb p JOIN idx0 i ON p.bucket = i.bucket
+        WHERE p.b = 1
+          AND list_dot_product(p.v, i.v) / (p.nrm * i.nrm) >= 0.30
+      ), v1 AS (
+        SELECT d.vec_id, d.label,
+               CASE WHEN h.vec_id IS NOT NULL
+                      THEN 'near_dup_of_history'
+                    WHEN bh.vec_id IS NOT NULL
+                      THEN 'near_dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM nb d LEFT JOIN h1 h ON h.vec_id = d.vec_id
+        LEFT JOIN batch_hit bh ON bh.vec_id = d.vec_id
+        WHERE d.b = 1
+      ), idx1 AS (
+        SELECT * FROM idx0
+        UNION ALL
+        SELECT i.* FROM nb i JOIN v1 ON v1.vec_id = i.vec_id
+        WHERE v1.status = 'novel'
+      ), h2 AS (
+        SELECT DISTINCT p.vec_id
+        FROM nb p JOIN idx1 i ON p.bucket = i.bucket
+        WHERE p.b = 2
+          AND list_dot_product(p.v, i.v) / (p.nrm * i.nrm) >= 0.30
+      ), v2 AS (
+        SELECT d.vec_id, d.label,
+               CASE WHEN h.vec_id IS NOT NULL
+                      THEN 'near_dup_of_history'
+                    WHEN bh.vec_id IS NOT NULL
+                      THEN 'near_dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM nb d LEFT JOIN h2 h ON h.vec_id = d.vec_id
+        LEFT JOIN batch_hit bh ON bh.vec_id = d.vec_id
+        WHERE d.b = 2
+      ), vv AS (
+        SELECT * FROM v0 UNION ALL
+        SELECT * FROM v1 UNION ALL
+        SELECT * FROM v2
+      )
+      SELECT label,
+             CAST(COUNT(*) FILTER (status = 'near_dup_of_history')
+               AS BIGINT) AS n_dup_hist,
+             CAST(COUNT(*) FILTER (status = 'near_dup_in_batch')
+               AS BIGINT) AS n_dup_batch,
+             CAST(COUNT(*) FILTER (status = 'novel') AS BIGINT)
+               AS n_novel,
+             CAST(COUNT(*) FILTER (status = 'novel') AS BIGINT)
+               AS mart_vecs,
+             CAST(COALESCE(SUM(64) FILTER (status = 'novel'), 0)
+               AS BIGINT) AS mart_comps
+      FROM vv GROUP BY label ORDER BY label
+    """,
     // q237: the CDC insert/delete fold must land exactly on the live
     // table — counts over the original rows minus the deleted keys.
     "q237_cdc_mor" -> """

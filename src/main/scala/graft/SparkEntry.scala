@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, AsofJoin, Cluster, CoreQueries, CorpusOps,
   CurationGate, Dedup, FormatQueries, Governance, Graph, JdbcQueries,
   KpiQueries, NeardupGate, Profiling, RangeJoin, RetailQueries, ScaleOps,
-  Similarity, Skew, Stats, TextQueries}
+  SemdedupGate, Similarity, Skew, Stats, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -339,7 +339,8 @@ object SparkEntry {
     "q254_rate_limited_stream" ->
       (FormatQueries.q254RateLimitedStream _),
     "q255_cdc_curation" -> (CurationGate.q255CdcCuration _),
-    "q256_cdc_neardup" -> (NeardupGate.q256CdcNeardup _)
+    "q256_cdc_neardup" -> (NeardupGate.q256CdcNeardup _),
+    "q257_cdc_semdedup" -> (SemdedupGate.q257CdcSemdedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -318,24 +318,26 @@ object CurationGate {
     * opens the verdict table, pinned by CurationGateSpec's
     * ReadCounter assertions). */
   private[graft] def martDeltaMerge(martT: GraftTable, martR: String,
-      novelLangChars: DataFrame, batchId: Long): Unit = {
+      novelLangChars: DataFrame, batchId: Long,
+      keyCol: String = "lang", weightCol: String = "nch"): Unit = {
     if (martT.appliedBatches.contains(batchId)) return
-    val delta = novelLangChars.groupBy(col("lang"))
-      .agg(count(lit(1)).as("d_docs"), sum(col("nch")).as("d_chars"))
+    val delta = novelLangChars.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("d_docs"),
+        sum(col(weightCol)).as("d_chars"))
     if (GraftTable.versionAt(martR) == 0) {
       // first batch: the deltas ARE the totals
-      martT.appendIfAbsent(delta.select(col("lang"),
+      martT.appendIfAbsent(delta.select(col(keyCol),
         col("d_docs").as("n_docs"), col("d_chars").as("n_chars")),
         batchId, numFiles = 1); ()
     } else {
       val totals = delta
-        .join(martT.read(), Seq("lang"), "left")
-        .select(col("lang"),
+        .join(martT.read(), Seq(keyCol), "left")
+        .select(col(keyCol),
           (col("d_docs") + coalesce(col("n_docs"), lit(0L)))
             .as("n_docs"),
           (col("d_chars") + coalesce(col("n_chars"), lit(0L)))
             .as("n_chars"))
-      martT.mergeIfAbsent(totals, Seq("lang"), batchId,
+      martT.mergeIfAbsent(totals, Seq(keyCol), batchId,
         numFiles = 1); ()
     }
   }

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.format.GraftTable
+import graft.operators.Similarity.{dot, lshBucket, norm, SemDedupTau}
+
+/** q257 — SEMANTIC DEDUP COMPOSED INTO THE CDC PIPELINE: the third
+  * leg of the incremental-curation matrix (exact fingerprints q255,
+  * MinHash shingles q256, embedding cosine here — SemDeDup, Abbas et
+  * al. 2023, arXiv:2303.09540, in q175's nightly shape), against a
+  * PERSISTED bucketed vector index with the same per-table
+  * exactly-once ledgers. Reference analogue: the incremental window
+  * load, aws-glue-etl-sample-hist
+  * `scripts/jb_de_enhancement_t0_fact_d2s.py:23,69-70`.
+  *
+  *   1. INGEST — three nightly embedding batches (every 7th vec
+  *      re-posted in the LAST batch scaled ×0.98, every 11th in its
+  *      OWN batch ×1.02: positive scaling preserves BOTH the LSH
+  *      bucket (projection signs) and the cosine (≡1 to rounding),
+  *      so re-posts are guaranteed fuzzy catches while organic
+  *      same-bucket neighbors exercise the τ threshold);
+  *   2. CHANGE FEED — drained one commit per micro-batch;
+  *   3. SEMANTIC VERDICTS — per batch: q24's md5-plane LSH bucket is
+  *      computed map-side, the batch probes the PERSISTED index on
+  *      the bucket key, candidates verify by exact cosine at
+  *      τ=[[Similarity.SemDedupTau]]; `near_dup_of_history` (best
+  *      cosine, ties to the lowest indexed id) beats
+  *      `near_dup_in_batch` (same rule over lower-id same-batch
+  *      vecs) beats `novel`;
+  *   4. INDEX FOLD — novel vecs land in the index as
+  *      (bucket, vec_id, v, v_norm, b): vector-sized state (64
+  *      doubles/vec — the SemDeDup index IS the embedding store),
+  *      batch-stamped and ledgered exactly like q255/q256;
+  *   5. MART — per-label (vectors, components) totals through the
+  *      same O(batch) ledgered delta-merge
+  *      ([[CurationGate.martDeltaMerge]], generalized key/weight).
+  *
+  * The md5 planes and double-exact cosine make the whole 3-batch
+  * novel-only index evolution reproducible in DuckDB (unrolled
+  * per-batch CTEs, q256's oracle pattern over q24's plane SQL), so
+  * the gate hash-checks end-to-end.
+  *
+  * Scale shape: per-night work is batch-sized + collision-sized —
+  * the probe equi-joins on the bucket key (at 100 TB: more planes
+  * and/or trained IVF cells, q53's machinery, keep buckets bounded;
+  * the join shuffles only the batch and the touched index buckets),
+  * the within-batch pass is batch-local, the mart reads one row per
+  * label. History vectors are read from the index only — ingest
+  * embeddings are never rescanned. */
+object SemdedupGate {
+
+  private val Dim = 64
+
+  def q257CdcSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir(s, "gtable")
+    val run = java.lang.Long.toHexString(System.nanoTime)
+    val ingest = s"$base/sd_ingest_$run"
+    val idxR = s"$base/sd_idx_$run"
+    val verR = s"$base/sd_ver_$run"
+    val martR = s"$base/sd_mart_$run"
+    val ckpt = s"$base/sd_ckpt_$run"
+
+    buildIngest(s, dir, ingest)
+    curate(s, ingest, idxR, verR, martR, ckpt)
+
+    val ver = GraftTable.forPath(s, verR).read()
+    val mart = GraftTable.forPath(s, martR).read()
+      .select(col("label"), col("n_docs").as("mart_vecs"),
+        col("n_chars").as("mart_comps"))
+    ver.groupBy(col("label"))
+      .agg(
+        count(when(col("status") === "near_dup_of_history", 1))
+          .as("n_dup_hist"),
+        count(when(col("status") === "near_dup_in_batch", 1))
+          .as("n_dup_batch"),
+        count(when(col("status") === "novel", 1)).as("n_novel"))
+      .join(mart, Seq("label"), "left")
+      .select(col("label"), col("n_dup_hist"), col("n_dup_batch"),
+        col("n_novel"),
+        coalesce(col("mart_vecs"), lit(0L)).as("mart_vecs"),
+        coalesce(col("mart_comps"), lit(0L)).as("mart_comps"))
+      .orderBy(col("label"))
+  }
+
+  /** Near-dup-injected embedding corpus `(vec_id, label, v, b)` —
+    * re-posts are POSITIVELY SCALED copies (×0.98 / ×1.02 at the
+    * double level, matching the oracle's `x -> x * c` over
+    * `CAST(embedding AS DOUBLE[])` bit-for-bit), which preserves the
+    * hyperplane sign pattern and the cosine. */
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.withColumn("b", (col("vec_id") % 3).cast("int"))
+      .unionByName(e.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("v"), x => x * lit(0.98d)).as("v"),
+          lit(2).as("b")))
+      .unionByName(e.where(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+          transform(col("v"), x => x * lit(1.02d)).as("v"),
+          (col("vec_id") % 3).cast("int").as("b")))
+  }
+
+  private[graft] def buildIngest(s: SparkSession, dir: String,
+      ingest: String): Unit = {
+    val c = corpus(s, dir)
+    val tIn = GraftTable.create(s, ingest,
+      c.where(col("b") === 0).drop("b"),
+      statsCols = Seq("vec_id"), numFiles = 2)
+    tIn.append(c.where(col("b") === 1).drop("b"), numFiles = 2)
+    tIn.append(c.where(col("b") === 2).drop("b"), numFiles = 2)
+    ()
+  }
+
+  private[graft] def curate(s: SparkSession, ingest: String,
+      idxR: String, verR: String, martR: String,
+      ckpt: String): Unit = {
+    val q = s.readStream.format("gtable")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(ingest)
+      .writeStream
+      .foreachBatch {
+        (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) => curateBatch(s, bdf, batchId,
+          idxR, verR, martR)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One nightly batch through bucket → index probe → cosine verify
+    * → index fold → mart delta-merge → verdict append; exactly-once
+    * per state table, the q255/q256 contract (history probe reads
+    * only `b < batchId`; `onAfterIndexFold` is the spec's crash
+    * seam). */
+  private[graft] def curateBatch(s: SparkSession,
+      bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, idxR: String, verR: String,
+      martR: String, onAfterIndexFold: () => Unit = () => ()): Unit = {
+    val verT = GraftTable.openOrCreate(s, verR, Seq("vec_id"))
+    if (verT.appliedBatches.contains(batchId)) return // replayed batch
+    val idxT = GraftTable.openOrCreate(s, idxR, Seq("bucket"))
+    val martT = GraftTable.openOrCreate(s, martR, Seq("label"))
+
+    // norm + bucket once per vec, spread over the cluster, then
+    // cached — the materialization barrier q23/q170 use, so joins
+    // consume attributes instead of re-running the projections
+    val batch = bdf.where(col("_change_type") === "insert")
+      .select(col("vec_id"), col("label"), col("v"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("v_norm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), Dim))
+      .cache()
+    try {
+      val hist =
+        if (GraftTable.versionAt(idxR) == 0)
+          s.emptyDataFrame.select(lit(0).as("bucket"),
+            lit(0L).as("hist_id"),
+            lit(Array.empty[Double]).as("hv"),
+            lit(0d).as("hn")).limit(0)
+        else idxT.read().where(col("b") < batchId)
+          .select(col("bucket"), col("vec_id").as("hist_id"),
+            col("v").as("hv"), col("v_norm").as("hn"))
+      val histHit = batch.join(hist, Seq("bucket"))
+        .withColumn("cosine",
+          dot(col("v"), col("hv")) / (col("v_norm") * col("hn")))
+        .where(col("cosine") >= SemDedupTau)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("hist_id"),
+          struct(col("cosine"), -col("hist_id")))
+          .as("hist_canonical"))
+      val other = batch.select(col("bucket").as("o_bucket"),
+        col("vec_id").as("o_id"), col("v").as("ov"),
+        col("v_norm").as("o_norm"))
+      val batchHit = batch.join(other,
+          col("bucket") === col("o_bucket") &&
+            col("o_id") < col("vec_id"))
+        .withColumn("cosine",
+          dot(col("v"), col("ov")) / (col("v_norm") * col("o_norm")))
+        .where(col("cosine") >= SemDedupTau)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("o_id"), struct(col("cosine"), -col("o_id")))
+          .as("batch_first"))
+      val verdicts = batch
+        .join(histHit, Seq("vec_id"), "left")
+        .join(batchHit, Seq("vec_id"), "left")
+        .select(col("vec_id"), lit(batchId).cast("long").as("b"),
+          col("label"),
+          when(col("hist_canonical").isNotNull,
+            lit("near_dup_of_history"))
+            .when(col("batch_first").isNotNull,
+              lit("near_dup_in_batch"))
+            .otherwise(lit("novel")).as("status"),
+          coalesce(col("hist_canonical"), col("batch_first"))
+            .as("canonical_id"))
+        .cache()
+      val novelIds = verdicts.where(col("status") === "novel")
+        .select(col("vec_id"))
+
+      // index fold: novel vecs WITH their vectors (the probe needs
+      // them; the index is the embedding store), batch-stamped
+      idxT.appendIfAbsent(
+        batch.join(novelIds, Seq("vec_id"), "left_semi")
+          .select(col("bucket"), col("vec_id"), col("v"),
+            col("v_norm"), lit(batchId).cast("long").as("b")),
+        batchId, numFiles = 1)
+      onAfterIndexFold()
+
+      CurationGate.martDeltaMerge(martT, martR,
+        verdicts.where(col("status") === "novel")
+          .join(batch.select(col("vec_id"), size(col("v"))
+            .cast("long").as("ncomp")), Seq("vec_id"))
+          .select(col("label"), col("ncomp")),
+        batchId, keyCol = "label", weightCol = "ncomp")
+
+      verT.appendIfAbsent(verdicts, batchId, numFiles = 1)
+      verdicts.unpersist()
+      ()
+    } finally { batch.unpersist(); () }
+  }
+}

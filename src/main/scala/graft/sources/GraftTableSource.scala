@@ -2046,6 +2046,32 @@ class GraftTableReaderFactory(root: String, required: StructType,
       private def convert(g: Group, name: String, dt: DataType): Any = {
         val idx = g.getType.getFieldIndex(name)
         if (g.getFieldRepetitionCount(idx) == 0) return null
+        dt match {
+          // ARRAY columns (r15: embedding vectors through the change
+          // feed — the q257 semantic-dedup ingest): Spark's
+          // ParquetWriteSupport (our write path) encodes the standard
+          // 3-level LIST layout `optional group <name> (LIST) {
+          // repeated group list { optional <prim> element } }`, so
+          // the element group decodes through the same scalar cases.
+          // Nested arrays stay unsupported (the writer rejects them).
+          case ArrayType(et, _) =>
+            val lst = g.getGroup(idx, 0)
+            val n = lst.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var k = 0
+            while (k < n) {
+              val e = lst.getGroup(0, k)
+              out(k) =
+                if (e.getFieldRepetitionCount(0) == 0) null
+                else convertPrim(e, 0, et)
+              k += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          case _ => convertPrim(g, idx, dt)
+        }
+      }
+
+      private def convertPrim(g: Group, idx: Int, dt: DataType): Any = {
         // widening-tolerant integral/fp decode: after a type-widening
         // evolution, old files keep the NARROW physical type while the
         // requested type is the wide one — read what the page holds,
@@ -2099,8 +2125,8 @@ class GraftTableReaderFactory(root: String, required: StructType,
                 }
             }
           case other => sys.error(
-            s"gtable v2 reader: unsupported type $other for $name " +
-              "(scalar relational tables only)")
+            s"gtable v2 reader: unsupported type $other for " +
+              s"${g.getType.getFieldName(idx)}")
         }
       }
 
