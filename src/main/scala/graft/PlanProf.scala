@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1): for each named
+  * registry query, dump `.explain("formatted")` to a file and time the
+  * computation against the NOOP sink (guide §1.4 — eagerly computes
+  * every column of every row without paying or hiding behind an output
+  * write), repeated so JIT/page-cache warmup is visible. Prints one
+  * line per query: name, warm noop seconds (min of N), Exchange count,
+  * and the Metrics volume summary (scan/shuffle bytes).
+  *
+  * Usage: PlanProf <outDir> <query>[,query…] [reps]
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_CPUS (default 32) — same contract as Bench.
+  */
+object PlanProf {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.sparkContext.setJobDescription(name)
+      def once(): Double = {
+        val df = fn(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val times = (1 to reps).map(_ => once())
+      // executed-plan dump (AQE-final) from one more run
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/$name.txt"),
+        plan.getBytes("UTF-8"))
+      val executed = df.queryExecution.executedPlan.toString
+      val nExchange = executed.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+      val nBroadcast = executed.linesIterator.count(
+        _.contains("BroadcastExchange"))
+      val m = Metrics.summary(df)
+      println(f"$name%-32s min=${times.min}%7.3f all=${
+        times.map(t => f"$t%.2f").mkString(",")} exch=$nExchange bcast=$nBroadcast " +
+        f"scanMB=${m.getOrElse("scan_bytes", 0L) / 1e6}%.1f " +
+        f"shufMB=${m.getOrElse("shuffle_bytes_written", 0L) / 1e6}%.1f " +
+        f"spillMB=${m.getOrElse("spill_bytes", 0L) / 1e6}%.1f " +
+        f"outRows=${m.getOrElse("output_rows", 0L)}")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
