@@ -40,13 +40,28 @@ object PlanProf {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       spark.sparkContext.setJobDescription(name)
+      // Bench-identical timed region: fn() + the action (several
+      // queries do eager setup inside fn); noop sink instead of
+      // count() so column pruning can't hide work (guide §1.4).
       def once(): Double = {
-        val df = fn(spark, sfDir)
         val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      val profCommits = sys.env.contains("SPARK_GRAFT_PROFILE_COMMITS")
+      if (profCommits) {
+        graft.format.CommitProfile.reset()
+        graft.format.CommitProfile.on.set(true)
+      }
       val times = (1 to reps).map(_ => once())
+      if (profCommits) {
+        graft.format.CommitProfile.on.set(false)
+        val snap = graft.format.CommitProfile.snapshotNs
+        System.err.println(s"COMMITPROF $name " + snap.toSeq
+          .sortBy(-_._2)
+          .map { case (k, v) => f"$k=${v / 1e9}%.2f" }.mkString(" "))
+      }
       // executed-plan dump (AQE-final) from one more run
       val df = fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()

@@ -89,13 +89,23 @@ object Bucketing {
     val base = graft.Scratch.dir(s, "bucketed")
     val tok = graft.Scratch.token(s)
     val (tl, to) = (s"q142_lineitem_$tok", s"q142_orders_$tok")
-    writeBucketedAt(graft.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"),
-          col("l_quantity")),
-      tl, "l_orderkey", 8, s"$base/lineitem")
-    writeBucketedAt(graft.Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority")),
-      to, "o_orderkey", 8, s"$base/orders")
+    // The two bucketed writes are independent outputs and each uses
+    // only `buckets` (8) write tasks — run them as parallel jobs so
+    // the setup overlaps instead of serializing two mostly-idle
+    // stages (guide §2.6; same pattern as Pipeline.t0Dimensions).
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(Seq(
+        Future(writeBucketedAt(graft.Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_quantity")),
+          tl, "l_orderkey", 8, s"$base/lineitem")),
+        Future(writeBucketedAt(graft.Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          to, "o_orderkey", 8, s"$base/orders")))), Duration.Inf)
+    }
     bucketedJoin(s, tl, to,
         "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField,
   StructType}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 /** The reference's medallion DAG over its OWN retail star schema — the
   * golden end-to-end path (SURVEY §5.2.2), as opposed to [[Pipeline]],
@@ -244,11 +246,19 @@ object RetailPipeline {
     val silverBack = spark.read
       .parquet(s"$warehouseDir/silver/purchase_all_info")
       .where(window)
-    marts(fact, silverBack, custZip).map { case (name, df) =>
-      Sinks.writePartitioned(df, s"$warehouseDir/gold/$name",
-        Seq("affiliate", "purchase_year", "purchase_month"))
-      name -> df.count()
-    }
+    // The four mart writes are independent outputs — run them as
+    // parallel jobs (guide §2.6: back-fill the tail; same D1 fan-out
+    // Pipeline.writeMarts has always used). Output files, rows, and
+    // dirs are identical to the serial loop.
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(
+      marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
+        Future {
+          Sinks.writePartitioned(df, s"$warehouseDir/gold/$name",
+            Seq("affiliate", "purchase_year", "purchase_month"))
+          name -> df.count()
+        }
+      }), Duration.Inf).toMap
   }
 
   /** The LAKEHOUSE-TIER variant of the full DAG (VERDICT r9 #8): every
@@ -287,12 +297,18 @@ object RetailPipeline {
     silverT.overwrite(clustered(silverDf, 32), numFiles = 0)
 
     val silverBack = silverT.read()
-    marts(fact, silverBack, custZip).map { case (name, df) =>
-      val t = GraftTable.openOrCreate(
-        spark, s"$warehouseDir/gold_$name", stats)
-      t.overwrite(clustered(df, 8), numFiles = 0)
-      name -> t.read().count()
-    }
+    // parallel mart fan-out (guide §2.6) — four independent tables,
+    // each commit its own atomic snapshot; same rows either way
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(
+      marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
+        Future {
+          val t = GraftTable.openOrCreate(
+            spark, s"$warehouseDir/gold_$name", stats)
+          t.overwrite(clustered(df, 8), numFiles = 0)
+          name -> t.read().count()
+        }
+      }), Duration.Inf).toMap
   }
 
   /** The directory pipeline reads its partition keys back through
@@ -337,11 +353,16 @@ object RetailPipeline {
     silverT.replaceWhere(window, silverDf, numFiles = 8)
 
     val silverBack = silverT.prunedWhere(window)._1.where(window)
-    marts(fact, silverBack, custZip).map { case (name, df) =>
-      val t = GraftTable.forPath(spark, s"$warehouseDir/gold_$name")
-      t.replaceWhere(window, df, numFiles = 4)
-      name -> df.count()
-    }
+    // parallel mart fan-out (guide §2.6) — independent tables
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(
+      marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
+        Future {
+          val t = GraftTable.forPath(spark, s"$warehouseDir/gold_$name")
+          t.replaceWhere(window, df, numFiles = 4)
+          name -> df.count()
+        }
+      }), Duration.Inf).toMap
   }
 
   /** Full golden DAG into a warehouse dir: bronze fact (partitioned,
@@ -364,14 +385,26 @@ object RetailPipeline {
 
     val silverBack =
       spark.read.parquet(s"$warehouseDir/silver/purchase_all_info")
-    marts(fact, silverBack, custZip).map { case (name, df) =>
-      Sinks.writePartitioned(df, s"$warehouseDir/gold/$name",
-        Seq("affiliate", "purchase_year", "purchase_month"))
+    // The four mart writes are independent outputs — run them as
+    // parallel jobs (guide §2.6; the D1 fan-out Pipeline.writeMarts
+    // has always used). Registration stays serial afterwards: the
+    // embedded metastore serializes DDL anyway, and registration must
+    // see the finished directory.
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val written = Await.result(Future.sequence(
+      marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
+        Future {
+          Sinks.writePartitioned(df, s"$warehouseDir/gold/$name",
+            Seq("affiliate", "purchase_year", "purchase_month"))
+          name -> spark.read.parquet(s"$warehouseDir/gold/$name").count()
+        }
+      }), Duration.Inf).toMap
+    written.keys.foreach { name =>
       // persistent (crawler-equivalent) registration: any OTHER session
       // on the same metastore reads the mart by name, like the
       // reference's Glue-catalog marts feeding Athena (SURVEY §2.13)
       Sinks.registerPersistent(spark, name, s"$warehouseDir/gold/$name")
-      name -> spark.read.parquet(s"$warehouseDir/gold/$name").count()
     }
+    written
   }
 }

@@ -114,13 +114,19 @@ object CurationGate {
     * ORIGINAL id, before re-keying. */
   private[graft] def buildIngest(s: SparkSession, dir: String,
       ingest: String): Unit = {
-    val c = corpus(s, dir)
-    val tIn = GraftTable.create(s, ingest,
-      c.where(col("b") === 0).drop("b"),
-      statsCols = Seq("doc_id"), numFiles = 2)
-    tIn.append(c.where(col("b") === 1).drop("b"), numFiles = 2)
-    tIn.append(c.where(col("b") === 2).drop("b"), numFiles = 2)
-    ()
+    // cached: the three nightly commits each execute their slice of
+    // the SAME injected corpus — uncached, that is three full
+    // document scans + union trees instead of one (gate setup, not
+    // the pipeline under test; identical bytes land either way)
+    val c = corpus(s, dir).cache()
+    try {
+      val tIn = GraftTable.create(s, ingest,
+        c.where(col("b") === 0).drop("b"),
+        statsCols = Seq("doc_id"), numFiles = 2)
+      tIn.append(c.where(col("b") === 1).drop("b"), numFiles = 2)
+      tIn.append(c.where(col("b") === 2).drop("b"), numFiles = 2)
+      ()
+    } finally { c.unpersist(); () }
   }
 
   /** The duplicate-injected corpus `(doc_id, text, lang, b)` —
@@ -330,6 +336,10 @@ object CurationGate {
         col("d_docs").as("n_docs"), col("d_chars").as("n_chars")),
         batchId, numFiles = 1); ()
     } else {
+      // cached: merge's COW machinery executes the update frame three
+      // times (key-envelope aggregate, touched-file probe, survivor
+      // write) — without the cache each execution re-runs the delta
+      // aggregate + mart join from scratch
       val totals = delta
         .join(martT.read(), Seq(keyCol), "left")
         .select(col(keyCol),
@@ -337,8 +347,11 @@ object CurationGate {
             .as("n_docs"),
           (col("d_chars") + coalesce(col("n_chars"), lit(0L)))
             .as("n_chars"))
-      martT.mergeIfAbsent(totals, Seq(keyCol), batchId,
-        numFiles = 1); ()
+        .cache()
+      try {
+        martT.mergeIfAbsent(totals, Seq(keyCol), batchId,
+          numFiles = 1); ()
+      } finally { totals.unpersist(); () }
     }
   }
 }

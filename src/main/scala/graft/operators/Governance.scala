@@ -27,12 +27,13 @@ object Governance {
     * where document-level MinHash keeps both copies): per document,
     * the fraction of its distinct word 5-grams that also occur in at
     * least one OTHER document. Shape: docs explode to distinct
-    * (doc, gram-md5) pairs map-side; one gram-keyed aggregate counts
-    * distinct docs per gram (map-side partial — gram keys are 32-byte
-    * md5, never raw text); one join back flags shared grams; the
-    * per-doc rollup is doc-sized. Two corpus-scale shuffles on hashed
-    * keys — the honest minimum for inter-document evidence; both are
-    * AQE-skew-safe because md5 keys are uniform by construction. */
+    * (doc, gram-md5) pairs map-side; one gram-keyed WINDOW counts the
+    * docs sharing each gram (the pairs are per-doc distinct, so the
+    * partition row count is exactly count_distinct(doc); gram keys
+    * are 32-byte md5, never raw text); the per-doc rollup is
+    * doc-sized. Two corpus-scale shuffles on hashed keys — the honest
+    * minimum for inter-document evidence; both are AQE-skew-safe
+    * because md5 keys are uniform by construction. */
   def q158DupPassageCoverage(s: SparkSession, dir: String): DataFrame = {
     val n = PassageGram
     val grams = docs(s, dir)
@@ -42,9 +43,16 @@ object Governance {
         transform(sequence(lit(0), size(col("toks")) - n),
           i => md5(concat_ws(" ",
             slice(col("toks"), i + 1, lit(n))))))).as("gh"))
-    val shared = grams.groupBy(col("gh"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-    grams.join(shared, Seq("gh"))
+    // ONE pass over the grams: (doc, gram) pairs are distinct per doc
+    // (array_distinct above), so a plain row count over the gram
+    // partition IS count_distinct(doc) — the previous groupBy + join
+    // back computed the gram explosion (tokenize + md5 per gram, the
+    // dominant per-task cost) TWICE and paid a third exchange for the
+    // join. Identical rows; one exchange on gh instead of two plus a
+    // join.
+    grams
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

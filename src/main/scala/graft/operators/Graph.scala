@@ -77,6 +77,12 @@ object Graph {
     var rank = nodes.select(col("node"),
       (lit(1.0) / nN).as(s"r"))
     for (_ <- 1 to Iterations) {
+      // cache the incoming rank vector (node-sized): iteration i+1's
+      // broadcast build executes rank_i's plan — without the cache
+      // that re-runs EVERY earlier iteration's edge aggregation, so 3
+      // iterations paid 6 edge-sized aggregates (1+2+3) instead of 3.
+      // Values are unchanged: the cache replays bit-identical rows.
+      rank = rank.cache()
       // floor(r/deg·1e12) is a per-SOURCE constant, so compute it on
       // the node-sized side BEFORE touching edges: one broadcast join
       // per iteration instead of two, and the per-edge work drops to

@@ -111,13 +111,17 @@ object NeardupGate {
 
   private[graft] def buildIngest(s: SparkSession, dir: String,
       ingest: String): Unit = {
-    val c = corpus(s, dir)
-    val tIn = GraftTable.create(s, ingest,
-      c.where(col("b") === 0).drop("b"),
-      statsCols = Seq("doc_id"), numFiles = 2)
-    tIn.append(c.where(col("b") === 1).drop("b"), numFiles = 2)
-    tIn.append(c.where(col("b") === 2).drop("b"), numFiles = 2)
-    ()
+    // cached: three commits, one corpus scan (see
+    // CurationGate.buildIngest)
+    val c = corpus(s, dir).cache()
+    try {
+      val tIn = GraftTable.create(s, ingest,
+        c.where(col("b") === 0).drop("b"),
+        statsCols = Seq("doc_id"), numFiles = 2)
+      tIn.append(c.where(col("b") === 1).drop("b"), numFiles = 2)
+      tIn.append(c.where(col("b") === 2).drop("b"), numFiles = 2)
+      ()
+    } finally { c.unpersist(); () }
   }
 
   /** Change-feed drain, one ingest commit per micro-batch — q255's
