@@ -37,6 +37,36 @@ object PlanProf {
     GraftExtensions.register(spark)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
+    // SPARK_GRAFT_PROFILE_JOBS=1: print every Spark job's wall time +
+    // description to stderr — attributes a query's cost across its
+    // micro-jobs (guide §1.1 empirical loop; the UI is disabled here).
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts = new java.util.concurrent
+            .ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = {
+            val d = Option(js.properties)
+              .flatMap(p =>
+                Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            starts.put(js.jobId,
+              (System.nanoTime(),
+                s"stages=${js.stageInfos.size} " +
+                  s"tasks=${js.stageInfos.map(_.numTasks).sum} $d"))
+            ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd)
+              : Unit =
+            Option(starts.remove(je.jobId)).foreach { case (t0, d) =>
+              System.err.println(
+                f"JOB ${je.jobId}%5d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $d")
+            }
+        })
+
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       spark.sparkContext.setJobDescription(name)

@@ -1524,16 +1524,200 @@ final class GraftTable private (
   private def mergeImpl(updates: DataFrame, keyCols: Seq[String],
       numFiles: Int, batchLedger: Option[Long]): Long = {
     import spark.implicits._
-    val keyed = updates.select(keyCols.map(col): _*).distinct()
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Attribute,
+      AttributeReference, GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types._
+
+    // MICRO-MERGE FAST PATH (r15 optimization): a merge whose update
+    // frame is already DRIVER-LOCAL (a LocalRelation — the shape of
+    // every ledgered streaming delta-merge and small totals upsert)
+    // used to spend ~6 micro-jobs of pure fixed cost per commit
+    // (key-envelope aggregate, manifest count, candidate collect, key
+    // probe, survivor re-read, removal join — each ~0.1 s of
+    // plan+schedule while touching a handful of rows; the curation
+    // gates' ≤3-row mart merges profiled at 0.66 s/batch). This path
+    // computes the key set, the stats envelope, the hit set and the
+    // survivor rows on the driver, pays exactly ONE scan job (the
+    // candidate-file read), and writes through writeData's existing
+    // driver-local micro-append. Row algebra is identical to the
+    // generic path below (same candidate pruning, same left-semi /
+    // left-anti null semantics, same commit shape); big update frames,
+    // evolved schemas, DV'd parents, float/decimal keys (whose java
+    // equality differs from SQL join equality on -0.0/NaN),
+    // bloom-indexed and scheme'd roots all keep the generic path —
+    // re-checked per commit attempt, so a racing writer that evolves
+    // the table mid-retry demotes the rebase to the generic path.
+    val updLocal: Option[(Seq[Attribute], Seq[InternalRow])] =
+      updates.queryExecution.optimizedPlan match {
+        case lr: LocalRelation
+            if lr.data.length <= GraftTable.MicroMergeRows &&
+              !root.contains("://") && bloomCols.isEmpty &&
+              keyCols.forall(k =>
+                lr.output.count(_.name.equalsIgnoreCase(k)) == 1) =>
+          Some((lr.output, lr.data))
+        case _ => None
+      }
+    def microKeyOk(dt: DataType): Boolean = dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+          BooleanType | DateType | TimestampType | TimestampNTZType =>
+        true
+      case _ => false
+    }
+    val cmp = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+
+    def microDelta(parent: Long): Option[Delta] = updLocal.flatMap {
+      case (outAttrs, updRows) =>
+        val updKeyIdx = keyCols.map(k =>
+          outAttrs.indexWhere(_.name.equalsIgnoreCase(k)))
+        val keyTypes = updKeyIdx.map(outAttrs(_).dataType)
+        val fc = fileCount(parent)
+        if (parent == 0 || isEvolved(parent) ||
+            hasDeletionVectors(parent) || fc < 0 ||
+            !keyTypes.forall(microKeyOk)) None
+        else {
+          // driver-side distinct key set; a tuple holding a NULL can
+          // never equi-join (three-valued equality), exactly like the
+          // generic path's left-semi/left-anti
+          def keyTuple(r: InternalRow, idx: Seq[Int]): Seq[Any] =
+            idx.zip(keyTypes).map { case (i, dt) =>
+              if (r.isNullAt(i)) null else r.get(i, dt) }
+          val keySet: Set[Seq[Any]] = updRows.iterator
+            .map(keyTuple(_, updKeyIdx))
+            .filterNot(_.contains(null)).toSet
+          lastAuditTotal = fc
+          // stats envelope of the update keys, computed on the driver
+          // rows (not evolved ⇒ physCol is identity)
+          val statKeys = keyCols.filter(statsCols.contains)
+          val candPred = statKeys.map { k =>
+            val i = outAttrs.indexWhere(_.name.equalsIgnoreCase(k))
+            val dt = outAttrs(i).dataType
+            val vals = updRows.iterator
+              .filterNot(_.isNullAt(i)).map(_.get(i, dt)).toSeq
+            // all-NULL update keys ⇒ nothing can match ⇒ prune all
+            if (vals.isEmpty) lit(false)
+            else {
+              val lo = org.apache.spark.sql.graft.ColumnBridge
+                .column(Literal(vals.min(cmp), dt))
+              val hi = org.apache.spark.sql.graft.ColumnBridge
+                .column(Literal(vals.max(cmp), dt))
+              col(s"min_$k").isNull || // null envelope: probe
+                (col(s"min_$k") <= hi && col(s"max_$k") >= lo)
+            }
+          }.reduceOption(_ && _).getOrElse(lit(true))
+          val m = manifest(parent)
+          if (!m.columns.contains("row_count")) None
+          else {
+            // zero jobs when the manifest dirs are driver-cached
+            // (ConvertToLocalRelation folds where+select); one job —
+            // the same one the generic path pays — otherwise
+            val cand = m.where(candPred)
+              .select(col("path"), col("row_count")).collect()
+            lastAuditScanned = cand.length.toLong
+            if (cand.isEmpty)
+              Some(AddRemove(added = Some(writeData(updates, numFiles))))
+            else if (cand.exists(_.isNullAt(1)) ||
+                cand.map(_.getLong(1)).sum >
+                  GraftTable.MicroMergeScanRows) None
+            else {
+              // THE one scan job: candidate files, internal rows
+              // (executeCollect — no lossy UTF-8 hop, ADVICE r13)
+              val paths = cand.map(r => s"$root/${r.getString(0)}")
+              val recLocal = GraftTable.localFrame(spark,
+                withRowId(readRaw(paths.toIndexedSeq, parent)))
+              recLocal.queryExecution.logical match {
+                case rl: LocalRelation =>
+                  val recAttrs = rl.output
+                  val pathIdx = recAttrs.indexWhere(_.name == "_gt_path")
+                  val dataIdx = recAttrs.zipWithIndex
+                    .filterNot(_._1.name.startsWith("_gt_")).map(_._2)
+                  val recKeyIdx = keyCols.map(k =>
+                    recAttrs.indexWhere(_.name.equalsIgnoreCase(k)))
+                  // schema compatibility with the update frame: same
+                  // column-name set (case-insensitive), identical
+                  // types — else the generic unionByName coercion
+                  // rules apply and we fall back
+                  def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+                  val updByName =
+                    outAttrs.map(a => lc(a.name) -> a).toMap
+                  val updProj: Seq[Option[Int]] = dataIdx.map { i =>
+                    updByName.get(lc(recAttrs(i).name)) match {
+                      case Some(a) if a.dataType == recAttrs(i).dataType =>
+                        Some(outAttrs.indexOf(a))
+                      case _ => None
+                    }
+                  }
+                  if (dataIdx.size != outAttrs.size ||
+                      updProj.exists(_.isEmpty) ||
+                      recKeyIdx.exists(_ < 0) ||
+                      recKeyIdx.zip(keyTypes).exists { case (i, dt) =>
+                        recAttrs(i).dataType != dt }) None
+                  else {
+                    def pathOf(r: InternalRow): String =
+                      r.getUTF8String(pathIdx).toString
+                    val hits =
+                      scala.collection.mutable.LinkedHashSet[String]()
+                    rl.data.foreach { r =>
+                      val t = keyTuple(r, recKeyIdx)
+                      if (!t.contains(null) && keySet(t))
+                        hits += pathOf(r)
+                    }
+                    if (hits.isEmpty)
+                      Some(AddRemove(
+                        added = Some(writeData(updates, numFiles))))
+                    else {
+                      // survivors in the FILE schema's column order
+                      // (what the generic anti-join ∪ unionByName
+                      // writes), update rows projected into it
+                      val surv = Seq.newBuilder[InternalRow]
+                      rl.data.foreach { r =>
+                        if (hits.contains(pathOf(r))) {
+                          val t = keyTuple(r, recKeyIdx)
+                          if (t.contains(null) || !keySet(t))
+                            surv += new GenericInternalRow(
+                              dataIdx.map(i =>
+                                r.get(i, recAttrs(i).dataType)).toArray)
+                        }
+                      }
+                      updRows.foreach { r =>
+                        surv += new GenericInternalRow(
+                          updProj.map(_.get).map(i =>
+                            r.get(i, outAttrs(i).dataType)).toArray)
+                      }
+                      val survAttrs = dataIdx.map(i =>
+                        AttributeReference(recAttrs(i).name,
+                          recAttrs(i).dataType, nullable = true)())
+                      val survDf = org.apache.spark.sql.graft
+                        .ColumnBridge.ofRows(spark,
+                          LocalRelation(survAttrs, surv.result()))
+                      Some(AddRemove(
+                        added = Some(writeData(survDf, numFiles)),
+                        removedPaths = hits.toSeq))
+                    }
+                  }
+                case _ => None
+              }
+            }
+          }
+        }
+    }
+
+    // generic-path inputs, LAZY: when every attempt takes the micro
+    // path, neither job below runs
+    lazy val keyed = updates.select(keyCols.map(col): _*).distinct()
     // Envelope of the update keys on stats-carrying key columns — ONE
     // small aggregate over the update side, then the key probe reads
     // only manifest files whose [min,max] intersects it. A range-local
     // merge (the incremental-upsert shape) therefore probes O(touched
     // window) files, never O(table). NULL update keys never join
     // (three-valued equality), so null-ignoring min/max stay sound.
-    val statKeys =
+    lazy val statKeys =
       keyCols.filter(k => statsCols.contains(physCol(k, currentVersion)))
-    val keyBounds: Map[String, (Any, Any)] =
+    lazy val keyBounds: Map[String, (Any, Any)] =
       if (statKeys.isEmpty) Map.empty
       else {
         val aggs = statKeys.flatMap(k =>
@@ -1543,10 +1727,12 @@ final class GraftTable private (
           k -> ((r.get(2 * i), r.get(2 * i + 1)))
         }.toMap
       }
-    commitWithRetry("merge", batchLedger = batchLedger,
-        newSchema = Some(updates.schema)) { parent =>
+    def genericDelta(parent: Long): Delta = {
       val all = manifest(parent)
-      lastAuditTotal = all.count()
+      val fc = fileCount(parent)
+      // entry count rides the snapshot record — no manifest count job
+      // (legacy refs without per-dir counts keep the count)
+      lastAuditTotal = if (fc >= 0) fc else all.count()
       val candPred = statKeys.map { k =>
         val (lo, hi) = keyBounds(k)
         val p = physCol(k, parent)
@@ -1590,6 +1776,10 @@ final class GraftTable private (
           removedPaths = hits.toSeq)
       }
     }
+    commitWithRetry("merge", batchLedger = batchLedger,
+        newSchema = Some(updates.schema)) { parent =>
+      microDelta(parent).getOrElse(genericDelta(parent))
+    }
   }
 
   /** MERGE-ON-READ upsert: whole-row-replace MERGE semantics
@@ -1625,7 +1815,10 @@ final class GraftTable private (
       extraKvs = Seq(s"merge_keys=${keyCols.mkString(",")}"),
       extraDv = Some { parent =>
         val all = manifest(parent)
-        lastAuditTotal = all.count()
+        val fc = fileCount(parent)
+        // entry count rides the snapshot record — no manifest count
+        // job (legacy refs without per-dir counts keep the count)
+        lastAuditTotal = if (fc >= 0) fc else all.count()
         val candPred = statKeys.map { k =>
           val (lo, hi) = keyBounds(k)
           val p = physCol(k, parent)
@@ -2454,9 +2647,60 @@ final class GraftTable private (
           val parentRefs =
             if (parent == 0) Nil
             else snapshot(parent).manifestDirs.map(ensureCounts)
+          // DRIVER-SIDE REMOVAL FAST PATH (r15): when every parent
+          // dir's rows are still in the manifest-rows cache (the
+          // same-process micro-commit case — streaming sinks, ledgered
+          // merges, the curation gates), finding the affected dirs and
+          // building the survivor entries is pure driver work over a
+          // few hundred rows; the generic path below pays two jobs per
+          // rewriting commit (semi-join tag + anti-join rewrite),
+          // ~0.1 s of fixed plan+schedule each. Semantics identical:
+          // same affected-dir selection, same survivor set, same
+          // keep-one-schema-carrying-dir rule on a rewrite that
+          // emptied the table. Mixed-schema affected dirs (written
+          // across a stats/bloom declaration change) fall back.
+          def removalLocal(parentRefs: Seq[ManifestRef],
+              removed: Seq[String], next: Long)
+              : Option[Seq[ManifestRef]] = {
+            val cachedDirs = parentRefs.map(r =>
+              r -> GraftTable.manifestRows(root, r.dir))
+            if (!cachedDirs.forall(_._2.isDefined)) None
+            else {
+              val removedSet = removed.toSet
+              val withHit = cachedDirs.map { case (r, c) =>
+                val (sch, rows) = c.get
+                val pi = sch.fieldIndex("path")
+                (r, sch, rows, pi,
+                  rows.exists(row =>
+                    removedSet.contains(row.getUTF8String(pi).toString)))
+              }
+              val affected = withHit.filter(_._5)
+              if (affected.isEmpty) Some(parentRefs)
+              else if (affected.map(_._2).distinct.size != 1) None
+              else {
+                val surv = affected.flatMap { case (_, _, rows, pi, _) =>
+                  rows.filterNot(row =>
+                    removedSet.contains(row.getUTF8String(pi).toString))
+                }
+                val carried = withHit.filterNot(_._5).map(_._1)
+                if (surv.isEmpty && carried.nonEmpty) Some(carried)
+                else {
+                  val sch = affected.head._2
+                  val attrs = sch.map(f =>
+                    org.apache.spark.sql.catalyst.expressions
+                      .AttributeReference(
+                        f.name, f.dataType, f.nullable)())
+                  val lf = org.apache.spark.sql.graft.ColumnBridge
+                    .ofRows(spark, org.apache.spark.sql.catalyst.plans
+                      .logical.LocalRelation(attrs, surv))
+                  Some(carried :+ writeManifestDir(lf, next))
+                }
+              }
+            }
+          }
           val afterRemove =
             if (removed.isEmpty || parentRefs.isEmpty) parentRefs
-            else {
+            else removalLocal(parentRefs, removed, next).getOrElse {
               val removedDf = broadcast(removed.toDF("path"))
               // ONE metadata job (path column only) finds which dirs
               // list a removed file; every other dir carries by
@@ -2811,6 +3055,17 @@ object GraftTable {
     * under driver headroom; bigger rewrites keep the scan-side path. */
   val SmallCommitFiles = 64
 
+  /** Micro-merge fast path bounds (mergeImpl): the update frame must
+    * already be a driver-local LocalRelation of at most
+    * [[MicroMergeRows]] rows, and the candidate file slice it touches
+    * must hold at most [[MicroMergeScanRows]] live rows (that slice is
+    * collected once — the path's single scan job). Above either bound
+    * the generic distributed merge runs; the numbers mirror the
+    * micro-append (16384) and keep transient driver memory at a few
+    * MB of survivor rows. */
+  val MicroMergeRows = 16384
+  val MicroMergeScanRows = 65536
+
   /** Above this live-file count, planning/vacuum stop materializing
     * whole result sets on the driver in one collect: file paths
     * stream via `toLocalIterator` (transient memory = one manifest
@@ -3049,7 +3304,7 @@ object GraftTable {
     * U+FFFD — for stats envelopes that re-encoded value can exclude
     * the true extreme and pruning then skips live files (ADVICE r13).
     * `executeCollect` keeps catalyst rows (UTF8String bytes) intact. */
-  private[format] def localFrame(spark: SparkSession,
+  private[graft] def localFrame(spark: SparkSession,
       df: DataFrame): DataFrame = {
     val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution

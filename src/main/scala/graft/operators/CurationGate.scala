@@ -336,22 +336,23 @@ object CurationGate {
         col("d_docs").as("n_docs"), col("d_chars").as("n_chars")),
         batchId, numFiles = 1); ()
     } else {
-      // cached: merge's COW machinery executes the update frame three
-      // times (key-envelope aggregate, touched-file probe, survivor
-      // write) — without the cache each execution re-runs the delta
-      // aggregate + mart join from scratch
-      val totals = delta
-        .join(martT.read(), Seq(keyCol), "left")
-        .select(col(keyCol),
-          (col("d_docs") + coalesce(col("n_docs"), lit(0L)))
-            .as("n_docs"),
-          (col("d_chars") + coalesce(col("n_chars"), lit(0L)))
-            .as("n_chars"))
-        .cache()
-      try {
-        martT.mergeIfAbsent(totals, Seq(keyCol), batchId,
-          numFiles = 1); ()
-      } finally { totals.unpersist(); () }
+      // ONE execution into a driver-local frame (executeCollect): the
+      // merge below then takes GraftTable's micro-merge fast path —
+      // key set, stats envelope, hit set and survivor rows computed
+      // on the driver, one candidate-scan job total. (Previously
+      // cached: merge's COW machinery executed the update frame three
+      // times — key-envelope aggregate, touched-file probe, survivor
+      // write — each a ~0.1 s micro-job over ≤|languages| rows.)
+      val totals = GraftTable.localFrame(novelLangChars.sparkSession,
+        delta
+          .join(martT.read(), Seq(keyCol), "left")
+          .select(col(keyCol),
+            (col("d_docs") + coalesce(col("n_docs"), lit(0L)))
+              .as("n_docs"),
+            (col("d_chars") + coalesce(col("n_chars"), lit(0L)))
+              .as("n_chars")))
+      martT.mergeIfAbsent(totals, Seq(keyCol), batchId,
+        numFiles = 1); ()
     }
   }
 }
