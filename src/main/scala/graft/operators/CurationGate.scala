@@ -251,6 +251,12 @@ object CurationGate {
       .withColumn("nch", length(col("text")).cast("long"))
       .cache()
     try {
+      // materialize ONCE before the dedup joins: AQE runs the
+      // batch-first aggregate and the history-probe exchanges as
+      // CONCURRENT stage jobs, and a cold cache makes each recompute
+      // the fingerprint scan (see NeardupGate.curateBatch — same
+      // profile, same fix)
+      batch.count()
       // q168's rules against the PERSISTED index (history text never
       // rescanned). STRICTLY-EARLIER batches only: a replay after a
       // crash between the index append and the verdict append must

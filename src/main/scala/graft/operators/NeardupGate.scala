@@ -182,6 +182,14 @@ object NeardupGate {
         .toDF("doc_id", "band", "band_key")
         .cache()
       try {
+        // materialize ONCE before the multi-consumer joins: AQE
+        // submits the probe's independent exchange subtrees as
+        // CONCURRENT stage jobs, and a cold cache makes each of them
+        // recompute the 16-lane md5 signature — the job profiler
+        // showed 4–5 parallel 2-stage jobs of 0.6–1.4 s per batch,
+        // all running the same signature pipeline (the Pipeline.scala
+        // count()-before-concurrent-consumers pattern)
+        bands.count()
         val hist =
           if (GraftTable.versionAt(idxR) == 0)
             s.emptyDataFrame.select(lit(0).as("band"),

@@ -163,6 +163,11 @@ object SemdedupGate {
       .withColumn("bucket", lshBucket(col("v"), Dim))
       .cache()
     try {
+      // materialize ONCE before the probe joins: AQE runs their
+      // independent exchange subtrees as CONCURRENT stage jobs, and a
+      // cold cache makes each recompute norm+bucket (see
+      // NeardupGate.curateBatch — same profile, same fix)
+      batch.count()
       val hist =
         if (GraftTable.versionAt(idxR) == 0)
           s.emptyDataFrame.select(lit(0).as("bucket"),
