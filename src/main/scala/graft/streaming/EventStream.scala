@@ -54,17 +54,41 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value"))
 
   /** Run a streaming query to completion against the (static) backlog
-    * and return the materialized result from the memory sink. */
+    * and return the materialized result from the memory sink.
+    *
+    * `noData = false` skips the trailing NO-DATA micro-batch (the one
+    * AvailableNow runs after the backlog drains to advance the
+    * watermark and evict state). For a COMPLETE-mode aggregation the
+    * batch is pure cost: the sink already holds the full result and
+    * the query stops right after, so the evicted state is discarded
+    * anyway — but it costs one more full state-store pass (the job
+    * profiler measured 0.9–1.0 s: one state reload+commit per store
+    * partition × two stateful operators in q195), and at cluster
+    * scale that pass reloads every state partition across the
+    * cluster. Queries whose OUTPUT depends on the final watermark
+    * advance (append-mode windows, q197's event-time timeouts) must
+    * keep the default. */
   def runToCompletion(agg: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete(),
+      noData: Boolean = true): DataFrame = {
     val spark = agg.sparkSession
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val saved = spark.conf.getOption(key)
+    if (!noData) spark.conf.set(key, "false")
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (!noData) {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     spark.table(name)
   }
 
@@ -513,7 +537,8 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
     // memory-sink names are session-global: keep each run's unique
-    runToCompletion(agg, s"q189_hourly_${System.nanoTime}")
+    runToCompletion(agg, s"q189_hourly_${System.nanoTime}",
+      noData = false)
   }
 
   /** q192 — SESSIONIZATION through the streaming engine inside the
@@ -543,7 +568,8 @@ object EventStream {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         col("n_events"), col("duration_sec"), col("session_value"))
-    runToCompletion(agg, s"q192_sessions_${System.nanoTime}")
+    runToCompletion(agg, s"q192_sessions_${System.nanoTime}",
+      noData = false)
   }
 
   /** q195 — streaming DEDUPLICATION inside the hash-checked gate: the
@@ -569,7 +595,8 @@ object EventStream {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
-    runToCompletion(agg, s"q195_dedup_${System.nanoTime}")
+    runToCompletion(agg, s"q195_dedup_${System.nanoTime}",
+      noData = false)
   }
 
   /** q196 — the stream-static enrich join inside the hash-checked gate:
