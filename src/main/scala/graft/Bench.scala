@@ -35,6 +35,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
+    // SPARK_GRAFT_PROFILE_JOBS=1: per-job wall time + description to
+    // stderr (dev-only attribution; mirrors PlanProf's listener)
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts = new java.util.concurrent
+            .ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = {
+            val d = Option(js.properties)
+              .flatMap(p =>
+                Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            starts.put(js.jobId,
+              (System.nanoTime(),
+                s"stages=${js.stageInfos.size} " +
+                  s"tasks=${js.stageInfos.map(_.numTasks).sum} $d"))
+            ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd)
+              : Unit =
+            Option(starts.remove(je.jobId)).foreach { case (t0, d) =>
+              System.err.println(
+                f"JOB ${je.jobId}%5d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $d")
+            }
+        })
     spark
   }
 
@@ -443,9 +471,12 @@ object Bench {
     val runEtl = only.forall(_.contains("etl_pipeline"))
     // per-leg dev filter: SPARK_GRAFT_ONLY=gtable_10x runs JUST that
     // scale leg (A/B attribution runs must not drag the fullscale
-    // pair along)
+    // pair along). With NO filter every leg runs (the driver's mode);
+    // with a filter only the NAMED legs run — previously naming
+    // etl_pipeline turned every other leg on too, so the pair could
+    // not be timed in isolation.
     def legOn(key: String): Boolean =
-      runEtl || only.exists(_.contains(key))
+      only.forall(_.contains(key))
     val (etlTime, etlIncTime) =
       if (!runEtl) (-1.0, -1.0)
       else sampledPair("etl_pipeline")(etlPair())

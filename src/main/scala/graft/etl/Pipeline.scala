@@ -245,7 +245,20 @@ object Pipeline {
   def runPipelined(spark: SparkSession, cfg: Config): Map[String, Long] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
 
-    val fact = windowedFact(spark, cfg).cache()
+    // Repartition the window on the bronze sink's own partitioning
+    // BEFORE caching (guide §2.5 input skew: the source is one
+    // parquet row group, so the scan is a single indivisible task —
+    // without this the CACHE inherits that 1-3-partition layout and
+    // every downstream consumer runs at that parallelism: the silver
+    // broadcast-join probe, the silver cache build, and all four mart
+    // scans were 3-task stages in the job profile). The exchange is
+    // the same one Sinks.writePartitioned performs for the bronze
+    // write, so the write reuses it, and cache build/compression runs
+    // cluster-wide. Rows and warehouse content are unchanged.
+    val fact = windowedFact(spark, cfg)
+      .repartition(spark.sparkContext.defaultParallelism,
+        factPartitions.map(col): _*)
+      .cache()
     try {
       val dims = Future(t0Dimensions(spark, cfg))
       fact.count() // materialize once before concurrent consumers
