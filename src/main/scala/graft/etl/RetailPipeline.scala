@@ -230,18 +230,22 @@ object RetailPipeline {
     // reference this is the JDBC pushdown query's date window
     val purchase = synthPurchase(spark, products, nPurchaseRows)
       .where(window)
-    Sinks.writePartitioned(purchase, s"$warehouseDir/bronze/purchase",
-      Seq("affiliate", "purchase_year", "purchase_month"))
+    // bronze month-overwrite overlaps the silver stage (see [[run]]);
+    // the month's fact is recomputed with the read-back's inferred
+    // partition types instead of waiting for write + pruned re-read
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bronzeWrite = Future(Sinks.writePartitioned(purchase,
+      s"$warehouseDir/bronze/purchase",
+      Seq("affiliate", "purchase_year", "purchase_month")))
 
     val custZip = customerWithZipcode(
       customer(spark, dataDir), zipcode(spark, dataDir))
-    // partition-pruned read-back of exactly the reloaded month
-    val fact = spark.read.parquet(s"$warehouseDir/bronze/purchase")
-      .where(window)
+    val fact = inferPartTypes(purchase)
     val silverDf = silver(fact, products, custZip)
     Sinks.writePartitioned(silverDf,
       s"$warehouseDir/silver/purchase_all_info",
       Seq("affiliate", "purchase_year", "purchase_month"))
+    Await.result(bronzeWrite, Duration.Inf)
 
     val silverBack = spark.read
       .parquet(s"$warehouseDir/silver/purchase_all_info")
@@ -250,7 +254,6 @@ object RetailPipeline {
     // parallel jobs (guide §2.6: back-fill the tail; same D1 fan-out
     // Pipeline.writeMarts has always used). Output files, rows, and
     // dirs are identical to the serial loop.
-    implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.sequence(
       marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
         Future {
@@ -286,20 +289,25 @@ object RetailPipeline {
       n, col("purchase_year"), col("purchase_month"))
     val bronze = GraftTable.openOrCreate(
       spark, s"$warehouseDir/bronze_purchase", stats)
-    bronze.overwrite(clustered(purchase, 32), numFiles = 0)
+    // bronze commit overlaps the silver stage (see [[run]]): the fact
+    // is recomputed from the deterministic synth with the read-back's
+    // partition-type cast — same multiset of rows as bronze.read()
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bronzeWrite =
+      Future(bronze.overwrite(clustered(purchase, 32), numFiles = 0))
 
     val custZip = customerWithZipcode(
       customer(spark, dataDir), zipcode(spark, dataDir))
-    val fact = inferPartTypes(bronze.read())
+    val fact = inferPartTypes(purchase)
     val silverDf = silver(fact, products, custZip)
     val silverT = GraftTable.openOrCreate(
       spark, s"$warehouseDir/silver_purchase_all_info", stats)
     silverT.overwrite(clustered(silverDf, 32), numFiles = 0)
+    Await.result(bronzeWrite, Duration.Inf)
 
     val silverBack = silverT.read()
     // parallel mart fan-out (guide §2.6) — four independent tables,
     // each commit its own atomic snapshot; same rows either way
-    implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.sequence(
       marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
         Future {
@@ -341,20 +349,24 @@ object RetailPipeline {
       .where(window)
     val bronze = GraftTable
       .forPath(spark, s"$warehouseDir/bronze_purchase")
-    bronze.replaceWhere(window, purchase, numFiles = 8)
+    // bronze month-replace overlaps the silver stage (see [[run]]);
+    // the window's fact is recomputed with the read-back's partition
+    // cast — the same rows the pruned re-read returns
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bronzeWrite =
+      Future(bronze.replaceWhere(window, purchase, numFiles = 8))
 
     val custZip = customerWithZipcode(
       customer(spark, dataDir), zipcode(spark, dataDir))
-    val fact = inferPartTypes(
-      bronze.prunedWhere(window)._1.where(window))
+    val fact = inferPartTypes(purchase)
     val silverDf = silver(fact, products, custZip)
     val silverT = GraftTable
       .forPath(spark, s"$warehouseDir/silver_purchase_all_info")
     silverT.replaceWhere(window, silverDf, numFiles = 8)
+    Await.result(bronzeWrite, Duration.Inf)
 
     val silverBack = silverT.prunedWhere(window)._1.where(window)
     // parallel mart fan-out (guide §2.6) — independent tables
-    implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.sequence(
       marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
         Future {
@@ -370,18 +382,41 @@ object RetailPipeline {
     * each registered. Returns mart row counts. */
   def run(spark: SparkSession, dataDir: String, warehouseDir: String,
       nPurchaseRows: Long): Map[String, Long] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val products = productsInfo(spark, dataDir)
+    // The bronze write OVERLAPS the silver stage
+    // (Pipeline.runPipelined's D1 shape): the fact is a deterministic
+    // hash synthesis, so recomputing it for the silver join costs
+    // what the bronze read-back did, while the 28.6M-row partitioned
+    // write — 15 s of the leg's critical path in the job profile —
+    // runs concurrently. (Measured and REJECTED: caching the synth —
+    // 115 s vs 84–89 s — the columnar cache build + memory pressure
+    // at 28.6M rows costs far more than the codegen'd hash
+    // recompute.) inferPartTypes reproduces the read-back's
+    // partition-type inference ("08" → 8), which is semantically
+    // load-bearing for the weekday UDF (see [[inferPartTypes]]);
+    // marts are byte-identical (RetailGoldenSpec pins them).
     val purchase = synthPurchase(spark, products, nPurchaseRows)
-    Sinks.writePartitioned(purchase, s"$warehouseDir/bronze/purchase",
-      Seq("affiliate", "purchase_year", "purchase_month"))
+    val bronzeWrite = Future(Sinks.writePartitioned(purchase,
+      s"$warehouseDir/bronze/purchase",
+      Seq("affiliate", "purchase_year", "purchase_month")))
 
     val custZip = customerWithZipcode(
       customer(spark, dataDir), zipcode(spark, dataDir))
-    val fact = spark.read.parquet(s"$warehouseDir/bronze/purchase")
+    val fact = inferPartTypes(purchase)
     val silverDf = silver(fact, products, custZip)
     Sinks.writePartitioned(silverDf,
       s"$warehouseDir/silver/purchase_all_info",
       Seq("affiliate", "purchase_year", "purchase_month"))
+    Await.result(bronzeWrite, Duration.Inf)
+    runGold(spark, warehouseDir, fact, custZip)
+  }
+
+  /** Gold tier of [[run]]: read silver back, write + register the four
+    * marts (split out so [[run]]'s fact cache scopes cleanly). */
+  private def runGold(spark: SparkSession, warehouseDir: String,
+      fact: DataFrame, custZip: DataFrame): Map[String, Long] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
 
     val silverBack =
       spark.read.parquet(s"$warehouseDir/silver/purchase_all_info")
@@ -390,7 +425,6 @@ object RetailPipeline {
     // has always used). Registration stays serial afterwards: the
     // embedded metastore serializes DDL anyway, and registration must
     // see the finished directory.
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val written = Await.result(Future.sequence(
       marts(fact, silverBack, custZip).toSeq.map { case (name, df) =>
         Future {
