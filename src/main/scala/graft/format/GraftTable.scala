@@ -1640,8 +1640,18 @@ final class GraftTable private (
                   // schema compatibility with the update frame: same
                   // column-name set (case-insensitive), identical
                   // types — else the generic unionByName coercion
-                  // rules apply and we fall back
+                  // rules apply and we fall back. Names must also be
+                  // case-insensitively DISTINCT on both sides: this
+                  // path matches by folded name, so a (caseSensitive
+                  // = true) table carrying both "A" and "a" could
+                  // otherwise map to the wrong column — such frames
+                  // take the generic resolver instead.
                   def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+                  val namesDistinct =
+                    recAttrs.map(a => lc(a.name)).distinct.size ==
+                      recAttrs.size &&
+                    outAttrs.map(a => lc(a.name)).distinct.size ==
+                      outAttrs.size
                   val updByName =
                     outAttrs.map(a => lc(a.name) -> a).toMap
                   val updProj: Seq[Option[Int]] = dataIdx.map { i =>
@@ -1651,7 +1661,8 @@ final class GraftTable private (
                       case _ => None
                     }
                   }
-                  if (dataIdx.size != outAttrs.size ||
+                  if (!namesDistinct ||
+                      dataIdx.size != outAttrs.size ||
                       updProj.exists(_.isEmpty) ||
                       recKeyIdx.exists(_ < 0) ||
                       recKeyIdx.zip(keyTypes).exists { case (i, dt) =>
